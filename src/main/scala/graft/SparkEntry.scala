@@ -1,13 +1,204 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.CellTable
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY.md §2 (+ the LLM-pipeline
+  * extension tier) as runnable entries; `oracleSql` carries the DuckDB
+  * equivalent for every SQL-expressible one. Column names/aliases match
+  * 1:1 between the Spark plan and the SQL. Aggregates over floating data are
+  * computed on DECIMAL(18,4) casts in BOTH engines so sums are bit-exact
+  * regardless of accumulation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship (SURVEY §7.2): CopyRow — point-read a row of the derived cell
+    * table by its HBase-shell-notation key, rewrite cell timestamps. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    copyRowQuery(spark, "/root/testdata/sf0.001")
+
+  /** CopyRow over the customer cell table: key = custkey 42 big-endian
+    * (`\x00`×7 then 0x2A = '*'), ts override on. Output string-rendered. */
+  private def copyRowQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = CellTable.fromTable(spark, sfDir, "customer")
+    CopyRow.plan(cells, "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
+        overrideTs = true, tsToUse = 1717200000000L)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("family"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("cellType"),
+        col("value").cast("string").as("value"))
+  }
+
+  /** Cell-model scan: multi-version injection + latest-version-wins read. */
+  private def cellLatestQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(crc32(col("rowKey")), lit(10)) === 0, n = 2)
+    CellTable.latestVersion(versioned)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
+  /** CorruptRows pipeline over the cell table: negative account balance
+    * poisons the row; output = the reference's (row_key, error) TSV record. */
+  private def corruptScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = CellTable.fromTable(spark, sfDir, "customer")
+    val poisoned = col("qualifier").cast("string") === "c_acctbal" &&
+      col("value").cast("string").cast("double") < 0
+    CorruptScan.pipeline(cells, poisoned)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference-parity pack (SURVEY §7.5) — all DuckDB-checkable
+    "q_point_lookup"   -> (Relational.pointLookup _),
+    "q_range_scan"     -> (Relational.rangeScan _),
+    "q_family_filter"  -> (Relational.familyFilter _),
+    "q_first_per_group"-> (Relational.firstPerGroup _),
+    "q_latest_version" -> (Relational.latestVersion _),
+    "q_probe_join"     -> (Relational.probeJoin _),
+    "q_probe_counters" -> (Relational.probeCounters _),
+    "q_msg_normalize"  -> (Relational.msgNormalize _),
+    "q_ts_override"    -> (Relational.tsOverride _),
+    "q_families"       -> (Relational.families _),
+    "q1_agg"           -> (Relational.q1Agg _),
+    "q_join_agg"       -> (Relational.joinAgg _),
+    "q_topk"           -> (Relational.topK _),
+    "q_anti_join"      -> (Relational.antiJoin _),
+    "q_semi_join"      -> (Relational.semiJoin _),
+    "q_json_extract"   -> (Relational.jsonExtract _),
+    "q_event_windows"  -> (Relational.eventWindows _),
+    // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
+    "q_copy_row"       -> (copyRowQuery _),
+    "q_cell_latest"    -> (cellLatestQuery _),
+    "q_corrupt_scan"   -> (corruptScanQuery _),
+    // LLM-pipeline extension tier
+    "q_dedup_exact"    -> (Dedup.exactQuery _),
+    "q_minhash_pairs"  -> (Dedup.minhashQuery _),
+    "q_simhash_pairs"  -> (Dedup.simhashQuery _),
+    "q_ngram_jaccard"  -> (Dedup.ngramJaccardQuery _),
+    "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
+    "q_ann_topk"       -> (Similarity.bruteForceQuery _),
+    "q_ann_lsh"        -> (Similarity.lshQuery _),
+    "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
+    "q_token_counts"   -> (TextAnalysis.tokenCountsQuery _),
+    "q_lang_id"        -> (TextAnalysis.langIdQuery _),
+    "q_quality"        -> (TextAnalysis.qualityQuery _),
+    "q_fingerprint"    -> (TextAnalysis.fingerprintQuery _),
+    "q_media_decode"   -> (Multimodal.decodeQuery _),
+    "q_frame_sample"   -> (Multimodal.frameSampleQuery _))
+
+  /** DuckDB equivalents for every SQL-expressible query above. */
+  def oracleSql: Map[String, String] = Map(
+    "q_point_lookup" ->
+      "SELECT * FROM customer WHERE c_custkey = 42",
+    "q_range_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200""",
+    "q_family_filter" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+         FROM lineitem WHERE l_returnflag IN ('A','R')
+         GROUP BY l_returnflag""",
+    "q_first_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+           FROM lineitem) t WHERE rn = 1""",
+    "q_latest_version" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders) t WHERE rn = 1""",
+    "q_probe_join" ->
+      """SELECT o_orderkey,
+                CASE WHEN c_acctbal < 0 THEN 'FAILED' ELSE 'SUCCESS' END AS status,
+                CASE WHEN c_acctbal < 0
+                     THEN 'NegativeBalanceException, message: account balance below zero'
+                END AS error
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "q_probe_counters" ->
+      """SELECT count(*) AS total_rows,
+                count(CASE WHEN NOT coalesce(c_acctbal < 0, FALSE) THEN 1 END) AS success_rows,
+                count(CASE WHEN coalesce(c_acctbal < 0, FALSE) THEN 1 END) AS failed_rows
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "q_msg_normalize" ->
+      """SELECT doc_id,
+                concat('SimulatedException', ', message: ',
+                  CASE WHEN trim(concat(source, chr(10), 'lang=', lang)) = '' THEN 'n/a'
+                       ELSE regexp_split_to_array(concat(source, chr(10), 'lang=', lang),
+                              '\r\n|\r|\n')[1]
+                  END) AS error
+         FROM documents""",
+    "q_ts_override" ->
+      """SELECT o_orderkey, TIMESTAMP '2024-06-01 00:00:00' AS o_orderdate, o_totalprice
+         FROM orders WHERE o_orderkey < 100""",
+    "q_families" ->
+      "SELECT DISTINCT l_returnflag AS family FROM lineitem",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_join_agg" ->
+      """SELECT n_name,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""",
+    "q_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part p
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+         GROUP BY p_brand""",
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events WHERE event_id < 1000""",
+    "q_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n_events,
+                sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                CAST(min(doc_id) AS BIGINT) AS keep_id
+         FROM documents GROUP BY md5(text)""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace_chars
+         FROM documents""",
+    "q_token_counts" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+                CAST(sum(len(regexp_extract_all(lower(text),
+                  '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))) AS BIGINT) AS total_bpe_tokens
+         FROM documents GROUP BY lang""")
 }

@@ -1,0 +1,91 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Derives a `Dataset[Cell]`-schema table from the driver's Parquet fixtures
+ * (FIXTURES.md §B): one cell per (row, column), rowKey = big-endian 8-byte
+ * primary key (so unsigned byte order == numeric key order), family = source
+ * table name, qualifier = UTF-8 column name, value = column rendered to
+ * string bytes. Entirely declarative — the derivation is a single
+ * select+explode that stays inside whole-stage codegen; no collect, no UDF.
+ */
+object CellTable {
+
+  /** Base timestamp per derived family — fixed so goldens are stable. */
+  val BaseTs: Long = 1700000000000L
+
+  /** Primary-key column per fixture table that has a single-column key. */
+  val PrimaryKeys: Map[String, String] = Map(
+    "region"   -> "r_regionkey",
+    "nation"   -> "n_nationkey",
+    "customer" -> "c_custkey",
+    "supplier" -> "s_suppkey",
+    "part"     -> "p_partkey",
+    "orders"   -> "o_orderkey",
+    "events"   -> "event_id",
+    "documents"-> "doc_id")
+
+  /** Long -> big-endian 8-byte binary, built-ins only (hex/lpad/unhex). */
+  def bigEndianKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(lpad(hex(c.cast("bigint")), 16, "0"))
+
+  /**
+   * Build the long/narrow cell table for one fixture table.
+   * At 100 TB this shape is what an HBase snapshot/HFile bulk read lands as;
+   * partitioning by rowKey ranges ≙ region splits.
+   */
+  def fromTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val pk = PrimaryKeys(table)
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    val valueCols = df.columns.filter(_ != pk)
+    val cellStructs = valueCols.map { c =>
+      struct(
+        lit(c).cast("binary").as("qualifier"),
+        col(c).cast("string").cast("binary").as("value"))
+    }
+    df.select(
+        bigEndianKey(col(pk)).as("rowKey"),
+        explode(array(cellStructs: _*)).as("cell"))
+      .select(
+        col("rowKey"),
+        lit(table).as("family"),
+        col("cell.qualifier").as("qualifier"),
+        lit(BaseTs).as("ts"),
+        lit("Put").as("cellType"),
+        col("cell.value").as("value"))
+  }
+
+  /**
+   * Inject extra versions for rows where `pred` holds: `n` additional cells
+   * per existing cell at ts+1000, ts+2000, … (FIXTURES.md §B multi-version
+   * injection). Values are suffixed with the version ordinal so
+   * latest-version-wins reads are observable.
+   */
+  def withExtraVersions(cells: DataFrame, pred: org.apache.spark.sql.Column, n: Int): DataFrame = {
+    val extra = cells.filter(pred)
+      .select(col("*"), explode(sequence(lit(1), lit(n))).as("v"))
+      .select(
+        col("rowKey"), col("family"), col("qualifier"),
+        (col("ts") + col("v") * 1000L).as("ts"),
+        col("cellType"),
+        concat(col("value").cast("string"), lit("#v"), col("v").cast("string"))
+          .cast("binary").as("value"))
+    cells.unionByName(extra)
+  }
+
+  /**
+   * Latest-version-wins read (SURVEY.md §1.4): HBase's default single-version
+   * visibility expressed as a window — partition by full cell coordinates,
+   * keep the max-ts cell.
+   */
+  def latestVersion(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("rowKey", "family", "qualifier")
+      .orderBy(col("ts").desc)
+    cells.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

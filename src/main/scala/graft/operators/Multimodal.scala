@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads travel as opaque
+ * `BINARY` columns next to typed metadata, and per-item compute (decode,
+ * feature extraction, resize, frame sampling) runs as batched per-partition
+ * functions — the Scala analogue of `mapInPandas`, with the same contract:
+ * the executor processes an iterator of rows, amortizing codec/library init
+ * once per partition.
+ *
+ * The actual codecs are NOT in this environment, so the decode kernels are
+ * clearly-marked deterministic STUBS (`decodeStub`): they derive plausible
+ * metadata from the payload bytes alone, so the surrounding Spark machinery
+ * — schema, partitioning, batch iteration, null routing — is real and
+ * testable. Swapping in a real decoder is a one-function change.
+ */
+object Multimodal {
+
+  /** A multimodal record: payload + typed metadata. */
+  final case class Media(
+      media_id: Long,
+      kind: String,            // "image" | "audio" | "video"
+      content: Array[Byte],
+      source: String)
+
+  final case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      duration_ms: Long,
+      ok: Boolean,
+      error: String)
+
+  /** Derive a deterministic media table from the documents fixture: payload =
+    * UTF-8 bytes of the text, kind assigned round-robin by doc id. */
+  def deriveMedia(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      col("source"))
+
+  /**
+   * STUB decode kernel — stands in for an image/audio codec. Deterministic
+   * pure function of the payload so tests are stable. A real implementation
+   * replaces only this function (same signature: bytes in, metadata out).
+   */
+  private[operators] def decodeStub(kind: String, content: Array[Byte]): (Int, Int, Int, Long) = {
+    val h = graft.functions.SimHashImpl.fnv1a64(content)
+    kind match {
+      case "image" =>
+        (64 + math.floorMod(h, 1856).toInt, 64 + math.floorMod(h >>> 16, 1016).toInt, 3, 0L)
+      case "audio" => (0, 0, math.floorMod(h, 2).toInt + 1, 1000L + math.floorMod(h >>> 8, 600000L))
+      case _       => (640, 360, 3, 1000L + math.floorMod(h >>> 24, 7200000L))
+    }
+  }
+
+  /**
+   * Decode/inspect every payload, batched per partition, with the M4-style
+   * error channel: a payload the decoder rejects becomes an `ok=false` row,
+   * never a task failure.
+   */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    media.select("media_id", "kind", "content").as(
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { iter =>
+        // per-partition "codec init" happens here in a real implementation
+        iter.map { case (id, kind, content) =>
+          try {
+            if (content == null || content.isEmpty)
+              throw new IllegalArgumentException("empty payload")
+            val (w, hgt, ch, dur) = decodeStub(kind, content)
+            MediaMeta(id, kind, content.length.toLong, w, hgt, ch, dur, ok = true, null)
+          } catch { case e: Exception =>
+            MediaMeta(id, kind, if (content == null) 0L else content.length.toLong,
+              0, 0, 0, 0L, ok = false, e.getClass.getSimpleName + ": " + e.getMessage)
+          }
+        }
+      }
+  }
+
+  /**
+   * STUB frame sampling: emit `everyMs`-spaced frame descriptors for video
+   * rows — the row-explosion shape (1 video → N frames) that a real sampler
+   * produces, with deterministic fake frame payloads (a digest, not pixels).
+   */
+  def sampleFrames(meta: Dataset[MediaMeta], everyMs: Long): DataFrame =
+    meta.toDF()
+      .filter(col("kind") === "video" && col("ok"))
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ts_ms"))
+      .select(
+        col("media_id"), col("frame_ts_ms"),
+        sha2(concat(col("media_id").cast("string"), lit(":"),
+          col("frame_ts_ms").cast("string")), 256).as("frame_digest"))
+
+  // Query-pack adapters --------------------------------------------------
+
+  def decodeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMeta(deriveMedia(spark, sfDir)).toDF()
+
+  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(decodeMeta(deriveMedia(spark, sfDir)), everyMs = 60000L)
+}

@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * SURVEY.md §7.5 — the reference's operator inventory (§2) re-expressed as
+ * relational queries over the TPC-H-ish fixtures, all DuckDB-checkable.
+ *
+ * Conventions for oracle parity:
+ *  - every computed column is aliased identically in Spark and SQL;
+ *  - money/quantity aggregates are computed over `DECIMAL(18,4)` casts so
+ *    Spark and DuckDB produce bit-identical sums regardless of float
+ *    summation order (double sums are order-dependent; decimal sums are
+ *    exact);
+ *  - rows are deterministic sets — any LIMIT is preceded by a total order.
+ *
+ * Scale notes are on each query: what shuffles, what broadcasts, what gets
+ * pushed down.
+ */
+object Relational {
+
+  private val Dec = DecimalType(18, 4)
+
+  /**
+   * S2 — point lookup by primary key. The `c_custkey = k` predicate reaches
+   * the parquet scan (`PushedFilters: [EqualTo(c_custkey,42)]`) so only
+   * matching row groups are read; on a key-sorted 100 TB store this is a
+   * single-partition read, not a scan.
+   */
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "customer").filter(col("c_custkey") === 42L)
+
+  /**
+   * S1 — key-range scan in key order. BinaryType/numeric-key range predicates
+   * push down to min/max row-group pruning; ordering by the key is what the
+   * HBase sorted scan gives for free.
+   */
+  def rangeScan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") >= 100L && col("o_orderkey") < 200L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  /**
+   * S3/F2 — family/column selection: projection + membership filter. The
+   * projection prunes the parquet `ReadSchema` to exactly these columns.
+   */
+  def familyFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast(Dec)).as("sum_qty"))
+
+  /**
+   * F1 — first-key-only: first cell per row ⇒ first lineitem per order by
+   * line number. Window + row_number; one shuffle on the partition key,
+   * which any per-group operator needs.
+   */
+  def firstPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    // l_linenumber is NOT unique per order in the synthetic data — the full
+    // (linenumber, partkey, suppkey) tiebreak makes the winner well-defined
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc)
+    Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "l_suppkey")
+  }
+
+  /**
+   * Latest-version-wins (SURVEY §1.4) — newest order per customer, with a
+   * deterministic key tiebreak so the result is a well-defined set.
+   */
+  def latestVersion(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.load(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /**
+   * M2/M4 — the probe expressed relationally: each order probes its customer;
+   * a negative account balance simulates an unreadable row. The dimension is
+   * broadcast (15 k rows at sf0.1 — far under the 10 MB default), so the
+   * probe join is shuffle-free: exactly the reference's per-row GET pattern
+   * where only the small side moves.
+   */
+  def probeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_acctbal")
+    orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        when(col("c_acctbal") < 0, lit("FAILED")).otherwise(lit("SUCCESS")).as("status"),
+        when(col("c_acctbal") < 0,
+          CorruptScan.normalizeError(
+            lit("NegativeBalanceException"),
+            concat(lit("account balance below zero\nbal="), col("c_acctbal").cast("string"))))
+          .as("error"))
+  }
+
+  /** A1 — the counter triple as a single-row aggregate over the probe. */
+  def probeCounters(spark: SparkSession, sfDir: String): DataFrame =
+    probeJoin(spark, sfDir).agg(
+      count(lit(1)).as("total_rows"),
+      count(when(col("status") === "SUCCESS", 1)).as("success_rows"),
+      count(when(col("status") === "FAILED", 1)).as("failed_rows"))
+
+  /**
+   * M5 — message normalization as a SQL string pipeline over documents
+   * (first line of a multiline message, blank→"n/a", class-name prefix).
+   */
+  def msgNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        CorruptScan.normalizeError(
+          lit("SimulatedException"),
+          concat(col("source"), lit("\nlang="), col("lang"))).as("error"))
+
+  /** T1 — timestamp override as a projection (the CopyRow headline feature). */
+  def tsOverride(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") < 100L)
+      .select(
+        col("o_orderkey"),
+        to_timestamp(lit("2024-06-01 00:00:00")).as("o_orderdate"),
+        col("o_totalprice"))
+
+  /** S4 — schema/family introspection: enumerate distinct "families". */
+  def families(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("family"))
+      .distinct()
+
+  /**
+   * TPC-H Q1 flavor — the bench workhorse. Partial aggregation happens
+   * map-side before the 6-group exchange; with AQE the post-shuffle stage
+   * coalesces to a handful of partitions.
+   */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(Dec)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(Dec)).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /**
+   * Multi-way join + aggregate (TPC-H Q5 flavor): revenue by nation.
+   * Join order: lineitem (fact) ⨝ orders on orderkey is the only large
+   * shuffle; customer and nation are broadcast so the remaining joins are
+   * map-side. At 1000 executors the orderkey shuffle is the sole network
+   * phase and AQE handles skew.
+   */
+  def joinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables.load(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val nat = Tables.load(spark, sfDir, "nation").select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /**
+   * Top-k with a total order (price desc, key asc tiebreak). Spark plans
+   * TakeOrderedAndProject — a per-partition top-k then a driver merge of k
+   * rows per partition; no global sort even at 100 TB.
+   */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Anti join — customers with no 2001+ orders (NOT EXISTS). The date
+    * predicate is pushed below the join; at scale the anti join shuffles on
+    * the key like any join (or broadcasts the filtered side). */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer").select("c_custkey")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+      .select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+  }
+
+  /** Semi join — parts that appear in any lineitem (EXISTS). */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part").select("p_partkey", "p_brand")
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_partkey")
+    part.join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** JSON extraction from the events props column (schema-on-read). */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .filter(col("event_id") < 1000L)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** Hourly tumbling aggregation over events (batch form of the streaming
+    * monitor; see graft.streaming.EventMonitor for the readStream twin). */
+  def eventWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).as("sum_value"))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+ * score every corpus vector with the codegen'd `cosine_sim` kernel, take
+ * per-query top-k with a window. One pass over the corpus, no corpus
+ * shuffle: at 100 TB this is the scan-bound exact answer.
+ *
+ * Scale path: random-hyperplane LSH buckets (same family as
+ * `Dedup.embeddingNearDup`) — corpus is bucketed once (narrow), queries probe
+ * only their own bucket (and optional neighbor probes), turning the scan into
+ * a targeted partition read. IVF with learned centroids slots in behind the
+ * same interface once a k-means fit is added.
+ */
+object Similarity {
+
+  /** Brute-force exact top-k neighbors for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (shared with query side). */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  private def bucketExpr(planes: Seq[Seq[Float]]) =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dot_product(col("embedding"), typedlit(p)) >= 0, 1L << i)
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  /**
+   * LSH-bucketed ANN: only corpus vectors in the query's hyperplane bucket
+   * are scored. Recall < 1 by construction; raise `planes` for smaller
+   * buckets (speed) or lower it for higher recall.
+   */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(planes, 64, seed)
+    val bucketedCorpus = corpus.select(
+      col("vec_id"), col("embedding"), bucketExpr(hp).as("bucket"))
+    val bucketedQueries = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+      bucketExpr(hp).as("bucket"))
+    val scored = bucketedCorpus
+      .join(broadcast(bucketedQueries),
+        bucketedCorpus("bucket") === bucketedQueries("bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // Query-pack adapters --------------------------------------------------
+
+  /** Top-20 neighbors for the first 5 vectors, exact. */
+  def bruteForceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+  }
+
+  /** Same queries through the LSH path. */
+  def lshQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    lshTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline: token counting,
+ * quality scoring, language ID, and content fingerprinting. Everything is
+ * built-in-expression based (whole-stage codegen, no UDFs), so each operator
+ * is a narrow map over documents — embarrassingly parallel at 100 TB.
+ */
+object TextAnalysis {
+
+  /** BPE-ish tokenization: letter runs, digit runs, single punctuation. */
+  val TokenPattern = "[\\p{L}]+|[0-9]+|[^\\s\\p{L}0-9]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  def whitespaceTokens(text: Column): Column = split(text, "\\s+")
+
+  /** Per-document surface statistics (all DuckDB-checkable built-ins).
+    * Counts are cast to BIGINT to line up with DuckDB's `length()` type. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      size(split(col("text"), " ", -1)).cast("bigint").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[0-9]")).cast("bigint").as("n_digits"),
+      regexp_count(col("text"), lit("[.,;:!?]")).cast("bigint").as("n_punct"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("bigint").as("n_nonspace_chars"))
+
+  /** Token counting under both tokenizers, aggregated per language. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+        col("lang"),
+        size(whitespaceTokens(col("text"))).as("ws"),
+        size(bpeTokens(col("text"))).as("bpe"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("total_ws_tokens"),
+        sum(col("bpe")).as("total_bpe_tokens"))
+
+  /** Tiny per-language stopword inventories for the heuristic classifier. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "les", "des", "dans"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /**
+   * Heuristic language ID: stopword-hit voting over whitespace tokens, with
+   * a CJK-codepoint check for zh. Scores are deterministic; argmax with a
+   * fixed language-order tiebreak.
+   */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(whitespaceTokens(lower(col("text"))))
+    val scores = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val base = size(array_intersect(toks, typedlit(words)))
+      val score = if (lang == "zh")
+        base + regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("int")
+      else base
+      struct(score.cast("int").as("score"), lit(lang).as("lang"))
+    }
+    docs.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      element_at(array_sort(array(scores: _*),
+        (a, b) => when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .otherwise(0)), 1)("lang").as("predicted_lang"))
+  }
+
+  /**
+   * Quality score in [0,1]: blend of length band, alpha ratio, punctuation
+   * ratio, and mean token length — the usual cheap pre-filters in front of
+   * expensive pipeline stages.
+   */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(whitespaceTokens(col("text"))).cast("double")
+    val alphaRatio = length(regexp_replace(col("text"), "[^\\p{L} ]", "")).cast("double") /
+      greatest(nChars, lit(1.0))
+    val punctRatio = regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+      greatest(nTokens, lit(1.0))
+    val meanTokenLen = nChars / greatest(nTokens, lit(1.0))
+    val lengthBand = when(nChars.between(100, 2000), 1.0)
+      .when(nChars.between(20, 5000), 0.5).otherwise(0.0)
+    val tokenBand = when(meanTokenLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    docs.select(
+      col("doc_id"),
+      round(
+        (lengthBand * 0.35 + least(alphaRatio * 1.2, lit(1.0)) * 0.35 +
+          tokenBand * 0.2 + least(punctRatio * 4, lit(1.0)) * 0.1), 6).as("quality"))
+  }
+
+  /**
+   * Document fingerprint: content digest + min-k shingle sketch (the
+   * winnowing-style stable fingerprint: the k smallest shingle hashes,
+   * sorted — robust to small edits, unlike the exact digest).
+   */
+  def fingerprint(docs: DataFrame, k: Int = 8): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("content_hash"),
+      slice(array_sort(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s))),
+        1, k).as("mink_sketch"))
+
+  // Query-pack adapters --------------------------------------------------
+
+  def textStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    textStats(Tables.load(spark, sfDir, "documents"))
+
+  def tokenCountsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    tokenCounts(Tables.load(spark, sfDir, "documents"))
+
+  def langIdQuery(spark: SparkSession, sfDir: String): DataFrame =
+    langId(Tables.load(spark, sfDir, "documents"))
+
+  def qualityQuery(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScore(Tables.load(spark, sfDir, "documents"))
+
+  def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprint(Tables.load(spark, sfDir, "documents"))
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.model.CellTable
+import graft.operators.{CopyRow, CorruptScan}
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cell model + CopyRow + CorruptScan goldens (SURVEY.md §5 items 1, 3). */
+class CellModelSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val cells = CellTable.fromTable(spark, sf001, "customer").cache()
+
+  test("derivation: one cell per (row, non-key column), key is 8-byte big-endian") {
+    val customer = spark.read.parquet(s"$sf001/customer.parquet")
+    val nRows = customer.count()
+    val nValueCols = customer.columns.length - 1
+    assert(cells.count() == nRows * nValueCols)
+    val k = cells.select("rowKey").as(org.apache.spark.sql.Encoders.BINARY).head()
+    assert(k.length == 8)
+  }
+
+  test("key order: sorting cells by rowKey equals sorting customers by key") {
+    val sortedKeys = cells.select("rowKey").distinct()
+      .orderBy("rowKey")
+      .as(org.apache.spark.sql.Encoders.BINARY).collect()
+      .map(b => java.nio.ByteBuffer.wrap(b).getLong)
+    assert(sortedKeys.toSeq == sortedKeys.toSeq.sorted)
+  }
+
+  test("multi-version injection + latest-version-wins") {
+    val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
+    assert(versioned.count() == cells.count() * 3)
+    val latest = CellTable.latestVersion(versioned)
+    assert(latest.count() == cells.count())
+    // every surviving cell must be the ts+2000 version with the #v2 value
+    val distinctTs = latest.select("ts").distinct().collect().map(_.getLong(0)).toSet
+    assert(distinctTs == Set(CellTable.BaseTs + 2000))
+    val badValues = latest.filter(!col("value").cast("string").endsWith("#v2")).count()
+    assert(badValues == 0)
+  }
+
+  test("CopyRow: T1 ts override rewrites only the timestamp") {
+    val out = CopyRow.plan(cells, "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
+      overrideTs = true, tsToUse = 1234L)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("ts") == 1234L))
+    // row key decodes back to custkey 42 (0x2A = '*')
+    val keys = out.select("rowKey").as(org.apache.spark.sql.Encoders.BINARY).collect()
+    assert(keys.forall(k => java.nio.ByteBuffer.wrap(k).getLong == 42L))
+    // T2 identity copy keeps the original ts
+    val identity = CopyRow.plan(cells, "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
+      overrideTs = false, tsToUse = 0L)
+    assert(identity.collect().forall(_.getAs[Long]("ts") == CellTable.BaseTs))
+  }
+
+  test("CopyRow: T3 empty-row guard fires for a key in no table") {
+    var written = false
+    val n = CopyRow.run(cells, "\\xFF\\xFF\\xFF\\xFF\\xFF\\xFF\\xFF\\xFF",
+      overrideTs = true, tsToUse = 1L)(_ => written = true)
+    assert(n == 0 && !written)
+  }
+
+  test("CopyRow: run writes and counts cells for a present key") {
+    var seen = 0L
+    val n = CopyRow.run(cells, "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
+      overrideTs = true, tsToUse = 99L)(df => seen = df.count())
+    assert(n > 0 && seen == n)
+  }
+
+  test("CorruptScan: counters satisfy TOTAL = SUCCESS + FAILED; report formats M5") {
+    val poisoned = col("qualifier").cast("string") === "c_acctbal" &&
+      col("value").cast("string").cast("double") < 0
+    val obs = Observation("corrupt_test")
+    val probed = CorruptScan.withCounters(
+      CorruptScan.probeDeclarative(cells, poisoned), obs)
+    val report = CorruptScan.corruptReport(probed).collect()
+
+    val total = obs.get("TOTAL_ROWS").asInstanceOf[Long]
+    val success = obs.get("SUCCESS_ROWS").asInstanceOf[Long]
+    val failed = obs.get("FAILED_ROWS").asInstanceOf[Long]
+    assert(total == cells.select("rowKey").distinct().count())
+    assert(total == success + failed)
+    assert(failed == report.length)
+    // M5 contract: "<Class>, message: <first line only>"
+    report.foreach { r =>
+      assert(r.getAs[String]("error") ==
+        "CorruptCellException, message: poisoned cell value")
+      assert(r.getAs[String]("row_key").startsWith("\\x00"))
+    }
+    // negative balances exist in the fixture, so the error channel is non-trivial
+    assert(failed > 0)
+  }
+
+  test("CorruptScan: M5 normalization branches (multiline / null / blank / \\rX)") {
+    import spark.implicits._
+    val df = Seq(
+      ("E1", "line1\r\nline2"),   // multiline -> first line
+      ("E2", null),                // null -> n/a
+      ("E3", ""),                  // empty -> n/a
+      ("E4", "   "),               // blank -> n/a
+      ("E5", "\rX")                // blank check precedes split -> empty first line
+    ).toDF("cls", "msg")
+    val got = df.select(col("cls"),
+      CorruptScan.normalizeError(col("cls"), col("msg")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("E1") == "E1, message: line1")
+    assert(got("E2") == "E2, message: n/a")
+    assert(got("E3") == "E3, message: n/a")
+    assert(got("E4") == "E4, message: n/a")
+    assert(got("E5") == "E5, message: ")
+  }
+
+  test("CorruptScan: probeWithResource opens/closes per partition and routes errors") {
+    val keys = CorruptScan.rowKeys(cells)
+    val probe = new CorruptScan.RowProbe {
+      def probe(rowKey: Array[Byte]): Unit = {
+        val k = java.nio.ByteBuffer.wrap(rowKey).getLong
+        if (k % 10 == 0) throw new IllegalStateException(s"poisoned\nkey=$k")
+      }
+    }
+    val results = CorruptScan.probeWithResource(keys, () => probe).collect()
+    assert(results.length == keys.count())
+    val failed = results.filter(!_.ok)
+    assert(failed.nonEmpty)
+    assert(failed.forall(_.errorClass == "IllegalStateException"))
+    assert(failed.forall(_.errorMessage.startsWith("poisoned")))
+  }
+
+  test("TSV sink writes part files with _SUCCESS (K2 layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv").toString + "/out"
+    val poisoned = col("qualifier").cast("string") === "c_acctbal" &&
+      col("value").cast("string").cast("double") < 0
+    CorruptScan.writeTsv(
+      CorruptScan.corruptReport(CorruptScan.probeDeclarative(cells, poisoned)), dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.contains("_SUCCESS"))
+    assert(files.exists(_.startsWith("part-")))
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.forall(_.contains("\tCorruptCellException, message: poisoned cell value")))
+  }
+}

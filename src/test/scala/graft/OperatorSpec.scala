@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Relational query pack sanity on sf0.001 (full oracle equivalence is the
+  * driver's DuckDB gate; these pin semantics and invariants). */
+class OperatorSpec extends AnyFunSuite with SparkTestBase {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf001)
+
+  test("entry is non-empty (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and is non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf001).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql without query: $unknown")
+  }
+
+  test("point lookup returns exactly the requested key") {
+    val rows = run("q_point_lookup").collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("c_custkey") == 42L)
+  }
+
+  test("first_per_group has one row per order, the min line number") {
+    val df = run("q_first_per_group")
+    val orders = df.select("l_orderkey").distinct().count()
+    assert(df.count() == orders)
+    val mins = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .groupBy("l_orderkey").agg(min("l_linenumber").as("mn"))
+    val joined = df.join(mins, "l_orderkey")
+      .filter(col("l_linenumber") =!= col("mn")).count()
+    assert(joined == 0)
+  }
+
+  test("probe counters: total = success + failed = orders count") {
+    val r = run("q_probe_counters").collect().head
+    val nOrders = spark.read.parquet(s"$sf001/orders.parquet").count()
+    assert(r.getAs[Long]("total_rows") == nOrders)
+    assert(r.getAs[Long]("total_rows") ==
+      r.getAs[Long]("success_rows") + r.getAs[Long]("failed_rows"))
+  }
+
+  test("probe join: failed rows carry the normalized first-line message") {
+    val failed = run("q_probe_join").filter(col("status") === "FAILED").collect()
+    assert(failed.nonEmpty)
+    assert(failed.forall(_.getAs[String]("error") ==
+      "NegativeBalanceException, message: account balance below zero"))
+  }
+
+  test("topk is ordered by price desc with key tiebreak") {
+    val rows = run("q_topk").collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("anti join complements the recent-order customer set") {
+    val nCust = spark.read.parquet(s"$sf001/customer.parquet").count()
+    val without = run("q_anti_join").count()
+    val withRecent = spark.read.parquet(s"$sf001/orders.parquet")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+      .select("o_custkey").distinct().count()
+    assert(without + withRecent == nCust)
+    assert(without > 0)
+  }
+
+  test("event windows aggregate the full events table") {
+    val total = run("q_event_windows").agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == graft.sources.Tables.load(spark, sf001, "events").count())
+  }
+
+  test("json extraction yields non-null k for all events") {
+    assert(run("q_json_extract").filter(col("k").isNull).count() == 0)
+  }
+}

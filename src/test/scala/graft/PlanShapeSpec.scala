@@ -1,0 +1,83 @@
+package graft
+
+import graft.model.CellTable
+import graft.operators.{CopyRow, Relational}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY.md §5 item 5): pushdown, shuffle counts,
+  * broadcast choice — the properties that decide 100 TB behavior. */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("point lookup pushes the key predicate into the parquet scan") {
+    val plan = Relational.pointLookup(spark, sf001).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"),
+      s"missing pushdown in:\n$plan")
+  }
+
+  test("range scan pushes both range bounds") {
+    val plan = executedPlan(Relational.rangeScan(spark, sf001))
+    assert(plan.contains("GreaterThanOrEqual(o_orderkey,100)") &&
+      plan.contains("LessThan(o_orderkey,200)"), s"missing range pushdown in:\n$plan")
+  }
+
+  test("projection prunes the parquet ReadSchema to selected columns") {
+    val plan = executedPlan(Relational.rangeScan(spark, sf001))
+    assert(!plan.contains("o_orderpriority"), "unused column not pruned from scan")
+  }
+
+  test("CopyRow plan is narrow: no shuffle exchange anywhere") {
+    val cells = CellTable.fromTable(spark, sf001, "customer")
+    val plan = executedPlan(
+      CopyRow.plan(cells, "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*", true, 1L))
+    assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("probe join broadcasts the customer dimension") {
+    val plan = executedPlan(Relational.probeJoin(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("join_agg: dims broadcast, at most the fact-side shuffles") {
+    val plan = executedPlan(Relational.joinAgg(spark, sf001))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts in:\n$plan")
+  }
+
+  test("topk plans TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(Relational.topK(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
+  test("q1 aggregation is two-phase (partial before the exchange)") {
+    val plan = executedPlan(Relational.q1Agg(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial_ functions appear in the map-side aggregate
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("codec + cosine expressions stay inside whole-stage codegen") {
+    // in executedPlan.toString, `*(n)` marks operators inside a
+    // WholeStageCodegen stage — the Project carrying our expression must
+    // have it (a codegen-incapable expression would force a plain Project)
+    val cells = CellTable.fromTable(spark, sf001, "customer")
+      .select(graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("k"))
+    val plan = executedPlan(cells)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(") && l.contains("to_string_binary")), plan)
+
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cos = emb.select(graft.functions.VectorFunctions
+      .cosine_sim(col("embedding"), col("embedding")).as("c"))
+    val cosPlan = executedPlan(cos)
+    assert(cosPlan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(") && l.contains("cosine_sim")), cosPlan)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import graft.streaming.EventMonitor
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("streaming monitor over events == batch twin") {
+    val streamed = EventMonitor.runOnce(spark, sf001)
+      .select("window_start", "event_type", "n_events", "n_errors")
+    val batch = EventMonitor.transform(
+        graft.sources.Tables.load(spark, sf001, "events"))
+      .select("window_start", "event_type", "n_events", "n_errors")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("error channel counts only error events") {
+    val out = EventMonitor.runOnce(spark, sf001)
+    val totalErrors = out.agg(sum("n_errors")).collect().head.getLong(0)
+    val expected = graft.sources.Tables.load(spark, sf001, "events")
+      .filter(col("event_type") === "error").count()
+    assert(totalErrors == expected)
+    // non-error rows report zero errors
+    assert(out.filter(col("event_type") =!= "error" && col("n_errors") =!= 0).count() == 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("text stats: pinned example") {
+    val df = Seq((1L, "Hello, world 42!")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(df).collect().head
+    assert(r.getAs[Long]("n_chars") == 16L)
+    assert(r.getAs[Long]("n_ws_tokens") == 3L)
+    assert(r.getAs[Long]("n_digits") == 2L)
+    assert(r.getAs[Long]("n_punct") == 2L)     // comma and bang; '!' in class
+    assert(r.getAs[Long]("n_nonspace_chars") == 14L)
+  }
+
+  test("bpe tokens split letter runs, digit runs, punctuation") {
+    val toks = Seq((1L, "Hello, world42!")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokens(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("hello", ",", "world", "42", "!"))
+  }
+
+  test("langId votes stopwords: english and spanish sentences classified") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm", "en"),
+      (2L, "el gato que vive en la casa es un amigo", "es"),
+      (3L, "der hund ist mit den kindern und das ist gut", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "de")
+  }
+
+  test("quality score stays in [0,1] over the fixture corpus") {
+    val bad = TextAnalysis.qualityQuery(spark, sf001)
+      .filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: identical texts share sketch; sketch has k entries") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val rows = TextAnalysis.fingerprint(df, k = 4).collect()
+    val sk = rows.map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](2)).toMap
+    assert(sk(1L) == sk(2L))
+    assert(sk(1L) != sk(3L))
+    assert(sk(1L).length == 4)
+  }
+}
