@@ -90,6 +90,8 @@ object SparkEntry {
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
     "q_ann_lsh"        -> (Similarity.lshQuery _),
+    "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
+    "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
     "q_token_counts"   -> (TextAnalysis.tokenCountsQuery _),
     "q_lang_id"        -> (TextAnalysis.langIdQuery _),

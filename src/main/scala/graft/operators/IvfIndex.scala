@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF (inverted-file) approximate nearest neighbor: k-means-partition the
+ * corpus into `nlist` cells, search only the `nprobe` cells nearest to the
+ * query. The 100 TB shape: centroids are tiny driver-side state (nlist×dim
+ * floats) broadcast into the plan; the corpus is written partitioned by
+ * cell id, so a query touches nprobe/nlist of the data — partition pruning
+ * does the rest.
+ *
+ * Training is Lloyd's algorithm expressed as DataFrames: assignment is an
+ * argmax over broadcast centroid literals (codegen'd dot products), the
+ * update step is a posexplode → groupBy(cell, dim) → avg — one shuffle of
+ * nlist×dim rows per iteration, never a driver-side pass over vectors.
+ */
+object IvfIndex {
+
+  final case class Model(centroids: Seq[Seq[Float]]) {
+    def nlist: Int = centroids.size
+  }
+
+  /** Column: index of the nearest centroid (dot-product argmax — centroids
+    * are L2-normalized at train time so dot ≡ cosine ranking). */
+  private def nearestCell(model: Model, vec: org.apache.spark.sql.Column) = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.dot_product(vec, typedlit(c)).as("score"),
+        lit(i).as("cell"))
+    }
+    element_at(array_sort(array(scored: _*),
+      (a, b) => when(a("score") > b("score"), -1)
+        .when(a("score") < b("score"), 1).otherwise(0)), 1)("cell")
+  }
+
+  private def normalize(v: Seq[Float]): Seq[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /**
+   * Train centroids with Lloyd's iterations. Deterministic: seeds are the
+   * first `nlist` vectors by id.
+   */
+  def train(corpus: DataFrame, nlist: Int, iters: Int = 3): Model = {
+    val seedRows = corpus.orderBy("vec_id").limit(nlist)
+      .select("embedding").collect()
+    var centroids = seedRows.map(_.getSeq[Float](0).toSeq).toSeq.map(normalize)
+
+    (0 until iters).foreach { _ =>
+      val model = Model(centroids)
+      val assigned = corpus.select(
+        col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")),
+        nearestCell(model, col("embedding")).as("cell"))
+      val means = assigned.groupBy("cell", "dim")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getAs[Int]("cell"))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val dims = rows.map(r => r.getAs[Int]("dim") -> r.getAs[Double]("m")).toMap
+            normalize((0 until dims.size).map(d => dims(d).toFloat))
+          case None => centroids(c)   // empty cell keeps its centroid
+        }
+      }
+    }
+    Model(centroids)
+  }
+
+  /** Corpus with its IVF cell assignment (persist partitioned by `cell`). */
+  def assign(corpus: DataFrame, model: Model): DataFrame =
+    corpus.withColumn("cell", nearestCell(model, col("embedding")))
+
+  /**
+   * Search: score queries only against corpus vectors in each query's
+   * `nprobe` closest cells.
+   */
+  def search(
+      assignedCorpus: DataFrame,
+      queries: DataFrame,
+      model: Model,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val scoredCells = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.dot_product(col("embedding"), typedlit(c)).as("score"),
+        lit(i).as("cell"))
+    }
+    val probeCells = slice(
+      array_sort(array(scoredCells: _*),
+        (a, b) => when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1).otherwise(0)),
+      1, nprobe)
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"),
+      explode(probeCells).as("probe"))
+      .select(col("query_id"), col("query_vec"), col("probe.cell").as("cell"))
+
+    val scored = assignedCorpus.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Query-pack adapter: train a small index, search the first 5 vectors. */
+  def ivfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = train(emb, nlist = 8, iters = 2)
+    val assigned = assign(emb, model)
+    search(assigned, emb.filter(col("vec_id") < 5), model, k = 20, nprobe = 2)
+  }
+}

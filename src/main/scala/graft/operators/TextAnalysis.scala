@@ -101,13 +101,14 @@ object TextAnalysis {
    * Document fingerprint: content digest + min-k shingle sketch (the
    * winnowing-style stable fingerprint: the k smallest shingle hashes,
    * sorted — robust to small edits, unlike the exact digest).
+   * `shingle_hashes` returns sorted-ascending hashes, so the min-k sketch
+   * is just its k-prefix — no per-lane hashing, no extra sort.
    */
   def fingerprint(docs: DataFrame, k: Int = 8): DataFrame =
     docs.select(
       col("doc_id"),
       md5(col("text")).as("content_hash"),
-      slice(array_sort(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s))),
-        1, k).as("mink_sketch"))
+      slice(Dedup.shingleHashes(col("text"), 3), 1, k).as("mink_sketch"))
 
   // Query-pack adapters --------------------------------------------------
 

@@ -1,0 +1,84 @@
+package graft
+
+import graft.cli.{Args, CopyRowMain, CorruptRowsMain}
+import graft.model.CellTable
+import graft.sources.Catalog
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D1/D2/M6/K1/S5 — the reference's CLI surface against a temp warehouse. */
+class CliSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ex(body: => Any): Int =
+    try { body; -1 } catch { case e: Args.CliExit => e.code }
+
+  test("catalog parses ns:table, ns.table, and bare identifiers") {
+    assert(Catalog.parse("prod:customers") == Catalog.Ident("prod", "customers"))
+    assert(Catalog.parse("prod.customers") == Catalog.Ident("prod", "customers"))
+    assert(Catalog.parse("customers") == Catalog.Ident("default", "customers"))
+    intercept[IllegalArgumentException](Catalog.parse(":x"))
+    intercept[IllegalArgumentException](Catalog.parse(""))
+  }
+
+  test("CopyRow CLI: end-to-end copy with ts override between warehouse tables") {
+    val cells = CellTable.fromTable(spark, sf001, "customer")
+    Catalog.save(cells, "test:src_copy", SaveMode.Overwrite)
+    val copied = CopyRowMain.run(spark, Array(
+      "--sourceTable", "test:src_copy",
+      "--destTable", "test:dst_copy",
+      "--rowKeyByteString", "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
+      "--override", "true",
+      "--timestampToUse", "4242"))
+    assert(copied > 0)
+    val dest = Catalog.load(spark, "test:dst_copy")
+    assert(dest.count() == copied)
+    assert(dest.filter(col("ts") =!= 4242L).count() == 0)
+    // append semantics (K1): second run doubles the destination
+    CopyRowMain.run(spark, Array(
+      "--sourceTable", "test:src_copy", "--destTable", "test:dst_copy",
+      "--rowKeyByteString", "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
+      "--override", "true", "--timestampToUse", "4243"))
+    assert(Catalog.load(spark, "test:dst_copy").count() == copied * 2)
+  }
+
+  test("CopyRow CLI: D1 validation — unknown flag, odd arity, missing mandatory") {
+    assert(ex(CopyRowMain.run(spark, Array("--bogus", "1"))) == 1)
+    assert(ex(CopyRowMain.run(spark, Array("--sourceTable"))) == 1)
+    assert(ex(CopyRowMain.run(spark, Array("--sourceTable", "t"))) == 1)
+    assert(ex(CopyRowMain.run(spark, Array(
+      "--sourceTable", "test:no_such", "--destTable", "d",
+      "--rowKeyByteString", "k"))) == 1)
+  }
+
+  test("CorruptRows CLI: counters + TSV against a poisoned table") {
+    val base = CellTable.fromTable(spark, sf001, "nation")
+    // poison 3 rows' values with a leading NUL (the default sentinel)
+    val poisoned = base.withColumn("value",
+      when(col("rowKey") === CellTable.bigEndianKey(lit(3)) ||
+           col("rowKey") === CellTable.bigEndianKey(lit(7)) ||
+           col("rowKey") === CellTable.bigEndianKey(lit(11)),
+        concat(lit(Array[Byte](0)), col("value"))).otherwise(col("value")))
+    Catalog.save(poisoned, "test:probe_me", SaveMode.Overwrite)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/corrupt"
+    val c = CorruptRowsMain.run(spark, Array(
+      "--table", "test:probe_me", "--output", out))
+    assert(c.total == 25 && c.failed == 3 && c.success == 22)
+
+    val lines = spark.read.text(out).collect().map(_.getString(0)).sorted
+    assert(lines.length == 3)
+    assert(lines.forall(_.contains("\tCorruptCellException, message: ")))
+    assert(lines.head.startsWith("\\x00\\x00\\x00\\x00\\x00\\x00\\x00\\x03\t"))
+  }
+
+  test("CorruptRows CLI: custom corrupt expression") {
+    val base = CellTable.fromTable(spark, sf001, "region")
+    Catalog.save(base, "test:probe_expr", SaveMode.Overwrite)
+    val out = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/c2"
+    val c = CorruptRowsMain.run(spark, Array(
+      "--table", "test:probe_expr", "--output", out,
+      "--corruptExpr", "cast(rowKey as string) is not null and ts < 0"))
+    assert(c.total == 5 && c.failed == 0 && c.success == 5)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+import graft.sources.Tables
+import graft.streaming.Sessionize
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
+
+  test("IVF: training is deterministic and assignment covers all vectors") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val m1 = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val m2 = IvfIndex.train(emb, nlist = 8, iters = 2)
+    assert(m1.centroids == m2.centroids)
+    assert(m1.nlist == 8)
+    val assigned = IvfIndex.assign(emb, m1)
+    assert(assigned.count() == emb.count())
+    assert(assigned.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+  }
+
+  test("IVF search: scores are exact cosines; nprobe=nlist recovers brute force") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 4, iters = 2)
+    val assigned = IvfIndex.assign(emb, model)
+    val queries = emb.filter(col("vec_id") < 3)
+
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    // full probe == exact top-k
+    val full = IvfIndex.search(assigned, queries, model, k = 10, nprobe = 4).collect()
+    assert(full.length == 30)
+    full.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(exact.contains(key), s"ivf full-probe returned non-topk pair $key")
+      assert(math.abs(exact(key) - r.getAs[Double]("cosine")) < 1e-9)
+    }
+    // partial probe: a subset of cells, still k results per query, exact scores
+    val partial = IvfIndex.search(assigned, queries, model, k = 10, nprobe = 2)
+      .collect()
+    assert(partial.nonEmpty)
+    partial.foreach { r =>
+      exact.get((r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+        .foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
+  test("sessionize batch: contiguous per-user coverage, gap invariant") {
+    val sessions = Sessionize.sessionQuery(spark, sf001)
+    val events = Tables.load(spark, sf001, "events")
+    // every event lands in exactly one session
+    val total = sessions.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == events.count())
+    // session bounds are ordered and sessions of one user don't overlap
+    val rows = sessions.orderBy("user_id", "session_start_ms").collect()
+    rows.foreach(r => assert(
+      r.getAs[Long]("session_start_ms") <= r.getAs[Long]("session_end_ms")))
+    rows.grouped(2).foreach {
+      case Array(a, b) if a.getAs[Long]("user_id") == b.getAs[Long]("user_id") =>
+        assert(b.getAs[Long]("session_start_ms") - a.getAs[Long]("session_end_ms")
+          > Sessionize.gapMs(30))
+      case _ =>
+    }
+    // error counts add up
+    val errs = sessions.agg(sum("n_errors")).collect().head.getLong(0)
+    assert(errs == events.filter(col("event_type") === "error").count())
+  }
+
+  test("sessionize streaming: closed sessions match the batch twin") {
+    import spark.implicits._
+    val schema = Tables.eventsRawSchema(spark, sf001)
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf001))
+      .select(
+        col("user_id"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("ts_ms"),
+        col("event_type"), col("value"))
+      .as[Sessionize.Event]
+    // AvailableNow drains the input then terminates — processAllAvailable
+    // never returns here because processing-time timeouts keep scheduling
+    // no-data micro-batches
+    val q = Sessionize.sessions(stream, gapMinutes = 30,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(300000), "stream did not terminate in 5 min")
+    finally q.stop()
+
+    val streamed = spark.table("sessions_stream")
+    val batch = Sessionize.sessionQuery(spark, sf001)
+    // the stream never flushes each user's trailing open session (no timeout
+    // fires under processAllAvailable), so streamed == batch minus the last
+    // session per user
+    val missing = batch.exceptAll(streamed)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_start_ms").as("session_start_ms"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(missing.join(lastPerUser, Seq("user_id", "session_start_ms"), "left_anti")
+      .count() == 0)
+  }
+}
