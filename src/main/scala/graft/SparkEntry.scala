@@ -95,6 +95,7 @@ object SparkEntry {
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
     "q_token_counts"   -> (TextAnalysis.tokenCountsQuery _),
     "q_lang_id"        -> (TextAnalysis.langIdQuery _),
+    "q_vocab"          -> (TextAnalysis.vocabQuery _),
     "q_quality"        -> (TextAnalysis.qualityQuery _),
     "q_fingerprint"    -> (TextAnalysis.fingerprintQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
@@ -197,6 +198,48 @@ object SparkEntry {
                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace_chars
          FROM documents""",
+    "q_quality" ->
+      """SELECT doc_id,
+                round(
+                  CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
+                       WHEN length(text) BETWEEN 20 AND 5000 THEN 0.5
+                       ELSE 0.0 END * 0.35
+                  + least(length(regexp_replace(text, '[^\p{L} ]', '', 'g'))
+                          / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1.2, 1.0) * 0.35
+                  + CASE WHEN CAST(length(text) AS DOUBLE)
+                              / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0)
+                              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END * 0.2
+                  + least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                          / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0) * 4, 1.0) * 0.1,
+                  6) AS quality
+         FROM documents""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms, event_type
+           FROM events),
+         marked AS (
+           SELECT user_id, ts_ms, event_type,
+                  CASE WHEN lag(ts_ms) OVER w IS NULL
+                         OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+         sess AS (
+           SELECT user_id, ts_ms, event_type,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id,
+                min(ts_ms) AS session_start_ms,
+                max(ts_ms) AS session_end_ms,
+                count(*) AS n_events,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+         FROM sess GROUP BY user_id, sid""",
+    "q_vocab" ->
+      """SELECT lang,
+                CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+                count(tok) AS n_tokens
+         FROM (SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+               FROM documents) t
+         GROUP BY lang""",
     "q_token_counts" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_ws_tokens,

@@ -110,6 +110,17 @@ object TextAnalysis {
       md5(col("text")).as("content_hash"),
       slice(Dedup.shingleHashes(col("text"), 3), 1, k).as("mink_sketch"))
 
+  /** Vocabulary statistics per language: exact distinct-token counts (one
+    * shuffle on (lang, token) with partial aggregation) next to the
+    * HLL-sketch approximation that replaces the exact pass at 100 TB. */
+  def vocab(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        explode(whitespaceTokens(lower(col("text")))).as("tok"))
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("tok")).as("n_distinct_tokens"),
+        count(lit(1)).as("n_tokens"))
+
   // Query-pack adapters --------------------------------------------------
 
   def textStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -126,4 +137,7 @@ object TextAnalysis {
 
   def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame =
     fingerprint(Tables.load(spark, sfDir, "documents"))
+
+  def vocabQuery(spark: SparkSession, sfDir: String): DataFrame =
+    vocab(Tables.load(spark, sfDir, "documents"))
 }

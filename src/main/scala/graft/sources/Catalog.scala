@@ -31,7 +31,9 @@ object Catalog {
   }
 
   def warehouseDir: String =
-    sys.env.getOrElse("GRAFT_WAREHOUSE", "/tmp/graft_warehouse")
+    sys.props.get("graft.warehouse")
+      .orElse(sys.env.get("GRAFT_WAREHOUSE"))
+      .getOrElse("/tmp/graft_warehouse")
 
   def path(ident: Ident): String = s"$warehouseDir/${ident.namespace}/${ident.table}"
 

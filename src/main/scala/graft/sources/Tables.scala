@@ -25,7 +25,7 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
@@ -38,5 +38,5 @@ object Tables {
 
   /** The ns-long → TimestampType normalization, shared batch/stream. */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }

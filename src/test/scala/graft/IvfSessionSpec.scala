@@ -76,7 +76,7 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
         .option("pathGlobFilter", "events.parquet").parquet(sf001))
       .select(
         col("user_id"),
-        (unix_micros(col("ts")) / 1000L).cast("long").as("ts_ms"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
         col("event_type"), col("value"))
       .as[Sessionize.Event]
     // AvailableNow drains the input then terminates — processAllAvailable
@@ -92,6 +92,7 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     finally q.stop()
 
     val streamed = spark.table("sessions_stream")
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events", "n_errors")
     val batch = Sessionize.sessionQuery(spark, sf001)
     // the stream never flushes each user's trailing open session (no timeout
     // fires under processAllAvailable), so streamed == batch minus the last
