@@ -98,6 +98,7 @@ object SparkEntry {
     "q_vocab"          -> (TextAnalysis.vocabQuery _),
     "q_quality"        -> (TextAnalysis.qualityQuery _),
     "q_fingerprint"    -> (TextAnalysis.fingerprintQuery _),
+    "q_clean_corpus"   -> (CorpusPipeline.cleanQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _))
 

@@ -76,6 +76,19 @@ object CellTable {
   }
 
   /**
+   * Persist a cell table in region-split layout: range-partitioned by
+   * rowKey, key-sorted within each file — the columnar analogue of HBase
+   * regions + HFile ordering. Point GETs prune to one partition via
+   * min/max statistics; range scans read only overlapping partitions; a
+   * downstream sort-merge on rowKey needs no exchange when partitioning is
+   * reused. This is the layout the 100 TB store would use.
+   */
+  def writeRegionLayout(cells: DataFrame, path: String, numRegions: Int): Unit =
+    cells.repartitionByRange(numRegions, col("rowKey"))
+      .sortWithinPartitions("rowKey", "family", "qualifier", "ts")
+      .write.mode("overwrite").parquet(path)
+
+  /**
    * Latest-version-wins read (SURVEY.md §1.4): HBase's default single-version
    * visibility expressed as a window — partition by full cell coordinates,
    * keep the max-ts cell.

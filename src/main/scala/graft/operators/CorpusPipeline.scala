@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The composed training-data cleaning pipeline — the 100 TB use case the
+ * individual operators exist for, chained end to end:
+ *
+ *   quality gate → language filter → exact dedup → MinHash near-dup removal
+ *
+ * Shuffle budget: ONE digest-groupBy for exact dedup and the LSH bucket
+ * join for near-dups; the quality/language stages are narrow maps that
+ * shrink the data before anything shuffles (the cheap-filters-first rule).
+ * Survivor selection is deterministic (min doc_id per duplicate group),
+ * and near-dup removal drops the higher id of each verified pair, so a
+ * re-run over the same corpus produces byte-identical output.
+ */
+object CorpusPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+      nearDupThreshold: Double = 0.8,
+      shingleN: Int = 3)
+
+  /** Stage 1+2: narrow pre-filters (quality gate, language allowlist). */
+  def preFilter(docs: DataFrame, cfg: Config): DataFrame = {
+    val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+    docs.join(quality, "doc_id")
+      .filter(col("quality") >= cfg.minQuality)
+      .filter(col("lang").isin(cfg.keepLangs: _*))
+  }
+
+  /** Stage 3: exact dedup — keep the min doc_id per identical text. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keep = docs.groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, "doc_id")
+  }
+
+  /** Stage 4: near-dup removal — drop the higher id of each verified pair. */
+  def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
+    val drop = Dedup.minhashLsh(docs,
+        shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** The full pipeline. */
+  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    nearDedup(exactDedup(preFilter(docs, cfg)), cfg)
+
+  /** Query-pack adapter: cleaned corpus doc ids + audit columns. */
+  def cleanQuery(spark: SparkSession, sfDir: String): DataFrame =
+    clean(Tables.load(spark, sfDir, "documents"))
+      .select("doc_id", "lang", "source", "quality")
+}
