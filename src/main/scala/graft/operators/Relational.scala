@@ -57,34 +57,39 @@ object Relational {
 
   /**
    * F1 — first-key-only: first cell per row ⇒ first lineitem per order by
-   * line number. Window + row_number; one shuffle on the partition key,
-   * which any per-group operator needs.
+   * line number. Expressed as `min_by` (hash aggregate), NOT a sort-based
+   * window: the partial aggregate collapses each group to one candidate
+   * map-side before the exchange — at scale that's one row per group on
+   * the network instead of a full sort of every partition.
    */
   def firstPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
     // l_linenumber is NOT unique per order in the synthetic data — the full
     // (linenumber, partkey, suppkey) tiebreak makes the winner well-defined
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc)
     Tables.load(spark, sfDir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "l_suppkey")
+      .groupBy("l_orderkey")
+      .agg(min_by(
+        struct(col("l_linenumber"), col("l_partkey"), col("l_quantity")),
+        struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))).as("_f"))
+      .select(
+        col("l_orderkey"),
+        col("_f.l_linenumber"), col("_f.l_partkey"), col("_f.l_quantity"))
   }
 
   /**
    * Latest-version-wins (SURVEY §1.4) — newest order per customer, with a
-   * deterministic key tiebreak so the result is a well-defined set.
+   * deterministic key tiebreak. `max_by` instead of a window for the same
+   * partial-aggregation reason as [[firstPerGroup]] — this is the shape the
+   * multi-version cell read should take at 100 TB.
    */
-  def latestVersion(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+  def latestVersion(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "orders")
-      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
-  }
+      .groupBy("o_custkey")
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("_l"))
+      .select(
+        col("o_custkey"),
+        col("_l.o_orderkey"), col("_l.o_orderdate"), col("_l.o_totalprice"))
 
   /**
    * M2/M4 — the probe expressed relationally: each order probes its customer;
