@@ -100,7 +100,8 @@ object SparkEntry {
     "q_fingerprint"    -> (TextAnalysis.fingerprintQuery _),
     "q_clean_corpus"   -> (CorpusPipeline.cleanQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
-    "q_frame_sample"   -> (Multimodal.frameSampleQuery _))
+    "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
+    "q_media_ann"      -> (Multimodal.mediaAnnQuery _))
 
   /** DuckDB equivalents for every SQL-expressible query above. */
   def oracleSql: Map[String, String] = Map(

@@ -104,6 +104,57 @@ object Multimodal {
         sha2(concat(col("media_id").cast("string"), lit(":"),
           col("frame_ts_ms").cast("string")), 256).as("frame_digest"))
 
+  /**
+   * STUB resize: payload → payload transform with updated dimensions. The
+   * Spark shape is what matters: a narrow per-partition map over (metadata,
+   * payload) pairs producing new binary content — byte-identical layout to
+   * a real resampler. The fake "resized" payload is a deterministic digest
+   * of (content, target dims).
+   */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    implicit val enc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
+    media.select("media_id", "kind", "content")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { iter =>
+        iter.map { case (id, kind, content) =>
+          val h = graft.functions.SimHashImpl.fnv1a64(content) ^
+            (width.toLong << 32) ^ height.toLong
+          val fake = java.nio.ByteBuffer.allocate(8).putLong(h).array()
+          (id, kind, fake)
+        }
+      }
+      .toDF("media_id", "kind", "content")
+      .withColumn("width", lit(width))
+      .withColumn("height", lit(height))
+  }
+
+  /**
+   * STUB feature extraction: payload → fixed-width float embedding, the
+   * output shape an image/audio encoder produces. Deterministic pseudo-
+   * features from the payload bytes, unit-normalized so the vectors feed
+   * straight into the Similarity/IVF operators.
+   */
+  final case class MediaFeatures(media_id: Long, embedding: Array[Float])
+
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.select("media_id", "content")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { iter =>
+        iter.map { case (id, content) =>
+          val base = graft.functions.SimHashImpl.fnv1a64(content)
+          val raw = Array.tabulate(dim) { i =>
+            val h = graft.functions.MinHashImpl.mix64(base + i)
+            (h.toDouble / Long.MaxValue).toFloat
+          }
+          val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+          MediaFeatures(id, raw.map(x => if (norm == 0) x else x / norm))
+        }
+      }
+      .toDF()
+  }
+
   // Query-pack adapters --------------------------------------------------
 
   def decodeQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -111,4 +162,12 @@ object Multimodal {
 
   def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
     sampleFrames(decodeMeta(deriveMedia(spark, sfDir)), everyMs = 60000L)
+
+  /** Media features piped into the ANN brute-force search: the multimodal →
+    * similarity composition (encode every payload, find its neighbors). */
+  def mediaAnnQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = extractFeatures(deriveMedia(spark, sfDir))
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 10)
+  }
 }

@@ -34,6 +34,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(meta.find(_.media_id == 2L).get.ok)
   }
 
+  test("resize and feature extraction preserve row identity, deterministic") {
+    val media = Multimodal.deriveMedia(spark, sf001)
+    val resized = Multimodal.resize(media, 224, 224)
+    assert(resized.count() == media.count())
+    assert(resized.filter(col("width") =!= 224 || col("height") =!= 224).count() == 0)
+    assert(resized.filter(length(col("content")) === 0).count() == 0)
+
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == media.count())
+    val v = feats.orderBy("media_id").limit(1).collect().head.getSeq[Float](1)
+    assert(v.length == 64)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3)
+    // deterministic across runs
+    val v2 = Multimodal.extractFeatures(media).orderBy("media_id")
+      .limit(1).collect().head.getSeq[Float](1)
+    assert(v == v2)
+  }
+
+  test("media features compose with ANN search") {
+    val out = Multimodal.mediaAnnQuery(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach(rows => assert(rows.length == 10))
+  }
+
   test("frame sampling explodes videos into deterministic frame rows") {
     val frames = Multimodal.frameSampleQuery(spark, sf001)
     val meta = Multimodal.decodeQuery(spark, sf001)
