@@ -51,6 +51,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 100000L)))
   }
 
+  test("property: minhash lane agreement estimates true Jaccard within 0.15") {
+    // docs built from a common prefix + distinct suffixes of varying length
+    // give a spread of true Jaccard values; 64 lanes should estimate within
+    // ~2/sqrt(64) of the true overlap
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docsJ = (0 until 6).map { d =>
+      val distinct = (1 to d * 8).map(i => s"d${d}x$i").mkString(" ")
+      (d.toLong, s"$common $distinct")
+    }.toDF("doc_id", "text")
+
+    val rows = docsJ
+      .select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("sig", graft.functions.MinHashFunctions.minhash(col("sh"), 64))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toIndexedSeq))
+      .toMap
+    for (a <- 0L until 6L; b <- (a + 1) until 6L) {
+      val (shA, sigA) = rows(a)
+      val (shB, sigB) = rows(b)
+      val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
+      val estJ = sigA.zip(sigB).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(trueJ - estJ) < 0.15,
+        s"pair ($a,$b): true=$trueJ est=$estJ")
+    }
+  }
+
   test("shingles: short docs fall back to one whole-doc shingle") {
     val s = docs.filter(col("doc_id") === 5)
       .select(Dedup.shingles(col("text"), 3).as("sh"))
