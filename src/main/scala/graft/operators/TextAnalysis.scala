@@ -68,9 +68,14 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       col("lang").as("labeled_lang"),
+      // lexicographic lang tiebreak — array_sort gives no stability
+      // guarantee, and equal scores (e.g. all-zero) must still resolve
+      // deterministically
       element_at(array_sort(array(scores: _*),
         (a, b) => when(a("score") > b("score"), -1)
           .when(a("score") < b("score"), 1)
+          .when(a("lang") < b("lang"), -1)
+          .when(a("lang") > b("lang"), 1)
           .otherwise(0)), 1)("lang").as("predicted_lang"))
   }
 
