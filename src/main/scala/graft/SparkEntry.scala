@@ -112,7 +112,7 @@ object SparkEntry {
          FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200""",
     "q_family_filter" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-                sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_returnflag IN ('A','R')
          GROUP BY l_returnflag""",
     "q_first_per_group" ->
@@ -154,15 +154,15 @@ object SparkEntry {
       "SELECT DISTINCT l_returnflag AS family FROM lineitem",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
     "q_join_agg" ->
       """SELECT n_name,
-                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -186,7 +186,7 @@ object SparkEntry {
     "q_event_windows" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n_events,
-                sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_docs,

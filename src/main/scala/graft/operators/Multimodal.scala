@@ -117,7 +117,9 @@ object Multimodal {
     media.select("media_id", "kind", "content")
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
       .mapPartitions { iter =>
-        iter.map { case (id, kind, content) =>
+        // null/empty payloads are skipped here — they carry nothing to
+        // resample; decodeMeta is the surface that reports them (ok=false)
+        iter.collect { case (id, kind, content) if content != null && content.nonEmpty =>
           val h = graft.functions.SimHashImpl.fnv1a64(content) ^
             (width.toLong << 32) ^ height.toLong
           val fake = java.nio.ByteBuffer.allocate(8).putLong(h).array()
@@ -142,7 +144,9 @@ object Multimodal {
     media.select("media_id", "content")
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { iter =>
-        iter.map { case (id, content) =>
+        // same guard as resize: no payload → no feature vector; the M4
+        // error channel for bad payloads is decodeMeta
+        iter.collect { case (id, content) if content != null && content.nonEmpty =>
           val base = graft.functions.SimHashImpl.fnv1a64(content)
           val raw = Array.tabulate(dim) { i =>
             val h = graft.functions.MinHashImpl.mix64(base + i)

@@ -53,7 +53,7 @@ object Relational {
       .filter(col("l_returnflag").isin("A", "R"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
-           sum(col("l_quantity").cast(Dec)).as("sum_qty"))
+           sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
 
   /**
    * F1 — first-key-only: first cell per row ⇒ first lineitem per order by
@@ -157,9 +157,12 @@ object Relational {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(Dec)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(Dec)).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).as("sum_disc_price"),
+        // decimal accumulation (exact, order-independent), ONE cast to
+        // double at output — Spark's DECIMAL(28,4) vs DuckDB's DECIMAL(38,4)
+        // sum types canonicalize differently in the driver's comparator
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /**
@@ -180,7 +183,7 @@ object Relational {
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).as("revenue"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec)).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -231,5 +234,5 @@ object Relational {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(Dec)).as("sum_value"))
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
 }

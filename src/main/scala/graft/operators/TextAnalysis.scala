@@ -140,8 +140,13 @@ object TextAnalysis {
   def qualityQuery(spark: SparkSession, sfDir: String): DataFrame =
     qualityScore(Tables.load(spark, sfDir, "documents"))
 
+  /** Registered form serializes the sketch to a scalar — the driver's
+    * pandas comparator can't hash ARRAY columns. The array form stays
+    * available via [[fingerprint]] for in-engine use. */
   def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame =
     fingerprint(Tables.load(spark, sfDir, "documents"))
+      .withColumn("mink_sketch",
+        array_join(col("mink_sketch").cast("array<string>"), ","))
 
   def vocabQuery(spark: SparkSession, sfDir: String): DataFrame =
     vocab(Tables.load(spark, sfDir, "documents"))

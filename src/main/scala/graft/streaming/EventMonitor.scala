@@ -30,8 +30,15 @@ object EventMonitor {
 
   /** Start the monitor over a parquet directory as a file stream. The raw
     * schema carries `ts` as nano longs (see Tables); normalization to
-    * TimestampType happens inside the stream so batch and stream share it. */
-  def start(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    * TimestampType happens inside the stream so batch and stream share it.
+    *
+    * `outputMode` defaults to `append` — the production path: the watermark
+    * evicts window state and drops late rows, so state stays bounded on an
+    * unbounded stream. `complete` mode (which never evicts state) is only
+    * for the finite-fixture twin comparison in [[runOnce]], where every
+    * window must surface even though the watermark never passes the last one. */
+  def start(spark: SparkSession, sfDir: String, queryName: String,
+            outputMode: String = "append"): StreamingQuery = {
     val schema = graft.sources.Tables.eventsRawSchema(spark, sfDir)
     // FileStreamSource requires a directory path (it re-derives basePath per
     // batch), so stream the fixture dir and glob-filter to the events file.
@@ -42,15 +49,17 @@ object EventMonitor {
         .option("maxFilesPerTrigger", 1)
         .parquet(sfDir))
     transform(stream).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .start()
   }
 
-  /** Run the stream to exhaustion of available input, return the sink table. */
+  /** Run the stream to exhaustion of available input, return the sink table.
+    * Test-only twin comparison: complete mode so the final (pre-watermark)
+    * windows are visible in the memory sink. */
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = start(spark, sfDir, "event_monitor_once")
+    val q = start(spark, sfDir, "event_monitor_once", outputMode = "complete")
     try q.processAllAvailable() finally q.stop()
     spark.table("event_monitor_once")
   }
