@@ -36,11 +36,15 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
-  /** Cell-model scan: multi-version injection + latest-version-wins read. */
+  /** Cell-model scan: multi-version injection + latest-version-wins read.
+    * Version injection targets every 10th key — the numeric key recovered
+    * from the big-endian rowKey bytes, so the rule is oracle-expressible
+    * (`c_custkey % 10 = 0`) while still being computed from the cell
+    * table's own binary key like a real multi-version store would. */
   private def cellLatestQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val base = CellTable.fromTable(spark, sfDir, "customer")
     val versioned = CellTable.withExtraVersions(
-      base, pmod(crc32(col("rowKey")), lit(10)) === 0, n = 2)
+      base, pmod(conv(hex(col("rowKey")), 16, 10).cast("bigint"), lit(10)) === 0, n = 2)
     CellTable.latestVersion(versioned)
       .select(
         graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
@@ -102,6 +106,77 @@ object SparkEntry {
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
     "q_media_ann"      -> (Multimodal.mediaAnnQuery _))
+
+  // Oracle-SQL building blocks ------------------------------------------
+  // Each replicates a Spark-side computation in DuckDB SQL exactly (same
+  // arithmetic in the same order over doubles ⇒ bit-identical results; see
+  // the per-query notes). Generated pieces (stopword lists, hyperplanes)
+  // come from the SAME Scala definitions the Spark plans use.
+
+  /** `to_string_binary(bigEndianKey(key))` in DuckDB: render each of the 8
+    * big-endian bytes — printable ASCII (0x20..0x7E, not backslash)
+    * verbatim, else `\xHH` uppercase (BytesBinaryCodec.encode). */
+  private def rowKeySql(key: String): String =
+    s"""list_aggregate(list_transform(range(8), i ->
+          CASE WHEN (($key >> ((7-i)*8)) & 255) BETWEEN 32 AND 126
+                AND (($key >> ((7-i)*8)) & 255) != 92
+               THEN chr(CAST((($key >> ((7-i)*8)) & 255) AS INTEGER))
+               ELSE printf('\\x%02X', (($key >> ((7-i)*8)) & 255)) END),
+        'string_agg', '')"""
+
+  /** VectorOps.cosine over DOUBLE[] columns: dot/(√na·√nb), 0 on zero norm.
+    * DuckDB's list_dot_product accumulates left-to-right in double exactly
+    * like the codegen'd kernel, so values match bit-for-bit. */
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN list_dot_product($a,$a) = 0 OR list_dot_product($b,$b) = 0 THEN 0.0
+             ELSE list_dot_product($a,$b)
+                  / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))) END"""
+
+  /** Dedup.shingles (distinct word 3-grams, whole-string fallback) over a
+    * `text` column. */
+  private val ShingleSql: String =
+    """CASE WHEN len(regexp_split_to_array(lower(text), '\s+')) >= 3
+            THEN list_distinct(list_transform(
+                   generate_series(1, len(regexp_split_to_array(lower(text), '\s+')) - 2),
+                   i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), i, i + 2), ' ')))
+            ELSE [array_to_string(regexp_split_to_array(lower(text), '\s+'), ' ')] END"""
+
+  /** Exact-Jaccard all-pairs CTE over `documents`-shaped input `src` —
+    * ground truth for the MinHash/LSH near-dup queries. */
+  private def jaccardPairsSql(src: String): String =
+    s"""sh AS (SELECT doc_id, $ShingleSql AS shs FROM $src),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.shs, b.shs)) AS inter,
+                    len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS uni
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+
+  /** TextAnalysis.qualityScore as a DuckDB expression (shared by q_quality
+    * and q_clean_corpus; double arithmetic matches Spark bit-for-bit). */
+  private val QualitySql: String =
+    """round(
+         CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0
+              WHEN length(text) BETWEEN 20 AND 5000 THEN 0.5
+              ELSE 0.0 END * 0.35
+         + least(length(regexp_replace(text, '[^\p{L} ]', '', 'g'))
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1.2, 1.0) * 0.35
+         + CASE WHEN CAST(length(text) AS DOUBLE)
+                     / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END * 0.2
+         + least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0) * 4, 1.0) * 0.1,
+         6)"""
+
+  /** TextAnalysis.langId score columns (s_de, s_en, …), generated from the
+    * same Stopwords map the Spark plan uses. */
+  private def langScoresSql: String =
+    operators.TextAnalysis.Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      val base = s"len(list_intersect(toks, $lst))"
+      val scored =
+        if (lang == "zh") base + " + len(regexp_extract_all(text, '[" + "\\x{4e00}-\\x{9fff}" + "]'))"
+        else base
+      s"$scored AS s_$lang"
+    }.mkString(",\n                ")
 
   /** DuckDB equivalents for every SQL-expressible query above. */
   def oracleSql: Map[String, String] = Map(
@@ -247,5 +322,123 @@ object SparkEntry {
                 CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
                 CAST(sum(len(regexp_extract_all(lower(text),
                   '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))) AS BIGINT) AS total_bpe_tokens
-         FROM documents GROUP BY lang""")
+         FROM documents GROUP BY lang""",
+    // Language ID: same stopword voting + CJK count, argmax with the same
+    // lexicographic tiebreak (first lang that is >= all later ones).
+    "q_lang_id" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, text,
+                   list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+            FROM documents),
+          s AS (SELECT doc_id, lang,
+                $langScoresSql
+                FROM t)
+          SELECT doc_id, lang AS labeled_lang,
+                 CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                      WHEN s_fr >= s_zh THEN 'fr'
+                      ELSE 'zh' END AS predicted_lang
+          FROM s""",
+    // CorruptScan over the derived customer cell table: a negative account
+    // balance poisons the row; the TSV record is (rendered key, normalized
+    // first-line message).
+    "q_corrupt_scan" ->
+      s"""SELECT ${rowKeySql("c_custkey")} AS row_key,
+                 'CorruptCellException, message: poisoned cell value' AS error
+          FROM customer WHERE c_acctbal < 0""",
+    // CopyRow of customer 42 with ts override: one cell per non-key column,
+    // values rendered exactly as Spark's CAST(x AS STRING).
+    "q_copy_row" ->
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey = 42)
+         SELECT '\x00\x00\x00\x00\x00\x00\x00*' AS row_key, 'customer' AS family,
+                'c_name' AS qualifier, CAST(1717200000000 AS BIGINT) AS ts,
+                'Put' AS cellType, c_name AS value FROM c
+         UNION ALL SELECT '\x00\x00\x00\x00\x00\x00\x00*', 'customer', 'c_nationkey',
+                1717200000000, 'Put', CAST(c_nationkey AS VARCHAR) FROM c
+         UNION ALL SELECT '\x00\x00\x00\x00\x00\x00\x00*', 'customer', 'c_acctbal',
+                1717200000000, 'Put', CAST(c_acctbal AS VARCHAR) FROM c
+         UNION ALL SELECT '\x00\x00\x00\x00\x00\x00\x00*', 'customer', 'c_mktsegment',
+                1717200000000, 'Put', c_mktsegment FROM c""",
+    // Multi-version cell read: keys ≡ 0 (mod 10) carry two extra versions;
+    // latest-version-wins ⇒ ts+2000 and the "#v2" value suffix for those.
+    "q_cell_latest" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk,
+                   CASE WHEN c_custkey % 10 = 0 THEN 1700000002000 ELSE 1700000000000 END AS vts,
+                   CASE WHEN c_custkey % 10 = 0 THEN '#v2' ELSE '' END AS sfx
+            FROM customer)
+          SELECT rk AS row_key, 'c_name' AS qualifier, CAST(vts AS BIGINT) AS ts,
+                 c_name || sfx AS value FROM c
+          UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
+          UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
+          UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // ANN brute force: exact cosine top-20 per query vector.
+    "q_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           scored AS (
+             SELECT q.query_id, c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
+             FROM c JOIN q ON c.vec_id != q.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) t WHERE rank <= 20""",
+    // ANN LSH: identical hyperplane buckets (generated from the same seed),
+    // then exact cosine top-20 within the query's bucket.
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", 8, 42L)} AS bucket FROM e),
+           q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM bkt WHERE vec_id < 5),
+           scored AS (
+             SELECT q.query_id, c.vec_id, ${cosineSql("c.ev", "q.qv")} AS cosine
+             FROM bkt c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) t WHERE rank <= 20""",
+    // Embedding near-dup: same 4-plane buckets; every bucket-colliding pair
+    // with cosine ≥ 0.1. (Bucketing is recall<1 by design; the oracle
+    // replicates the buckets, so this is exact, not a recall assumption.)
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", 4, 42L)} AS bucket FROM e)
+          SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ${cosineSql("a.ev", "b.ev")} AS cosine
+            FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+          WHERE cosine >= 0.1""",
+    // MinHash/LSH near-dup pairs vs GROUND TRUTH all-pairs exact Jaccard:
+    // on the fixtures every qualifying pair collides in ≥1 LSH band
+    // (J ≥ 0.5 ⇒ band-collision ~64%+ per band set; the corpus' planted
+    // dups sit far above threshold), so the approximate pipeline attains
+    // full recall and matches the exact answer. Verified at sf0.01/sf0.001.
+    "q_minhash_pairs" ->
+      s"""WITH ${jaccardPairsSql("documents")}
+          SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+          FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5""",
+    "q_ngram_jaccard" ->
+      s"""WITH ${jaccardPairsSql("documents")}
+          SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+          FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.3""",
+    // The composed cleaning pipeline vs ground truth: quality gate, lang
+    // allowlist, exact dedup (min id per digest), near-dup drop of the
+    // higher id of every pair with exact Jaccard ≥ 0.8.
+    "q_clean_corpus" ->
+      s"""WITH ql AS (SELECT doc_id, $QualitySql AS quality FROM documents),
+           f AS (SELECT d.doc_id, d.text, d.lang, d.source, ql.quality
+                 FROM documents d JOIN ql USING (doc_id)
+                 WHERE ql.quality >= 0.5 AND d.lang IN ('en','es','de','fr','zh')),
+           keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+           fd AS (SELECT f.* FROM f JOIN keep USING (doc_id)),
+           sh AS (SELECT doc_id, $ShingleSql AS shs FROM fd),
+           pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                       len(list_intersect(a.shs, b.shs)) AS inter,
+                       len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS uni
+                     FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           dropped AS (SELECT DISTINCT db AS doc_id FROM pairs
+                       WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.8)
+          SELECT fd.doc_id, fd.lang, fd.source, fd.quality
+          FROM fd ANTI JOIN dropped USING (doc_id)""")
 }

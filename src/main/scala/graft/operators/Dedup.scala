@@ -166,10 +166,7 @@ object Dedup {
       planes: Int = 12,
       seed: Long = 42L,
       threshold: Double = 0.95): DataFrame = {
-    val dim = 64
-    val rnd = new scala.util.Random(seed)
-    val hyperplanes: Seq[Seq[Float]] =
-      Seq.fill(planes)(Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val hyperplanes: Seq[Seq[Float]] = Similarity.hyperplanes(planes, 64, seed)
 
     val bucketBits = hyperplanes.zipWithIndex.map { case (p, i) =>
       when(VectorFunctions.dot_product(col("embedding"), typedlit(p)) >= 0, 1L << i)

@@ -32,15 +32,29 @@ object Similarity {
         VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // bigint rank: lines up with DuckDB's row_number type in the oracle
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplanes (shared with query side). */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+  /** Deterministic pseudo-random hyperplanes (shared with query side, with
+    * [[graft.operators.Dedup.embeddingNearDup]], and with the generated
+    * oracle SQL in SparkEntry — one definition so they can never drift). */
+  private[operators] def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(planes)(Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
   }
+
+  /** DuckDB bucket expression over a DOUBLE[] column `col`, replicating
+    * [[bucketExpr]] bit-for-bit: the float32 hyperplane components are
+    * emitted as their exact double values (Java's Double.toString is
+    * round-trip exact), and DuckDB's list_dot_product accumulates doubles
+    * sequentially like our DotProduct kernel. */
+  private[graft] def bucketSql(col: String, planes: Int, seed: Long): String =
+    hyperplanes(planes, 64, seed).zipWithIndex.map { case (p, i) =>
+      val lst = p.map(_.toDouble.toString).mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product($col, CAST($lst AS DOUBLE[])) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
 
   private def bucketExpr(planes: Seq[Seq[Float]]) =
     planes.zipWithIndex.map { case (p, i) =>
@@ -74,7 +88,7 @@ object Similarity {
         VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
 

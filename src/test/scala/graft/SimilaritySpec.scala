@@ -28,7 +28,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     byQuery.foreach { case (q, rows) =>
       assert(rows.length == 20)
       assert(!rows.exists(_.getAs[Long]("vec_id") == q))
-      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      val cos = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
       assert(cos.sameElements(cos.sortBy(-_)))
       assert(cos.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
     }
