@@ -53,6 +53,25 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** DSv2 cell-store scan (S1 region splits + S2 pushdown): persist the
+    * customer cells in region layout, then range-scan keys [100, 200)
+    * through the `cellstore` source — the filter prunes regions via parquet
+    * footer stats and row groups via block stats before any row is read. */
+  private def storeScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"/tmp/graft_cellstore_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    CellTable.writeRegionLayout(
+      CellTable.fromTable(spark, sfDir, "customer"), dir, numRegions = 8)
+    def key(k: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(k).array()
+    spark.read.format("cellstore").load(dir)
+      .filter(col("rowKey") >= lit(key(100L)) && col("rowKey") < lit(key(200L)))
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** CorruptRows pipeline over the cell table: negative account balance
     * poisons the row; output = the reference's (row_key, error) TSV record. */
   private def corruptScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -86,6 +105,7 @@ object SparkEntry {
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
     "q_corrupt_scan"   -> (corruptScanQuery _),
+    "q_store_scan"     -> (storeScanQuery _),
     // LLM-pipeline extension tier
     "q_dedup_exact"    -> (Dedup.exactQuery _),
     "q_minhash_pairs"  -> (Dedup.minhashQuery _),
@@ -409,6 +429,17 @@ object SparkEntry {
                    ${cosineSql("a.ev", "b.ev")} AS cosine
             FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
           WHERE cosine >= 0.1""",
+    // DSv2 cellstore range scan: keys [100, 200), one cell per non-key
+    // customer column, base timestamps (no version injection here).
+    "q_store_scan" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk
+            FROM customer WHERE c_custkey >= 100 AND c_custkey < 200)
+          SELECT rk AS row_key, 'c_name' AS qualifier,
+                 CAST(1700000000000 AS BIGINT) AS ts, c_name AS value FROM c
+          UNION ALL SELECT rk, 'c_nationkey', 1700000000000, CAST(c_nationkey AS VARCHAR) FROM c
+          UNION ALL SELECT rk, 'c_acctbal', 1700000000000, CAST(c_acctbal AS VARCHAR) FROM c
+          UNION ALL SELECT rk, 'c_mktsegment', 1700000000000, c_mktsegment FROM c""",
     // MinHash/LSH near-dup pairs vs GROUND TRUTH all-pairs exact Jaccard:
     // on the fixtures every qualifying pair collides in ≥1 LSH band
     // (J ≥ 0.5 ⇒ band-collision ~64%+ per band set; the corpus' planted

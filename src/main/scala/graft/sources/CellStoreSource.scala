@@ -1,0 +1,311 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.{ColumnIOFactory, RecordReader}
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DataSource V2 connector for the region-split cell store
+ * (`CellTable.writeRegionLayout`): a directory of key-range-partitioned,
+ * key-sorted parquet files — the columnar analogue of HBase regions +
+ * HFiles (reference scan surface: `CorruptRowsMR.java:68-91`, one MR split
+ * per region via `TableInputFormat`; here one `InputPartition` per region
+ * file).
+ *
+ * Scale design:
+ *  - **Region pruning (server-side scan bounds, S1/S2).** `rowKey`
+ *    equality/range predicates are pushed into the scan
+ *    (`SupportsPushDownFilters`); the planner reads each region's parquet
+ *    footer and drops regions whose [min,max] key interval misses the
+ *    requested range — a point GET plans exactly ONE partition no matter
+ *    how many regions the table has. (At 100 TB the footer sweep becomes a
+ *    cached region index, exactly like HBase's META table; the pruning
+ *    contract is unchanged.)
+ *  - **Row-group skipping.** Inside a selected region the reader consults
+ *    per-row-group statistics and skips groups outside the key range —
+ *    the HFile-block-index analogue.
+ *  - **Column pruning (F2/S3).** `SupportsPushDownRequiredColumns` narrows
+ *    the parquet read to the requested columns at the IO level
+ *    (`setRequestedSchema`) — a key-only scan reads no value bytes, the
+ *    `KeyOnlyFilter` semantics.
+ *  - Pushed filters are also kept as Spark-side residuals, so pruning is a
+ *    pure optimization and can never affect correctness.
+ *
+ * Binary key ordering is unsigned-lexicographic everywhere (HBase
+ * `Bytes.compareTo` == parquet BINARY stats ordering == Spark BinaryType
+ * ordering).
+ */
+class CellStoreSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cellstore"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CellStoreSource.Schema
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "cellstore requires a path")
+    new CellStoreTable(path)
+  }
+}
+
+object CellStoreSource {
+  /** The cell schema (`CellTable.fromTable` shape). */
+  val Schema: StructType = StructType(Seq(
+    StructField("rowKey", BinaryType, nullable = false),
+    StructField("family", StringType),
+    StructField("qualifier", BinaryType),
+    StructField("ts", LongType),
+    StructField("cellType", StringType),
+    StructField("value", BinaryType)))
+
+  private[sources] def cmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  /** Key interval derived from pushed filters; `None` bound = unbounded. */
+  private[sources] final case class KeyRange(
+      lower: Option[(Array[Byte], Boolean)],   // (bound, inclusive)
+      upper: Option[(Array[Byte], Boolean)]) {
+    /** Does [min,max] (both inclusive, from stats) intersect this range? */
+    def overlaps(min: Array[Byte], max: Array[Byte]): Boolean = {
+      val aboveLower = lower.forall { case (l, incl) =>
+        if (incl) cmp(max, l) >= 0 else cmp(max, l) > 0 }
+      val belowUpper = upper.forall { case (u, incl) =>
+        if (incl) cmp(min, u) <= 0 else cmp(min, u) < 0 }
+      aboveLower && belowUpper
+    }
+  }
+
+  private[sources] val FullRange = KeyRange(None, None)
+
+  /** Is this a rowKey range predicate the scan can use for pruning? */
+  private[sources] def prunable(f: Filter): Boolean = f match {
+    case EqualTo("rowKey", _: Array[Byte])            => true
+    case GreaterThan("rowKey", _: Array[Byte])        => true
+    case GreaterThanOrEqual("rowKey", _: Array[Byte]) => true
+    case LessThan("rowKey", _: Array[Byte])           => true
+    case LessThanOrEqual("rowKey", _: Array[Byte])    => true
+    case And(l, r)                                    => prunable(l) && prunable(r)
+    case _                                            => false
+  }
+
+  /** Fold pushed filters into one conjunctive key range. */
+  private[sources] def rangeOf(filters: Seq[Filter]): KeyRange =
+    filters.foldLeft(FullRange)(tighten)
+
+  private def tighten(r: KeyRange, f: Filter): KeyRange = f match {
+    case EqualTo("rowKey", v: Array[Byte]) =>
+      tighten(tighten(r, GreaterThanOrEqual("rowKey", v)), LessThanOrEqual("rowKey", v))
+    case GreaterThan("rowKey", v: Array[Byte])        => KeyRange(maxLower(r.lower, v, incl = false), r.upper)
+    case GreaterThanOrEqual("rowKey", v: Array[Byte]) => KeyRange(maxLower(r.lower, v, incl = true), r.upper)
+    case LessThan("rowKey", v: Array[Byte])           => KeyRange(r.lower, minUpper(r.upper, v, incl = false))
+    case LessThanOrEqual("rowKey", v: Array[Byte])    => KeyRange(r.lower, minUpper(r.upper, v, incl = true))
+    case And(l, rr)                                   => tighten(tighten(r, l), rr)
+    case _                                            => r
+  }
+
+  private def maxLower(cur: Option[(Array[Byte], Boolean)], v: Array[Byte],
+                       incl: Boolean): Option[(Array[Byte], Boolean)] = cur match {
+    case Some((b, bi)) =>
+      val c = cmp(v, b)
+      if (c > 0 || (c == 0 && !incl)) Some((v, incl)) else Some((b, bi))
+    case None => Some((v, incl))
+  }
+
+  private def minUpper(cur: Option[(Array[Byte], Boolean)], v: Array[Byte],
+                       incl: Boolean): Option[(Array[Byte], Boolean)] = cur match {
+    case Some((b, bi)) =>
+      val c = cmp(v, b)
+      if (c < 0 || (c == 0 && !incl)) Some((v, incl)) else Some((b, bi))
+    case None => Some((v, incl))
+  }
+
+  /** Per-file [min,max] of rowKey across all row groups, from the footer. */
+  private[sources] def footerKeyRange(
+      file: Path, conf: Configuration): Option[(Array[Byte], Array[Byte])] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val ranges = reader.getRowGroups.asScala.flatMap(rowGroupKeyRange)
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0)),
+                 ranges.map(_._2).max(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0))))
+    } finally reader.close()
+  }
+
+  private[sources] def rowGroupKeyRange(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData): Option[(Array[Byte], Array[Byte])] =
+    block.getColumns.asScala
+      .find(_.getPath.toDotString == "rowKey")
+      .flatMap { c =>
+        val st = c.getStatistics
+        if (st == null || !st.hasNonNullValue) None
+        else Some((st.getMinBytes, st.getMaxBytes))
+      }
+}
+
+class CellStoreTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"cellstore(`$path`)"
+  override def schema(): StructType = CellStoreSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CellStoreScanBuilder(path)
+}
+
+class CellStoreScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = CellStoreSource.Schema
+
+  /** Accept rowKey range predicates for pruning but return EVERY filter as
+    * a residual — Spark re-applies them post-scan, so pruning is purely an
+    * optimization (the reference's server-side Filter semantics with a
+    * client-side safety net). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(CellStoreSource.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new CellStoreScan(path, pushed, required)
+}
+
+class CellStoreScan(path: String, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CellStoreScan path=$path, pushed=${pushed.mkString("[", ",", "]")}, " +
+      s"columns=${required.fieldNames.mkString("[", ",", "]")}"
+
+  /** One partition per surviving region file. Footers are read driver-side;
+    * a 100 TB deployment swaps this for a cached region index with the same
+    * [min,max]-interval contract. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val range = CellStoreSource.rangeOf(pushed.toSeq)
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        CellStoreSource.footerKeyRange(st.getPath, conf) match {
+          case Some((min, max)) if !range.overlaps(min, max) => None
+          case _ => Some(CellStorePartition(st.getPath.toString): InputPartition)
+        }
+      }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellStoreReaderFactory(required, pushed)
+}
+
+final case class CellStorePartition(file: String) extends InputPartition
+
+class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CellStorePartitionReader(
+      partition.asInstanceOf[CellStorePartition].file, required,
+      CellStoreSource.rangeOf(pushed.toSeq))
+}
+
+/**
+ * Reads one region file with the parquet example (`Group`) API: row groups
+ * outside the pushed key range are skipped via statistics; only the
+ * required columns are read (`setRequestedSchema`). Vectorized decoding is
+ * an optimization the store can adopt later — the contract (pruned IO,
+ * InternalRow out) stays the same.
+ */
+class CellStorePartitionReader(
+    file: String,
+    required: StructType,
+    range: CellStoreSource.KeyRange) extends PartitionReader[InternalRow] {
+
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), new Configuration()))
+  private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
+  private val requestedSchema: MessageType =
+    new MessageType(fileSchema.getName,
+      required.fieldNames.map(n => fileSchema.getType(Seq(n): _*)): _*)
+  reader.setRequestedSchema(requestedSchema)
+  private val blocks = reader.getRowGroups.asScala.toList
+
+  private var blockIdx = 0
+  private var recordReader: RecordReader[Group] = _
+  private var rowsLeft: Long = 0L
+  private var current: InternalRow = _
+
+  private def advanceRowGroup(): Boolean = {
+    while (blockIdx < blocks.length) {
+      val block = blocks(blockIdx)
+      blockIdx += 1
+      val keep = CellStoreSource.rowGroupKeyRange(block) match {
+        case Some((min, max)) => range.overlaps(min, max)
+        case None             => true
+      }
+      if (!keep) {
+        reader.skipNextRowGroup()
+      } else {
+        val pages = reader.readNextRowGroup()
+        if (pages != null) {
+          val columnIO = new ColumnIOFactory().getColumnIO(requestedSchema, fileSchema)
+          recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(requestedSchema))
+          rowsLeft = pages.getRowCount
+          if (rowsLeft > 0) return true
+        }
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (rowsLeft == 0L) if (!advanceRowGroup()) return false
+    val g = recordReader.read()
+    rowsLeft -= 1
+    current = toRow(g)
+    true
+  }
+
+  private def toRow(g: Group): InternalRow = {
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val name = required(i).name
+      values(i) =
+        if (g.getFieldRepetitionCount(name) == 0) null
+        else name match {
+          case "rowKey" | "qualifier" | "value" => g.getBinary(name, 0).getBytes
+          case "family" | "cellType"            => UTF8String.fromString(g.getString(name, 0))
+          case "ts"                             => g.getLong(name, 0)
+          case other => throw new IllegalArgumentException(s"unknown cell column: $other")
+        }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
