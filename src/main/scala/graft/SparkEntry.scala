@@ -101,6 +101,7 @@ object SparkEntry {
     "q_semi_join"      -> (Relational.semiJoin _),
     "q_json_extract"   -> (Relational.jsonExtract _),
     "q_event_windows"  -> (Relational.eventWindows _),
+    "q_asof_join"      -> (AsofJoin.asofQuery _),
     // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
@@ -343,6 +344,20 @@ object SparkEntry {
                 CAST(sum(len(regexp_extract_all(lower(text),
                   '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))) AS BIGINT) AS total_bpe_tokens
          FROM documents GROUP BY lang""",
+    // As-of join vs DuckDB's native ASOF LEFT JOIN. Right side is reduced
+    // to one version per (customer, date) first so the pick is unique.
+    "q_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate,
+                  max(o_orderkey) AS o_orderkey,
+                  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+           FROM orders GROUP BY o_custkey, o_orderdate),
+         e AS (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000)
+         SELECT e.event_id, e.user_id,
+                CAST(epoch_us(e.ts) // 1000 AS BIGINT) AS ts_ms,
+                o.o_orderkey, o.o_totalprice
+         FROM e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
     // Language ID: same stopword voting + CJK count, argmax with the same
     // lexicographic tiebreak (first lang that is >= all later ones).
     "q_lang_id" ->

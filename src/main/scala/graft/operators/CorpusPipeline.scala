@@ -25,20 +25,24 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.8,
       shingleN: Int = 3)
 
-  /** Stage 1+2: narrow pre-filters (quality gate, language allowlist). */
-  def preFilter(docs: DataFrame, cfg: Config): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
-    docs.join(quality, "doc_id")
+  /** Stage 1+2: narrow pre-filters (quality gate, language allowlist) — a
+    * single map over the scan, no join: the quality score is attached as a
+    * column expression, so both gates fold into the scan's filter. */
+  def preFilter(docs: DataFrame, cfg: Config): DataFrame =
+    docs.withColumn("quality", TextAnalysis.qualityColumn(col("text")))
       .filter(col("quality") >= cfg.minQuality)
       .filter(col("lang").isin(cfg.keepLangs: _*))
-  }
 
-  /** Stage 3: exact dedup — keep the min doc_id per identical text. */
+  /** Stage 3: exact dedup — keep the min doc_id per identical text. One
+    * shuffle (window min over the digest), no join-back: at 100 TB the
+    * agg+join formulation would shuffle the corpus twice and build a keep
+    * list the size of the corpus. */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val keep = docs.groupBy(md5(col("text")).as("_h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    docs.join(keep, "doc_id")
+    import org.apache.spark.sql.expressions.Window
+    docs.withColumn("_keep",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("_keep"))
+      .drop("_keep")
   }
 
   /** Stage 4: near-dup removal — drop the higher id of each verified pair. */

@@ -84,22 +84,25 @@ object TextAnalysis {
    * ratio, and mean token length — the usual cheap pre-filters in front of
    * expensive pipeline stages.
    */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val nChars = length(col("text")).cast("double")
-    val nTokens = size(whitespaceTokens(col("text"))).cast("double")
-    val alphaRatio = length(regexp_replace(col("text"), "[^\\p{L} ]", "")).cast("double") /
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityColumn(col("text")).as("quality"))
+
+  /** The quality blend as a plain column expression so pipelines can attach
+    * it with `withColumn` (a narrow map) instead of a self-join. */
+  def qualityColumn(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = size(whitespaceTokens(text)).cast("double")
+    val alphaRatio = length(regexp_replace(text, "[^\\p{L} ]", "")).cast("double") /
       greatest(nChars, lit(1.0))
-    val punctRatio = regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+    val punctRatio = regexp_count(text, lit("[.,;:!?]")).cast("double") /
       greatest(nTokens, lit(1.0))
     val meanTokenLen = nChars / greatest(nTokens, lit(1.0))
     val lengthBand = when(nChars.between(100, 2000), 1.0)
       .when(nChars.between(20, 5000), 0.5).otherwise(0.0)
     val tokenBand = when(meanTokenLen.between(3.0, 12.0), 1.0).otherwise(0.3)
-    docs.select(
-      col("doc_id"),
-      round(
-        (lengthBand * 0.35 + least(alphaRatio * 1.2, lit(1.0)) * 0.35 +
-          tokenBand * 0.2 + least(punctRatio * 4, lit(1.0)) * 0.1), 6).as("quality"))
+    round(
+      (lengthBand * 0.35 + least(alphaRatio * 1.2, lit(1.0)) * 0.35 +
+        tokenBand * 0.2 + least(punctRatio * 4, lit(1.0)) * 0.1), 6)
   }
 
   /**
