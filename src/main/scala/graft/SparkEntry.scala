@@ -187,6 +187,53 @@ object SparkEntry {
                  / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0) * 4, 1.0) * 0.1,
          6)"""
 
+  /** `SimHashImpl.fnv1a64` over the UTF-8 bytes of string expression `s`,
+    * as an UNSIGNED HUGEINT in [0, 2^64): byte-by-byte list_reduce with
+    * xor + modular multiply. (The FNV prime is ~2^40, so the 128-bit
+    * product never overflows INT128.) */
+  private def fnvUSql(s: String): String =
+    s"""list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            list_transform(range(octet_length(encode($s))),
+              i -> CAST((strpos('0123456789abcdef', substr(lower(hex(encode($s))), 2*i+1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(lower(hex(encode($s))), 2*i+2, 1)) - 1) AS HUGEINT))),
+          (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
+
+  /** Two's-complement reinterpretation: unsigned HUGEINT in [0,2^64) →
+    * signed BIGINT (the JVM `Long` the engine computes with). */
+  private def signedSql(x: String): String =
+    s"""CASE WHEN $x >= 9223372036854775808::HUGEINT
+             THEN CAST($x - 18446744073709551616::HUGEINT AS BIGINT)
+             ELSE CAST($x AS BIGINT) END"""
+
+  /** `java.lang.Math.floorMod` over a signed BIGINT expression. */
+  private def floorModSql(v: String, m: Long): String =
+    s"((($v) % $m + $m) % $m)"
+
+  /** `h >>> k` (unsigned shift) from the unsigned HUGEINT form. */
+  private def ushiftSql(x: String, k: Int): String =
+    s"CAST(($x) // ${1L << k}::HUGEINT AS BIGINT)"
+
+  /** `(a * c) mod 2^64` for unsigned HUGEINT `a` and a 64-bit constant:
+    * split the constant into 32-bit halves so the 128-bit intermediate
+    * never overflows INT128 (needed for the splitmix64 constants ~2^63). */
+  private def mulModSql(a: String, c: java.lang.Long): String = {
+    val bh = c >>> 32
+    val bl = c & 0xffffffffL
+    s"""((($a) * $bl::HUGEINT) % 18446744073709551616::HUGEINT
+        + ((($a) * $bh::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        % 18446744073709551616::HUGEINT"""
+  }
+
+  /** The derived-media CTE body (`Multimodal.deriveMedia` + fnv digest):
+    * media_id, kind (round-robin by id), payload size, unsigned hash. */
+  private def mediaSql: String =
+    s"""SELECT doc_id AS media_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               ${fnvUSql("text")} AS hx
+        FROM documents"""
+
   /** TextAnalysis.langId score columns (s_de, s_en, …), generated from the
     * same Stopwords map the Spark plan uses. */
   private def langScoresSql: String =
@@ -468,6 +515,95 @@ object SparkEntry {
       s"""WITH ${jaccardPairsSql("documents")}
           SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
           FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.3""",
+    // Multimodal decode: the deterministic stub codec (fnv1a64 of the
+    // payload driving the fake dimensions) reproduced exactly in SQL —
+    // floorMod on the signed hash, unsigned shifts on the HUGEINT form.
+    "q_media_decode" ->
+      s"""WITH m AS ($mediaSql),
+           d AS (SELECT media_id, kind, n_bytes, ${signedSql("hx")} AS h, hx FROM m)
+          SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+            CAST(CASE WHEN n_bytes = 0 THEN 0
+                      WHEN kind = 'image' THEN 64 + ${floorModSql("h", 1856L)}
+                      WHEN kind = 'audio' THEN 0
+                      ELSE 640 END AS INTEGER) AS width,
+            CAST(CASE WHEN n_bytes = 0 THEN 0
+                      WHEN kind = 'image' THEN 64 + ${ushiftSql("hx", 16)} % 1016
+                      WHEN kind = 'audio' THEN 0
+                      ELSE 360 END AS INTEGER) AS height,
+            CAST(CASE WHEN n_bytes = 0 THEN 0
+                      WHEN kind = 'audio' THEN ${floorModSql("h", 2L)} + 1
+                      ELSE 3 END AS INTEGER) AS channels,
+            CAST(CASE WHEN n_bytes = 0 THEN 0
+                      WHEN kind = 'image' THEN 0
+                      WHEN kind = 'audio' THEN 1000 + ${ushiftSql("hx", 8)} % 600000
+                      ELSE 1000 + ${ushiftSql("hx", 24)} % 7200000 END AS BIGINT) AS duration_ms,
+            n_bytes > 0 AS ok,
+            CASE WHEN n_bytes = 0 THEN 'IllegalArgumentException: empty payload' END AS error
+          FROM d""",
+    // Frame sampling: ok videos exploded to 60s-spaced frame descriptors
+    // with the sha256 digest both engines compute identically.
+    "q_frame_sample" ->
+      s"""WITH m AS ($mediaSql),
+           v AS (SELECT media_id, 1000 + ${ushiftSql("hx", 24)} % 7200000 AS duration_ms
+                 FROM m WHERE kind = 'video' AND n_bytes > 0),
+           f AS (SELECT media_id, unnest(generate_series(0, duration_ms, 60000)) AS frame_ts_ms FROM v)
+          SELECT media_id, frame_ts_ms,
+                 sha256(concat(CAST(media_id AS VARCHAR), ':', CAST(frame_ts_ms AS VARCHAR))) AS frame_digest
+          FROM f""",
+    // SimHash near-dup pairs: per-token fnv1a64, 64-lane majority vote
+    // (bit b set iff 2·|set| > n), 16-bit banding, Hamming ≤ 3 — the whole
+    // fingerprint recomputed from first principles in SQL.
+    "q_simhash_pairs" ->
+      s"""WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+           hs AS (SELECT doc_id, list_transform(tk, t -> ${fnvUSql("t")}) AS hs, len(tk) AS n FROM toks),
+           sh AS (SELECT doc_id,
+             list_reduce(list_prepend(0::HUGEINT,
+               list_transform(range(64), b ->
+                 CASE WHEN 2 * len(list_filter(hs, h -> (h // power(2::HUGEINT, b)::HUGEINT) % 2 = 1)) > n
+                      THEN power(2::HUGEINT, b)::HUGEINT ELSE 0::HUGEINT END)),
+               (a, x) -> a + x) AS ux
+             FROM hs),
+           fp AS (SELECT doc_id, ux, ${signedSql("ux")} AS simhash FROM sh),
+           banded AS (SELECT doc_id, ux, simhash, unnest(range(4)) AS band FROM fp),
+           keyed AS (SELECT doc_id, simhash, band,
+                     CAST((ux // power(2::HUGEINT, band * 16)::HUGEINT) % 65536 AS BIGINT) AS key
+                     FROM banded)
+          SELECT doc_a, doc_b, CAST(min(hamming) AS INTEGER) AS hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM keyed a JOIN keyed b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) t
+          WHERE hamming <= 3
+          GROUP BY doc_a, doc_b""",
+    // Media features → ANN: the splitmix64 finalizer (32-bit-split modular
+    // multiplies), the exact double→float rounding chain of the stub
+    // encoder, then bit-exact cosine top-10 for the first 3 media ids.
+    "q_media_ann" ->
+      s"""WITH m AS ($mediaSql),
+           f1 AS (SELECT media_id, list_transform(range(64),
+                    i -> (hx + CAST(i AS HUGEINT) + 11400714819323198485::HUGEINT)
+                         % 18446744073709551616::HUGEINT) AS zs
+                  FROM m WHERE n_bytes > 0),
+           f2 AS (SELECT media_id, list_transform(zs, z -> ${mulModSql("xor(z, z // 1073741824::HUGEINT)", 0xbf58476d1ce4e5b9L)}) AS zs FROM f1),
+           f3 AS (SELECT media_id, list_transform(zs, z -> ${mulModSql("xor(z, z // 134217728::HUGEINT)", 0x94d049bb133111ebL)}) AS zs FROM f2),
+           f4 AS (SELECT media_id, list_transform(zs, z -> xor(z, z // 2147483648::HUGEINT)) AS zs FROM f3),
+           raw AS (SELECT media_id AS vec_id,
+             list_transform(zs, z -> CAST(CAST(${signedSql("z")} AS DOUBLE) / 9223372036854775807 AS FLOAT)) AS raw
+             FROM f4),
+           normed AS (SELECT vec_id,
+             CAST(sqrt(list_reduce(list_transform(raw, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS FLOAT) AS nf, raw
+             FROM raw),
+           emb AS (SELECT vec_id, list_transform(raw, x -> CASE WHEN nf = 0 THEN x ELSE CAST(x / nf AS FLOAT) END) AS embedding FROM normed),
+           q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM emb WHERE vec_id < 3),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM emb),
+           scored AS (
+             SELECT q.query_id, c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
+             FROM c JOIN q ON c.vec_id != q.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) t WHERE rank <= 10""",
     // The composed cleaning pipeline vs ground truth: quality gate, lang
     // allowlist, exact dedup (min id per digest), near-dup drop of the
     // higher id of every pair with exact Jaccard ≥ 0.8.
