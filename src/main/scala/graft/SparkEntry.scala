@@ -102,6 +102,7 @@ object SparkEntry {
     "q_json_extract"   -> (Relational.jsonExtract _),
     "q_event_windows"  -> (Relational.eventWindows _),
     "q_asof_join"      -> (AsofJoin.asofQuery _),
+    "q_interval_join"  -> (IntervalJoin.intervalQuery _),
     // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
@@ -405,6 +406,21 @@ object SparkEntry {
                 o.o_orderkey, o.o_totalprice
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+    // Interval join: events inside the 30-minute half-open window after an
+    // error event of the same user, vs DuckDB's plain inequality join.
+    // Comparisons go through epoch_us on BOTH sides: the raw fixture carries
+    // nanosecond timestamps, the engine works at Spark's microsecond
+    // precision, and window ends inherit the error's sub-µs fraction — the
+    // explicit µs floor keeps the two engines' boundary decisions identical.
+    "q_interval_join" ->
+      """SELECT e.event_id, e.user_id,
+                CAST(epoch_us(e.ts) // 1000 AS BIGINT) AS ts_ms,
+                r.event_id AS error_id
+         FROM events e
+         JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') r
+           ON e.user_id = r.user_id
+          AND epoch_us(e.ts) >= epoch_us(r.ts)
+          AND epoch_us(e.ts) < epoch_us(r.ts) + 1800000000""",
     // Language ID: same stopword voting + CJK count, argmax with the same
     // lexicographic tiebreak (first lang that is >= all later ones).
     "q_lang_id" ->

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Interval (range) join — left rows at a point in time matched to right
+ * rows whose `[start, end)` interval contains them, with a key equality.
+ * Spark plans the naive `ON key AND t >= start AND t < end` as an equi-join
+ * on the key followed by a per-key cross filter; a hot key with many
+ * intervals degenerates to a per-key cross product.
+ *
+ * Scalable shape: time is cut into fixed granules; each right interval is
+ * exploded to one row per granule it overlaps (bounded by
+ * interval-length/granule), each left point maps to exactly one granule,
+ * and the join runs on `(key, granule)` — a plain equi-join shuffle whose
+ * fan-out is controlled by the granule width, never by the number of
+ * intervals per key. The exact `[start, end)` predicate is re-applied
+ * after the granule match, so the granule width is purely a performance
+ * knob (pick ≈ the median interval length; a too-small granule explodes
+ * the right side, a too-large one widens candidate sets).
+ */
+object IntervalJoin {
+
+  /**
+   * @param granuleSeconds granule width; each right interval produces
+   *                       `⌈len/granule⌉+1` rows, each left row exactly one
+   * @param rightPayload   right columns to attach (inner-join semantics)
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String,
+      rightStart: String, rightEnd: String,
+      rightPayload: Seq[String],
+      granuleSeconds: Long): DataFrame = {
+    val g = granuleSeconds * 1000000L // granule in microseconds
+    // cast: fixture timestamps may be NTZ; session TZ is UTC so the
+    // instant is unchanged and granule math is consistent on both sides
+    def granuleOf(t: Column): Column = floor(unix_micros(t.cast("timestamp")) / g)
+
+    val l = left
+      .withColumn("_g", granuleOf(col(leftTime)))
+      .withColumn("_k", col(leftKey))
+    val r = right.select(
+        (Seq(col(rightKey).as("_k"), col(rightStart).as("_s"), col(rightEnd).as("_e")) ++
+          rightPayload.map(col)): _*)
+      // one row per granule the interval [start, end) overlaps
+      .withColumn("_g", explode(sequence(granuleOf(col("_s")), granuleOf(col("_e")))))
+
+    l.join(r, Seq("_k", "_g"))
+      .filter(col(leftTime) >= col("_s") && col(leftTime) < col("_e"))
+      .drop("_k", "_g", "_s", "_e")
+  }
+
+  // Query-pack adapter ---------------------------------------------------
+
+  /** Events inside the 30-minute window after an error event of the same
+    * user — "activity in an incident's blast radius". Granule = the window
+    * width, so every interval explodes to exactly 2 granule rows. (The
+    * error event matches its own window; the pair (e, e) is part of the
+    * result by the ≥-start semantics.) */
+  def intervalQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val err = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+    intervalJoin(ev, err,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightStart = "win_start", rightEnd = "win_end",
+        rightPayload = Seq("error_id"),
+        granuleSeconds = 30L * 60)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
+        col("error_id"))
+  }
+}

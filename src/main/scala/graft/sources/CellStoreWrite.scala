@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetFileWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{MessageType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * DSv2 write path for the cell store (reference K1 — `CopyRow.java:118-142`
+ * writes one Put per cell; here a batched, sorted, region-partitioned bulk
+ * write — the HBase *bulk-load* shape, which is what a 100 TB ingest uses
+ * instead of the per-cell RPC).
+ *
+ * The scale-critical piece is [[RequiresDistributionAndOrdering]]: the
+ * connector DECLARES that cells must be range-distributed and sorted by
+ * (rowKey, family, qualifier, ts), and Spark plans the exchange + sort —
+ * the engine-side analogue of HFile ordering, produced by the planner
+ * rather than hand-rolled repartition calls. Each write task then streams
+ * its already-sorted slice straight into one region file: no buffering,
+ * no post-sort, and the resulting layout is exactly what
+ * [[CellStoreScan]] prunes against (footer min/max per region).
+ *
+ * Commit protocol: tasks write to `_tmp_<queryId>/`; the driver commit
+ * renames the reported files into the store directory (and on overwrite
+ * first removes the previous region files), then drops the temp dir.
+ * Uncommitted attempt files die with the temp dir on abort.
+ */
+object CellStoreWrite {
+  /** Parquet schema mirroring [[CellStoreSource.Schema]]. */
+  val ParquetSchema: MessageType = Types.buildMessage()
+    .required(BINARY).named("rowKey")
+    .optional(BINARY).as(stringType()).named("family")
+    .optional(BINARY).named("qualifier")
+    .optional(INT64).named("ts")
+    .optional(BINARY).as(stringType()).named("cellType")
+    .optional(BINARY).named("value")
+    .named("cell")
+}
+
+class CellStoreWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite {
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "cellstore supports only full-table overwrite")
+    truncate()
+  }
+
+  override def build(): Write = new CellStoreWrite(path, info, truncateFirst)
+}
+
+class CellStoreWrite(path: String, info: LogicalWriteInfo, truncateFirst: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+
+  private val sortCols = Seq("rowKey", "family", "qualifier", "ts")
+
+  /** Range-distribute by rowKey: Spark's ordered distribution IS the
+    * region split — contiguous, non-overlapping key ranges per task. */
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(
+      Expressions.sort(Expressions.column("rowKey"), SortDirection.ASCENDING)))
+
+  /** HFile ordering within each region file. */
+  override def requiredOrdering(): Array[SortOrder] =
+    sortCols.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  /** `numRegions` option pins the region count (like pre-split tables);
+    * 0 lets AQE pick from data size. */
+  override def requiredNumPartitions(): Int =
+    Option(info.options.get("numRegions")).map(_.toInt).getOrElse(0)
+
+  override def toBatch: BatchWrite =
+    new CellStoreBatchWrite(path, info.queryId(), info.schema(), truncateFirst)
+}
+
+class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
+                          truncateFirst: Boolean) extends BatchWrite {
+  private val tmpDir = s"$path/_tmp_$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new CellStoreWriterFactory(tmpDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncateFirst) {
+      fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    messages.collect { case CellFileCommitted(file) if file.nonEmpty =>
+      val src = new Path(file)
+      fs.rename(src, new Path(dir, src.getName))
+    }
+    fs.delete(new Path(tmpDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(tmpDir).getFileSystem(new Configuration())
+    fs.delete(new Path(tmpDir), true)
+  }
+}
+
+final case class CellFileCommitted(file: String) extends WriterCommitMessage
+
+class CellStoreWriterFactory(tmpDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CellStoreDataWriter(tmpDir, schema, partitionId, taskId)
+}
+
+/** Streams sorted rows of one region slice into one parquet file via the
+  * parquet example (`Group`) writer. Opens lazily so empty partitions
+  * commit nothing. */
+class CellStoreDataWriter(tmpDir: String, schema: StructType,
+                          partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val idx: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+  require(CellStoreSource.Schema.fieldNames.forall(idx.contains),
+    s"cellstore write needs the full cell schema, got ${schema.fieldNames.mkString(",")}")
+
+  private val file = f"$tmpDir/part-$partitionId%05d-$taskId.parquet"
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = _
+  private val groups = new SimpleGroupFactory(CellStoreWrite.ParquetSchema)
+  private var wrote = false
+
+  private def open(): Unit = if (writer == null) {
+    writer = ExampleParquetWriter.builder(new Path(file))
+      .withConf(new Configuration())
+      .withType(CellStoreWrite.ParquetSchema)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    open()
+    wrote = true
+    val g = groups.newGroup()
+    def bin(name: String): Unit = {
+      val i = idx(name)
+      if (!row.isNullAt(i)) g.add(name, Binary.fromConstantByteArray(row.getBinary(i)))
+    }
+    def str(name: String): Unit = {
+      val i = idx(name)
+      if (!row.isNullAt(i)) g.add(name, row.getUTF8String(i).toString)
+    }
+    bin("rowKey"); str("family"); bin("qualifier")
+    val tsI = idx("ts")
+    if (!row.isNullAt(tsI)) g.add("ts", row.getLong(tsI))
+    str("cellType"); bin("value")
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    CellFileCommitted(if (wrote) file else "")
+  }
+
+  override def abort(): Unit = if (writer != null) writer.close()
+  override def close(): Unit = ()
+}

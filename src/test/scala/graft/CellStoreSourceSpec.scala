@@ -66,6 +66,30 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(planStr.contains("CellStoreScan"), planStr)
   }
 
+  test("DSv2 write: planner-enforced region layout round-trips and prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_w").toString
+    val cells = CellTable.fromTable(spark, sf001, "customer")
+    // the connector declares ordered distribution on rowKey — no manual
+    // repartitionByRange/sortWithinPartitions on the caller side
+    cells.write.format("cellstore")
+      .option("numRegions", "4").mode("append").save(dir)
+
+    val back = spark.read.format("cellstore").load(dir)
+    assert(back.count() == cells.count())
+    assert(back.rdd.getNumPartitions == 4)
+    // region pruning works on the planner-produced layout too
+    val get = back.filter(col("rowKey") === lit(key(42L)))
+    assert(get.rdd.getNumPartitions == 1)
+    assert(get.count() == 4)
+
+    // overwrite replaces the store content
+    cells.filter(col("rowKey") === lit(key(7L)))
+      .write.format("cellstore").mode("overwrite").save(dir)
+    val after = spark.read.format("cellstore").load(dir)
+    assert(after.count() == 4)
+    assert(after.collect().forall(_.getAs[Array[Byte]]("rowKey").sameElements(key(7L))))
+  }
+
   test("pushed filters stay as residuals: non-key predicates still apply") {
     val out = store
       .filter(col("rowKey") >= lit(key(0L)) && col("qualifier").cast("string") === "c_acctbal")
