@@ -103,6 +103,11 @@ object SparkEntry {
     "q_event_windows"  -> (Relational.eventWindows _),
     "q_asof_join"      -> (AsofJoin.asofQuery _),
     "q_interval_join"  -> (IntervalJoin.intervalQuery _),
+    "q_rollup"         -> (Relational.rollupAgg _),
+    "q_set_ops"        -> (Relational.setOps _),
+    "q_percentiles"    -> (Sketches.percentilesQuery _),
+    "q_percentiles_approx" -> (Sketches.percentilesApproxQuery _),
+    "q_vocab_approx"   -> (Sketches.vocabApproxQuery _),
     // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
@@ -421,6 +426,32 @@ object SparkEntry {
            ON e.user_id = r.user_id
           AND epoch_us(e.ts) >= epoch_us(r.ts)
           AND epoch_us(e.ts) < epoch_us(r.ts) + 1800000000""",
+    // Rollup: subtotals + grand total; NULL group markers match 1:1.
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    // Set operations over key sets with a segment label.
+    "q_set_ops" ->
+      """WITH recent AS (
+           SELECT DISTINCT o_custkey AS custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'),
+         negative AS (
+           SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+         SELECT custkey, 'both' AS segment FROM (SELECT custkey FROM recent INTERSECT SELECT custkey FROM negative) t
+         UNION ALL
+         SELECT custkey, 'recent_only' FROM (SELECT custkey FROM recent EXCEPT SELECT custkey FROM negative) t
+         UNION ALL
+         SELECT custkey, 'negative_only' FROM (SELECT custkey FROM negative EXCEPT SELECT custkey FROM recent) t""",
+    // Exact interpolated percentiles (the sort-based form; the sketch twins
+    // q_percentiles_approx / q_vocab_approx are engine-specific -> spec-bound).
+    "q_percentiles" ->
+      """SELECT event_type,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.95) AS p95,
+                quantile_cont(value, 0.99) AS p99
+         FROM events GROUP BY event_type""",
     // Language ID: same stopword voting + CJK count, argmax with the same
     // lexicographic tiebreak (first lang that is >= all later ones).
     "q_lang_id" ->

@@ -225,6 +225,36 @@ object Relational {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
 
+  /**
+   * Rollup aggregate — subtotals per returnflag plus a grand total in one
+   * pass (Spark expands the grouping sets before the exchange; partial
+   * aggregation still applies per set, so the extra rows cost one small
+   * shuffle, not extra scans).
+   */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
+
+  /**
+   * Set operations — INTERSECT/EXCEPT over key sets, labeled and unioned.
+   * Spark plans these as aggregates/joins on the key; all three legs share
+   * the same two scans.
+   */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val recent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+      .select(col("o_custkey").as("custkey")).distinct()
+    val negative = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    recent.intersect(negative).withColumn("segment", lit("both"))
+      .unionByName(recent.except(negative).withColumn("segment", lit("recent_only")))
+      .unionByName(negative.except(recent).withColumn("segment", lit("negative_only")))
+  }
+
   /** Hourly tumbling aggregation over events (batch form of the streaming
     * monitor; see graft.streaming.EventMonitor for the readStream twin). */
   def eventWindows(spark: SparkSession, sfDir: String): DataFrame =

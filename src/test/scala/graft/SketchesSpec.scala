@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Sketches, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch aggregates: the approximate forms must track their exact twins
+  * within the sketches' error bounds — that bound is the contract that
+  * makes them usable as the 100 TB replacements. */
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("approx_count_distinct tracks exact vocabulary within 5%") {
+    val exact = TextAnalysis.vocab(Tables.load(spark, sf01, "documents"))
+      .select("lang", "n_distinct_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.vocabApproxQuery(spark, sf01)
+      .select("lang", "n_distinct_tokens_approx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (lang, a) =>
+      val e = exact(lang).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"$lang: approx $a vs exact $e")
+    }
+  }
+
+  test("approx percentiles bracket the exact ones") {
+    val exact = Sketches.percentilesQuery(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Sketches.percentilesApproxQuery(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    // value-space tolerance: 2% of the per-type p99 spread
+    exact.foreach { case (t, (e50, e95, e99)) =>
+      val (a50, a95, a99) = approx(t)
+      val tol = math.max(math.abs(e99) * 0.02, 1e-6)
+      assert(math.abs(a50 - e50) <= tol, s"$t p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) <= tol, s"$t p95: $a95 vs $e95")
+      assert(math.abs(a99 - e99) <= tol, s"$t p99: $a99 vs $e99")
+    }
+  }
+
+  test("rollup covers all grouping sets with consistent totals") {
+    val rows = graft.operators.Relational.rollupAgg(spark, sf001).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val flagSubtotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == leaves.map(_.getLong(2)).sum)
+    assert(flagSubtotals.map(_.getLong(2)).sum == grand.head.getLong(2))
+  }
+}
