@@ -231,6 +231,17 @@ object SparkEntry {
         % 18446744073709551616::HUGEINT"""
   }
 
+  /** `MinHashImpl.mix64` (the splitmix64 finalizer) over an unsigned
+    * HUGEINT expression. Built from [[mulModSql]]; each stage's input
+    * appears twice textually (x and x>>>k), so apply this to a short
+    * variable reference, not a computed expression. */
+  private def mix64Sql(z0: String): String = {
+    val z1 = s"(($z0) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT"
+    val z2 = mulModSql(s"xor(($z1), ($z1) // 1073741824::HUGEINT)", 0xbf58476d1ce4e5b9L)
+    val z3 = mulModSql(s"xor(($z2), ($z2) // 134217728::HUGEINT)", 0x94d049bb133111ebL)
+    s"xor(($z3), ($z3) // 2147483648::HUGEINT)"
+  }
+
   /** The derived-media CTE body (`Multimodal.deriveMedia` + fnv digest):
     * media_id, kind (round-robin by id), payload size, unsigned hash. */
   private def mediaSql: String =
@@ -651,6 +662,27 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 10""",
+    // Fingerprint: md5 digest + min-k sketch of the window hashes —
+    // MinHashImpl.shingleHashes (per-token fnv1a64, per-window mix64*31+j
+    // chain, final mix64, signed sort, 8-prefix) recomputed in SQL.
+    "q_fingerprint" -> {
+      val step = s"(((${mix64Sql("xor(acc, th[CAST(w AS INTEGER) + CAST(j AS INTEGER) + 1])")}) * 31::HUGEINT)" +
+        s" % 18446744073709551616::HUGEINT + j) % 18446744073709551616::HUGEINT"
+      s"""WITH toks AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+           th AS (SELECT doc_id, text, list_transform(tk, t -> ${fnvUSql("t")}) AS th,
+                  CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 1 END AS n_windows,
+                  least(3, len(tk)) AS width FROM toks),
+           w0 AS (SELECT doc_id, text, list_transform(range(n_windows), w ->
+                    list_reduce(list_prepend(2611923443488327891::HUGEINT,
+                        list_transform(range(width), x -> CAST(x AS HUGEINT))),
+                      (acc, j) -> $step)) AS zs FROM th),
+           w4 AS (SELECT doc_id, text, list_transform(zs, z -> ${mix64Sql("z")}) AS zs FROM w0),
+           wins AS (SELECT doc_id, text, list_transform(zs, z -> ${signedSql("z")}) AS whs FROM w4)
+          SELECT doc_id, md5(text) AS content_hash,
+                 array_to_string(list_transform(list_slice(list_sort(list_distinct(whs)), 1, 8),
+                   x -> CAST(x AS VARCHAR)), ',') AS mink_sketch
+          FROM wins"""
+    },
     // The composed cleaning pipeline vs ground truth: quality gate, lang
     // allowlist, exact dedup (min id per digest), near-dup drop of the
     // higher id of every pair with exact Jaccard ≥ 0.8.
