@@ -263,8 +263,43 @@ object SparkEntry {
       s"$scored AS s_$lang"
     }.mkString(",\n                ")
 
+  /** IVF oracle, generated from the SESSION'S trained model: Verify runs
+    * the queries first (training + memoizing the centroids), then collects
+    * oracleSql — so the exact centroid doubles the search used can be
+    * emitted as an inline table, and the assign/probe/search pipeline is
+    * replayed relationally (row_number argmax per vector, top-2 probe
+    * cells per query, cosine top-20 inside probed cells). Absent a cached
+    * model (e.g. the query never ran) the entry is omitted → rows-only. */
+  private def ivfOracle: Map[String, String] =
+    operators.IvfIndex.cachedModel.map { m =>
+      val cent = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, CAST(${c.map(_.toDouble.toString).mkString("[", ",", "]")} AS DOUBLE[]))"
+      }.mkString(",\n              ")
+      "q_ann_ivf" ->
+        s"""WITH cent(cell, cv) AS (VALUES
+              $cent),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+             sc AS (SELECT e.vec_id, e.ev, c.cell, list_dot_product(e.ev, c.cv) AS s
+                    FROM e CROSS JOIN cent c),
+             cells AS (SELECT vec_id, ev, cell FROM (
+               SELECT vec_id, ev, cell,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+               FROM sc) t WHERE rn = 1),
+             probes AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
+               SELECT vec_id, ev, cell,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+               FROM sc WHERE vec_id < 5) t WHERE rn <= 2),
+             scored AS (
+               SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
+               FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id != p.query_id)
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored) t WHERE rank <= 20"""
+    }.toMap
+
   /** DuckDB equivalents for every SQL-expressible query above. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = ivfOracle ++ Map(
     "q_point_lookup" ->
       "SELECT * FROM customer WHERE c_custkey = 42",
     "q_range_scan" ->

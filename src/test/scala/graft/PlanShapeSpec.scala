@@ -63,6 +63,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
   }
 
+  test("as-of join plans exactly one shuffle (the union window), no range blowup") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 5L)).toDF("id", "k", "t")
+    val r = Seq((1L, 4L, 9L, 1.5)).toDF("k", "t", "version", "price")
+    val plan = executedPlan(graft.operators.AsofJoin.asof(
+      l, r, "k", "k", "t", "t", Seq("version", "price"), "version"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 key shuffle, got $shuffles in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range blowup operator in:\n$plan")
+  }
+
+  test("interval join is an equi-join on (key, granule), never a nested loop") {
+    val plan = executedPlan(graft.operators.IntervalJoin.intervalQuery(spark, sf001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range blowup operator in:\n$plan")
+    assert(plan.contains("Join") || plan.contains("join"), plan)
+  }
+
+  test("cellstore scan shows its pushed filters and pruned columns") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_plan").toString
+    CellTable.writeRegionLayout(
+      CellTable.fromTable(spark, sf001, "customer"), dir, numRegions = 4)
+    val key = java.nio.ByteBuffer.allocate(8).putLong(42L).array()
+    val df = spark.read.format("cellstore").load(dir)
+      .filter(col("rowKey") === lit(key)).select("rowKey", "ts")
+    val plan = executedPlan(df)
+    assert(plan.contains("CellStoreScan"), plan)
+    assert(plan.contains("pushed=[") && plan.contains("EqualTo(rowKey"), plan)
+    assert(plan.contains("columns=[rowKey,ts]"), plan)
+  }
+
   test("codec + cosine expressions stay inside whole-stage codegen") {
     // in executedPlan.toString, `*(n)` marks operators inside a
     // WholeStageCodegen stage — the Project carrying our expression must
