@@ -104,6 +104,8 @@ object SparkEntry {
     "q_asof_join"      -> (AsofJoin.asofQuery _),
     "q_interval_join"  -> (IntervalJoin.intervalQuery _),
     "q_rollup"         -> (Relational.rollupAgg _),
+    "q_window"         -> (Relational.runningTotals _),
+    "q_pivot"          -> (Relational.pivotCounts _),
     "q_set_ops"        -> (Relational.setOps _),
     "q_percentiles"    -> (Sketches.percentilesQuery _),
     "q_percentiles_approx" -> (Sketches.percentilesApproxQuery _),
@@ -490,6 +492,26 @@ object SparkEntry {
          SELECT custkey, 'recent_only' FROM (SELECT custkey FROM recent EXCEPT SELECT custkey FROM negative) t
          UNION ALL
          SELECT custkey, 'negative_only' FROM (SELECT custkey FROM negative EXCEPT SELECT custkey FROM recent) t""",
+    // Window-function pack: rank, running decimal sum, lag-based day gaps.
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER w AS order_rank,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+                date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                          CAST(o_orderdate AS DATE)) AS days_since_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    // Pivot: daily counts per event type, absent combinations as 0.
+    "q_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1""",
     // Exact interpolated percentiles (the sort-based form; the sketch twins
     // q_percentiles_approx / q_vocab_approx are engine-specific -> spec-bound).
     "q_percentiles" ->

@@ -255,6 +255,40 @@ object Relational {
       .unionByName(negative.except(recent).withColumn("segment", lit("negative_only")))
   }
 
+  /**
+   * Window-function pack: running spend, order rank, and days since the
+   * previous order per customer — one shuffle on the key, one sort within
+   * partitions, all three windows share the same frame.
+   */
+  def runningTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sfDir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("bigint").as("order_rank"),
+        sum(col("o_totalprice").cast(Dec)).over(running).cast("double").as("running_spend"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date")).cast("bigint").as("days_since_prev"))
+  }
+
+  /** The event types the pivot spreads into columns (fixed list — a pivot's
+    * output schema must not depend on the data it reads). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /**
+   * Pivot: daily event counts spread to one column per type. The explicit
+   * value list keeps the schema static (no extra distinct-values job) and
+   * `na.fill` normalizes absent combinations to 0 like the SQL CASE form.
+   */
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+
   /** Hourly tumbling aggregation over events (batch form of the streaming
     * monitor; see graft.streaming.EventMonitor for the readStream twin). */
   def eventWindows(spark: SparkSession, sfDir: String): DataFrame =
