@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.model.CellTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Store maintenance — the HBase major-compaction analogue for the cell
+ * store: rewrite the region layout keeping only the cells a read can still
+ * observe, reclaiming space from superseded versions and expired data.
+ * (The reference tooling operates on live HBase tables where the server
+ * compacts; an engine that OWNS its store needs the pass as an operator.)
+ *
+ * Semantics, applied in order:
+ *  1. TTL: cells with `ts < watermark` expire (HBase `TTL`), where the
+ *     watermark is an explicit parameter — deterministic and replayable,
+ *     never wall-clock.
+ *  2. Version retention: keep the newest `maxVersions` cells per
+ *     (rowKey, family, qualifier) — HBase `VERSIONS`.
+ *
+ * Shape: one shuffle (the per-coordinate window), then the writer's
+ * declared distribution re-ranges the survivors into sorted region files.
+ * At 100 TB this runs region-by-region (the layout makes regions
+ * independent units of work) — same operator, partition-pruned input.
+ */
+object Compaction {
+
+  /** The cells surviving TTL + version retention. */
+  def survivors(cells: DataFrame, maxVersions: Int, ttlWatermark: Long): DataFrame = {
+    val w = Window.partitionBy("rowKey", "family", "qualifier")
+      .orderBy(col("ts").desc)
+    cells.filter(col("ts") >= ttlWatermark)
+      .withColumn("_v", row_number().over(w))
+      .filter(col("_v") <= maxVersions)
+      .drop("_v")
+  }
+
+  /** Compact a cell-store directory in place via the DSv2 writer (the
+    * planner re-establishes the region layout on the overwrite). */
+  def compactStore(
+      spark: SparkSession,
+      path: String,
+      maxVersions: Int = 1,
+      ttlWatermark: Long = Long.MinValue,
+      numRegions: Int = 8): Unit =
+    survivors(spark.read.format("cellstore").load(path), maxVersions, ttlWatermark)
+      .write.format("cellstore")
+      .option("numRegions", numRegions.toString)
+      .mode("overwrite").save(path)
+}
