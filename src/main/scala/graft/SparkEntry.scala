@@ -132,6 +132,7 @@ object SparkEntry {
     "q_quality"        -> (TextAnalysis.qualityQuery _),
     "q_fingerprint"    -> (TextAnalysis.fingerprintQuery _),
     "q_clean_corpus"   -> (CorpusPipeline.cleanQuery _),
+    "q_source_cap"     -> (CorpusPipeline.sourceCapQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
     "q_media_ann"      -> (Multimodal.mediaAnnQuery _))
@@ -719,6 +720,14 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 10""",
+    // Source balancing: ≤40 docs per source, lowest ids win; reported as
+    // per-source counts with id bounds.
+    "q_source_cap" ->
+      """SELECT source, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM (SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+               FROM documents) t
+         WHERE r <= 40 GROUP BY source""",
     // Fingerprint: md5 digest + min-k sketch of the window hashes —
     // MinHashImpl.shingleHashes (per-token fnv1a64, per-window mix64*31+j
     // chain, final mix64, signed sort, 8-prefix) recomputed in SQL.

@@ -57,6 +57,26 @@ object CorpusPipeline {
   def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedup(exactDedup(preFilter(docs, cfg)), cfg)
 
+  /** Source balancing — cap the corpus at `maxPerSource` documents per
+    * origin, keeping the lowest doc ids (deterministic, so reruns agree).
+    * The standard anti-domination step before training-data mixing: one
+    * window shuffle on `source`; a skewed mega-source is bounded to the
+    * cap instead of flooding the mix. */
+  def capPerSource(docs: DataFrame, maxPerSource: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxPerSource)
+      .drop("_r")
+  }
+
+  /** Query-pack adapter for the per-source cap. */
+  def sourceCapQuery(spark: SparkSession, sfDir: String): DataFrame =
+    capPerSource(Tables.load(spark, sfDir, "documents"), maxPerSource = 40)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+
   /** Query-pack adapter: cleaned corpus doc ids + audit columns. */
   def cleanQuery(spark: SparkSession, sfDir: String): DataFrame =
     clean(Tables.load(spark, sfDir, "documents"))
