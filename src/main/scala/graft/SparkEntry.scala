@@ -44,7 +44,7 @@ object SparkEntry {
   private def cellLatestQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val base = CellTable.fromTable(spark, sfDir, "customer")
     val versioned = CellTable.withExtraVersions(
-      base, pmod(conv(hex(col("rowKey")), 16, 10).cast("bigint"), lit(10)) === 0, n = 2)
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
     CellTable.latestVersion(versioned)
       .select(
         graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),

@@ -31,6 +31,20 @@ object CellTable {
   def bigEndianKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unhex(lpad(hex(c.cast("bigint")), 16, "0"))
 
+  /** Inverse of [[bigEndianKey]], safe for keys with the high bit set:
+    * a one-shot `conv(hex(k),16,10)` yields an unsigned decimal that
+    * exceeds BIGINT for such keys and comes back NULL. Decoding the two
+    * 32-bit halves separately and re-applying two's-complement keeps every
+    * intermediate inside long range (signedHi∈[-2³¹,2³¹), ×2³²+lo spans
+    * exactly [-2⁶³, 2⁶³) with no overflow). */
+  def keyToLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = lpad(hex(c), 16, "0")
+    val hi = conv(substring(h, 1, 8), 16, 10).cast("bigint")
+    val lo = conv(substring(h, 9, 8), 16, 10).cast("bigint")
+    val signedHi = hi - when(hi >= 2147483648L, 4294967296L).otherwise(0L)
+    signedHi * 4294967296L + lo
+  }
+
   /**
    * Build the long/narrow cell table for one fixture table.
    * At 100 TB this shape is what an HBase snapshot/HFile bulk read lands as;

@@ -38,6 +38,16 @@ object AsofJoin {
       rightPayload: Seq[String],
       rightOrder: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // fail fast on silent-misbehavior inputs: a payload name already on the
+    // left would produce ambiguous output columns, and the internal meta
+    // names would clobber left columns of the same name
+    val meta0 = Set("_k", "_t", "_side", "_ord", "_r", "_match")
+    val payloadClash = rightPayload.toSet.intersect(leftCols.toSet)
+    require(payloadClash.isEmpty,
+      s"asof: rightPayload collides with left columns: ${payloadClash.mkString(", ")}")
+    val metaClash = leftCols.toSet.intersect(meta0)
+    require(metaClash.isEmpty,
+      s"asof: left columns ${metaClash.mkString(", ")} are reserved meta names (${meta0.mkString(", ")})")
     val payloadType = StructType(rightPayload.map(right.schema(_)))
     val ordType = right.schema(rightOrder).dataType
 

@@ -20,8 +20,12 @@ object CopyRow {
 
   /**
    * Logical plan for the copy: the source row's cells, timestamps rewritten
-   * when `overrideTs` (reference default is `currentTimeMillis`; we require
-   * an explicit ts so plans stay deterministic — `CopyRow.java:63-64,76-79`).
+   * when `overrideTs`. The OPERATOR requires an explicit ts so plans stay
+   * deterministic; the reference's wall-clock default
+   * (`CopyRow.java:63-64,76-79` — `currentTimeMillis` when
+   * `--timestampToUse` is omitted) lives in the CLI layer
+   * (`cli/CopyRowMain.scala`), which supplies `System.currentTimeMillis()`
+   * exactly like the reference tool.
    */
   def plan(
       cells: DataFrame,

@@ -36,6 +36,14 @@ object IntervalJoin {
       rightStart: String, rightEnd: String,
       rightPayload: Seq[String],
       granuleSeconds: Long): DataFrame = {
+    // fail fast on inputs that would yield ambiguous/clobbered columns
+    val meta0 = Set("_k", "_g", "_s", "_e")
+    val payloadClash = rightPayload.toSet.intersect(left.columns.toSet)
+    require(payloadClash.isEmpty,
+      s"intervalJoin: rightPayload collides with left columns: ${payloadClash.mkString(", ")}")
+    val metaClash = left.columns.toSet.intersect(meta0)
+    require(metaClash.isEmpty,
+      s"intervalJoin: left columns ${metaClash.mkString(", ")} are reserved meta names (${meta0.mkString(", ")})")
     val g = granuleSeconds * 1000000L // granule in microseconds
     // cast: fixture timestamps may be NTZ; session TZ is UTC so the
     // instant is unchanged and granule math is consistent on both sides

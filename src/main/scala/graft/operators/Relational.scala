@@ -93,16 +93,18 @@ object Relational {
 
   /**
    * M2/M4 — the probe expressed relationally: each order probes its customer;
-   * a negative account balance simulates an unreadable row. The dimension is
-   * broadcast (15 k rows at sf0.1 — far under the 10 MB default), so the
-   * probe join is shuffle-free: exactly the reference's per-row GET pattern
-   * where only the small side moves.
+   * a negative account balance simulates an unreadable row. The dimension
+   * stays under `autoBroadcastJoinThreshold` at fixture scale so Spark/AQE
+   * picks a shuffle-free broadcast join on its own — exactly the reference's
+   * per-row GET pattern where only the small side moves. No explicit
+   * `broadcast()` hint: a forced hint would override AQE's size check and
+   * OOM the driver if the dimension ever outgrows the threshold at 100 TB.
    */
   def probeJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.load(spark, sfDir, "orders")
     val cust = Tables.load(spark, sfDir, "customer")
       .select("c_custkey", "c_acctbal")
-    orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"), "left")
+    orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left")
       .select(
         col("o_orderkey"),
         when(col("c_acctbal") < 0, lit("FAILED")).otherwise(lit("SUCCESS")).as("status"),

@@ -104,7 +104,10 @@ object CellStoreSource {
     case GreaterThanOrEqual("rowKey", _: Array[Byte]) => true
     case LessThan("rowKey", _: Array[Byte])           => true
     case LessThanOrEqual("rowKey", _: Array[Byte])    => true
-    case And(l, r)                                    => prunable(l) && prunable(r)
+    // one prunable side is enough: `tighten` skips conjuncts it does not
+    // understand, so a pushed And(rowKey bound, other predicate) still
+    // yields its region/row-group pruning (residuals keep correctness)
+    case And(l, r)                                    => prunable(l) || prunable(r)
     case _                                            => false
   }
 

@@ -96,19 +96,29 @@ class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new CellStoreWriterFactory(tmpDir, schema)
 
+  /** Overwrite is old-files-last: the superseded region files are listed
+    * BEFORE the new ones are renamed in (names are job-unique, so the sets
+    * are disjoint) and deleted only after every rename succeeded — a driver
+    * crash mid-commit leaves a readable store (old, new, or briefly both),
+    * never an empty one. A failed rename aborts the commit loudly instead
+    * of silently dropping the task's file with the temp dir. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    if (truncateFirst) {
-      fs.listStatus(dir)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach(s => fs.delete(s.getPath, false))
-    }
+    val superseded =
+      if (truncateFirst)
+        fs.listStatus(dir)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Array.empty[Path]
     messages.collect { case CellFileCommitted(file) if file.nonEmpty =>
       val src = new Path(file)
-      fs.rename(src, new Path(dir, src.getName))
+      if (!fs.rename(src, new Path(dir, src.getName)))
+        throw new java.io.IOException(
+          s"cellstore commit: rename of $src into $dir failed; store left unchanged plus any already-renamed files")
     }
+    superseded.foreach(p => fs.delete(p, false))
     fs.delete(new Path(tmpDir), true)
   }
 
@@ -138,7 +148,11 @@ class CellStoreDataWriter(tmpDir: String, schema: StructType,
   require(CellStoreSource.Schema.fieldNames.forall(idx.contains),
     s"cellstore write needs the full cell schema, got ${schema.fieldNames.mkString(",")}")
 
-  private val file = f"$tmpDir/part-$partitionId%05d-$taskId.parquet"
+  // the UUID makes the name unique ACROSS applications: taskIds restart at 0
+  // in every Spark app, so an append from a fresh JVM would otherwise collide
+  // with an existing region file and the rename would silently drop data
+  private val file =
+    f"$tmpDir/part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}%s.parquet"
   private var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = _
   private val groups = new SimpleGroupFactory(CellStoreWrite.ParquetSchema)
   private var wrote = false

@@ -54,4 +54,16 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     val df = AsofJoin.asofQuery(spark, sf001)
     assert(df.count() > 0)
   }
+
+  test("colliding payload or reserved meta names are rejected up front") {
+    // payload "t" already exists on the left -> ambiguous output
+    val e1 = intercept[IllegalArgumentException](
+      AsofJoin.asof(left, right, "k", "k", "t", "t", Seq("t"), "version"))
+    assert(e1.getMessage.contains("collides"))
+    // a left column named _k would be clobbered by the internal meta column
+    val e2 = intercept[IllegalArgumentException](
+      AsofJoin.asof(left.withColumnRenamed("id", "_k"),
+        right, "k", "k", "t", "t", Seq("version"), "version"))
+    assert(e2.getMessage.contains("reserved"))
+  }
 }

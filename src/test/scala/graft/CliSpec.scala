@@ -46,6 +46,22 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     assert(Catalog.load(spark, "test:dst_copy").count() == copied * 2)
   }
 
+  test("CopyRow CLI: --timestampToUse defaults to wall clock (reference CopyRow.java:64)") {
+    val cells = CellTable.fromTable(spark, sf001, "region")
+    Catalog.save(cells, "test:src_now", SaveMode.Overwrite)
+    val before = System.currentTimeMillis()
+    val copied = CopyRowMain.run(spark, Array(
+      "--sourceTable", "test:src_now",
+      "--destTable", "test:dst_now",
+      "--rowKeyByteString", "\\x00\\x00\\x00\\x00\\x00\\x00\\x00\\x02",
+      "--override", "true"))
+    val after = System.currentTimeMillis()
+    assert(copied > 0)
+    val ts = Catalog.load(spark, "test:dst_now")
+      .select(col("ts")).distinct().collect().map(_.getLong(0))
+    assert(ts.length == 1 && ts.head >= before && ts.head <= after)
+  }
+
   test("CopyRow CLI: D1 validation — unknown flag, odd arity, missing mandatory") {
     assert(ex(CopyRowMain.run(spark, Array("--bogus", "1"))) == 1)
     assert(ex(CopyRowMain.run(spark, Array("--sourceTable"))) == 1)
