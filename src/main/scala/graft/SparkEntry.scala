@@ -72,6 +72,36 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Storage-partitioned join over two SALTED cell stores (the HBase
+    * salted-table layout): both stores bucketed `bucket(8, rowKey)` via the
+    * DSv2 writer, registered through [[graft.sources.CellStoreCatalog]] so
+    * Spark's SPJ machinery resolves the bucket transform — with
+    * `spark.sql.sources.v2.bucketing.enabled` the equi-join on rowKey
+    * needs NO exchange on either side (asserted in CellStoreJoinSpec). */
+  private def storeJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft_spj_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val cells = CellTable.fromTable(spark, sfDir, "customer")
+    cells.write.format("cellstore")
+      .option("buckets", "8").mode("overwrite").save(s"$base/cust")
+    cells.filter(col("qualifier").cast("string") === "c_mktsegment")
+      .withColumn("family", lit("audit"))
+      .write.format("cellstore")
+      .option("buckets", "8").mode("overwrite").save(s"$base/audit")
+    spark.conf.set("spark.sql.catalog.graftcells",
+      classOf[graft.sources.CellStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcells.root", base)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val a = spark.table("graftcells.cust")
+      .filter(col("qualifier").cast("string") === "c_name")
+      .select(col("rowKey"), col("value").cast("string").as("name"))
+    val b = spark.table("graftcells.audit")
+      .select(col("rowKey"), col("value").cast("string").as("segment"))
+    a.join(b, "rowKey")
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("name"), col("segment"))
+  }
+
   /** CorruptRows pipeline over the cell table: negative account balance
     * poisons the row; output = the reference's (row_key, error) TSV record. */
   private def corruptScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -115,6 +145,7 @@ object SparkEntry {
     "q_cell_latest"    -> (cellLatestQuery _),
     "q_corrupt_scan"   -> (corruptScanQuery _),
     "q_store_scan"     -> (storeScanQuery _),
+    "q_store_join"     -> (storeJoinQuery _),
     // LLM-pipeline extension tier
     "q_dedup_exact"    -> (Dedup.exactQuery _),
     "q_minhash_pairs"  -> (Dedup.minhashQuery _),
@@ -618,6 +649,11 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', 1700000000000, CAST(c_nationkey AS VARCHAR) FROM c
           UNION ALL SELECT rk, 'c_acctbal', 1700000000000, CAST(c_acctbal AS VARCHAR) FROM c
           UNION ALL SELECT rk, 'c_mktsegment', 1700000000000, c_mktsegment FROM c""",
+    // both stores derive from customer, so the SPJ result is just customer
+    "q_store_join" ->
+      s"""SELECT ${rowKeySql("c_custkey")} AS row_key,
+                 c_name AS name, c_mktsegment AS segment
+          FROM customer""",
     // MinHash/LSH near-dup pairs vs GROUND TRUTH all-pairs exact Jaccard:
     // on the fixtures every qualifying pair collides in ≥1 LSH band
     // (J ≥ 0.5 ⇒ band-collision ~64%+ per band set; the corpus' planted

@@ -163,12 +163,50 @@ object CellStoreSource {
         if (st == null || !st.hasNonNullValue) None
         else Some((st.getMinBytes, st.getMaxBytes))
       }
+
+  // Salted-layout manifest -------------------------------------------------
+
+  /** Store manifest: present iff the store is salted (`buckets=N`). */
+  private[sources] val MetaFile = "_cellstore_meta.json"
+  private val BucketFilePattern = """bucket-(\d+)-.*\.parquet""".r
+
+  private[sources] def bucketIdOf(fileName: String): Option[Int] = fileName match {
+    case BucketFilePattern(b) => Some(b.toInt)
+    case _                    => None
+  }
+
+  /** Read the store's bucket count (None = range layout). */
+  private[sources] def readBuckets(dir: Path, conf: Configuration): Option[Int] = {
+    val fs = dir.getFileSystem(conf)
+    val meta = new Path(dir, MetaFile)
+    if (!fs.exists(meta)) None
+    else {
+      val in = fs.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    }
+  }
+
+  private[sources] def writeBucketsMeta(dir: Path, conf: Configuration, n: Int): Unit = {
+    val fs = dir.getFileSystem(conf)
+    val out = fs.create(new Path(dir, MetaFile), true)
+    try out.write(s"""{"buckets": $n}""".getBytes("UTF-8")) finally out.close()
+  }
 }
 
 class CellStoreTable(path: String) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  /** Bucket count of a salted store (None = range-region layout). Read once
+    * per table resolution — one tiny manifest file, driver-side. */
+  lazy val buckets: Option[Int] =
+    CellStoreSource.readBuckets(new Path(path), new Configuration())
+
   override def name(): String = s"cellstore(`$path`)"
   override def schema(): StructType = CellStoreSource.Schema
+  /** Advertise the salt as table partitioning (DESCRIBE/metadata surface). */
+  override def partitioning(): Array[Transform] =
+    buckets.map(n => org.apache.spark.sql.connector.expressions.Expressions
+      .bucket(n, "rowKey")).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -176,14 +214,14 @@ class CellStoreTable(path: String) extends Table
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CellStoreScanBuilder(path)
+    new CellStoreScanBuilder(path, buckets)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new CellStoreWriteBuilder(path, info)
 }
 
-class CellStoreScanBuilder(path: String)
+class CellStoreScanBuilder(path: String, buckets: Option[Int])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CellStoreSource.Schema
@@ -199,34 +237,96 @@ class CellStoreScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CellStoreScan(path, pushed, required)
+  override def build(): Scan = new CellStoreScan(path, buckets, pushed, required)
 }
 
-class CellStoreScan(path: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+class CellStoreScan(path: String, buckets: Option[Int],
+                    pushed: Array[Filter], required: StructType)
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"CellStoreScan path=$path, pushed=${pushed.mkString("[", ",", "]")}, " +
+    s"CellStoreScan path=$path, buckets=${buckets.getOrElse(0)}, " +
+      s"pushed=${pushed.mkString("[", ",", "]")}, " +
       s"columns=${required.fieldNames.mkString("[", ",", "]")}"
 
-  /** One partition per surviving region file. Footers are read driver-side;
-    * a 100 TB deployment swaps this for a cached region index with the same
-    * [min,max]-interval contract. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Planned once per scan: `outputPartitioning`/`outputOrdering` must
+    * describe exactly the partitions `planInputPartitions` returns. */
+  private lazy val partitions: Array[InputPartition] = {
     val range = CellStoreSource.rangeOf(pushed.toSeq)
     val conf = new Configuration()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir)
+    val files = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
       .sortBy(_.getPath.getName)
-      .flatMap { st =>
-        CellStoreSource.footerKeyRange(st.getPath, conf) match {
-          case Some((min, max)) if !range.overlaps(min, max) => None
-          case _ => Some(CellStorePartition(st.getPath.toString): InputPartition)
+    buckets match {
+      case Some(n) =>
+        // Salted layout: one partition per salt bucket. A point GET computes
+        // its bucket and plans only that one; otherwise ALL buckets are
+        // emitted — including empty ones — so two same-N stores always
+        // report identical partition values and stay SPJ-compatible.
+        val byBucket: Map[Int, Seq[String]] = files.toSeq
+          .flatMap(st => CellStoreSource.bucketIdOf(st.getPath.getName)
+            .map(b => b -> st.getPath.toString))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val wanted: Seq[Int] = pointKey(range) match {
+          case Some(k) => Seq(CellBucketFunction.bucketOf(k, n))
+          case None    => 0 until n
         }
-      }
+        wanted.map(b =>
+          CellStoreBucketPartition(b, byBucket.getOrElse(b, Nil)): InputPartition).toArray
+      case None =>
+        // Range-region layout: one partition per surviving region file.
+        // Footers are read driver-side; a 100 TB deployment swaps this for a
+        // cached region index with the same [min,max]-interval contract.
+        files.flatMap { st =>
+          CellStoreSource.footerKeyRange(st.getPath, conf) match {
+            case Some((min, max)) if !range.overlaps(min, max) => None
+            case _ => Some(CellStorePartition(st.getPath.toString): InputPartition)
+          }
+        }
+    }
+  }
+
+  private def pointKey(range: CellStoreSource.KeyRange): Option[Array[Byte]] =
+    (range.lower, range.upper) match {
+      case (Some((l, true)), Some((u, true))) if CellStoreSource.cmp(l, u) == 0 => Some(l)
+      case _ => None
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  /** Salted stores report `bucket(n, rowKey)` key-grouping; with the store
+    * catalog resolving the bucket function and
+    * `spark.sql.sources.v2.bucketing.enabled`, an equi-join of two same-N
+    * stores on rowKey is a storage-partitioned join — ZERO exchange. */
+  override def outputPartitioning(): Partitioning = buckets match {
+    case Some(n) => new KeyGroupedPartitioning(
+      Array(Expressions.bucket(n, "rowKey")), partitions.length)
+    case None => new UnknownPartitioning(partitions.length)
+  }
+
+  /** Region/bucket files are written (rowKey, family, qualifier, ts)-sorted;
+    * report that ordering when it actually holds for whole partitions —
+    * i.e. every partition reads at most ONE file (a multi-file bucket after
+    * appends is bucket-clustered but not merge-sorted). Only the prefix of
+    * sort columns surviving column pruning is reported. */
+  override def outputOrdering(): Array[V2SortOrder] = {
+    val singleFilePartitions = partitions.forall {
+      case CellStoreBucketPartition(_, files) => files.lengthCompare(1) <= 0
+      case _: CellStorePartition              => true
+      case _                                  => false
+    }
+    if (!singleFilePartitions) Array.empty
+    else Seq("rowKey", "family", "qualifier", "ts")
+      .takeWhile(required.fieldNames.contains)
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -235,12 +335,51 @@ class CellStoreScan(path: String, pushed: Array[Filter], required: StructType)
 
 final case class CellStorePartition(file: String) extends InputPartition
 
+/** One salt bucket: all of the bucket's files, key = the bucket id (what
+  * Spark groups on for the storage-partitioned join). */
+final case class CellStoreBucketPartition(bucket: Int, files: Seq[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CellStorePartitionReader(
-      partition.asInstanceOf[CellStorePartition].file, required,
-      CellStoreSource.rangeOf(pushed.toSeq))
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val range = CellStoreSource.rangeOf(pushed.toSeq)
+    partition match {
+      case CellStorePartition(file) =>
+        new CellStorePartitionReader(file, required, range)
+      case CellStoreBucketPartition(_, files) =>
+        new CellStoreFilesReader(files, required, range)
+      case other =>
+        throw new IllegalArgumentException(s"unexpected partition: $other")
+    }
+  }
+}
+
+/** Sequential reader over a bucket's files (usually one). */
+class CellStoreFilesReader(
+    files: Seq[String],
+    required: StructType,
+    range: CellStoreSource.KeyRange) extends PartitionReader[InternalRow] {
+  private val it = files.iterator
+  private var cur: CellStorePartitionReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new CellStorePartitionReader(it.next(), required, range)
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /**

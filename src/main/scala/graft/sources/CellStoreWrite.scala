@@ -69,32 +69,57 @@ class CellStoreWrite(path: String, info: LogicalWriteInfo, truncateFirst: Boolea
 
   private val sortCols = Seq("rowKey", "family", "qualifier", "ts")
 
-  /** Range-distribute by rowKey: Spark's ordered distribution IS the
-    * region split — contiguous, non-overlapping key ranges per task. */
-  override def requiredDistribution(): Distribution =
-    Distributions.ordered(Array(
-      Expressions.sort(Expressions.column("rowKey"), SortDirection.ASCENDING)))
+  /** Salted layout (`buckets=N`): appends to a salted store must keep its
+    * N, so the store manifest wins over (and must agree with) the option. */
+  private val buckets: Option[Int] = {
+    val opted = Option(info.options.get("buckets")).map(_.toInt)
+    val existing =
+      if (truncateFirst) None
+      else CellStoreSource.readBuckets(new Path(path), new Configuration())
+    (opted, existing) match {
+      case (Some(o), Some(e)) =>
+        require(o == e, s"store at $path is salted with $e buckets; got buckets=$o")
+        Some(e)
+      case (o, e) => e.orElse(o)
+    }
+  }
+  require(buckets.forall(_ > 0), s"buckets must be positive, got $buckets")
 
-  /** HFile ordering within each region file. */
+  /**
+   * Range layout: Spark's ordered distribution IS the region split —
+   * contiguous, non-overlapping key ranges per task.
+   *
+   * Salted layout: clustered-by-rowKey with a pinned partition count. The
+   * partition id Spark's hash exchange assigns (`pmod(murmur3(rowKey), N)`)
+   * IS the [[CellBucketFunction]] bucket — the task's partitionId names the
+   * bucket file, nothing is re-hashed.
+   */
+  override def requiredDistribution(): Distribution = buckets match {
+    case Some(_) => Distributions.clustered(Array(Expressions.column("rowKey")))
+    case None => Distributions.ordered(Array(
+      Expressions.sort(Expressions.column("rowKey"), SortDirection.ASCENDING)))
+  }
+
+  /** HFile ordering within each region/bucket file. */
   override def requiredOrdering(): Array[SortOrder] =
     sortCols.map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
   /** `numRegions` option pins the region count (like pre-split tables);
-    * 0 lets AQE pick from data size. */
-  override def requiredNumPartitions(): Int =
-    Option(info.options.get("numRegions")).map(_.toInt).getOrElse(0)
+    * 0 lets AQE pick from data size. A salted store's count is its N. */
+  override def requiredNumPartitions(): Int = buckets.getOrElse(
+    Option(info.options.get("numRegions")).map(_.toInt).getOrElse(0))
 
   override def toBatch: BatchWrite =
-    new CellStoreBatchWrite(path, info.queryId(), info.schema(), truncateFirst)
+    new CellStoreBatchWrite(path, info.queryId(), info.schema(), truncateFirst, buckets)
 }
 
 class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
-                          truncateFirst: Boolean) extends BatchWrite {
+                          truncateFirst: Boolean, buckets: Option[Int]) extends BatchWrite {
   private val tmpDir = s"$path/_tmp_$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new CellStoreWriterFactory(tmpDir, schema)
+    new CellStoreWriterFactory(tmpDir, schema, salted = buckets.isDefined)
 
   /** Overwrite is old-files-last: the superseded region files are listed
     * BEFORE the new ones are renamed in (names are job-unique, so the sets
@@ -119,6 +144,14 @@ class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
           s"cellstore commit: rename of $src into $dir failed; store left unchanged plus any already-renamed files")
     }
     superseded.foreach(p => fs.delete(p, false))
+    buckets match {
+      case Some(n) => CellStoreSource.writeBucketsMeta(dir, conf, n)
+      case None if truncateFirst =>
+        // overwriting a salted store with a range layout: drop the manifest
+        // or the new files would be misread as salted
+        fs.delete(new Path(dir, CellStoreSource.MetaFile), false)
+      case None => ()
+    }
     fs.delete(new Path(tmpDir), true)
   }
 
@@ -130,17 +163,17 @@ class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
 
 final case class CellFileCommitted(file: String) extends WriterCommitMessage
 
-class CellStoreWriterFactory(tmpDir: String, schema: StructType)
+class CellStoreWriterFactory(tmpDir: String, schema: StructType, salted: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CellStoreDataWriter(tmpDir, schema, partitionId, taskId)
+    new CellStoreDataWriter(tmpDir, schema, partitionId, taskId, salted)
 }
 
 /** Streams sorted rows of one region slice into one parquet file via the
   * parquet example (`Group`) writer. Opens lazily so empty partitions
   * commit nothing. */
 class CellStoreDataWriter(tmpDir: String, schema: StructType,
-                          partitionId: Int, taskId: Long)
+                          partitionId: Int, taskId: Long, salted: Boolean)
     extends DataWriter[InternalRow] {
 
   private val idx: Map[String, Int] =
@@ -150,9 +183,15 @@ class CellStoreDataWriter(tmpDir: String, schema: StructType,
 
   // the UUID makes the name unique ACROSS applications: taskIds restart at 0
   // in every Spark app, so an append from a fresh JVM would otherwise collide
-  // with an existing region file and the rename would silently drop data
+  // with an existing region file and the rename would silently drop data.
+  // Salted layout: partitionId IS the bucket id (clustered distribution with
+  // numPartitions pinned to the bucket count), recorded in the file name so
+  // the scan can group files per bucket without reading footers.
   private val file =
-    f"$tmpDir/part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}%s.parquet"
+    if (salted)
+      f"$tmpDir/bucket-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}%s.parquet"
+    else
+      f"$tmpDir/part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}%s.parquet"
   private var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = _
   private val groups = new SimpleGroupFactory(CellStoreWrite.ParquetSchema)
   private var wrote = false
