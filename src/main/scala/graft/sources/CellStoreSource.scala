@@ -345,17 +345,61 @@ final case class CellStoreBucketPartition(bucket: Int, files: Seq[String])
 
 class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val range = CellStoreSource.rangeOf(pushed.toSeq)
-    partition match {
-      case CellStorePartition(file) =>
-        new CellStorePartitionReader(file, required, range)
-      case CellStoreBucketPartition(_, files) =>
-        new CellStoreFilesReader(files, required, range)
-      case other =>
-        throw new IllegalArgumentException(s"unexpected partition: $other")
-    }
+  private def filesOf(partition: InputPartition): Seq[String] = partition match {
+    case CellStorePartition(file)           => Seq(file)
+    case CellStoreBucketPartition(_, files) => files
+    case other =>
+      throw new IllegalArgumentException(s"unexpected partition: $other")
   }
+
+  /** Row-based path: kept for the degenerate no-column scan (count-only),
+    * which Spark's vectorized parquet reader does not model. */
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CellStoreFilesReader(filesOf(partition), required,
+      CellStoreSource.rangeOf(pushed.toSeq))
+
+  /** Columnar path: Spark's vectorized parquet decoder fed by the store's
+    * row-group skip — page decode straight into ColumnarBatch, no per-row
+    * Group materialization (the 100 TB scan path). */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    required.nonEmpty
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new CellStoreColumnarReader(filesOf(partition), required,
+      CellStoreSource.rangeOf(pushed.toSeq))
+}
+
+/** Sequential vectorized reader over a partition's files (usually one). */
+class CellStoreColumnarReader(
+    files: Seq[String],
+    required: StructType,
+    range: CellStoreSource.KeyRange)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedReader, VectorizedParquetRecordReader}
+
+  private val it = files.iterator
+  private var cur: VectorizedParquetRecordReader = _
+
+  private def keep(block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
+    CellStoreSource.rowGroupKeyRange(block) match {
+      case Some((min, max)) => range.overlaps(min, max)
+      case None             => true
+    }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = GraftVectorizedReader.open(it.next(), required, keep, capacity = 4096)
+      }
+      if (cur.nextBatch()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.resultBatch()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Sequential reader over a bucket's files (usually one). */

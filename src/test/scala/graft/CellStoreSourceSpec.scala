@@ -29,6 +29,17 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSource.rdd.getNumPartitions == 8)
   }
 
+  test("scan is vectorized: batches decode columnar, count-only scans fall back") {
+    val plan = store.select("rowKey", "ts").queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected a columnar scan in:\n$plan")
+    // values survive the vectorized decode (binary + string + long columns)
+    val row = store.filter(col("rowKey") === lit(key(7L)))
+      .select(col("qualifier").cast("string"), col("ts")).collect()
+    assert(row.length == 4 && row.forall(_.getLong(1) == CellTable.BaseTs))
+    // count-only scan (no columns) still answers through the row path
+    assert(store.count() == CellTable.fromTable(spark, sf001, "customer").count())
+  }
+
   test("point GET prunes to a single region partition") {
     val get = store.filter(col("rowKey") === lit(key(42L)))
     assert(get.rdd.getNumPartitions == 1)
