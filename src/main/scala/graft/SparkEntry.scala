@@ -72,6 +72,24 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
+    * key is `l_orderkey‖l_linenumber`, each 8-byte big-endian, so a range
+    * on the LEADING component is a plain prefix byte-range scan — pushed
+    * into the parquet read like any single-component key. */
+  private def cellCompositeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = CellTable.fromTable(spark, sfDir, "lineitem")
+    def k(orderkey: Long, line: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(16).putLong(orderkey).putLong(line).array()
+    cells
+      .filter(col("rowKey") >= lit(k(100L, 0L)) && col("rowKey") < lit(k(200L, 0L)))
+      .filter(col("qualifier").cast("string").isin("l_returnflag", "l_suppkey"))
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** Storage-partitioned join over two SALTED cell stores (the HBase
     * salted-table layout): both stores bucketed `bucket(8, rowKey)` via the
     * DSv2 writer, registered through [[graft.sources.CellStoreCatalog]] so
@@ -143,6 +161,7 @@ object SparkEntry {
     // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
+    "q_cell_composite" -> (cellCompositeQuery _),
     "q_corrupt_scan"   -> (corruptScanQuery _),
     "q_store_scan"     -> (storeScanQuery _),
     "q_store_join"     -> (storeJoinQuery _),
@@ -649,6 +668,14 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', 1700000000000, CAST(c_nationkey AS VARCHAR) FROM c
           UNION ALL SELECT rk, 'c_acctbal', 1700000000000, CAST(c_acctbal AS VARCHAR) FROM c
           UNION ALL SELECT rk, 'c_mktsegment', 1700000000000, c_mktsegment FROM c""",
+    // composite rowKey rendered as the two concatenated big-endian halves
+    "q_cell_composite" ->
+      s"""WITH l AS (
+            SELECT *, ${rowKeySql("l_orderkey")} || ${rowKeySql("CAST(l_linenumber AS BIGINT)")} AS rk
+            FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey < 200)
+          SELECT rk AS row_key, 'l_returnflag' AS qualifier,
+                 CAST(1700000000000 AS BIGINT) AS ts, l_returnflag AS value FROM l
+          UNION ALL SELECT rk, 'l_suppkey', 1700000000000, CAST(l_suppkey AS VARCHAR) FROM l""",
     // both stores derive from customer, so the SPJ result is just customer
     "q_store_join" ->
       s"""SELECT ${rowKeySql("c_custkey")} AS row_key,

@@ -27,6 +27,26 @@ object CellTable {
     "events"   -> "event_id",
     "documents"-> "doc_id")
 
+  /** Multi-column primary keys — the composite-rowkey idiom. HBase row keys
+    * are routinely `component‖component` byte concatenations (the reference
+    * treats keys as opaque bytes for exactly this reason —
+    * `CopyRow.java:104`); each component here is the 8-byte big-endian
+    * encoding, so unsigned lexicographic byte order == componentwise
+    * numeric order and a leading-component range is a prefix scan. */
+  val CompositeKeys: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+
+  /** Key columns of `table` in key order (single or composite). */
+  def keyColumnsOf(table: String): Seq[String] =
+    PrimaryKeys.get(table).map(Seq(_))
+      .orElse(CompositeKeys.get(table))
+      .getOrElse(throw new IllegalArgumentException(s"no key mapping for table '$table'"))
+
+  /** Composite key bytes: concatenated big-endian components. */
+  def compositeKey(components: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    if (components.lengthCompare(1) == 0) bigEndianKey(components.head)
+    else concat(components.map(bigEndianKey): _*)
+
   /** Long -> big-endian 8-byte binary, built-ins only (hex/lpad/unhex). */
   def bigEndianKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unhex(lpad(hex(c.cast("bigint")), 16, "0"))
@@ -51,16 +71,16 @@ object CellTable {
    * partitioning by rowKey ranges ≙ region splits.
    */
   def fromTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val pk = PrimaryKeys(table)
+    val pkCols = keyColumnsOf(table)
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    val valueCols = df.columns.filter(_ != pk)
+    val valueCols = df.columns.filterNot(pkCols.contains)
     val cellStructs = valueCols.map { c =>
       struct(
         lit(c).cast("binary").as("qualifier"),
         col(c).cast("string").cast("binary").as("value"))
     }
     df.select(
-        bigEndianKey(col(pk)).as("rowKey"),
+        compositeKey(pkCols.map(col)).as("rowKey"),
         explode(array(cellStructs: _*)).as("cell"))
       .select(
         col("rowKey"),

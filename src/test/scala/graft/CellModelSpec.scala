@@ -28,6 +28,25 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
     assert(sortedKeys.toSeq == sortedKeys.toSeq.sorted)
   }
 
+  test("composite key: lineitem rowKey is orderkey‖linenumber, ordered componentwise") {
+    val li = CellTable.fromTable(spark, sf001, "lineitem")
+    val keys = li.select("rowKey").distinct()
+      .orderBy("rowKey")
+      .as(org.apache.spark.sql.Encoders.BINARY).collect()
+    assert(keys.head.length == 16)
+    val decoded = keys.map { b =>
+      val bb = java.nio.ByteBuffer.wrap(b); (bb.getLong, bb.getLong)
+    }
+    assert(decoded.toSeq == decoded.toSeq.sorted) // byte order == (orderkey, line) order
+    // a leading-component range is a prefix byte-range scan
+    def k(o: Long, l: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(16).putLong(o).putLong(l).array()
+    val inRange = li.filter(col("rowKey") >= lit(k(5L, 0L)) && col("rowKey") < lit(k(8L, 0L)))
+      .select("rowKey").distinct().as(org.apache.spark.sql.Encoders.BINARY).collect()
+      .map(b => java.nio.ByteBuffer.wrap(b).getLong)
+    assert(inRange.nonEmpty && inRange.forall(o => o >= 5L && o < 8L))
+  }
+
   test("multi-version injection + latest-version-wins") {
     val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
     assert(versioned.count() == cells.count() * 3)
