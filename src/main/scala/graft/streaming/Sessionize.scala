@@ -80,6 +80,9 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
+            // buffers only this user's slice of ONE micro-batch (bounded by
+            // trigger size), not their whole history — cross-batch state
+            // stays the O(1) SessionState accumulator
             val (closed, open) =
               foldSessions(userId, it.toSeq.sortBy(_.ts_ms), gap, state.getOption)
             open match {
@@ -93,26 +96,61 @@ object Sessionize {
       }
   }
 
+  /**
+   * Batch twin with SECONDARY-SORT memory behavior: hash-partition by user,
+   * sort each partition by (user, ts), then stream a constant-state fold
+   * over the sorted run. Per-task heap is O(1) — one open-session
+   * accumulator — no matter how many events a hot user has; the former
+   * `groupByKey + it.toSeq.sortBy` buffered a user's whole history and
+   * would OOM an executor on a 10⁸-event key at 100 TB. Same single
+   * shuffle, and the sort rides the shuffle's spill-to-disk machinery.
+   */
+  def sessionizeBatch(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    val gap = gapMs(gapMinutes)
+    implicit val sessionEnc = Encoders.product[Session]
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_ms"))
+      .mapPartitions(it => foldSortedPartition(it, gap))
+  }
+
+  /** Streaming fold over a (user, ts)-sorted run: emits a closed session as
+    * soon as it closes, flushes on user change and at end of input. Memory =
+    * the single open [[SessionState]]. */
+  private[streaming] def foldSortedPartition(
+      events: Iterator[Event], gap: Long): Iterator[Session] = {
+    var started = false
+    var curUser = 0L
+    var open: Option[SessionState] = None
+    def flush(): Iterator[Session] = {
+      val out = open.map(s => Session(curUser, s.start, s.last, s.n, s.errors, s.sum))
+      open = None
+      out.iterator
+    }
+    val main = events.flatMap { e =>
+      val userSwitch =
+        if (started && e.user_id != curUser) flush() else Iterator.empty
+      started = true
+      curUser = e.user_id
+      val (closed, newOpen) = foldSessions(curUser, Seq(e), gap, open)
+      open = newOpen
+      userSwitch ++ closed.iterator
+    }
+    main ++ flush() // lazily evaluated after `main` is exhausted
+  }
+
   /** Batch twin over the events fixture: identical semantics via the same
     * fold, including the final open session per user (a finite input closes
     * everything). Serves as the oracle for the streaming path. */
   def sessionsBatch(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
-    val gap = gapMs(gapMinutes)
     implicit val eventEnc = Encoders.product[Event]
-    implicit val sessionEnc = Encoders.product[Session]
     val events = Tables.load(spark, sfDir, "events")
       .select(
         col("user_id"),
         expr("unix_micros(ts) div 1000").as("ts_ms"),
         col("event_type"), col("value"))
       .as[Event]
-    events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroups { (userId: Long, it: Iterator[Event]) =>
-        val (closed, open) = foldSessions(userId, it.toSeq.sortBy(_.ts_ms), gap, None)
-        (closed ++ open.map(s =>
-          Session(userId, s.start, s.last, s.n, s.errors, s.sum))).iterator
-      }
-      .toDF()
+    sessionizeBatch(events, gapMinutes).toDF()
   }
 
   /** Query-pack adapter: 30-minute-gap sessions over the events table.

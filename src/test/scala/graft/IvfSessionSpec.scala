@@ -68,6 +68,22 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     assert(errs == events.filter(col("event_type") === "error").count())
   }
 
+  test("sessionize: hot user with 1e5 events folds in constant memory") {
+    import spark.implicits._
+    // one user, 100k events 1s apart, a >gap jump every 10k events -> 10 sessions
+    val hot = spark.range(100000).select(
+        lit(7L).as("user_id"),
+        (col("id") * 1000L + expr("id div 10000") * (3L * 3600L * 1000L)).as("ts_ms"),
+        when(expr("id % 100 = 0"), "error").otherwise("view").as("event_type"),
+        lit(1.0).as("value"))
+      .as[Sessionize.Event]
+    val sessions = Sessionize.sessionizeBatch(hot, gapMinutes = 30).collect()
+    assert(sessions.length == 10)
+    assert(sessions.map(_.n_events).sum == 100000L)
+    assert(sessions.map(_.n_errors).sum == 1000L)
+    assert(sessions.forall(s => s.session_end_ms - s.session_start_ms == 9999L * 1000L))
+  }
+
   test("sessionize streaming: closed sessions match the batch twin") {
     import spark.implicits._
     val schema = Tables.eventsRawSchema(spark, sf001)
