@@ -68,14 +68,18 @@ object Dedup {
    *                  the collision threshold sits near J ≈ (1/16)^(1/4) ≈ 0.5
    * @param shingleN  word-shingle width
    * @param threshold exact-Jaccard cutoff applied to verified candidates
+   * @param maxBucket bucket-skew guard: buckets above this size switch from
+   *                  all-pairs to star pairing (see below)
    */
   def minhashLsh(
       docs: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 1024): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket > 1, "maxBucket must exceed 1")
     val rows = numHashes / bands
 
     val withSh = docs
@@ -93,13 +97,37 @@ object Dedup {
           xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
         }: _*)).as("bucket"))
 
-    // Candidate pairs, de-duplicated BEFORE verification: a pair colliding
-    // in m bands would otherwise pay the exact-Jaccard merge scan m times.
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
+    // Bucket-skew guard. A degenerate bucket — mass-identical documents all
+    // landing in one signature — would make the all-pairs self-join
+    // quadratic IN THAT BUCKET (10⁶ identical docs ⇒ 5·10¹¹ candidates).
+    // Buckets over `maxBucket` switch to STAR pairing: every member pairs
+    // with the bucket's min doc id only, O(size) candidates. Such buckets
+    // are duplicate clusters by construction, so cluster membership (what
+    // dedup consumes) is preserved; only intra-cluster pairwise
+    // completeness is traded, and verification still scores every emitted
+    // edge exactly. The window rides the same bucket-key shuffle the join
+    // needs anyway. The `lsh_skew` observe metric reports how many
+    // (doc, bucket) rows took the star path — the "dropped candidates" audit.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket")
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .observe("lsh_skew",
+        count(when(col("bsz") > maxBucket, 1)).as("star_routed_rows"))
+
+    val small = sized.filter(col("bsz") <= maxBucket)
+    val smallPairs = small.alias("a")
+      .join(small.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val starPairs = sized
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+
+    // Candidate pairs, de-duplicated BEFORE verification: a pair colliding
+    // in m bands would otherwise pay the exact-Jaccard merge scan m times.
+    val cand = smallPairs.unionByName(starPairs).distinct()
 
     // Verify each candidate once against the sorted shingle-hash sets.
     val shA = withSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))

@@ -85,4 +85,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getSeq[String](0)
     assert(s == Seq("short text"))
   }
+
+  test("LSH bucket-skew guard: 10k identical docs stay linear (star pairing)") {
+    // all 10k land in ONE bucket per band; all-pairs would be ~5*10^7
+    // candidates — the star path emits exactly 9999, each verified at J=1
+    val docs = spark.range(10000).select(
+      col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta").as("text"))
+    val pairs = Dedup.minhashLsh(docs, maxBucket = 256).cache()
+    try {
+      assert(pairs.count() == 9999)
+      assert(pairs.filter(col("doc_a") =!= 0L).count() == 0) // star center = min id
+      assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    } finally pairs.unpersist()
+  }
 }
