@@ -47,6 +47,30 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IVF persisted index: cell-partitioned layout, search prunes partitions") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.writeIndex(emb, model, dir)
+    // physical layout: one directory per cell
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val viaIndex = IvfIndex.searchIndex(spark, dir, queries, model, k = 10, nprobe = 2)
+    // dynamic partition pruning: unprobed cell directories are never read
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"expected DPP partition filter in:\n$plan")
+    // identical results to the in-memory assignment path
+    val direct = IvfIndex.search(IvfIndex.assign(emb, model), queries, model, k = 10, nprobe = 2)
+    val ix = viaIndex.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    val dx = direct.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    assert(ix == dx)
+  }
+
   test("sessionize batch: contiguous per-user coverage, gap invariant") {
     val sessions = Sessionize.sessionQuery(spark, sf001)
     val events = Tables.load(spark, sf001, "events")
