@@ -70,23 +70,33 @@ object CellTable {
    * At 100 TB this shape is what an HBase snapshot/HFile bulk read lands as;
    * partitioning by rowKey ranges ≙ region splits.
    */
-  def fromTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val pkCols = keyColumnsOf(table)
-    val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    val valueCols = df.columns.filterNot(pkCols.contains)
+  def fromTable(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    toCells(spark.read.parquet(s"$sfDir/$table.parquet"),
+      keyColumnsOf(table), table, lit(BaseTs))
+
+  /** Generic row→cells derivation (streaming-safe: select + explode only) —
+    * the shape [[fromTable]] uses, parameterized for arbitrary frames such
+    * as a stream being ingested into the store. */
+  def toCells(
+      df: DataFrame,
+      keyCols: Seq[String],
+      family: String,
+      ts: org.apache.spark.sql.Column): DataFrame = {
+    val valueCols = df.columns.filterNot(keyCols.contains)
     val cellStructs = valueCols.map { c =>
       struct(
         lit(c).cast("binary").as("qualifier"),
         col(c).cast("string").cast("binary").as("value"))
     }
     df.select(
-        compositeKey(pkCols.map(col)).as("rowKey"),
+        compositeKey(keyCols.map(col)).as("rowKey"),
+        ts.cast("long").as("ts"),
         explode(array(cellStructs: _*)).as("cell"))
       .select(
         col("rowKey"),
-        lit(table).as("family"),
+        lit(family).as("family"),
         col("cell.qualifier").as("qualifier"),
-        lit(BaseTs).as("ts"),
+        col("ts"),
         lit("Put").as("cellType"),
         col("cell.value").as("value"))
   }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.model.CellTable
+import graft.streaming.{CellStoreIngest, StreamDedup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingest into the cell store: micro-batches append through the
+  * DSv2 writer, composing with watermarked stream dedup; the salted layout
+  * and its pruning survive multi-batch ingest. */
+class CellStoreIngestSpec extends AnyFunSuite with SparkTestBase {
+
+  test("two batches of deduped docs land salted; GET still plans one bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val dir = s"$base/store"
+    val ckpt = s"$base/ckpt"
+
+    // upstream state composes ahead of the sink: watermark-bounded dedup
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val deduped = StreamDedup.exactDedupStream(docs, lateness = "1 hour")
+    val cells = CellTable.toCells(
+      deduped.select("doc_id", "text"),
+      keyCols = Seq("doc_id"), family = "documents", ts = lit(CellTable.BaseTs))
+
+    val q = CellStoreIngest.start(cells, dir, buckets = 4, checkpoint = ckpt)
+    try {
+      // batch 1: in-batch duplicate text
+      input.addData((1L, "aaa", ts(0)), (3L, "aaa", ts(5)), (2L, "bbb", ts(10)))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (dropped) + a new doc
+      input.addData((4L, "bbb", ts(15)), (5L, "ccc", ts(20)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val store = spark.read.format("cellstore").load(dir)
+    val texts = store.filter(col("qualifier").cast("string") === "text")
+      .select(col("value").cast("string")).collect().map(_.getString(0))
+    assert(texts.sorted.toSeq == Seq("aaa", "bbb", "ccc"))
+
+    // salted manifest present; bucket pruning effective across batch files
+    assert(new java.io.File(s"$dir/_cellstore_meta.json").exists())
+    val get = store.filter(col("rowKey") ===
+      lit(java.nio.ByteBuffer.allocate(8).putLong(2L).array()))
+    assert(get.rdd.getNumPartitions == 1)
+    val got = get.filter(col("qualifier").cast("string") === "text")
+      .select(col("value").cast("string")).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("bbb"))
+  }
+}
