@@ -36,16 +36,24 @@ object Compaction {
       .drop("_v")
   }
 
-  /** Compact a cell-store directory in place via the DSv2 writer (the
-    * planner re-establishes the region layout on the overwrite). */
+  /** Compact a cell-store directory in place via the DSv2 writer, keeping
+    * the store's layout: a salted store is re-salted with its manifest's
+    * bucket count (overwrite would otherwise silently fall back to range
+    * layout and break storage-partitioned joins), a range store is
+    * re-ranged. */
   def compactStore(
       spark: SparkSession,
       path: String,
       maxVersions: Int = 1,
       ttlWatermark: Long = Long.MinValue,
-      numRegions: Int = 8): Unit =
-    survivors(spark.read.format("cellstore").load(path), maxVersions, ttlWatermark)
-      .write.format("cellstore")
-      .option("numRegions", numRegions.toString)
-      .mode("overwrite").save(path)
+      numRegions: Int = 8): Unit = {
+    val buckets = graft.sources.CellStoreSource.readBuckets(
+      new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration())
+    val out = survivors(spark.read.format("cellstore").load(path), maxVersions, ttlWatermark)
+      .write.format("cellstore").mode("overwrite")
+    buckets match {
+      case Some(n) => out.option("buckets", n.toString).save(path)
+      case None    => out.option("numRegions", numRegions.toString).save(path)
+    }
+  }
 }

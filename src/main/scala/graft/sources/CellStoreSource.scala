@@ -167,7 +167,7 @@ object CellStoreSource {
   // Salted-layout manifest -------------------------------------------------
 
   /** Store manifest: present iff the store is salted (`buckets=N`). */
-  private[sources] val MetaFile = "_cellstore_meta.json"
+  private[graft] val MetaFile = "_cellstore_meta.json"
   private val BucketFilePattern = """bucket-(\d+)-.*\.parquet""".r
 
   private[sources] def bucketIdOf(fileName: String): Option[Int] = fileName match {
@@ -176,7 +176,7 @@ object CellStoreSource {
   }
 
   /** Read the store's bucket count (None = range layout). */
-  private[sources] def readBuckets(dir: Path, conf: Configuration): Option[Int] = {
+  private[graft] def readBuckets(dir: Path, conf: Configuration): Option[Int] = {
     val fs = dir.getFileSystem(conf)
     val meta = new Path(dir, MetaFile)
     if (!fs.exists(meta)) None

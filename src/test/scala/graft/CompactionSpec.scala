@@ -52,4 +52,26 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
       .select(col("value").cast("string")).collect().map(_.getString(0)).toSet
     assert(out == Set("old", "new")) // ts=900 expired; both k1 versions kept
   }
+
+  test("compacting a salted store preserves the salt layout") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_salt_compact").toString + "/s"
+    val base = CellTable.fromTable(spark, sf001, "nation")
+    val versioned = CellTable.withExtraVersions(
+      base, CellTable.keyToLong(col("rowKey")) % 2 === 0, n = 2)
+    versioned.write.format("cellstore").option("buckets", "4")
+      .mode("overwrite").save(dir)
+
+    Compaction.compactStore(spark, dir, maxVersions = 1)
+
+    // still salted: manifest intact, files bucket-named, GET plans 1 bucket
+    assert(new java.io.File(s"$dir/_cellstore_meta.json").exists())
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.getName.startsWith("bucket-")))
+    val store = spark.read.format("cellstore").load(dir)
+    assert(store.count() == base.count()) // one surviving version per cell
+    val get = store.filter(col("rowKey") ===
+      lit(java.nio.ByteBuffer.allocate(8).putLong(3L).array()))
+    assert(get.rdd.getNumPartitions == 1)
+    assert(get.count() == 2) // one cell per non-key nation column (n_name, n_regionkey)
+  }
 }
