@@ -104,6 +104,8 @@ object CellStoreSource {
     case GreaterThanOrEqual("rowKey", _: Array[Byte]) => true
     case LessThan("rowKey", _: Array[Byte])           => true
     case LessThanOrEqual("rowKey", _: Array[Byte])    => true
+    case In("rowKey", vs) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]])
     // one prunable side is enough: `tighten` skips conjuncts it does not
     // understand, so a pushed And(rowKey bound, other predicate) still
     // yields its region/row-group pruning (residuals keep correctness)
@@ -122,8 +124,31 @@ object CellStoreSource {
     case GreaterThanOrEqual("rowKey", v: Array[Byte]) => KeyRange(maxLower(r.lower, v, incl = true), r.upper)
     case LessThan("rowKey", v: Array[Byte])           => KeyRange(r.lower, minUpper(r.upper, v, incl = false))
     case LessThanOrEqual("rowKey", v: Array[Byte])    => KeyRange(r.lower, minUpper(r.upper, v, incl = true))
+    // an IN tightens to its [min, max] envelope (a correct superset; exact
+    // membership is re-checked by the residual filter)
+    case In("rowKey", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+      val bs = vs.toSeq.map(_.asInstanceOf[Array[Byte]])
+      val lo = bs.min(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0))
+      val hi = bs.max(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0))
+      tighten(tighten(r, GreaterThanOrEqual("rowKey", lo)), LessThanOrEqual("rowKey", hi))
     case And(l, rr)                                   => tighten(tighten(r, l), rr)
     case _                                            => r
+  }
+
+  /** The exact key set a conjunction of filters pins `rowKey` to, if any:
+    * EqualTo and In contribute sets, conjuncts intersect. None = not
+    * key-set-constrained (range predicates don't enumerate keys). */
+  private[sources] def exactKeys(filters: Seq[Filter]): Option[Seq[Array[Byte]]] = {
+    def setsOf(f: Filter): Seq[Seq[Array[Byte]]] = f match {
+      case EqualTo("rowKey", v: Array[Byte]) => Seq(Seq(v))
+      case In("rowKey", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        Seq(vs.toSeq.map(_.asInstanceOf[Array[Byte]]))
+      case And(l, r) => setsOf(l) ++ setsOf(r)
+      case _ => Nil
+    }
+    val sets = filters.flatMap(setsOf)
+    if (sets.isEmpty) None
+    else Some(sets.reduce((a, b) => a.filter(x => b.exists(y => cmp(x, y) == 0))))
   }
 
   private def maxLower(cur: Option[(Array[Byte], Boolean)], v: Array[Byte],
@@ -243,8 +268,9 @@ class CellStoreScanBuilder(path: String, buckets: Option[Int])
 class CellStoreScan(path: String, buckets: Option[Int],
                     pushed: Array[Filter], required: StructType)
     extends Scan with Batch
-    with SupportsReportPartitioning with SupportsReportOrdering {
-  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+    with SupportsReportPartitioning with SupportsReportOrdering
+    with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 
   override def readSchema(): StructType = required
@@ -254,10 +280,32 @@ class CellStoreScan(path: String, buckets: Option[Int],
       s"pushed=${pushed.mkString("[", ",", "]")}, " +
       s"columns=${required.fieldNames.mkString("[", ",", "]")}"
 
-  /** Planned once per scan: `outputPartitioning`/`outputOrdering` must
+  // Runtime filtering (the DSv2 analogue of dynamic partition pruning): a
+  // join against a small filtered dimension hands the scan an In(rowKey, …)
+  // set at execution time; the scan drops the regions/bucket files those
+  // keys can never touch. Values arrive before planInputPartitions is
+  // (re-)invoked by Spark; the residual filter still re-checks membership,
+  // so this is purely IO elision.
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("rowKey"))
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters.filter(CellStoreSource.prunable)
+    cached = null
+  }
+
+  private def allFilters: Seq[Filter] = pushed.toSeq ++ runtime.toSeq
+
+  /** Planned per filter state: `outputPartitioning`/`outputOrdering` must
     * describe exactly the partitions `planInputPartitions` returns. */
-  private lazy val partitions: Array[InputPartition] = {
-    val range = CellStoreSource.rangeOf(pushed.toSeq)
+  @volatile private var cached: Array[InputPartition] = _
+  private def partitions: Array[InputPartition] = {
+    val cur = cached
+    if (cur != null) cur else { val p = plan(); cached = p; p }
+  }
+
+  private def plan(): Array[InputPartition] = {
+    val range = CellStoreSource.rangeOf(allFilters)
     val conf = new Configuration()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -266,20 +314,31 @@ class CellStoreScan(path: String, buckets: Option[Int],
       .sortBy(_.getPath.getName)
     buckets match {
       case Some(n) =>
-        // Salted layout: one partition per salt bucket. A point GET computes
-        // its bucket and plans only that one; otherwise ALL buckets are
-        // emitted — including empty ones — so two same-N stores always
-        // report identical partition values and stay SPJ-compatible.
+        // Salted layout: one partition per salt bucket. Keys pinned by the
+        // PUSHED filters (GET / IN) narrow which buckets are planned at all;
+        // otherwise ALL buckets are emitted — including empty ones — so two
+        // same-N stores always report identical partition values and stay
+        // SPJ-compatible. RUNTIME keys must not change the partition-value
+        // set (Spark checks), so they only empty the file lists of buckets
+        // no runtime key hashes into.
         val byBucket: Map[Int, Seq[String]] = files.toSeq
           .flatMap(st => CellStoreSource.bucketIdOf(st.getPath.getName)
             .map(b => b -> st.getPath.toString))
           .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-        val wanted: Seq[Int] = pointKey(range) match {
-          case Some(k) => Seq(CellBucketFunction.bucketOf(k, n))
-          case None    => 0 until n
-        }
-        wanted.map(b =>
-          CellStoreBucketPartition(b, byBucket.getOrElse(b, Nil)): InputPartition).toArray
+        val planned: Seq[Int] =
+          CellStoreSource.exactKeys(pushed.toSeq) match {
+            case Some(ks) => ks.map(CellBucketFunction.bucketOf(_, n)).distinct.sorted
+            case None     => 0 until n
+          }
+        val runtimeBuckets: Option[Set[Int]] =
+          CellStoreSource.exactKeys(runtime.toSeq)
+            .map(_.map(CellBucketFunction.bucketOf(_, n)).toSet)
+        planned.map { b =>
+          val fsOf =
+            if (runtimeBuckets.forall(_.contains(b))) byBucket.getOrElse(b, Nil)
+            else Nil
+          CellStoreBucketPartition(b, fsOf): InputPartition
+        }.toArray
       case None =>
         // Range-region layout: one partition per surviving region file.
         // Footers are read driver-side; a 100 TB deployment swaps this for a
@@ -292,12 +351,6 @@ class CellStoreScan(path: String, buckets: Option[Int],
         }
     }
   }
-
-  private def pointKey(range: CellStoreSource.KeyRange): Option[Array[Byte]] =
-    (range.lower, range.upper) match {
-      case (Some((l, true)), Some((u, true))) if CellStoreSource.cmp(l, u) == 0 => Some(l)
-      case _ => None
-    }
 
   override def planInputPartitions(): Array[InputPartition] = partitions
 
@@ -330,7 +383,7 @@ class CellStoreScan(path: String, buckets: Option[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellStoreReaderFactory(required, pushed)
+    new CellStoreReaderFactory(required, (pushed ++ runtime).distinct)
 }
 
 final case class CellStorePartition(file: String) extends InputPartition

@@ -108,6 +108,60 @@ class CellStoreJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("runtime In filter empties unmatched buckets, keeps partition values stable") {
+    val dir = root
+    import org.apache.spark.sql.sources.In
+    import graft.sources.{CellBucketFunction, CellStoreBucketPartition, CellStoreScan, CellStoreSource}
+    def key(k: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(k).array()
+
+    val scan = new CellStoreScan(s"$dir/cust", Some(4), Array.empty, CellStoreSource.Schema)
+    assert(scan.planInputPartitions().length == 4)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("rowKey", Array[Any](key(42L), key(7L)))))
+    val after = scan.planInputPartitions()
+    assert(after.length == 4) // Spark requires unchanged partition values
+    val hit = Set(42L, 7L).map(k => CellBucketFunction.bucketOf(key(k), 4))
+    after.foreach {
+      case p: CellStoreBucketPartition =>
+        if (hit.contains(p.bucket)) assert(p.files.nonEmpty)
+        else assert(p.files.isEmpty, s"bucket ${p.bucket} should have been emptied")
+      case other => fail(s"unexpected partition $other")
+    }
+  }
+
+  test("runtime filter on a range store drops non-overlapping regions") {
+    import org.apache.spark.sql.sources.In
+    import graft.sources.{CellStoreScan, CellStoreSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtrange").toString
+    CellTable.writeRegionLayout(
+      CellTable.fromTable(spark, sf001, "customer"), dir, numRegions = 8)
+    def key(k: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(k).array()
+    val scan = new CellStoreScan(dir, None, Array.empty, CellStoreSource.Schema)
+    assert(scan.planInputPartitions().length == 8)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("rowKey", Array[Any](key(41L), key(43L)))))
+    val after = scan.planInputPartitions().length
+    assert(after < 8, s"expected region pruning from runtime keys, got $after")
+  }
+
+  test("join against a filtered dim dynamically prunes the store scan") {
+    val dir = root
+    // selective filter on a REAL source (survives into the optimized plan,
+    // so PartitionPruning sees it) -> broadcast join -> runtime In filter
+    // handed to the store scan
+    val dim = spark.read.parquet(s"$sf001/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(CellTable.bigEndianKey(col("c_custkey")).as("rowKey"))
+    val joined = spark.table(s"$cat.cust")
+      .filter(col("qualifier").cast("string") === "c_name")
+      .join(dim, "rowKey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning") ||
+      plan.contains("dynamicpruningexpression"),
+      s"expected a runtime filter on the store scan in:\n$plan")
+    assert(joined.count() == dim.count())
+  }
+
   test("append to a salted store keeps N and stays joinable") {
     val dir = root
     val extra = CellTable.fromTable(spark, sf001, "customer")
