@@ -169,13 +169,22 @@ object CellStoreSource {
 
   /** Per-file [min,max] of rowKey across all row groups, from the footer. */
   private[sources] def footerKeyRange(
-      file: Path, conf: Configuration): Option[(Array[Byte], Array[Byte])] = {
+      file: Path, conf: Configuration): Option[(Array[Byte], Array[Byte])] =
+    footerStats(file, conf)._2
+
+  /** Per-file (rowCount, [min,max] of rowKey) from footer metadata only. */
+  private[sources] def footerStats(
+      file: Path, conf: Configuration): (Long, Option[(Array[Byte], Array[Byte])]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
-      val ranges = reader.getRowGroups.asScala.flatMap(rowGroupKeyRange)
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0)),
-                 ranges.map(_._2).max(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0))))
+      val blocks = reader.getRowGroups.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val ranges = blocks.flatMap(rowGroupKeyRange)
+      val range =
+        if (ranges.isEmpty) None
+        else Some((ranges.map(_._1).min(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0)),
+                   ranges.map(_._2).max(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0))))
+      (rows, range)
     } finally reader.close()
   }
 
@@ -247,9 +256,14 @@ class CellStoreTable(path: String) extends Table
 }
 
 class CellStoreScanBuilder(path: String, buckets: Option[Int])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CellStoreSource.Schema
+  private var aggPushed: Option[Aggregation] = None
 
   /** Accept rowKey range predicates for pruning but return EVERY filter as
     * a residual — Spark re-applies them post-scan, so pruning is purely an
@@ -262,7 +276,104 @@ class CellStoreScanBuilder(path: String, buckets: Option[Int])
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CellStoreScan(path, buckets, pushed, required)
+
+  // Aggregate pushdown — the HBase RowCounter analogue at ZERO data IO:
+  // whole-store COUNT(*) / MIN(rowKey) / MAX(rowKey) are answered entirely
+  // from parquet footer metadata (row counts + key statistics). Only safe
+  // when no filters are in play: this source keeps every pushed filter as a
+  // Spark-side residual, so Spark only offers aggregates on filterless
+  // scans — the guard below is belt and braces.
+  private def isRowKey(e: Expression): Boolean = e match {
+    case ref: NamedReference => ref.fieldNames.sameElements(Array("rowKey"))
+    case _                   => false
+  }
+  private def footerAnswerable(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min       => isRowKey(m.column)
+        case m: Max       => isRowKey(m.column)
+        case _            => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    footerAnswerable(agg)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    footerAnswerable(agg) && { aggPushed = Some(agg); true }
+
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new CellStoreAggScan(path, agg)
+    case None      => new CellStoreScan(path, buckets, pushed, required)
+  }
+}
+
+/** Footer-only scan answering a pushed whole-store aggregation: one
+  * partition, one row, no page IO. */
+class CellStoreAggScan(
+    path: String,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  private val aggs = agg.aggregateExpressions.toSeq
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case _: CountStar => StructField("count(*)", LongType, nullable = false)
+    case _: Min       => StructField("min(rowKey)", BinaryType)
+    case _: Max       => StructField("max(rowKey)", BinaryType)
+    case other => throw new IllegalStateException(s"unsupported pushed agg: $other")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CellStoreAggScan path=$path, aggs=${aggs.mkString("[", ",", "]")} (footer-only)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    var rows = 0L
+    var mn: Array[Byte] = null
+    var mx: Array[Byte] = null
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+      .foreach { st =>
+        val (r, range) = CellStoreSource.footerStats(st.getPath, conf)
+        rows += r
+        range.foreach { case (lo, hi) =>
+          if (mn == null || CellStoreSource.cmp(lo, mn) < 0) mn = lo
+          if (mx == null || CellStoreSource.cmp(hi, mx) > 0) mx = hi
+        }
+      }
+    Array(CellStoreAggPartition(rows, Option(mn), Option(mx)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellStoreAggReaderFactory(aggs.map {
+      case _: CountStar => "count"
+      case _: Min       => "min"
+      case _: Max       => "max"
+    })
+}
+
+final case class CellStoreAggPartition(
+    rows: Long, min: Option[Array[Byte]], max: Option[Array[Byte]])
+    extends InputPartition
+
+class CellStoreAggReaderFactory(cols: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CellStoreAggPartition]
+    val values: Array[Any] = cols.map {
+      case "count" => p.rows
+      case "min"   => p.min.orNull
+      case "max"   => p.max.orNull
+    }.toArray
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class CellStoreScan(path: String, buckets: Option[Int],

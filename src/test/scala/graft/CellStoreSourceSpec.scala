@@ -29,6 +29,26 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSource.rdd.getNumPartitions == 8)
   }
 
+  test("whole-store COUNT/MIN/MAX answer from footers only (agg pushdown)") {
+    val cells = CellTable.fromTable(spark, sf001, "customer")
+    // count(*) plans the footer-only scan — one partition, no page IO
+    val cnt = store.groupBy().count()
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(cntPlan.contains("CellStoreAggScan"), s"expected pushed count in:\n$cntPlan")
+    assert(cnt.collect().head.getLong(0) == cells.count())
+    // min/max of the row key come from key statistics
+    val mm = store.agg(min(col("rowKey")).as("lo"), max(col("rowKey")).as("hi"))
+    val mmPlan = mm.queryExecution.executedPlan.toString
+    assert(mmPlan.contains("CellStoreAggScan"), s"expected pushed min/max in:\n$mmPlan")
+    val row = mm.collect().head
+    assert(row.getAs[Array[Byte]]("lo").sameElements(key(0L)))
+    // a FILTERED count must NOT push (filters stay residual) and stays right
+    val filtered = store.filter(col("rowKey") >= lit(key(100L)))
+    val fPlan = filtered.groupBy().count().queryExecution.executedPlan.toString
+    assert(!fPlan.contains("CellStoreAggScan"), s"filtered agg must not push:\n$fPlan")
+    assert(filtered.count() == cells.filter(col("rowKey") >= lit(key(100L))).count())
+  }
+
   test("scan is vectorized: batches decode columnar, count-only scans fall back") {
     val plan = store.select("rowKey", "ts").queryExecution.executedPlan.toString
     assert(plan.contains("ColumnarToRow"), s"expected a columnar scan in:\n$plan")
