@@ -172,6 +172,19 @@ object CellStoreSource {
       file: Path, conf: Configuration): Option[(Array[Byte], Array[Byte])] =
     footerStats(file, conf)._2
 
+  /** One row group's footer metadata. */
+  private[sources] final case class BlockInfo(
+      index: Int, rows: Long, compressedBytes: Long,
+      keyRange: Option[(Array[Byte], Array[Byte])])
+
+  /** All row groups of a file, footer metadata only. */
+  private[sources] def footerBlocks(file: Path, conf: Configuration): Seq[BlockInfo] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getRowGroups.asScala.toSeq.zipWithIndex.map { case (b, i) =>
+      BlockInfo(i, b.getRowCount, b.getCompressedSize, rowGroupKeyRange(b))
+    } finally reader.close()
+  }
+
   /** Per-file (rowCount, [min,max] of rowKey) from footer metadata only. */
   private[sources] def footerStats(
       file: Path, conf: Configuration): (Long, Option[(Array[Byte], Array[Byte])]) = {
@@ -248,14 +261,16 @@ class CellStoreTable(path: String) extends Table
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CellStoreScanBuilder(path, buckets)
+    new CellStoreScanBuilder(path, buckets,
+      Option(options.get("splitBytes")).map(_.toLong).getOrElse(128L << 20))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new CellStoreWriteBuilder(path, info)
 }
 
-class CellStoreScanBuilder(path: String, buckets: Option[Int])
+class CellStoreScanBuilder(path: String, buckets: Option[Int],
+                           splitBytes: Long = 128L << 20)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
@@ -303,7 +318,7 @@ class CellStoreScanBuilder(path: String, buckets: Option[Int])
 
   override def build(): Scan = aggPushed match {
     case Some(agg) => new CellStoreAggScan(path, agg)
-    case None      => new CellStoreScan(path, buckets, pushed, required)
+    case None      => new CellStoreScan(path, buckets, pushed, required, splitBytes)
   }
 }
 
@@ -377,7 +392,8 @@ class CellStoreAggReaderFactory(cols: Seq[String]) extends PartitionReaderFactor
 }
 
 class CellStoreScan(path: String, buckets: Option[Int],
-                    pushed: Array[Filter], required: StructType)
+                    pushed: Array[Filter], required: StructType,
+                    splitBytes: Long = 128L << 20)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering {
@@ -451,13 +467,28 @@ class CellStoreScan(path: String, buckets: Option[Int],
           CellStoreBucketPartition(b, fsOf): InputPartition
         }.toArray
       case None =>
-        // Range-region layout: one partition per surviving region file.
+        // Range-region layout: surviving region files split into row-group-
+        // aligned chunks of ~splitBytes (the maxPartitionBytes analogue — a
+        // 10 GB region file must parallelize across tasks, not become one).
+        // Chunks whose every row group misses the key range are dropped;
+        // the reader re-checks per-group stats inside a kept chunk.
         // Footers are read driver-side; a 100 TB deployment swaps this for a
-        // cached region index with the same [min,max]-interval contract.
+        // cached region index with the same contract.
         files.flatMap { st =>
-          CellStoreSource.footerKeyRange(st.getPath, conf) match {
-            case Some((min, max)) if !range.overlaps(min, max) => None
-            case _ => Some(CellStorePartition(st.getPath.toString): InputPartition)
+          val blocks = CellStoreSource.footerBlocks(st.getPath, conf)
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Boolean)]
+          blocks.foreach { b =>
+            val hit = b.keyRange.forall { case (mn, mx) => range.overlaps(mn, mx) }
+            chunks.lastOption match {
+              case Some((lo, hi, bytes, anyHit))
+                  if hi == b.index && bytes + b.compressedBytes <= splitBytes =>
+                chunks(chunks.length - 1) = (lo, b.index + 1, bytes + b.compressedBytes, anyHit || hit)
+              case _ =>
+                chunks += ((b.index, b.index + 1, b.compressedBytes, hit))
+            }
+          }
+          chunks.collect { case (lo, hi, _, true) =>
+            CellStorePartition(CellChunk(st.getPath.toString, lo, hi)): InputPartition
           }
         }
     }
@@ -497,7 +528,10 @@ class CellStoreScan(path: String, buckets: Option[Int],
     new CellStoreReaderFactory(required, (pushed ++ runtime).distinct)
 }
 
-final case class CellStorePartition(file: String) extends InputPartition
+/** A row-group-aligned slice [groupLo, groupHi) of one store file. */
+final case class CellChunk(file: String, groupLo: Int, groupHi: Int)
+
+final case class CellStorePartition(chunk: CellChunk) extends InputPartition
 
 /** One salt bucket: all of the bucket's files, key = the bucket id (what
   * Spark groups on for the storage-partitioned join). */
@@ -509,9 +543,9 @@ final case class CellStoreBucketPartition(bucket: Int, files: Seq[String])
 
 class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
-  private def filesOf(partition: InputPartition): Seq[String] = partition match {
-    case CellStorePartition(file)           => Seq(file)
-    case CellStoreBucketPartition(_, files) => files
+  private def chunksOf(partition: InputPartition): Seq[CellChunk] = partition match {
+    case CellStorePartition(chunk)          => Seq(chunk)
+    case CellStoreBucketPartition(_, files) => files.map(CellChunk(_, 0, Int.MaxValue))
     case other =>
       throw new IllegalArgumentException(s"unexpected partition: $other")
   }
@@ -519,7 +553,7 @@ class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
   /** Row-based path: kept for the degenerate no-column scan (count-only),
     * which Spark's vectorized parquet reader does not model. */
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CellStoreFilesReader(filesOf(partition), required,
+    new CellStoreFilesReader(chunksOf(partition), required,
       CellStoreSource.rangeOf(pushed.toSeq))
 
   /** Columnar path: Spark's vectorized parquet decoder fed by the store's
@@ -529,32 +563,35 @@ class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
     required.nonEmpty
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new CellStoreColumnarReader(filesOf(partition), required,
+    new CellStoreColumnarReader(chunksOf(partition), required,
       CellStoreSource.rangeOf(pushed.toSeq))
 }
 
-/** Sequential vectorized reader over a partition's files (usually one). */
+/** Sequential vectorized reader over a partition's chunks (usually one). */
 class CellStoreColumnarReader(
-    files: Seq[String],
+    chunks: Seq[CellChunk],
     required: StructType,
     range: CellStoreSource.KeyRange)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedReader, VectorizedParquetRecordReader}
 
-  private val it = files.iterator
+  private val it = chunks.iterator
   private var cur: VectorizedParquetRecordReader = _
 
-  private def keep(block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
-    CellStoreSource.rowGroupKeyRange(block) match {
-      case Some((min, max)) => range.overlaps(min, max)
-      case None             => true
-    }
+  private def keep(chunk: CellChunk)(
+      idx: Int, block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
+    idx >= chunk.groupLo && idx < chunk.groupHi &&
+      (CellStoreSource.rowGroupKeyRange(block) match {
+        case Some((min, max)) => range.overlaps(min, max)
+        case None             => true
+      })
 
   override def next(): Boolean = {
     while (true) {
       if (cur == null) {
         if (!it.hasNext) return false
-        cur = GraftVectorizedReader.open(it.next(), required, keep, capacity = 4096)
+        val chunk = it.next()
+        cur = GraftVectorizedReader.open(chunk.file, required, keep(chunk), capacity = 4096)
       }
       if (cur.nextBatch()) return true
       cur.close()
@@ -566,12 +603,12 @@ class CellStoreColumnarReader(
   override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
-/** Sequential reader over a bucket's files (usually one). */
+/** Sequential reader over a partition's chunks (usually one). */
 class CellStoreFilesReader(
-    files: Seq[String],
+    chunks: Seq[CellChunk],
     required: StructType,
     range: CellStoreSource.KeyRange) extends PartitionReader[InternalRow] {
-  private val it = files.iterator
+  private val it = chunks.iterator
   private var cur: CellStorePartitionReader = _
 
   override def next(): Boolean = {
@@ -598,12 +635,12 @@ class CellStoreFilesReader(
  * InternalRow out) stays the same.
  */
 class CellStorePartitionReader(
-    file: String,
+    chunk: CellChunk,
     required: StructType,
     range: CellStoreSource.KeyRange) extends PartitionReader[InternalRow] {
 
   private val reader =
-    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(chunk.file), new Configuration()))
   private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
   private val requestedSchema: MessageType =
     new MessageType(fileSchema.getName,
@@ -619,11 +656,13 @@ class CellStorePartitionReader(
   private def advanceRowGroup(): Boolean = {
     while (blockIdx < blocks.length) {
       val block = blocks(blockIdx)
+      val idx = blockIdx
       blockIdx += 1
-      val keep = CellStoreSource.rowGroupKeyRange(block) match {
+      val inChunk = idx >= chunk.groupLo && idx < chunk.groupHi
+      val keep = inChunk && (CellStoreSource.rowGroupKeyRange(block) match {
         case Some((min, max)) => range.overlaps(min, max)
         case None             => true
-      }
+      })
       if (!keep) {
         reader.skipNextRowGroup()
       } else {

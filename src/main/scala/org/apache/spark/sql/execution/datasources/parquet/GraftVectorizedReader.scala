@@ -28,12 +28,13 @@ import org.apache.spark.sql.types.StructType
 object GraftVectorizedReader {
 
   /** Open `file` for vectorized reads of `required`, skipping row groups
-    * that fail `keep`. Caller drives `nextBatch()`/`resultBatch()` and must
-    * `close()`. */
+    * that fail `keep` (invoked with the group's index and metadata, so
+    * chunked reads can bound themselves to a group range). Caller drives
+    * `nextBatch()`/`resultBatch()` and must `close()`. */
   def open(
       file: String,
       required: StructType,
-      keep: BlockMetaData => Boolean,
+      keep: (Int, BlockMetaData) => Boolean,
       capacity: Int): VectorizedParquetRecordReader = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
@@ -42,7 +43,8 @@ object GraftVectorizedReader {
       val requested = new MessageType(fileSchema.getName,
         required.fieldNames.map(n => fileSchema.getType(Seq(n): _*)): _*)
       reader.setRequestedSchema(requested)
-      val keepMask = reader.getRowGroups.asScala.map(keep).toArray
+      val keepMask = reader.getRowGroups.asScala.zipWithIndex
+        .map { case (b, i) => keep(i, b) }.toArray
       val totalRows = reader.getRowGroups.asScala.zip(keepMask)
         .collect { case (b, true) => b.getRowCount }.sum
       val vec = new VectorizedParquetRecordReader(false, capacity)

@@ -60,6 +60,44 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(store.count() == CellTable.fromTable(spark, sf001, "customer").count())
   }
 
+  test("a large region file splits into row-group-aligned chunk partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_split").toString
+    val cells = CellTable.fromTable(spark, sf01, "customer")
+    // ONE region file, forced into many small row groups
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 16384)
+    try cells.coalesce(1)
+      .sortWithinPartitions("rowKey", "family", "qualifier", "ts")
+      .write.mode("overwrite").parquet(dir)
+    finally {
+      if (prevBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlock)
+    }
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head.getPath),
+        new org.apache.hadoop.conf.Configuration()))
+    val nGroups = try footer.getRowGroups.size() finally footer.close()
+    assert(nGroups > 1, s"test setup needs a multi-row-group file, got $nGroups")
+
+    val split = spark.read.format("cellstore")
+      .option("splitBytes", "32768").load(dir)
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected chunked partitions, got ${split.rdd.getNumPartitions}")
+    // identical content to the unsplit read, and GET pruning still works
+    val whole = spark.read.format("cellstore").load(dir)
+    assert(split.count() == cells.count())
+    assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
+    val get = split.filter(col("rowKey") === lit(key(42L)))
+    assert(get.count() == 4)
+    assert(get.rdd.getNumPartitions < split.rdd.getNumPartitions,
+      "key range should prune chunks")
+  }
+
   test("point GET prunes to a single region partition") {
     val get = store.filter(col("rowKey") === lit(key(42L)))
     assert(get.rdd.getNumPartitions == 1)
