@@ -272,13 +272,20 @@ class CellStoreTable(path: String) extends Table
 class CellStoreScanBuilder(path: String, buckets: Option[Int],
                            splitBytes: Long = 128L << 20)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CellStoreSource.Schema
   private var aggPushed: Option[Aggregation] = None
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (isPartiallyPushed stays true): each partition
+    * reader stops decoding once it has produced `limit` rows — a limit(1)
+    * existence probe touches one row group instead of a whole region —
+    * and Spark still applies the global limit on top. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   /** Accept rowKey range predicates for pruning but return EVERY filter as
     * a residual — Spark re-applies them post-scan, so pruning is purely an
@@ -318,7 +325,7 @@ class CellStoreScanBuilder(path: String, buckets: Option[Int],
 
   override def build(): Scan = aggPushed match {
     case Some(agg) => new CellStoreAggScan(path, agg)
-    case None      => new CellStoreScan(path, buckets, pushed, required, splitBytes)
+    case None      => new CellStoreScan(path, buckets, pushed, required, splitBytes, limit)
   }
 }
 
@@ -393,7 +400,8 @@ class CellStoreAggReaderFactory(cols: Seq[String]) extends PartitionReaderFactor
 
 class CellStoreScan(path: String, buckets: Option[Int],
                     pushed: Array[Filter], required: StructType,
-                    splitBytes: Long = 128L << 20)
+                    splitBytes: Long = 128L << 20,
+                    limit: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering {
@@ -405,6 +413,7 @@ class CellStoreScan(path: String, buckets: Option[Int],
   override def description(): String =
     s"CellStoreScan path=$path, buckets=${buckets.getOrElse(0)}, " +
       s"pushed=${pushed.mkString("[", ",", "]")}, " +
+      s"limit=${limit.getOrElse(-1)}, " +
       s"columns=${required.fieldNames.mkString("[", ",", "]")}"
 
   // Runtime filtering (the DSv2 analogue of dynamic partition pruning): a
@@ -525,7 +534,7 @@ class CellStoreScan(path: String, buckets: Option[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellStoreReaderFactory(required, (pushed ++ runtime).distinct)
+    new CellStoreReaderFactory(required, (pushed ++ runtime).distinct, limit)
 }
 
 /** A row-group-aligned slice [groupLo, groupHi) of one store file. */
@@ -541,7 +550,8 @@ final case class CellStoreBucketPartition(bucket: Int, files: Seq[String])
     new GenericInternalRow(Array[Any](bucket))
 }
 
-class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
+class CellStoreReaderFactory(required: StructType, pushed: Array[Filter],
+                             limit: Option[Int] = None)
     extends PartitionReaderFactory {
   private def chunksOf(partition: InputPartition): Seq[CellChunk] = partition match {
     case CellStorePartition(chunk)          => Seq(chunk)
@@ -554,7 +564,7 @@ class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
     * which Spark's vectorized parquet reader does not model. */
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CellStoreFilesReader(chunksOf(partition), required,
-      CellStoreSource.rangeOf(pushed.toSeq))
+      CellStoreSource.rangeOf(pushed.toSeq), limit)
 
   /** Columnar path: Spark's vectorized parquet decoder fed by the store's
     * row-group skip — page decode straight into ColumnarBatch, no per-row
@@ -564,14 +574,15 @@ class CellStoreReaderFactory(required: StructType, pushed: Array[Filter])
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new CellStoreColumnarReader(chunksOf(partition), required,
-      CellStoreSource.rangeOf(pushed.toSeq))
+      CellStoreSource.rangeOf(pushed.toSeq), limit)
 }
 
 /** Sequential vectorized reader over a partition's chunks (usually one). */
 class CellStoreColumnarReader(
     chunks: Seq[CellChunk],
     required: StructType,
-    range: CellStoreSource.KeyRange)
+    range: CellStoreSource.KeyRange,
+    limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedReader, VectorizedParquetRecordReader}
 
@@ -586,14 +597,19 @@ class CellStoreColumnarReader(
         case None             => true
       })
 
+  private var emitted = 0L
+
   override def next(): Boolean = {
+    // partial limit: stop decoding once this partition produced enough rows
+    // (the batch that crosses the boundary is emitted whole; Spark trims)
+    if (limit.exists(emitted >= _)) return false
     while (true) {
       if (cur == null) {
         if (!it.hasNext) return false
         val chunk = it.next()
         cur = GraftVectorizedReader.open(chunk.file, required, keep(chunk), capacity = 4096)
       }
-      if (cur.nextBatch()) return true
+      if (cur.nextBatch()) { emitted += cur.resultBatch().numRows(); return true }
       cur.close()
       cur = null
     }
@@ -607,17 +623,20 @@ class CellStoreColumnarReader(
 class CellStoreFilesReader(
     chunks: Seq[CellChunk],
     required: StructType,
-    range: CellStoreSource.KeyRange) extends PartitionReader[InternalRow] {
+    range: CellStoreSource.KeyRange,
+    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
   private val it = chunks.iterator
   private var cur: CellStorePartitionReader = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
     while (true) {
       if (cur == null) {
         if (!it.hasNext) return false
         cur = new CellStorePartitionReader(it.next(), required, range)
       }
-      if (cur.next()) return true
+      if (cur.next()) { emitted += 1; return true }
       cur.close()
       cur = null
     }

@@ -29,6 +29,15 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSource.rdd.getNumPartitions == 8)
   }
 
+  test("limit pushdown: readers stop early, results stay correct") {
+    val limited = store.limit(3)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"), s"expected pushed limit in:\n$plan")
+    assert(limited.collect().length == 3)
+    // limit larger than the store is a no-op
+    assert(store.limit(1000000).count() == store.count())
+  }
+
   test("whole-store COUNT/MIN/MAX answer from footers only (agg pushdown)") {
     val cells = CellTable.fromTable(spark, sf001, "customer")
     // count(*) plans the footer-only scan — one partition, no page IO
