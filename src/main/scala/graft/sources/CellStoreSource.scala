@@ -257,6 +257,7 @@ class CellStoreTable(path: String) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
@@ -535,6 +536,74 @@ class CellStoreScan(path: String, buckets: Option[Int],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellStoreReaderFactory(required, (pushed ++ runtime).distinct, limit)
+
+  /** Tail the store as a stream — the other half of the CDC loop
+    * [[graft.streaming.CellStoreIngest]] writes. Committed files are
+    * immutable (rename-in commit), so the file set is an append-only log
+    * and a set-difference per micro-batch is exact. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CellStoreMicroBatchStream(path, required, pushed)
+}
+
+/**
+ * Micro-batch tail of a cell store: the offset is the set of committed
+ * region/bucket files; each batch reads exactly the files that appeared
+ * since the previous offset. Valid because the store's commit protocol
+ * only ever ADDS immutable files (appends rename in job-unique names) —
+ * compaction rewrites files and therefore must not run while a tail is
+ * active (its rewritten files would replay; the same discipline HBase
+ * applies to replication vs. major compaction). At 100 TB the name-set
+ * offset becomes a manifest sequence number with the same semantics.
+ */
+class CellStoreMicroBatchStream(path: String, required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+
+  private def listFiles(): Set[String] = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+      .map(_.getPath.getName).toSet
+  }
+
+  override def initialOffset(): StreamOffset = CellStoreOffset(Set.empty)
+  override def latestOffset(): StreamOffset = CellStoreOffset(listFiles())
+  override def deserializeOffset(json: String): StreamOffset =
+    CellStoreOffset.fromJson(json)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[CellStoreOffset].files
+    val now = end.asInstanceOf[CellStoreOffset].files
+    (now -- seen).toSeq.sorted
+      .map(n => CellStorePartition(CellChunk(s"$path/$n", 0, Int.MaxValue)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellStoreReaderFactory(required, pushed)
+}
+
+/** Offset = the set of committed store files (JSON array of names). */
+final case class CellStoreOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.toSeq.sorted.map(f => "\"" + f.replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object CellStoreOffset {
+  def fromJson(json: String): CellStoreOffset = {
+    val names = """"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(json).map(_.group(1).replace("\\\"", "\"")).toSet
+    CellStoreOffset(names)
+  }
 }
 
 /** A row-group-aligned slice [groupLo, groupHi) of one store file. */

@@ -52,4 +52,28 @@ class CellStoreIngestSpec extends AnyFunSuite with SparkTestBase {
       .select(col("value").cast("string")).collect()
     assert(got.map(_.getString(0)).toSeq == Seq("bbb"))
   }
+
+  test("tailing a store as a stream emits only newly committed files per batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tail").toString
+    val dir = s"$base/store"
+    val cells = CellTable.fromTable(spark, sf001, "region")
+    cells.write.format("cellstore").option("buckets", "2")
+      .mode("overwrite").save(dir)
+
+    val q = spark.readStream.format("cellstore").load(dir)
+      .writeStream.format("memory").queryName("store_tail")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("store_tail").count()
+      assert(first == cells.count())
+      // a later append surfaces as exactly one incremental batch
+      cells.withColumn("ts", col("ts") + 5000L)
+        .write.format("cellstore").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("store_tail").count() == cells.count() * 2)
+      assert(spark.table("store_tail").filter(col("ts") > CellTable.BaseTs).count()
+        == cells.count())
+    } finally q.stop()
+  }
 }
