@@ -170,6 +170,8 @@ object SparkEntry {
     "q_minhash_pairs"  -> (Dedup.minhashQuery _),
     "q_simhash_pairs"  -> (Dedup.simhashQuery _),
     "q_ngram_jaccard"  -> (Dedup.ngramJaccardQuery _),
+    "q_dup_clusters"   -> (Dedup.clustersQuery _),
+    "q_split_assign"   -> (CorpusPipeline.splitAssignQuery _),
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
     "q_ann_lsh"        -> (Similarity.lshQuery _),
@@ -694,6 +696,40 @@ object SparkEntry {
       s"""WITH ${jaccardPairsSql("documents")}
           SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
           FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.3""",
+    // connected components over the ground-truth >=0.5 edge set via a
+    // recursive transitive closure; cluster id = least reachable doc id
+    // (LSH attains full recall on the fixtures, so edge sets agree)
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardPairsSql("documents")},
+          edges AS (SELECT doc_a, doc_b FROM pairs
+                    WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5),
+          sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                  UNION SELECT doc_b, doc_a FROM edges
+                  UNION SELECT doc_a, doc_a FROM edges
+                  UNION SELECT doc_b, doc_b FROM edges),
+          reach AS (SELECT a, b FROM sym
+                    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+          SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
+    // split = f(md5(doc_id || salt)): first 24 bits mod 100 against the
+    // 80/10/10 thresholds — same md5, same hex, same arithmetic as Spark
+    "q_split_assign" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+                   md5(concat(CAST(doc_id AS VARCHAR), 'graft-split')) AS m
+            FROM documents),
+          b AS (
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(6), i ->
+                         CAST(strpos('0123456789abcdef', substr(m, CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT))),
+                     (acc, d) -> acc * 16 + d) % 100 AS bucket
+            FROM h)
+          SELECT doc_id,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b""",
     // Multimodal decode: the deterministic stub codec (fnv1a64 of the
     // payload driving the fake dimensions) reproduced exactly in SQL —
     // floorMod on the signed hash, unsigned shifts on the HUGEINT form.

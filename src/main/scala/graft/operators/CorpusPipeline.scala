@@ -81,4 +81,33 @@ object CorpusPipeline {
   def cleanQuery(spark: SparkSession, sfDir: String): DataFrame =
     clean(Tables.load(spark, sfDir, "documents"))
       .select("doc_id", "lang", "source", "quality")
+
+  /**
+   * Deterministic train/val/test split assignment — the leakage-safe way
+   * to split training data: the split is a pure function of (doc id, salt),
+   * so it is stable across reruns, cluster sizes, and partitionings (a
+   * `rand()` split is none of those). Bucket = first 24 bits of
+   * `md5(doc_id‖salt)` mod 100; changing the salt resamples every split.
+   * Narrow map, no shuffle, no state.
+   */
+  def assignSplits(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      salt: String = "graft-split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val bucket = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
+      lit(100L))
+    docs.select(
+      col("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Query-pack adapter for split assignment. */
+  def splitAssignQuery(spark: SparkSession, sfDir: String): DataFrame =
+    assignSplits(Tables.load(spark, sfDir, "documents"))
 }

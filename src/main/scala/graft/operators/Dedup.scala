@@ -212,6 +212,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /**
+   * Near-dup CLUSTER assignment — connected components over the verified
+   * near-dup edges, cluster id = least doc id in the component. This is the
+   * step a training pipeline actually consumes ("keep one doc per duplicate
+   * cluster"); pairwise edges alone under-delete transitive duplicates
+   * (a~b, b~c but a≁c must still collapse to ONE survivor).
+   *
+   * Min-label propagation as DataFrame iterations: each round every node
+   * takes the min label among itself and its neighbors — one equi-join +
+   * one groupBy per round, converging in graph-diameter rounds (near-dup
+   * components are shallow in practice; `maxIters` bounds pathology — at
+   * web scale swap in large-star/small-star, same join-shaped rounds).
+   * Only (node, label) pairs ever shuffle, never documents.
+   */
+  def nearDupClusters(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLsh(docs, shingleN = shingleN, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    try {
+      var labels = sym.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .cache()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val viaNeighbors = sym
+          .join(labels, sym("doc_a") === labels("node"))
+          .select(sym("doc_b").as("node"), col("label"))
+        val next = labels.select("node", "label").unionByName(viaNeighbors)
+          .groupBy("node").agg(min("label").as("label"))
+          .cache()
+        val changed = next
+          .join(labels.withColumnRenamed("label", "prev"), "node")
+          .filter(col("label") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    } finally sym.unpersist()
+  }
+
   // Query-pack adapters --------------------------------------------------
 
   def exactQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -225,6 +274,9 @@ object Dedup {
 
   def ngramJaccardQuery(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccard(Tables.load(spark, sfDir, "documents"))
+
+  def clustersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupClusters(Tables.load(spark, sfDir, "documents"))
 
   /** The synthetic embeddings have no true near-dups (max pairwise cosine
     * ≈ 0.48 at sf0.001), so the query-pack entry runs the same pipeline at a

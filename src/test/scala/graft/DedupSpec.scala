@@ -86,6 +86,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(s == Seq("short text"))
   }
 
+  test("near-dup clusters: transitive duplicates collapse to one component") {
+    // a~b and b~c at J>=0.5 while a~c alone is below threshold: pairwise
+    // dedup would leave two survivors, the component must leave ONE cluster
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven nine"),   // ~1 and ~3
+      (3L, "zero ten three four five six seven nine"),
+      (10L, "completely different words entirely here now today friend"),
+      (11L, "completely different words entirely here now today friend")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+  }
+
+  test("split assignment is deterministic, complete, and salt-sensitive") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"))
+    val s1 = graft.operators.CorpusPipeline.assignSplits(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = graft.operators.CorpusPipeline.assignSplits(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2) // pure function of (id, salt)
+    val byKind = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byKind.keySet == Set("train", "val", "test"))
+    assert(byKind("train") > byKind("val") && byKind("train") > byKind("test"))
+    val other = graft.operators.CorpusPipeline
+      .assignSplits(docs, salt = "other").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other != s1) // salt resamples
+  }
+
   test("LSH bucket-skew guard: 10k identical docs stay linear (star pairing)") {
     // all 10k land in ONE bucket per band; all-pairs would be ~5*10^7
     // candidates — the star path emits exactly 9999, each verified at J=1
