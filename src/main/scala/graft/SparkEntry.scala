@@ -185,6 +185,8 @@ object SparkEntry {
     "q_fingerprint"    -> (TextAnalysis.fingerprintQuery _),
     "q_clean_corpus"   -> (CorpusPipeline.cleanQuery _),
     "q_source_cap"     -> (CorpusPipeline.sourceCapQuery _),
+    "q_mix_sample"     -> (CorpusPipeline.mixSampleQuery _),
+    "q_redact"         -> (TextAnalysis.redactQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
     "q_media_ann"      -> (Multimodal.mediaAnnQuery _))
@@ -710,6 +712,41 @@ object SparkEntry {
           reach AS (SELECT a, b FROM sym
                     UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
           SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
+    // weighted mixture sampling: same md5 fixed-point threshold per source
+    "q_mix_sample" ->
+      s"""WITH h AS (
+            SELECT doc_id, source,
+                   md5(concat(CAST(doc_id AS VARCHAR), 'graft-mix')) AS m
+            FROM documents),
+          b AS (
+            SELECT doc_id, source,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(6), i ->
+                         CAST(strpos('0123456789abcdef', substr(m, CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT))),
+                     (acc, d) -> acc * 16 + d) % 1000000 AS bucket
+            FROM h)
+          SELECT doc_id, source FROM b
+          WHERE CAST(bucket AS DOUBLE) <
+                (CASE WHEN source = 'src0' THEN 0.25
+                      WHEN source = 'src1' THEN 0.5
+                      ELSE 1.0 END) * 1000000.0""",
+    // PII scrub over planted addresses (same regex dialect both engines)
+    "q_redact" ->
+      s"""WITH planted AS (
+            SELECT doc_id,
+                   concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com from 10.0.',
+                          CAST(doc_id % 256 AS VARCHAR), '.7 today') AS text
+            FROM documents)
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+                   '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g') AS text,
+                 CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))
+                    + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}')) AS BIGINT)
+                   AS n_redactions
+          FROM planted""",
     // split = f(md5(doc_id || salt)): first 24 bits mod 100 against the
     // 80/10/10 thresholds — same md5, same hex, same arithmetic as Spark
     "q_split_assign" ->

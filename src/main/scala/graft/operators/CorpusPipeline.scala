@@ -110,4 +110,34 @@ object CorpusPipeline {
   /** Query-pack adapter for split assignment. */
   def splitAssignQuery(spark: SparkSession, sfDir: String): DataFrame =
     assignSplits(Tables.load(spark, sfDir, "documents"))
+
+  /**
+   * Deterministic weighted mixture sampling — the "mixing weights" step of
+   * training-data preparation: keep each document with its source's rate,
+   * decided by a pure hash of (doc id, salt) against a fixed-point
+   * threshold. Same stability argument as [[assignSplits]]: reruns, resizes
+   * and repartitions all see the same sample, unlike `rand()`/`sample()`.
+   * Narrow map, no shuffle; a new salt draws a fresh sample.
+   */
+  def sampleMixture(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      salt: String = "graft-mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1))
+    val bucket = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
+      lit(1000000L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket.cast("double") < rate * 1000000.0)
+  }
+
+  /** Query-pack adapter: downsample two over-represented sources. */
+  def mixSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sampleMixture(Tables.load(spark, sfDir, "documents"),
+        rates = Map("src0" -> 0.25, "src1" -> 0.5))
+      .select("doc_id", "source")
 }

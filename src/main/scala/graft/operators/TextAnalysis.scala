@@ -129,6 +129,29 @@ object TextAnalysis {
         countDistinct(col("tok")).as("n_distinct_tokens"),
         count(lit(1)).as("n_tokens"))
 
+  /** Email address shape (kept RE2-and-Java-compatible so engine and
+    * oracle agree on matches). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad shape. */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /**
+   * PII scrub — replace email addresses and IPv4 literals with typed
+   * placeholder tags. A narrow, codegen'd projection (two regexp passes);
+   * extend the pattern list per policy. The redaction-count column makes
+   * the scrub auditable without diffing text.
+   */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      redact(col("text")).as("text"),
+      (regexp_count(col("text"), lit(EmailPattern)) +
+        regexp_count(col("text"), lit(Ipv4Pattern))).cast("bigint").as("n_redactions"))
+
   // Query-pack adapters --------------------------------------------------
 
   def textStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -153,4 +176,18 @@ object TextAnalysis {
 
   def vocabQuery(spark: SparkSession, sfDir: String): DataFrame =
     vocab(Tables.load(spark, sfDir, "documents"))
+
+  /** The fixture corpus is synthetic vocabulary with no real PII, so the
+    * adapter plants one email and one IP per document (derived from the
+    * doc id — deterministic, oracle-reproducible) and scrubs them. */
+  def redactQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".7 today")).as("text"))
+    redactPii(planted)
+  }
 }
