@@ -95,6 +95,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("columns=[rowKey,ts]"), plan)
   }
 
+  test("split/mix/redact are narrow maps: zero exchanges") {
+    import graft.operators.{CorpusPipeline, TextAnalysis}
+    Seq(
+      CorpusPipeline.splitAssignQuery(spark, sf001),
+      CorpusPipeline.mixSampleQuery(spark, sf001),
+      TextAnalysis.redactQuery(spark, sf001)
+    ).foreach { df =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("Exchange"), s"expected a shuffle-free narrow map:\n$plan")
+    }
+  }
+
   test("codec + cosine expressions stay inside whole-stage codegen") {
     // in executedPlan.toString, `*(n)` marks operators inside a
     // WholeStageCodegen stage — the Project carrying our expression must
