@@ -186,6 +186,7 @@ object SparkEntry {
     "q_clean_corpus"   -> (CorpusPipeline.cleanQuery _),
     "q_source_cap"     -> (CorpusPipeline.sourceCapQuery _),
     "q_mix_sample"     -> (CorpusPipeline.mixSampleQuery _),
+    "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
     "q_redact"         -> (TextAnalysis.redactQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
@@ -731,6 +732,25 @@ object SparkEntry {
                 (CASE WHEN source = 'src0' THEN 0.25
                       WHEN source = 'src1' THEN 0.5
                       ELSE 1.0 END) * 1000000.0""",
+    // greedy next-fit packing replayed row-by-row as a recursive walk per
+    // fixed id-range group (same order, same budget arithmetic)
+    "q_pack_sequences" ->
+      s"""WITH RECURSIVE d AS (
+            SELECT doc_id,
+                   CAST(doc_id // 100 AS BIGINT) AS grp,
+                   CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY (doc_id // 100) ORDER BY doc_id) AS rn
+            FROM documents),
+          walk AS (
+            SELECT grp, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS bin, n_tokens AS used
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+                   CASE WHEN w.used + d.n_tokens <= 256 THEN w.bin ELSE w.bin + 1 END,
+                   CASE WHEN w.used + d.n_tokens <= 256 THEN w.used + d.n_tokens ELSE d.n_tokens END
+            FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1)
+          SELECT doc_id, grp, bin, n_tokens FROM walk""",
     // PII scrub over planted addresses (same regex dialect both engines)
     "q_redact" ->
       s"""WITH planted AS (

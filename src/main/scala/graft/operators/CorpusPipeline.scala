@@ -140,4 +140,45 @@ object CorpusPipeline {
     sampleMixture(Tables.load(spark, sfDir, "documents"),
         rates = Map("src0" -> 0.25, "src1" -> 0.5))
       .select("doc_id", "source")
+
+  /**
+   * Sequence packing — group documents into training sequences of at most
+   * `budget` tokens (greedy next-fit in doc-id order; an over-budget doc
+   * gets its own bin). The packing is DETERMINISTIC and fully distributed:
+   * docs are grouped into fixed id-ranges of `grpSize` (a pure function of
+   * doc_id — no sampling, no partitioning dependence), each group packs
+   * independently inside one `aggregate` higher-order expression (codegen,
+   * no UDF), and a bin is globally identified by (grp, bin). Group size
+   * bounds both the collected array and the packing fragmentation: at most
+   * one under-filled trailing bin per `grpSize` docs.
+   */
+  def packSequences(docs: DataFrame, budget: Long, grpSize: Long = 100L): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      (col("doc_id") / grpSize).cast("bigint").as("grp"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    toks.groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
+      .select(col("grp"), explode(expr(
+        s"""aggregate(
+              ds,
+              named_struct(
+                'bin', CAST(-1 AS BIGINT), 'used', CAST($budget AS BIGINT),
+                'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n_tokens: BIGINT, bin: BIGINT>>)),
+              (acc, d) ->
+                IF(acc.used + d.n_tokens <= $budget,
+                   named_struct('bin', acc.bin, 'used', acc.used + d.n_tokens,
+                     'out', array_append(acc.out,
+                       named_struct('doc_id', d.doc_id, 'n_tokens', d.n_tokens, 'bin', acc.bin))),
+                   named_struct('bin', acc.bin + CAST(1 AS BIGINT), 'used', d.n_tokens,
+                     'out', array_append(acc.out,
+                       named_struct('doc_id', d.doc_id, 'n_tokens', d.n_tokens, 'bin', acc.bin + CAST(1 AS BIGINT))))),
+              acc -> acc.out)""")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("grp"),
+        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+  }
+
+  /** Query-pack adapter: pack the corpus into 256-token sequences. */
+  def packSequencesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    packSequences(Tables.load(spark, sfDir, "documents"), budget = 256L)
 }

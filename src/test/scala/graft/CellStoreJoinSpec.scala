@@ -88,6 +88,9 @@ class CellStoreJoinSpec extends AnyFunSuite with SparkTestBase {
 
       val plan = executedPlan(joined)
       assert(!plan.contains("Exchange"), s"expected a storage-partitioned join, got:\n$plan")
+      // the scan's reported (rowKey…) ordering also elides the SMJ sorts
+      assert(!plan.contains(" Sort ["),
+        s"expected sort-free SMJ over the sorted store, got:\n$plan")
 
       // correctness: equals the same join done on the raw fixture
       val expected = graft.sources.Tables.load(spark, sf001, "customer").count()

@@ -56,4 +56,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val scanned = hit.select(input_file_name()).distinct().count()
     assert(scanned == 1)
   }
+
+  test("sequence packing: budget respected, order preserved, coverage complete") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val budget = 256L
+    val packed = graft.operators.CorpusPipeline.packSequences(docs, budget).collect()
+    assert(packed.length == docs.count())
+    val byBin = packed.groupBy(r => (r.getAs[Long]("grp"), r.getAs[Long]("bin")))
+    byBin.foreach { case (_, rows) =>
+      val total = rows.map(_.getAs[Long]("n_tokens")).sum
+      // a bin either fits the budget or is a single over-budget document
+      assert(total <= budget || rows.length == 1)
+    }
+    // greedy in doc-id order: bins within a group are monotone in doc_id
+    packed.groupBy(_.getAs[Long]("grp")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      val bins = sorted.map(_.getAs[Long]("bin"))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
