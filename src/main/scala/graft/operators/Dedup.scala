@@ -240,6 +240,14 @@ object Dedup {
       var labels = sym.select(col("doc_a").as("node")).distinct()
         .withColumn("label", col("node"))
         .cache()
+      // Convergence signal: labels only ever DECREASE under min-propagation,
+      // so the label sum strictly decreases until the fixpoint — one cheap
+      // aggregate over the cached frame instead of a join-diff per round.
+      // (Decimal sum: immune to long overflow at any node count.)
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+          .getDecimal(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var i = 0
       while (!converged && i < maxIters) {
@@ -249,12 +257,11 @@ object Dedup {
         val next = labels.select("node", "label").unionByName(viaNeighbors)
           .groupBy("node").agg(min("label").as("label"))
           .cache()
-        val changed = next
-          .join(labels.withColumnRenamed("label", "prev"), "node")
-          .filter(col("label") =!= col("prev")).count()
+        val newSum = labelSum(next)
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
         i += 1
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
