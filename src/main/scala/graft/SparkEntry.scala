@@ -187,6 +187,7 @@ object SparkEntry {
     "q_source_cap"     -> (CorpusPipeline.sourceCapQuery _),
     "q_mix_sample"     -> (CorpusPipeline.mixSampleQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
+    "q_salted_distinct"-> (Skew.saltedDistinctQuery _),
     "q_redact"         -> (TextAnalysis.redactQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
@@ -732,6 +733,11 @@ object SparkEntry {
                 (CASE WHEN source = 'src0' THEN 0.25
                       WHEN source = 'src1' THEN 0.5
                       ELSE 1.0 END) * 1000000.0""",
+    // the salted shards partition the value space, so the merged counts
+    // equal a plain count(DISTINCT) exactly
+    "q_salted_distinct" ->
+      s"""SELECT user_id, count(DISTINCT event_type) AS n_distinct
+          FROM events GROUP BY user_id""",
     // greedy next-fit packing replayed row-by-row as a recursive walk per
     // fixed id-range group (same order, same budget arithmetic)
     "q_pack_sequences" ->

@@ -54,4 +54,13 @@ object Skew {
     shardedBig.join(replicatedSmall, keys :+ "_shard")
       .drop("_shard")
   }
+
+  /** Query-pack adapter: distinct event types per user, sharded 8 ways —
+    * identical to a plain count(DISTINCT), which is exactly what the
+    * DuckDB oracle computes. */
+  def saltedDistinctQuery(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    saltedDistinctCount(
+      graft.sources.Tables.load(spark, sfDir, "events"),
+      keyCol = "user_id", valueCol = "event_type", salt = 8)
 }
