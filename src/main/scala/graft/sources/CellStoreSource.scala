@@ -173,12 +173,12 @@ object CellStoreSource {
     footerStats(file, conf)._2
 
   /** One row group's footer metadata. */
-  private[sources] final case class BlockInfo(
+  private[graft] final case class BlockInfo(
       index: Int, rows: Long, compressedBytes: Long,
       keyRange: Option[(Array[Byte], Array[Byte])])
 
   /** All row groups of a file, footer metadata only. */
-  private[sources] def footerBlocks(file: Path, conf: Configuration): Seq[BlockInfo] = {
+  private[graft] def footerBlocks(file: Path, conf: Configuration): Seq[BlockInfo] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try reader.getRowGroups.asScala.toSeq.zipWithIndex.map { case (b, i) =>
       BlockInfo(i, b.getRowCount, b.getCompressedSize, rowGroupKeyRange(b))
@@ -217,7 +217,7 @@ object CellStoreSource {
   private[graft] val MetaFile = "_cellstore_meta.json"
   private val BucketFilePattern = """bucket-(\d+)-.*\.parquet""".r
 
-  private[sources] def bucketIdOf(fileName: String): Option[Int] = fileName match {
+  private[graft] def bucketIdOf(fileName: String): Option[Int] = fileName match {
     case BucketFilePattern(b) => Some(b.toInt)
     case _                    => None
   }

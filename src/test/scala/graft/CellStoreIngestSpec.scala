@@ -53,6 +53,46 @@ class CellStoreIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_.getString(0)).toSeq == Seq("bbb"))
   }
 
+  test("capstone: events stream -> sessionize -> cells -> salted store, GET-able") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize
+    val input = MemoryStream[Sessionize.Event]
+    val base = java.nio.file.Files.createTempDirectory("graft_capstone").toString
+    val dir = s"$base/sessions_store"
+
+    // closed sessions stream out of the stateful operator, become cells
+    // keyed by user, and append into a salted store — all one query
+    val sessions = Sessionize.sessions(input.toDS(), gapMinutes = 30,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val cells = CellTable.toCells(
+      sessions.toDF().withColumnRenamed("user_id", "uid"),
+      keyCols = Seq("uid"), family = "sessions", ts = col("session_start_ms"))
+    val q = CellStoreIngest.start(cells, dir, buckets = 4, checkpoint = s"$base/ckpt")
+    try {
+      def ev(u: Long, tMin: Long) =
+        Sessionize.Event(u, tMin * 60000L, "view", 1.0)
+      // user 7: one session closed by a later >gap event; user 8 stays open
+      input.addData(ev(7L, 0), ev(7L, 10), ev(8L, 5))
+      q.processAllAvailable()
+      input.addData(ev(7L, 120)) // closes the first session of user 7
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val store = spark.read.format("cellstore").load(dir)
+    // exactly one closed session landed: user 7, [0, 10] minutes, 2 events
+    val get = store.filter(col("rowKey") ===
+      lit(java.nio.ByteBuffer.allocate(8).putLong(7L).array()))
+    assert(get.rdd.getNumPartitions == 1) // salted GET pruning on derived data
+    val byQual = get.collect().map(r =>
+      new String(r.getAs[Array[Byte]]("qualifier")) ->
+        new String(r.getAs[Array[Byte]]("value"))).toMap
+    assert(byQual("n_events") == "2")
+    assert(byQual("session_end_ms") == (10L * 60000L).toString)
+    assert(store.filter(col("rowKey") ===
+      lit(java.nio.ByteBuffer.allocate(8).putLong(8L).array())).count() == 0)
+  }
+
   test("tailing a store as a stream emits only newly committed files per batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_tail").toString
     val dir = s"$base/store"

@@ -29,6 +29,23 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSource.rdd.getNumPartitions == 8)
   }
 
+  test("store stats describe files from footers only; summary reads the layout") {
+    val cells = CellTable.fromTable(spark, sf001, "customer")
+    val stats = graft.operators.StoreStats.describe(spark, storePath).collect()
+    assert(stats.length == 8)
+    assert(stats.map(_.getAs[Long]("rows")).sum == cells.count())
+    assert(stats.forall(r => !r.isNullAt(r.fieldIndex("minKey"))))
+    val sum = graft.operators.StoreStats.summary(spark, storePath).collect().head
+    assert(sum.getAs[String]("layout") == "range" && sum.getAs[Long]("files") == 8L)
+
+    val saltedDir = java.nio.file.Files.createTempDirectory("stats_salt").toString + "/s"
+    cells.write.format("cellstore").option("buckets", "4").mode("overwrite").save(saltedDir)
+    val ssum = graft.operators.StoreStats.summary(spark, saltedDir).collect().head
+    assert(ssum.getAs[String]("layout") == "salted" && ssum.getAs[Int]("buckets") == 4)
+    val sstats = graft.operators.StoreStats.describe(spark, saltedDir).collect()
+    assert(sstats.forall(r => !r.isNullAt(r.fieldIndex("bucket"))))
+  }
+
   test("limit pushdown: readers stop early, results stay correct") {
     val limited = store.limit(3)
     val plan = limited.queryExecution.executedPlan.toString
