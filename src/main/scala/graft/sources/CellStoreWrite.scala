@@ -4,13 +4,6 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.ParquetFileWriter
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
-import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{MessageType, Types}
-import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
-import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT64}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -38,18 +31,6 @@ import org.apache.spark.sql.types.StructType
  * first removes the previous region files), then drops the temp dir.
  * Uncommitted attempt files die with the temp dir on abort.
  */
-object CellStoreWrite {
-  /** Parquet schema mirroring [[CellStoreSource.Schema]]. */
-  val ParquetSchema: MessageType = Types.buildMessage()
-    .required(BINARY).named("rowKey")
-    .optional(BINARY).as(stringType()).named("family")
-    .optional(BINARY).named("qualifier")
-    .optional(INT64).named("ts")
-    .optional(BINARY).as(stringType()).named("cellType")
-    .optional(BINARY).named("value")
-    .named("cell")
-}
-
 class CellStoreWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite {
   private var truncateFirst = false
@@ -169,16 +150,15 @@ class CellStoreWriterFactory(tmpDir: String, schema: StructType, salted: Boolean
     new CellStoreDataWriter(tmpDir, schema, partitionId, taskId, salted)
 }
 
-/** Streams sorted rows of one region slice into one parquet file via the
-  * parquet example (`Group`) writer. Opens lazily so empty partitions
-  * commit nothing. */
+/** Streams sorted `InternalRow`s of one region/bucket slice straight into
+  * one parquet file via Spark's own `ParquetWriteSupport` (no per-field
+  * Group materialization — the write-side twin of the vectorized reader).
+  * Opens lazily so empty partitions commit nothing. */
 class CellStoreDataWriter(tmpDir: String, schema: StructType,
                           partitionId: Int, taskId: Long, salted: Boolean)
     extends DataWriter[InternalRow] {
 
-  private val idx: Map[String, Int] =
-    schema.fieldNames.zipWithIndex.toMap
-  require(CellStoreSource.Schema.fieldNames.forall(idx.contains),
+  require(CellStoreSource.Schema.fieldNames.forall(schema.fieldNames.contains),
     s"cellstore write needs the full cell schema, got ${schema.fieldNames.mkString(",")}")
 
   // the UUID makes the name unique ACROSS applications: taskIds restart at 0
@@ -192,35 +172,15 @@ class CellStoreDataWriter(tmpDir: String, schema: StructType,
       f"$tmpDir/bucket-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}%s.parquet"
     else
       f"$tmpDir/part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}%s.parquet"
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = _
-  private val groups = new SimpleGroupFactory(CellStoreWrite.ParquetSchema)
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var wrote = false
 
-  private def open(): Unit = if (writer == null) {
-    writer = ExampleParquetWriter.builder(new Path(file))
-      .withConf(new Configuration())
-      .withType(CellStoreWrite.ParquetSchema)
-      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
-      .build()
-  }
-
   override def write(row: InternalRow): Unit = {
-    open()
+    if (writer == null)
+      writer = org.apache.spark.sql.execution.datasources.parquet
+        .GraftRowParquetWriter.open(file, schema)
     wrote = true
-    val g = groups.newGroup()
-    def bin(name: String): Unit = {
-      val i = idx(name)
-      if (!row.isNullAt(i)) g.add(name, Binary.fromConstantByteArray(row.getBinary(i)))
-    }
-    def str(name: String): Unit = {
-      val i = idx(name)
-      if (!row.isNullAt(i)) g.add(name, row.getUTF8String(i).toString)
-    }
-    bin("rowKey"); str("family"); bin("qualifier")
-    val tsI = idx("ts")
-    if (!row.isNullAt(tsI)) g.add("ts", row.getLong(tsI))
-    str("cellType"); bin("value")
-    writer.write(g)
+    writer.write(row)
   }
 
   override def commit(): WriterCommitMessage = {

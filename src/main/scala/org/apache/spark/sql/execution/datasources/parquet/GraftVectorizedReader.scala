@@ -68,3 +68,42 @@ object GraftVectorizedReader {
     override def close(): Unit = reader.close()
   }
 }
+
+/**
+ * Write-side twin of [[GraftVectorizedReader]]: a parquet writer that takes
+ * Spark `InternalRow`s straight through Spark's own `ParquetWriteSupport` —
+ * no per-field example-`Group` materialization, the same converter the
+ * built-in parquet sink uses. The store's writers stream their sorted
+ * slices through this.
+ */
+object GraftRowParquetWriter {
+
+  def open(
+      file: String,
+      schema: StructType): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // the keys ParquetWriteSupport.init + SparkToParquetSchemaConverter
+    // require (Spark's own write path copies them from the session conf;
+    // here the values are pinned — the cell schema has no datetime or
+    // field-id columns, so these choices are inert)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    new RowWriterBuilder(new org.apache.hadoop.fs.Path(file))
+      .withConf(conf)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+  }
+
+  private class RowWriterBuilder(path: org.apache.hadoop.fs.Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new ParquetWriteSupport()
+  }
+}
