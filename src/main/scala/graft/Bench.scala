@@ -39,23 +39,32 @@ object Bench {
       }
       (name, times)
     }
+    // 3-decimal rounding keeps the stdout JSON line well under the driver's
+    // tail-capture buffer (full-precision doubles + per-run arrays overflowed
+    // it in round 3 and the line went unparsed)
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = timed.map { case (name, times) =>
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     // every pass's wall time, so a min that hides a host stall is auditable
-    // (a 8 s pass next to a 1 s pass = environmental, not the plan)
+    // (a 8 s pass next to a 1 s pass = environmental, not the plan) — written
+    // to a sidecar file, NOT stdout, to keep the contract line short
     val runsJson = timed.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_runs.json"),
+      s"""{"sf":"$sfDir","runs":$runsJson}""".getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] sidecar write failed: $e") }
     // a query whose every pass failed reports -1.0 per-query but is EXCLUDED
     // from the total (a negative contribution would make failures look fast);
     // the failed list makes the condition unmissable in the JSON line
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
