@@ -26,7 +26,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a
+    // subset; unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val timed = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -43,8 +49,12 @@ object Bench {
     // tail-capture buffer (full-precision doubles + per-run arrays overflowed
     // it in round 3 and the line went unparsed)
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // round BEFORE aggregating so the printed total is exactly the sum of
+    // the printed per-query values (independent rounding drifted by up to
+    // 0.0005 s per query and tripped strict consistency checks)
+    def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
     val results = timed.map { case (name, times) =>
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (if (times.nonEmpty) r3(times.min) else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -54,8 +64,12 @@ object Bench {
     val runsJson = timed.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // sidecar path is env-anchorable so it doesn't land in whatever CWD the
+    // driver happens to use; default stays "bench_runs.json" for the
+    // existing driver contract
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_FILE", "bench_runs.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_runs.json"),
+      java.nio.file.Paths.get(sidecar),
       s"""{"sf":"$sfDir","runs":$runsJson}""".getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] sidecar write failed: $e") }
     // a query whose every pass failed reports -1.0 per-query but is EXCLUDED

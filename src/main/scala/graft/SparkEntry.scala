@@ -62,9 +62,13 @@ object SparkEntry {
     * being measured (the scan/join is); rebuilding an identical store per
     * pass also made q_store_* dominate BENCH_r03 on a stalling host. */
   private val builtStores =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Marks the dir built only AFTER the build succeeds (a throw leaves no
+    * mapping, so the next caller retries instead of reading a partial
+    * store), and `computeIfAbsent`'s per-key lock makes concurrent callers
+    * block until the winning build completes rather than racing past it. */
   private def buildOnce(dir: String)(build: => Unit): Unit =
-    if (builtStores.add(dir)) build
+    builtStores.computeIfAbsent(dir, _ => { build; java.lang.Boolean.TRUE })
 
   private def storeScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = s"/tmp/graft_cellstore_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"

@@ -188,12 +188,22 @@ object Dedup {
    * pseudo-random hyperplanes, derived deterministically from a seed) buckets
    * vectors; cosine verification inside buckets. Only buckets shuffle —
    * never the O(n²) pair space.
+   *
+   * Same bucket-skew guard as [[minhashLsh]]: a bucket over `maxBucket`
+   * (mass-identical embeddings — exactly the shape a crawled corpus has)
+   * switches from the all-pairs self-join to STAR pairing against the
+   * bucket's min vec_id, O(size) candidates instead of O(size²). Star-routed
+   * rows are counted in the `embed_skew` observe metric. Each vector lands
+   * in exactly ONE bucket (unlike minhash's bands), so small-path and
+   * star-path pair sets are disjoint — no distinct needed.
    */
   def embeddingNearDup(
       embeddings: DataFrame,
       planes: Int = 12,
       seed: Long = 42L,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket > 1, "maxBucket must exceed 1")
     val hyperplanes: Seq[Seq[Float]] = Similarity.hyperplanes(planes, 64, seed)
 
     val bucketBits = hyperplanes.zipWithIndex.map { case (p, i) =>
@@ -201,15 +211,144 @@ object Dedup {
         .otherwise(0L)
     }.reduce(_ + _)
 
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket")
     val bucketed = embeddings
       .select(col("vec_id"), col("embedding"), bucketBits.as("bucket"))
-    val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("vec_id")).over(w))
+      .observe("embed_skew",
+        count(when(col("bsz") > maxBucket, 1)).as("star_routed_rows"))
+
+    val small = bucketed.filter(col("bsz") <= maxBucket)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val a = small.alias("a")
+    val b = small.alias("b")
+    val smallPairs = a
+      .join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         VectorFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+
+    // Star path re-joins the embeddings for the cosine verify (the window
+    // carries only ids); every emitted edge is still scored exactly.
+    val starPairs = bucketed
+      .filter(col("bsz") > maxBucket && col("vec_id") =!= col("bmin"))
+      .select(col("bmin").as("vec_a"), col("vec_id").as("vec_b"))
+    val embA = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val embB = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val starScored = starPairs.join(embA, "vec_a").join(embB, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        VectorFunctions.cosine_sim(col("emb_a"), col("emb_b")).as("cosine"))
+
+    smallPairs.unionByName(starScored).filter(col("cosine") >= threshold)
+  }
+
+  /** Hyperplane count sized to the corpus: targets `targetBucket` expected
+    * vectors per bucket (planes = ⌈log₂(n / targetBucket)⌉, clamped to
+    * [4, 24]) so bucket population stays roughly constant as the corpus
+    * scales — the fixed-`planes` failure mode is 16 buckets over 10⁹
+    * vectors. One count() job; at 100 TB feed a known corpus size. */
+  def planesFor(n: Long, targetBucket: Int = 256): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
+  /**
+   * Connected components over an undirected edge list via alternating
+   * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected Components
+   * in MapReduce and Beyond", SoCC'14) — the web-scale CC algorithm:
+   * rounds are bounded O(log² n) regardless of component DIAMETER (min-label
+   * propagation needs diameter rounds, fatal on a long duplicate chain),
+   * and each round is two groupBy+join passes over (node, node) pairs only.
+   *
+   *  - large-star(u): every neighbor v > u re-points to min(Γ(u) ∪ {u})
+   *  - small-star(u): orient edges high→low; every low neighbor and u
+   *    itself re-point to the minimum low neighbor
+   *
+   * At the fixpoint the edge set IS the answer: one (member, componentMin)
+   * star edge per non-root member.
+   *
+   * Driver-loop hygiene (each was a measured defect in the naive loop):
+   *  - `localCheckpoint(eager)` every round truncates lineage — otherwise
+   *    Catalyst re-analyzes a plan that grows per round (single-JVM; on a
+   *    real cluster use `checkpoint` to reliable storage instead);
+   *  - convergence = (count, xxhash64 checksum) of the canonical edge set,
+   *    computed in ONE tiny job over the just-checkpointed blocks — no
+   *    separate full-recompute probe per round. Star rounds only ever
+   *    shrink-or-repoint edges, so an unchanged (count, checksum) pair is
+   *    the fixpoint.
+   *
+   * @param edges two-column DataFrame of undirected edges (src, dst names
+   *              arbitrary); self-loops ignored
+   * @return (node, component) rows, component = min node id in the component
+   */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val Seq(sc, dc) = edges.columns.toSeq.map(col)
+    val canonical0 = edges
+      .select(least(sc, dc).as("src"), greatest(sc, dc).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    // large-star: symmetrize, m = min over each neighborhood incl. self,
+    // re-point strictly larger neighbors at m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // small-star: orient high→low, re-point every low neighbor AND the
+    // high node itself at the minimum low neighbor.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = dir.groupBy("src").agg(min(col("dst")).as("m"))
+      val lows = dir.join(mins, "src")
+        .select(col("dst").as("node"), col("m"))
+      val highs = mins.select(col("src").as("node"), col("m"))
+      lows.unionByName(highs)
+        .filter(col("node") =!= col("m"))
+        .select(greatest(col("node"), col("m")).as("src"),
+          least(col("node"), col("m")).as("dst"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = e.agg(
+        count(lit(1)).as("cnt"),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("sum")).collect()(0)
+      (row.getLong(0), row.getDecimal(1))
+    }
+
+    var cur = canonical0.localCheckpoint(true)
+    var (prevCnt, prevSum) = checksum(cur)
+    var converged = prevCnt == 0
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val (cnt, sm) = checksum(next)
+      converged = cnt == prevCnt && sm.compareTo(prevSum) == 0
+      prevCnt = cnt; prevSum = sm
+      cur = next
+      i += 1
+    }
+    // nodes that survive only as roots (never a src at the fixpoint) label
+    // themselves; everyone else reads the star edge.
+    val nodes = canonical0
+      .select(col("src").as("node"))
+      .unionByName(canonical0.select(col("dst").as("node")))
+      .distinct()
+    val out = nodes
+      .join(cur.select(col("src").as("node"), col("dst").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    out
   }
 
   /**
@@ -218,54 +357,17 @@ object Dedup {
    * step a training pipeline actually consumes ("keep one doc per duplicate
    * cluster"); pairwise edges alone under-delete transitive duplicates
    * (a~b, b~c but a≁c must still collapse to ONE survivor).
-   *
-   * Min-label propagation as DataFrame iterations: each round every node
-   * takes the min label among itself and its neighbors — one equi-join +
-   * one groupBy per round, converging in graph-diameter rounds (near-dup
-   * components are shallow in practice; `maxIters` bounds pathology — at
-   * web scale swap in large-star/small-star, same join-shaped rounds).
-   * Only (node, label) pairs ever shuffle, never documents.
+   * CC itself is [[connectedComponents]] (large-star/small-star).
    */
   def nearDupClusters(
       docs: DataFrame,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 30): DataFrame = {
     val pairs = minhashLsh(docs, shingleN = shingleN, threshold = threshold)
       .select(col("doc_a"), col("doc_b"))
-    val sym = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    try {
-      var labels = sym.select(col("doc_a").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .cache()
-      // Convergence signal: labels only ever DECREASE under min-propagation,
-      // so the label sum strictly decreases until the fixpoint — one cheap
-      // aggregate over the cached frame instead of a join-diff per round.
-      // (Decimal sum: immune to long overflow at any node count.)
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-          .getDecimal(0)
-      var prevSum = labelSum(labels)
-      var converged = false
-      var i = 0
-      while (!converged && i < maxIters) {
-        val viaNeighbors = sym
-          .join(labels, sym("doc_a") === labels("node"))
-          .select(sym("doc_b").as("node"), col("label"))
-        val next = labels.select("node", "label").unionByName(viaNeighbors)
-          .groupBy("node").agg(min("label").as("label"))
-          .cache()
-        val newSum = labelSum(next)
-        labels.unpersist()
-        labels = next
-        converged = newSum.compareTo(prevSum) == 0
-        prevSum = newSum
-        i += 1
-      }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-    } finally sym.unpersist()
+    connectedComponents(pairs, maxIters)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
   // Query-pack adapters --------------------------------------------------

@@ -170,9 +170,11 @@ object Relational {
   /**
    * Multi-way join + aggregate (TPC-H Q5 flavor): revenue by nation.
    * Join order: lineitem (fact) ⨝ orders on orderkey is the only large
-   * shuffle; customer and nation are broadcast so the remaining joins are
-   * map-side. At 1000 executors the orderkey shuffle is the sole network
-   * phase and AQE handles skew.
+   * shuffle. `nation` is fixed-size (25 rows) so the hint is always right;
+   * `customer` GROWS with scale factor, so its join strategy is left to
+   * AQE's runtime size check — a forced hint would OOM the build side at
+   * 100 TB (same reasoning as probeJoin). At sf0.1 AQE still picks
+   * broadcast for it, so the local plan is unchanged.
    */
   def joinAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
@@ -181,7 +183,7 @@ object Relational {
     val cust = Tables.load(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
     val nat = Tables.load(spark, sfDir, "nation").select("n_nationkey", "n_name")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(

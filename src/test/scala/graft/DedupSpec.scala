@@ -131,4 +131,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
     } finally pairs.unpersist()
   }
+
+  test("embedding bucket-skew guard: 10k identical vectors stay linear (star pairing)") {
+    // every vector lands in the SAME hyperplane bucket; all-pairs would be
+    // ~5*10^7 candidates — the star path emits exactly 9999, all cosine 1.0
+    val vec = Seq.tabulate(64)(i => 0.1f * ((i % 7) + 1))
+    val emb = spark.range(10000).select(
+      col("id").as("vec_id"), typedlit(vec).as("embedding"))
+    val pairs = Dedup.embeddingNearDup(emb, maxBucket = 256, threshold = 0.95).cache()
+    try {
+      assert(pairs.count() == 9999)
+      assert(pairs.filter(col("vec_a") =!= 0L).count() == 0) // star center = min id
+      assert(pairs.filter(abs(col("cosine") - 1.0) > 1e-6).count() == 0)
+    } finally pairs.unpersist()
+  }
+
+  test("planesFor keeps expected bucket population constant across corpus scale") {
+    assert(Dedup.planesFor(1000L) == 4)             // floor
+    assert(Dedup.planesFor(1000000L, 256) == 12)    // 2^12 buckets of ~256
+    assert(Dedup.planesFor(1000000000000L) == 24)   // ceiling
+    assert(Dedup.planesFor(0L) == 4)
+  }
+
+  test("connectedComponents: long chain collapses in bounded star rounds") {
+    // a 500-node path graph has diameter 499 — min-label propagation needs
+    // ~500 rounds; large-star/small-star must finish inside maxIters=30
+    val chain = spark.range(499)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val twoMore = Seq((1000L, 1001L), (1001L, 1002L), (2000L, 2001L))
+      .toDF("src", "dst")
+    val cc = Dedup.connectedComponents(chain.unionByName(twoMore), maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 500 + 3 + 2)
+    assert((0L to 499L).forall(cc(_) == 0L))
+    assert(cc(1000L) == 1000L && cc(1001L) == 1000L && cc(1002L) == 1000L)
+    assert(cc(2000L) == 2000L && cc(2001L) == 2000L)
+  }
+
+  test("connectedComponents: duplicate/reversed/self edges are canonicalized") {
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 3L), (3L, 2L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
