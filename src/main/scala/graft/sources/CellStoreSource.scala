@@ -41,7 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
  *    contract is unchanged.)
  *  - **Row-group skipping.** Inside a selected region the reader consults
  *    per-row-group statistics and skips groups outside the key range —
- *    the HFile-block-index analogue.
+ *    the HFile-block-index analogue. The same statistics sweep prunes on
+ *    the OTHER cell dimensions: `ts` bounds (the `Scan.setTimeRange`
+ *    analogue of the reference's version dimension, `CopyRow.java:133`)
+ *    and `family` membership (`CorruptRowsMR.java:80-86` restricts scans
+ *    to named families) — a time-windowed or single-family scan of a
+ *    time-ordered store reads only the row groups that can match.
  *  - **Column pruning (F2/S3).** `SupportsPushDownRequiredColumns` narrows
  *    the parquet read to the requested columns at the IO level
  *    (`setRequestedSchema`) — a key-only scan reads no value bytes, the
@@ -97,7 +102,41 @@ object CellStoreSource {
 
   private[sources] val FullRange = KeyRange(None, None)
 
-  /** Is this a rowKey range predicate the scan can use for pruning? */
+  /** Version/time interval from pushed `ts` predicates — the columnar
+    * analogue of `Scan.setTimeRange` (the reference's version dimension,
+    * `CopyRow.java:133`): row groups whose ts [min,max] misses the interval
+    * are skipped without page IO. */
+  private[sources] final case class TsRange(
+      lower: Option[(Long, Boolean)],   // (bound, inclusive)
+      upper: Option[(Long, Boolean)]) {
+    def isFull: Boolean = lower.isEmpty && upper.isEmpty
+    /** Does [min,max] (both inclusive, from stats) intersect this range? */
+    def overlaps(min: Long, max: Long): Boolean = {
+      val aboveLower = lower.forall { case (l, incl) =>
+        if (incl) max >= l else max > l }
+      val belowUpper = upper.forall { case (u, incl) =>
+        if (incl) min <= u else min < u }
+      aboveLower && belowUpper
+    }
+  }
+
+  private[sources] val FullTsRange = TsRange(None, None)
+
+  /** Long-valued literal as pushed for a LongType column. */
+  private object TsLong {
+    def unapply(v: Any): Option[Long] = v match {
+      case l: java.lang.Long    => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short   => Some(s.toLong)
+      case _                    => None
+    }
+  }
+
+  /** Is this a predicate the scan can use for region/row-group pruning?
+    * rowKey bounds prune regions AND row groups; ts bounds and family
+    * membership prune row groups via column statistics (the
+    * setTimeRange / family-skip analogue — `CorruptRowsMR.java:80-86`
+    * restricts scans to named families the same way). */
   private[sources] def prunable(f: Filter): Boolean = f match {
     case EqualTo("rowKey", _: Array[Byte])            => true
     case GreaterThan("rowKey", _: Array[Byte])        => true
@@ -106,8 +145,18 @@ object CellStoreSource {
     case LessThanOrEqual("rowKey", _: Array[Byte])    => true
     case In("rowKey", vs) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]])
-    // one prunable side is enough: `tighten` skips conjuncts it does not
-    // understand, so a pushed And(rowKey bound, other predicate) still
+    case EqualTo("ts", TsLong(_))                     => true
+    case GreaterThan("ts", TsLong(_))                 => true
+    case GreaterThanOrEqual("ts", TsLong(_))          => true
+    case LessThan("ts", TsLong(_))                    => true
+    case LessThanOrEqual("ts", TsLong(_))             => true
+    case In("ts", vs) =>
+      vs.nonEmpty && vs.forall(TsLong.unapply(_).isDefined)
+    case EqualTo("family", _: String)                 => true
+    case In("family", vs) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+    // one prunable side is enough: the bound folds skip conjuncts they do
+    // not understand, so a pushed And(rowKey bound, other predicate) still
     // yields its region/row-group pruning (residuals keep correctness)
     case And(l, r)                                    => prunable(l) || prunable(r)
     case _                                            => false
@@ -116,6 +165,83 @@ object CellStoreSource {
   /** Fold pushed filters into one conjunctive key range. */
   private[sources] def rangeOf(filters: Seq[Filter]): KeyRange =
     filters.foldLeft(FullRange)(tighten)
+
+  /** Fold pushed filters into one conjunctive ts interval. */
+  private[sources] def tsRangeOf(filters: Seq[Filter]): TsRange =
+    filters.foldLeft(FullTsRange)(tightenTs)
+
+  private def tightenTs(r: TsRange, f: Filter): TsRange = f match {
+    case EqualTo("ts", TsLong(v)) =>
+      tightenTs(tightenTs(r, GreaterThanOrEqual("ts", v)), LessThanOrEqual("ts", v))
+    case GreaterThan("ts", TsLong(v)) =>
+      TsRange(maxLowerTs(r.lower, v, incl = false), r.upper)
+    case GreaterThanOrEqual("ts", TsLong(v)) =>
+      TsRange(maxLowerTs(r.lower, v, incl = true), r.upper)
+    case LessThan("ts", TsLong(v)) =>
+      TsRange(r.lower, minUpperTs(r.upper, v, incl = false))
+    case LessThanOrEqual("ts", TsLong(v)) =>
+      TsRange(r.lower, minUpperTs(r.upper, v, incl = true))
+    // an IN tightens to its [min, max] envelope (correct superset; exact
+    // membership is re-checked by the residual filter)
+    case In("ts", vs) if vs.nonEmpty && vs.forall(TsLong.unapply(_).isDefined) =>
+      val ls = vs.toSeq.map(TsLong.unapply(_).get)
+      tightenTs(tightenTs(r, GreaterThanOrEqual("ts", ls.min)), LessThanOrEqual("ts", ls.max))
+    case And(l, rr) => tightenTs(tightenTs(r, l), rr)
+    case _          => r
+  }
+
+  private def maxLowerTs(cur: Option[(Long, Boolean)], v: Long,
+                         incl: Boolean): Option[(Long, Boolean)] = cur match {
+    case Some((b, bi)) => if (v > b || (v == b && !incl)) Some((v, incl)) else Some((b, bi))
+    case None          => Some((v, incl))
+  }
+
+  private def minUpperTs(cur: Option[(Long, Boolean)], v: Long,
+                         incl: Boolean): Option[(Long, Boolean)] = cur match {
+    case Some((b, bi)) => if (v < b || (v == b && !incl)) Some((v, incl)) else Some((b, bi))
+    case None          => Some((v, incl))
+  }
+
+  /** The family set a conjunction of filters pins `family` to, if any
+    * (EqualTo / In contribute sets, conjuncts intersect). None = not
+    * family-constrained. */
+  private[sources] def familiesOf(filters: Seq[Filter]): Option[Set[String]] = {
+    def setsOf(f: Filter): Seq[Set[String]] = f match {
+      case EqualTo("family", s: String) => Seq(Set(s))
+      case In("family", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Seq(vs.map(_.asInstanceOf[String]).toSet)
+      case And(l, r) => setsOf(l) ++ setsOf(r)
+      case _         => Nil
+    }
+    val sets = filters.flatMap(setsOf)
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** All pruning dimensions of a pushed-filter conjunction, applied to a
+    * row group's footer statistics. Missing stats on a dimension keep the
+    * group (pruning is pure IO elision; residuals keep correctness). */
+  private[graft] final case class ScanBounds(
+      key: KeyRange, ts: TsRange, families: Option[Set[String]]) {
+    def keep(info: BlockInfo): Boolean = {
+      val famHit = (families, info.famRange) match {
+        case (Some(fs), Some((mn, mx))) =>
+          fs.exists { f =>
+            val b = f.getBytes("UTF-8")
+            cmp(b, mn) >= 0 && cmp(b, mx) <= 0
+          }
+        case _ => true
+      }
+      info.keyRange.forall { case (mn, mx) => key.overlaps(mn, mx) } &&
+        info.tsRange.forall { case (mn, mx) => ts.overlaps(mn, mx) } &&
+        famHit
+    }
+    def keep(block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
+      keep(BlockInfo(0, 0L, 0L, rowGroupKeyRange(block),
+        rowGroupTsRange(block), rowGroupFamRange(block)))
+  }
+
+  private[graft] def boundsOf(filters: Seq[Filter]): ScanBounds =
+    ScanBounds(rangeOf(filters), tsRangeOf(filters), familiesOf(filters))
 
   private def tighten(r: KeyRange, f: Filter): KeyRange = f match {
     case EqualTo("rowKey", v: Array[Byte]) =>
@@ -175,13 +301,16 @@ object CellStoreSource {
   /** One row group's footer metadata. */
   private[graft] final case class BlockInfo(
       index: Int, rows: Long, compressedBytes: Long,
-      keyRange: Option[(Array[Byte], Array[Byte])])
+      keyRange: Option[(Array[Byte], Array[Byte])],
+      tsRange: Option[(Long, Long)] = None,
+      famRange: Option[(Array[Byte], Array[Byte])] = None)
 
   /** All row groups of a file, footer metadata only. */
   private[graft] def footerBlocks(file: Path, conf: Configuration): Seq[BlockInfo] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try reader.getRowGroups.asScala.toSeq.zipWithIndex.map { case (b, i) =>
-      BlockInfo(i, b.getRowCount, b.getCompressedSize, rowGroupKeyRange(b))
+      BlockInfo(i, b.getRowCount, b.getCompressedSize, rowGroupKeyRange(b),
+        rowGroupTsRange(b), rowGroupFamRange(b))
     } finally reader.close()
   }
 
@@ -201,15 +330,34 @@ object CellStoreSource {
     } finally reader.close()
   }
 
+  private def colStats(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      name: String): Option[org.apache.parquet.column.statistics.Statistics[_]] =
+    block.getColumns.asScala
+      .find(_.getPath.toDotString == name)
+      .flatMap(c => Option(c.getStatistics).filter(_.hasNonNullValue))
+
   private[sources] def rowGroupKeyRange(
       block: org.apache.parquet.hadoop.metadata.BlockMetaData): Option[(Array[Byte], Array[Byte])] =
-    block.getColumns.asScala
-      .find(_.getPath.toDotString == "rowKey")
-      .flatMap { c =>
-        val st = c.getStatistics
-        if (st == null || !st.hasNonNullValue) None
-        else Some((st.getMinBytes, st.getMaxBytes))
-      }
+    colStats(block, "rowKey").map(st => (st.getMinBytes, st.getMaxBytes))
+
+  /** ts column [min,max] of one row group (INT64 statistics). */
+  private[sources] def rowGroupTsRange(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData): Option[(Long, Long)] =
+    colStats(block, "ts").collect {
+      case st: org.apache.parquet.column.statistics.LongStatistics =>
+        (st.getMin, st.getMax)
+    }
+
+  /** family column [min,max] bytes of one row group. UTF-8 byte order is
+    * code-point order, and parquet UTF8/BINARY stats are byte-ordered, so
+    * unsigned byte comparison against these bounds is exact. */
+  private[sources] def rowGroupFamRange(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData): Option[(Array[Byte], Array[Byte])] =
+    colStats(block, "family").collect {
+      case st: org.apache.parquet.column.statistics.BinaryStatistics =>
+        (st.getMinBytes, st.getMaxBytes)
+    }
 
   // Salted-layout manifest -------------------------------------------------
 
@@ -442,7 +590,7 @@ class CellStoreScan(path: String, buckets: Option[Int],
   }
 
   private def plan(): Array[InputPartition] = {
-    val range = CellStoreSource.rangeOf(allFilters)
+    val bounds = CellStoreSource.boundsOf(allFilters)
     val conf = new Configuration()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -488,7 +636,7 @@ class CellStoreScan(path: String, buckets: Option[Int],
           val blocks = CellStoreSource.footerBlocks(st.getPath, conf)
           val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Boolean)]
           blocks.foreach { b =>
-            val hit = b.keyRange.forall { case (mn, mx) => range.overlaps(mn, mx) }
+            val hit = bounds.keep(b)
             chunks.lastOption match {
               case Some((lo, hi, bytes, anyHit))
                   if hi == b.index && bytes + b.compressedBytes <= splitBytes =>
@@ -633,7 +781,7 @@ class CellStoreReaderFactory(required: StructType, pushed: Array[Filter],
     * which Spark's vectorized parquet reader does not model. */
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CellStoreFilesReader(chunksOf(partition), required,
-      CellStoreSource.rangeOf(pushed.toSeq), limit)
+      CellStoreSource.boundsOf(pushed.toSeq), limit)
 
   /** Columnar path: Spark's vectorized parquet decoder fed by the store's
     * row-group skip — page decode straight into ColumnarBatch, no per-row
@@ -643,14 +791,14 @@ class CellStoreReaderFactory(required: StructType, pushed: Array[Filter],
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new CellStoreColumnarReader(chunksOf(partition), required,
-      CellStoreSource.rangeOf(pushed.toSeq), limit)
+      CellStoreSource.boundsOf(pushed.toSeq), limit)
 }
 
 /** Sequential vectorized reader over a partition's chunks (usually one). */
 class CellStoreColumnarReader(
     chunks: Seq[CellChunk],
     required: StructType,
-    range: CellStoreSource.KeyRange,
+    bounds: CellStoreSource.ScanBounds,
     limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedReader, VectorizedParquetRecordReader}
@@ -660,11 +808,7 @@ class CellStoreColumnarReader(
 
   private def keep(chunk: CellChunk)(
       idx: Int, block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
-    idx >= chunk.groupLo && idx < chunk.groupHi &&
-      (CellStoreSource.rowGroupKeyRange(block) match {
-        case Some((min, max)) => range.overlaps(min, max)
-        case None             => true
-      })
+    idx >= chunk.groupLo && idx < chunk.groupHi && bounds.keep(block)
 
   private var emitted = 0L
 
@@ -692,7 +836,7 @@ class CellStoreColumnarReader(
 class CellStoreFilesReader(
     chunks: Seq[CellChunk],
     required: StructType,
-    range: CellStoreSource.KeyRange,
+    bounds: CellStoreSource.ScanBounds,
     limit: Option[Int] = None) extends PartitionReader[InternalRow] {
   private val it = chunks.iterator
   private var cur: CellStorePartitionReader = _
@@ -703,7 +847,7 @@ class CellStoreFilesReader(
     while (true) {
       if (cur == null) {
         if (!it.hasNext) return false
-        cur = new CellStorePartitionReader(it.next(), required, range)
+        cur = new CellStorePartitionReader(it.next(), required, bounds)
       }
       if (cur.next()) { emitted += 1; return true }
       cur.close()
@@ -725,7 +869,7 @@ class CellStoreFilesReader(
 class CellStorePartitionReader(
     chunk: CellChunk,
     required: StructType,
-    range: CellStoreSource.KeyRange) extends PartitionReader[InternalRow] {
+    bounds: CellStoreSource.ScanBounds) extends PartitionReader[InternalRow] {
 
   private val reader =
     ParquetFileReader.open(HadoopInputFile.fromPath(new Path(chunk.file), new Configuration()))
@@ -747,10 +891,7 @@ class CellStorePartitionReader(
       val idx = blockIdx
       blockIdx += 1
       val inChunk = idx >= chunk.groupLo && idx < chunk.groupHi
-      val keep = inChunk && (CellStoreSource.rowGroupKeyRange(block) match {
-        case Some((min, max)) => range.overlaps(min, max)
-        case None             => true
-      })
+      val keep = inChunk && bounds.keep(block)
       if (!keep) {
         reader.skipNextRowGroup()
       } else {

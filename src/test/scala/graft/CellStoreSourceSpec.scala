@@ -185,6 +185,72 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(after.collect().forall(_.getAs[Array[Byte]]("rowKey").sameElements(key(7L))))
   }
 
+  /** A single-file store with many small row groups where ts (and family)
+    * correlate with the rowKey sort order — the time-ordered-ingest shape
+    * where version/time-range pruning actually bites. */
+  private def timeCorrelatedStore(famSplit: Boolean): String = {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_ts").toString
+    val k = CellTable.keyToLong(col("rowKey"))
+    var cells = CellTable.fromTable(spark, sf01, "customer")
+      .withColumn("ts", lit(CellTable.BaseTs) + k * 1000L)
+    if (famSplit)
+      cells = cells.withColumn("family",
+        when(k < 750L, "fam_a").otherwise("fam_b"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 16384)
+    try cells.coalesce(1)
+      .sortWithinPartitions("rowKey", "family", "qualifier", "ts")
+      .write.mode("overwrite").parquet(dir)
+    finally {
+      if (prevBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlock)
+    }
+    dir
+  }
+
+  test("ts-range pushdown skips row groups outside the time interval") {
+    val dir = timeCorrelatedStore(famSplit = false)
+    val full = spark.read.format("cellstore").option("splitBytes", "32768").load(dir)
+    val hi = CellTable.BaseTs + 100000L // keys <= 100 of 0..1499
+    val scan = full.filter(col("ts") <= lit(hi))
+    // the ts bound reaches the scan and prunes row-group chunks
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(ts"), s"expected pushed ts bound in:\n$plan")
+    assert(full.rdd.getNumPartitions > 1)
+    assert(scan.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      s"ts filter should prune chunks: ${scan.rdd.getNumPartitions} vs ${full.rdd.getNumPartitions}")
+    // and the result is exactly the plain parquet answer
+    val expected = spark.read.parquet(dir).filter(col("ts") <= lit(hi))
+    assert(scan.count() == expected.count() && scan.count() > 0)
+    assert(scan.exceptAll(expected).isEmpty && expected.exceptAll(scan).isEmpty)
+    // a ts interval before all data plans zero partitions
+    val none = full.filter(col("ts") < lit(CellTable.BaseTs))
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+  }
+
+  test("family pushdown skips row groups of other families") {
+    val dir = timeCorrelatedStore(famSplit = true)
+    val full = spark.read.format("cellstore").option("splitBytes", "32768").load(dir)
+    val scan = full.filter(col("family") === "fam_b")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(family,fam_b)"), s"expected pushed family in:\n$plan")
+    assert(scan.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      s"family filter should prune chunks: ${scan.rdd.getNumPartitions} vs ${full.rdd.getNumPartitions}")
+    val expected = spark.read.parquet(dir).filter(col("family") === "fam_b")
+    assert(scan.count() == expected.count() && scan.count() > 0)
+    // IN over families prunes too, and membership stays exact (residual)
+    val in = full.filter(col("family").isin("fam_a", "no_such"))
+    assert(in.count() == spark.read.parquet(dir).filter(col("family") === "fam_a").count())
+    assert(in.rdd.getNumPartitions < full.rdd.getNumPartitions)
+    // conjunction: ts AND family compose with rowKey pruning
+    val both = full.filter(col("family") === "fam_a" &&
+      col("ts") <= lit(CellTable.BaseTs + 100000L))
+    val bothExpected = spark.read.parquet(dir).filter(col("family") === "fam_a" &&
+      col("ts") <= lit(CellTable.BaseTs + 100000L))
+    assert(both.count() == bothExpected.count() && both.count() > 0)
+  }
+
   test("pushed filters stay as residuals: non-key predicates still apply") {
     val out = store
       .filter(col("rowKey") >= lit(key(0L)) && col("qualifier").cast("string") === "c_acctbal")
