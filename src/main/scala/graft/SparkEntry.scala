@@ -137,6 +137,30 @@ object SparkEntry {
         col("name"), col("segment"))
   }
 
+  /** Grouped-aggregate pushdown over the cell store: per-rowKey version
+    * count and ts bounds answered by the scan's run-length partial
+    * aggregation (CellStoreGroupByScan) — the store never decodes
+    * qualifier/value bytes. The store carries injected extra versions
+    * (keys ≡ 0 mod 10) so the aggregates are non-trivial. */
+  private def storeGroupByQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"/tmp/graft_cellstore_gb_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    buildOnce(dir) {
+      val base = CellTable.fromTable(spark, sfDir, "customer")
+      val versioned = CellTable.withExtraVersions(
+        base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
+      CellTable.writeRegionLayout(versioned, dir, numRegions = 8)
+    }
+    spark.read.format("cellstore").load(dir)
+      .groupBy("rowKey")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("n_cells"), col("min_ts"), col("max_ts"))
+  }
+
   /** CorruptRows pipeline over the cell table: negative account balance
     * poisons the row; output = the reference's (row_key, error) TSV record. */
   private def corruptScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -182,6 +206,7 @@ object SparkEntry {
     "q_corrupt_scan"   -> (corruptScanQuery _),
     "q_store_scan"     -> (storeScanQuery _),
     "q_store_join"     -> (storeJoinQuery _),
+    "q_store_groupby"  -> (storeGroupByQuery _),
     // LLM-pipeline extension tier
     "q_dedup_exact"    -> (Dedup.exactQuery _),
     "q_minhash_pairs"  -> (Dedup.minhashQuery _),
@@ -699,6 +724,15 @@ object SparkEntry {
           SELECT rk AS row_key, 'l_returnflag' AS qualifier,
                  CAST(1700000000000 AS BIGINT) AS ts, l_returnflag AS value FROM l
           UNION ALL SELECT rk, 'l_suppkey', 1700000000000, CAST(l_suppkey AS VARCHAR) FROM l""",
+    // per-key cell count and ts bounds: 4 cells per customer, ×3 versions
+    // (ts +1000, +2000) for keys ≡ 0 (mod 10) via withExtraVersions(n=2)
+    "q_store_groupby" ->
+      s"""SELECT ${rowKeySql("c_custkey")} AS row_key,
+                 CAST(CASE WHEN c_custkey % 10 = 0 THEN 12 ELSE 4 END AS BIGINT) AS n_cells,
+                 CAST(1700000000000 AS BIGINT) AS min_ts,
+                 CAST(CASE WHEN c_custkey % 10 = 0 THEN 1700000002000
+                      ELSE 1700000000000 END AS BIGINT) AS max_ts
+          FROM customer""",
     // both stores derive from customer, so the SPJ result is just customer
     "q_store_join" ->
       s"""SELECT ${rowKeySql("c_custkey")} AS row_key,

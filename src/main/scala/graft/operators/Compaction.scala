@@ -40,7 +40,9 @@ object Compaction {
     * the store's layout: a salted store is re-salted with its manifest's
     * bucket count (overwrite would otherwise silently fall back to range
     * layout and break storage-partitioned joins), a range store is
-    * re-ranged. */
+    * re-ranged. Full-store overwrite — requires exclusive access (no
+    * concurrent ingest or tail); [[compactStoreIncremental]] lifts both
+    * restrictions. */
   def compactStore(
       spark: SparkSession,
       path: String,
@@ -55,5 +57,45 @@ object Compaction {
       case Some(n) => out.option("buckets", n.toString).save(path)
       case None    => out.option("numRegions", numRegions.toString).save(path)
     }
+  }
+
+  /** Offset-aware compaction, safe under concurrent ingest and live tails:
+    *
+    *  1. Snapshot the committed file list (committed files are immutable).
+    *  2. Read EXACTLY those files (scan `files` option) and compact them.
+    *  3. Commit with `replaceFiles` = the snapshot: only the snapshot files
+    *     are deleted, so appends that landed mid-pass survive untouched —
+    *     the HBase minor-compaction discipline.
+    *  4. The commit records an inputs→outputs manifest; a live store tail
+    *     whose offset covers the inputs marks the outputs delivered instead
+    *     of replaying them ([[graft.sources.CellStoreMicroBatchStream]]).
+    *
+    * Returns the rewritten input file names (empty = nothing to compact).
+    */
+  def compactStoreIncremental(
+      spark: SparkSession,
+      path: String,
+      maxVersions: Int = 1,
+      ttlWatermark: Long = Long.MinValue,
+      numRegions: Int = 8): Seq[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    val inputs = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+      .map(_.getPath.getName).sorted.toSeq
+    if (inputs.isEmpty) return Nil
+    val buckets = graft.sources.CellStoreSource.readBuckets(dir, conf)
+    val snapshot = spark.read.format("cellstore")
+      .option("files", inputs.mkString(",")).load(path)
+    val out = survivors(snapshot, maxVersions, ttlWatermark)
+      .write.format("cellstore").mode("append")
+      .option("replaceFiles", inputs.mkString(","))
+    buckets match {
+      case Some(n) => out.option("buckets", n.toString).save(path)
+      case None    => out.option("numRegions", numRegions.toString).save(path)
+    }
+    inputs
   }
 }

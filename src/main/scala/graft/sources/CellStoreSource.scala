@@ -387,6 +387,51 @@ object CellStoreSource {
     val out = fs.create(new Path(dir, MetaFile), true)
     try out.write(s"""{"buckets": $n}""".getBytes("UTF-8")) finally out.close()
   }
+
+  // Compaction manifests ---------------------------------------------------
+
+  /** A file-scoped rewrite's record: `outputs` hold exactly the cells a
+    * read of `inputs` could observe (modulo dropped versions), so a tail
+    * that has delivered all inputs can mark the outputs delivered. */
+  private[graft] final case class CompactManifest(
+      id: String, inputs: Set[String], outputs: Set[String])
+
+  private val CompactFilePattern = """_compact_(.+)\.json""".r
+
+  private[sources] def writeCompactManifest(
+      dir: Path, conf: Configuration, id: String,
+      inputs: Seq[String], outputs: Seq[String]): Unit = {
+    val fs = dir.getFileSystem(conf)
+    def arr(xs: Seq[String]) =
+      xs.sorted.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    val out = fs.create(new Path(dir, s"_compact_$id.json"), true)
+    try out.write(
+      s"""{"inputs":${arr(inputs)},"outputs":${arr(outputs)}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** All compaction manifests of a store (empty if none). */
+  private[graft] def readCompactManifests(
+      dir: Path, conf: Configuration): Seq[CompactManifest] = {
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter(_.isFile)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case CompactFilePattern(id) =>
+            val in = fs.open(st.getPath)
+            val text =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+            def names(section: String): Set[String] =
+              s""""$section"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(text)
+                .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+                .getOrElse(Set.empty)
+            Some(CompactManifest(id, names("inputs"), names("outputs")))
+          case _ => None
+        }
+      }
+  }
 }
 
 class CellStoreTable(path: String) extends Table
@@ -411,7 +456,9 @@ class CellStoreTable(path: String) extends Table
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CellStoreScanBuilder(path, buckets,
-      Option(options.get("splitBytes")).map(_.toLong).getOrElse(128L << 20))
+      Option(options.get("splitBytes")).map(_.toLong).getOrElse(128L << 20),
+      Option(options.get("files"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -419,7 +466,8 @@ class CellStoreTable(path: String) extends Table
 }
 
 class CellStoreScanBuilder(path: String, buckets: Option[Int],
-                           splitBytes: Long = 128L << 20)
+                           splitBytes: Long = 128L << 20,
+                           fileSubset: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
@@ -428,6 +476,7 @@ class CellStoreScanBuilder(path: String, buckets: Option[Int],
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CellStoreSource.Schema
   private var aggPushed: Option[Aggregation] = None
+  private var groupPushed: Option[(Seq[String], Seq[CellAggSpec])] = None
   private var limit: Option[Int] = None
 
   /** PARTIAL limit pushdown (isPartiallyPushed stays true): each partition
@@ -469,13 +518,236 @@ class CellStoreScanBuilder(path: String, buckets: Option[Int],
       }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     footerAnswerable(agg)
-  override def pushAggregation(agg: Aggregation): Boolean =
-    footerAnswerable(agg) && { aggPushed = Some(agg); true }
 
-  override def build(): Scan = aggPushed match {
-    case Some(agg) => new CellStoreAggScan(path, agg)
-    case None      => new CellStoreScan(path, buckets, pushed, required, splitBytes, limit)
+  // Grouped aggregate pushdown (PARTIAL): the scan emits per-partition
+  // partial rows (group cols + count/min/max states) and Spark plans the
+  // final merge aggregation on top. Store files are
+  // (rowKey, family, qualifier, ts)-sorted, so the reader aggregates by
+  // RUN-LENGTH over the sorted stream — constant memory, no hash map, no
+  // spill risk at any scale; a sort-prefix grouping (rowKey, …) gets one
+  // partial row per group per file, anything else just gets more partials
+  // for the final merge to fold. A salted store answers keyed aggregates
+  // per bucket without ever decoding qualifier/value bytes.
+  private def colOf(e: Expression): Option[String] = e match {
+    case ref: NamedReference if ref.fieldNames.length == 1 =>
+      Some(ref.fieldNames.head).filter(CellStoreSource.Schema.fieldNames.contains)
+    case _ => None
   }
+  private def groupAnswerable(agg: Aggregation): Option[(Seq[String], Seq[CellAggSpec])] = {
+    if (pushed.nonEmpty || limit.nonEmpty || agg.groupByExpressions.isEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    // A salt-key grouping on a salted store is ALREADY zero-exchange via the
+    // scan's KeyGroupedPartitioning (storage-partitioned aggregation) — and
+    // Spark cannot carry that partitioning through an aggregate pushdown
+    // (the pushed relation gets fresh attribute ids, so
+    // V2ScanPartitioningAndOrdering drops it). Declining the pushdown keeps
+    // the strictly better no-shuffle plan; every other case (range layout,
+    // or a grouping the salt cannot co-locate) shuffles either way, and
+    // pushed run-length partials shrink what crosses that shuffle.
+    if (buckets.isDefined && org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+        agg.groupByExpressions.exists {
+          case ref: NamedReference => ref.fieldNames.sameElements(Array("rowKey"))
+          case _                   => false
+        }) return None
+    val groups = agg.groupByExpressions.toSeq.map(colOf)
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CellCountStar)
+      case m: Min => colOf(m.column).map(c =>
+        CellMinMax(c, CellStoreSource.Schema(c).dataType, isMin = true))
+      case m: Max => colOf(m.column).map(c =>
+        CellMinMax(c, CellStoreSource.Schema(c).dataType, isMin = false))
+      case _ => None
+    }
+    if (groups.forall(_.isDefined) && specs.forall(_.isDefined))
+      Some((groups.flatten, specs.flatten))
+    else None
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    // a pinned file subset must not answer whole-store footer aggregates
+    if (fileSubset.isDefined) false
+    else if (footerAnswerable(agg)) { aggPushed = Some(agg); true }
+    else groupAnswerable(agg) match {
+      case Some(gs) => groupPushed = Some(gs); true
+      case None     => false
+    }
+
+  override def build(): Scan = (aggPushed, groupPushed) match {
+    case (Some(agg), _)       => new CellStoreAggScan(path, agg)
+    case (None, Some((g, a))) =>
+      new CellStoreGroupByScan(path, buckets, g, a, splitBytes, fileSubset)
+    case _ =>
+      new CellStoreScan(path, buckets, pushed, required, splitBytes, limit, fileSubset)
+  }
+}
+
+/** One pushed aggregate of a grouped pushdown. */
+sealed trait CellAggSpec extends Serializable {
+  def name: String
+  def dataType: DataType
+  def inputCol: Option[String]
+}
+case object CellCountStar extends CellAggSpec {
+  val name = "count(*)"; val dataType: DataType = LongType
+  val inputCol: Option[String] = None
+}
+final case class CellMinMax(col: String, dataType: DataType, isMin: Boolean)
+    extends CellAggSpec {
+  def name: String = s"${if (isMin) "min" else "max"}($col)"
+  def inputCol: Option[String] = Some(col)
+}
+
+/** Grouped-aggregate scan: same partitions as the full scan (per region
+  * chunk / per salt bucket), but each partition emits run-length partial
+  * aggregates over its sorted cell stream instead of raw cells. Only the
+  * grouping and aggregated columns are decoded. */
+class CellStoreGroupByScan(path: String, buckets: Option[Int],
+                           groupCols: Seq[String], aggs: Seq[CellAggSpec],
+                           splitBytes: Long,
+                           fileSubset: Option[Set[String]] = None)
+    extends Scan with Batch {
+
+  /** Columns the reader must decode, in cell-schema order. */
+  private val inputSchema: StructType = StructType(
+    CellStoreSource.Schema.filter(f =>
+      groupCols.contains(f.name) || aggs.exists(_.inputCol.contains(f.name))))
+
+  private val delegate =
+    new CellStoreScan(path, buckets, Array.empty, inputSchema, splitBytes, None, fileSubset)
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => CellStoreSource.Schema(c)) ++
+      aggs.map(a => StructField(a.name, a.dataType)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CellStoreGroupByScan path=$path, groupBy=${groupCols.mkString("[", ",", "]")}, " +
+      s"aggs=${aggs.map(_.name).mkString("[", ",", "]")} (partial, run-length)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegate.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellStoreGroupByReaderFactory(inputSchema, groupCols, aggs)
+}
+
+class CellStoreGroupByReaderFactory(
+    inputSchema: StructType, groupCols: Seq[String], aggs: Seq[CellAggSpec])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val chunks = partition match {
+      case CellStorePartition(chunk)          => Seq(chunk)
+      case CellStoreBucketPartition(_, files) => files.map(CellChunk(_, 0, Int.MaxValue))
+      case other =>
+        throw new IllegalArgumentException(s"unexpected partition: $other")
+    }
+    new CellStoreGroupByReader(
+      new CellStoreFilesReader(chunks, inputSchema, CellStoreSource.boundsOf(Nil)),
+      inputSchema, groupCols, aggs)
+  }
+}
+
+/** Run-length partial aggregation over a sorted cell stream: accumulate
+  * while consecutive rows share the group key, emit one partial row per
+  * run. Constant state (one key + one accumulator set); duplicate groups
+  * across runs/files/partitions are merged by Spark's final aggregate. */
+class CellStoreGroupByReader(
+    rows: PartitionReader[InternalRow],
+    inputSchema: StructType,
+    groupCols: Seq[String],
+    aggs: Seq[CellAggSpec]) extends PartitionReader[InternalRow] {
+
+  private val groupIdx = groupCols.map(inputSchema.fieldIndex).toArray
+  private val groupTypes = groupCols.map(c => inputSchema(c).dataType).toArray
+  private val aggIdx = aggs.map(_.inputCol.map(inputSchema.fieldIndex).getOrElse(-1)).toArray
+
+  private var curKey: Array[Any] = _
+  private var states: Array[Any] = _
+  private var count = 0L
+  private var out: InternalRow = _
+  private var exhausted = false
+
+  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => CellStoreSource.cmp(x, y)
+    case (x: UTF8String, y: UTF8String)   => x.compareTo(y)
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case _ => throw new IllegalStateException(s"incomparable agg values: $a / $b")
+  }
+
+  private def sameKey(k: Array[Any]): Boolean = {
+    var i = 0
+    while (i < k.length) {
+      val eq = (k(i), curKey(i)) match {
+        case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+        case (x, y)                           => x == y
+      }
+      if (!eq) return false
+      i += 1
+    }
+    true
+  }
+
+  private def startRun(k: Array[Any]): Unit = {
+    curKey = k; states = new Array[Any](aggs.length); count = 0L
+  }
+
+  private def update(r: InternalRow): Unit = {
+    count += 1
+    var i = 0
+    while (i < aggs.length) {
+      aggs(i) match {
+        case CellCountStar => ()
+        case m: CellMinMax =>
+          val v: Any =
+            if (r.isNullAt(aggIdx(i))) null else r.get(aggIdx(i), m.dataType)
+          if (v != null) {
+            val cur = states(i)
+            if (cur == null ||
+                (if (m.isMin) cmpVals(v, cur) < 0 else cmpVals(v, cur) > 0))
+              states(i) = v
+          }
+      }
+      i += 1
+    }
+  }
+
+  private def emit(): InternalRow = {
+    val vals = new Array[Any](groupCols.length + aggs.length)
+    System.arraycopy(curKey, 0, vals, 0, curKey.length)
+    var i = 0
+    while (i < aggs.length) {
+      vals(groupCols.length + i) = aggs(i) match {
+        case CellCountStar => count
+        case _             => states(i)
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def next(): Boolean = {
+    out = null
+    while (out == null) {
+      if (!exhausted && rows.next()) {
+        val r = rows.get()
+        val k = new Array[Any](groupIdx.length)
+        var i = 0
+        while (i < groupIdx.length) {
+          k(i) = if (r.isNullAt(groupIdx(i))) null else r.get(groupIdx(i), groupTypes(i))
+          i += 1
+        }
+        if (curKey == null) startRun(k)
+        else if (!sameKey(k)) { out = emit(); startRun(k) }
+        update(r)
+      } else {
+        exhausted = true
+        if (curKey != null) { out = emit(); curKey = null }
+        else return false
+      }
+    }
+    true
+  }
+
+  override def get(): InternalRow = out
+  override def close(): Unit = rows.close()
 }
 
 /** Footer-only scan answering a pushed whole-store aggregation: one
@@ -550,7 +822,8 @@ class CellStoreAggReaderFactory(cols: Seq[String]) extends PartitionReaderFactor
 class CellStoreScan(path: String, buckets: Option[Int],
                     pushed: Array[Filter], required: StructType,
                     splitBytes: Long = 128L << 20,
-                    limit: Option[Int] = None)
+                    limit: Option[Int] = None,
+                    fileSubset: Option[Set[String]] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering {
@@ -596,6 +869,10 @@ class CellStoreScan(path: String, buckets: Option[Int],
     val fs = dir.getFileSystem(conf)
     val files = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+      // pinned file subset (`files` option): scan exactly these committed
+      // files — what an offset-aware compaction pass reads, so concurrent
+      // appends landing mid-pass are neither rewritten nor deleted
+      .filter(s => fileSubset.forall(_.contains(s.getPath.getName)))
       .sortBy(_.getPath.getName)
     buckets match {
       case Some(n) =>
@@ -698,11 +975,18 @@ class CellStoreScan(path: String, buckets: Option[Int],
  * Micro-batch tail of a cell store: the offset is the set of committed
  * region/bucket files; each batch reads exactly the files that appeared
  * since the previous offset. Valid because the store's commit protocol
- * only ever ADDS immutable files (appends rename in job-unique names) —
- * compaction rewrites files and therefore must not run while a tail is
- * active (its rewritten files would replay; the same discipline HBase
- * applies to replication vs. major compaction). At 100 TB the name-set
- * offset becomes a manifest sequence number with the same semantics.
+ * only ever ADDS immutable files (appends rename in job-unique names).
+ *
+ * Compaction coordination: an offset-aware compaction
+ * ([[graft.operators.Compaction.compactStoreIncremental]]) records an
+ * inputs→outputs manifest. When every input of a rewrite is already in the
+ * tail's committed offset, its outputs hold no cells the tail hasn't
+ * delivered (a rewrite only drops versions, never adds) — so the tail
+ * marks them delivered without reading them: no replay, no loss, and
+ * compaction no longer has to pause while a tail is active. A rewrite
+ * whose inputs were NOT all delivered is read normally (a fresh tail
+ * needs the data). At 100 TB the name-set offset becomes a manifest
+ * sequence number with the same semantics.
  */
 class CellStoreMicroBatchStream(path: String, required: StructType, pushed: Array[Filter])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
@@ -729,7 +1013,12 @@ class CellStoreMicroBatchStream(path: String, required: StructType, pushed: Arra
       start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
     val seen = start.asInstanceOf[CellStoreOffset].files
     val now = end.asInstanceOf[CellStoreOffset].files
-    (now -- seen).toSeq.sorted
+    // rewrites of fully-delivered inputs are committed without being read
+    val rewritten = CellStoreSource
+      .readCompactManifests(new Path(path), new Configuration())
+      .filter(m => m.inputs.nonEmpty && m.inputs.subsetOf(seen))
+      .flatMap(_.outputs).toSet
+    (now -- seen -- rewritten).toSeq.sorted
       .map(n => CellStorePartition(CellChunk(s"$path/$n", 0, Int.MaxValue)): InputPartition)
       .toArray
   }

@@ -91,12 +91,23 @@ class CellStoreWrite(path: String, info: LogicalWriteInfo, truncateFirst: Boolea
   override def requiredNumPartitions(): Int = buckets.getOrElse(
     Option(info.options.get("numRegions")).map(_.toInt).getOrElse(0))
 
+  /** File-scoped rewrite (`replaceFiles=a.parquet,b.parquet`): commit
+    * deletes exactly these files instead of the whole store — the append
+    * that a compaction pass uses so concurrent ingest survives it. */
+  private val replaceFiles: Seq[String] =
+    Option(info.options.get("replaceFiles")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+  require(replaceFiles.isEmpty || !truncateFirst,
+    "replaceFiles is an append-mode rewrite; it cannot combine with overwrite")
+
   override def toBatch: BatchWrite =
-    new CellStoreBatchWrite(path, info.queryId(), info.schema(), truncateFirst, buckets)
+    new CellStoreBatchWrite(path, info.queryId(), info.schema(), truncateFirst,
+      buckets, replaceFiles)
 }
 
 class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
-                          truncateFirst: Boolean, buckets: Option[Int]) extends BatchWrite {
+                          truncateFirst: Boolean, buckets: Option[Int],
+                          replaceFiles: Seq[String] = Nil) extends BatchWrite {
   private val tmpDir = s"$path/_tmp_$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -107,7 +118,12 @@ class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
     * are disjoint) and deleted only after every rename succeeded — a driver
     * crash mid-commit leaves a readable store (old, new, or briefly both),
     * never an empty one. A failed rename aborts the commit loudly instead
-    * of silently dropping the task's file with the temp dir. */
+    * of silently dropping the task's file with the temp dir.
+    *
+    * A `replaceFiles` rewrite supersedes exactly the named files and also
+    * records an inputs→outputs manifest (`_compact_<id>.json`) so a live
+    * micro-batch tail can mark the outputs delivered instead of replaying
+    * rewritten cells. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     val dir = new Path(path)
@@ -117,13 +133,17 @@ class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
         fs.listStatus(dir)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath)
-      else Array.empty[Path]
-    messages.collect { case CellFileCommitted(file) if file.nonEmpty =>
+      else replaceFiles.map(new Path(dir, _)).filter(fs.exists).toArray
+    val renamed = messages.collect { case CellFileCommitted(file) if file.nonEmpty =>
       val src = new Path(file)
       if (!fs.rename(src, new Path(dir, src.getName)))
         throw new java.io.IOException(
           s"cellstore commit: rename of $src into $dir failed; store left unchanged plus any already-renamed files")
+      src.getName
     }
+    if (replaceFiles.nonEmpty)
+      CellStoreSource.writeCompactManifest(dir, conf, queryId,
+        inputs = superseded.map(_.getName).toSeq, outputs = renamed.toSeq)
     superseded.foreach(p => fs.delete(p, false))
     buckets match {
       case Some(n) => CellStoreSource.writeBucketsMeta(dir, conf, n)

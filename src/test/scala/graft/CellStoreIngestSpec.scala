@@ -93,6 +93,46 @@ class CellStoreIngestSpec extends AnyFunSuite with SparkTestBase {
       lit(java.nio.ByteBuffer.allocate(8).putLong(8L).array())).count() == 0)
   }
 
+  test("incremental compaction mid-tail: no replay, no loss") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tail_compact").toString
+    val dir = s"$base/store"
+    val cells = CellTable.fromTable(spark, sf001, "region")
+    cells.write.format("cellstore").option("buckets", "2")
+      .mode("overwrite").save(dir)
+
+    val q = spark.readStream.format("cellstore").load(dir)
+      .writeStream.format("memory").queryName("tail_compact")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val n0 = spark.table("tail_compact").count()
+      assert(n0 == cells.count())
+      // a newer version of every cell, then compaction rewrites the store
+      cells.withColumn("ts", col("ts") + 5000L)
+        .write.format("cellstore").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("tail_compact").count() == cells.count() * 2)
+      // every input of the rewrite is in the tail's committed offset, so
+      // the rewritten outputs must be marked delivered, NOT replayed
+      val rewritten = graft.operators.Compaction
+        .compactStoreIncremental(spark, dir, maxVersions = 1)
+      assert(rewritten.nonEmpty)
+      q.processAllAvailable()
+      assert(spark.table("tail_compact").count() == cells.count() * 2,
+        "compacted outputs replayed into the tail")
+      // and the tail keeps working: a post-compaction append arrives once
+      cells.withColumn("ts", col("ts") + 9000L)
+        .write.format("cellstore").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("tail_compact").count() == cells.count() * 3)
+    } finally q.stop()
+
+    // batch reads see the compacted store + the post-compaction append
+    val store = spark.read.format("cellstore").load(dir)
+    assert(store.count() == cells.count() * 2)
+    assert(store.filter(col("ts") === CellTable.BaseTs + 5000L).count() == cells.count())
+  }
+
   test("tailing a store as a stream emits only newly committed files per batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_tail").toString
     val dir = s"$base/store"

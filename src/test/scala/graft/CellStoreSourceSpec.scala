@@ -251,6 +251,31 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(both.count() == bothExpected.count() && both.count() > 0)
   }
 
+  test("grouped COUNT/MIN/MAX push down as run-length partials") {
+    // keyed aggregates answer from the store without decoding value bytes
+    val gb = store.groupBy("rowKey")
+      .agg(count(lit(1)).as("n_cells"), min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val plan = gb.queryExecution.executedPlan.toString
+    assert(plan.contains("CellStoreGroupByScan"), s"expected pushed group-by in:\n$plan")
+    val expected = spark.read.parquet(storePath).groupBy("rowKey")
+      .agg(count(lit(1)).as("n_cells"), min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    assert(gb.count() == expected.count())
+    assert(gb.exceptAll(expected).isEmpty && expected.exceptAll(gb).isEmpty)
+    // non-prefix grouping (family is 2nd in the sort order) is still exact:
+    // more partial rows, same final answer
+    val byQual = store.groupBy("qualifier").agg(count(lit(1)).as("n"))
+    assert(byQual.queryExecution.executedPlan.toString.contains("CellStoreGroupByScan"))
+    val byQualExp = spark.read.parquet(storePath).groupBy("qualifier").agg(count(lit(1)).as("n"))
+    assert(byQual.exceptAll(byQualExp).isEmpty && byQualExp.exceptAll(byQual).isEmpty)
+    // a FILTERED grouped agg must NOT push (filters stay residual)
+    val filtered = store.filter(col("rowKey") >= lit(key(100L)))
+      .groupBy("rowKey").agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("CellStoreGroupByScan"))
+    assert(filtered.count() ==
+      spark.read.parquet(storePath).filter(col("rowKey") >= lit(key(100L)))
+        .select("rowKey").distinct().count())
+  }
+
   test("pushed filters stay as residuals: non-key predicates still apply") {
     val out = store
       .filter(col("rowKey") >= lit(key(0L)) && col("qualifier").cast("string") === "c_acctbal")

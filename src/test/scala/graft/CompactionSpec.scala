@@ -53,6 +53,85 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Set("old", "new")) // ts=900 expired; both k1 versions kept
   }
 
+  test("incremental compaction leaves a concurrent append untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_inc").toString
+    val base = CellTable.fromTable(spark, sf001, "nation")
+    val versioned = CellTable.withExtraVersions(
+      base, CellTable.keyToLong(col("rowKey")) % 2 === 0, n = 2)
+    CellTable.writeRegionLayout(versioned, dir, numRegions = 2)
+
+    // simulate ingest racing the compaction pass: the "late" append lands
+    // AFTER the pass snapshots its inputs but BEFORE its commit. The scan's
+    // `files` pin + the commit's `replaceFiles` scope make the interleaving
+    // equivalent: only the snapshot files are rewritten/deleted.
+    val inputs = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    val late = base.withColumn("ts", col("ts") + 9000L)
+    val compacted = Compaction.survivors(
+      spark.read.format("cellstore").option("files", inputs.mkString(",")).load(dir),
+      maxVersions = 1, ttlWatermark = Long.MinValue)
+    late.write.format("cellstore").mode("append").save(dir) // races in first
+    compacted.write.format("cellstore").mode("append")
+      .option("replaceFiles", inputs.mkString(","))
+      .option("numRegions", "2").save(dir)
+
+    val after = spark.read.format("cellstore").load(dir)
+    // compacted survivors (1 per coordinate) + the late append, nothing lost
+    assert(after.count() == base.count() * 2)
+    assert(after.filter(col("ts") === CellTable.BaseTs + 9000L).count() == base.count())
+    // inputs gone, outputs + late files present, manifest written
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(inputs.forall(!names.contains(_)))
+    assert(names.exists(_.startsWith("_compact_")))
+    val manifests = graft.sources.CellStoreSource.readCompactManifests(
+      new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration())
+    assert(manifests.size == 1)
+    assert(manifests.head.inputs == inputs.toSet)
+    assert(manifests.head.outputs.nonEmpty &&
+      manifests.head.outputs.forall(names.contains))
+  }
+
+  test("compactStoreIncremental compacts in place and reports its inputs") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_inc2").toString + "/s"
+    val base = CellTable.fromTable(spark, sf001, "region")
+    val versioned = CellTable.withExtraVersions(base, lit(true), n = 2)
+    versioned.write.format("cellstore").option("buckets", "2")
+      .mode("overwrite").save(dir)
+    val rewritten = Compaction.compactStoreIncremental(spark, dir, maxVersions = 1)
+    assert(rewritten.nonEmpty)
+    val store = spark.read.format("cellstore").load(dir)
+    assert(store.count() == base.count())
+    // salt layout preserved across the incremental pass
+    assert(new java.io.File(s"$dir/_cellstore_meta.json").exists())
+    assert(store.filter(col("rowKey") ===
+      lit(java.nio.ByteBuffer.allocate(8).putLong(1L).array()))
+      .rdd.getNumPartitions == 1)
+    // nothing left to compact → no-op, and no new manifest confusion
+    val again = Compaction.compactStoreIncremental(spark, dir, maxVersions = 1)
+    assert(again.nonEmpty) // rewrites the (already-minimal) files idempotently
+    assert(spark.read.format("cellstore").load(dir).count() == base.count())
+  }
+
+  test("snapshot export copies a consistent pinned file set") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_snap").toString + "/s"
+    val dest = java.nio.file.Files.createTempDirectory("cellstore_snap_out").toString + "/x"
+    val base = CellTable.fromTable(spark, sf001, "nation")
+    base.write.format("cellstore").option("buckets", "2").mode("overwrite").save(dir)
+    val exported = graft.operators.StoreSnapshot.export(dir, dest)
+    assert(exported.nonEmpty)
+    val snap = spark.read.format("cellstore").load(dest)
+    assert(snap.count() == base.count())
+    // the snapshot is itself a salted store: manifest copied, GET prunes
+    assert(new java.io.File(s"$dest/_cellstore_meta.json").exists())
+    assert(snap.filter(col("rowKey") ===
+      lit(java.nio.ByteBuffer.allocate(8).putLong(3L).array()))
+      .rdd.getNumPartitions == 1)
+    // the export is point-in-time: later appends do not leak into it
+    base.withColumn("ts", col("ts") + 1000L)
+      .write.format("cellstore").mode("append").save(dir)
+    assert(spark.read.format("cellstore").load(dest).count() == base.count())
+  }
+
   test("compacting a salted store preserves the salt layout") {
     val dir = java.nio.file.Files.createTempDirectory("cellstore_salt_compact").toString + "/s"
     val base = CellTable.fromTable(spark, sf001, "nation")
