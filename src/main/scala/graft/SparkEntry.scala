@@ -170,6 +170,24 @@ object SparkEntry {
     CorruptScan.pipeline(cells, poisoned)
   }
 
+  /** The engine's SQL surface driven end-to-end through `spark.sql` — the
+    * registered functions ([[graft.functions.GraftFunctionRegistry]], same
+    * table `GraftExtensions` injects), a temp view, no Column API. The
+    * codec pair round-trips every rendered key; the oracle replicates the
+    * `\xHH` rendering ([[rowKeySql]]). */
+  private def sqlSurfaceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctionRegistry.registerAll(spark)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_orderkey,
+        |       to_string_binary(unhex(lpad(hex(o_orderkey), 16, '0'))) AS row_key,
+        |       length(to_bytes_binary(
+        |         to_string_binary(unhex(lpad(hex(o_orderkey), 16, '0'))))) AS key_len
+        |FROM graft_orders_v
+        |WHERE o_orderkey <= 800""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference-parity pack (SURVEY §7.5) — all DuckDB-checkable
@@ -207,6 +225,7 @@ object SparkEntry {
     "q_store_scan"     -> (storeScanQuery _),
     "q_store_join"     -> (storeJoinQuery _),
     "q_store_groupby"  -> (storeGroupByQuery _),
+    "q_sql_surface"    -> (sqlSurfaceQuery _),
     // LLM-pipeline extension tier
     "q_dedup_exact"    -> (Dedup.exactQuery _),
     "q_minhash_pairs"  -> (Dedup.minhashQuery _),
@@ -401,6 +420,10 @@ object SparkEntry {
 
   /** DuckDB equivalents for every SQL-expressible query above. */
   def oracleSql: Map[String, String] = ivfOracle ++ Map(
+    "q_sql_surface" ->
+      s"""SELECT o_orderkey, ${rowKeySql("o_orderkey")} AS row_key,
+          CAST(8 AS INTEGER) AS key_len
+          FROM orders WHERE o_orderkey <= 800""",
     "q_point_lookup" ->
       "SELECT * FROM customer WHERE c_custkey = 42",
     "q_range_scan" ->
