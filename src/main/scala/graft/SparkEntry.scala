@@ -247,6 +247,8 @@ object SparkEntry {
     "q_clean_corpus"   -> (CorpusPipeline.cleanQuery _),
     "q_source_cap"     -> (CorpusPipeline.sourceCapQuery _),
     "q_mix_sample"     -> (CorpusPipeline.mixSampleQuery _),
+    "q_decontam"       -> (CorpusPipeline.decontamQuery _),
+    "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
     "q_salted_distinct"-> (Skew.saltedDistinctQuery _),
     "q_redact"         -> (TextAnalysis.redactQuery _),
@@ -287,6 +289,16 @@ object SparkEntry {
                    generate_series(1, len(regexp_split_to_array(lower(text), '\s+')) - 2),
                    i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), i, i + 2), ' ')))
             ELSE [array_to_string(regexp_split_to_array(lower(text), '\s+'), ' ')] END"""
+
+  /** [[ShingleSql]] generalized to width-`n` windows (same whole-doc
+    * fallback for short texts) — mirrors `shingle_hashes(tokens, n)`
+    * membership, with string grams standing in for the 64-bit hashes. */
+  private def ngramSql(n: Int): String =
+    s"""CASE WHEN len(regexp_split_to_array(lower(text), '\\s+')) >= $n
+            THEN list_distinct(list_transform(
+                   generate_series(1, len(regexp_split_to_array(lower(text), '\\s+')) - ${n - 1}),
+                   i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + ${n - 1}), ' ')))
+            ELSE [array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')] END"""
 
   /** Exact-Jaccard all-pairs CTE over `documents`-shaped input `src` —
     * ground truth for the MinHash/LSH near-dup queries. */
@@ -424,6 +436,28 @@ object SparkEntry {
       s"""SELECT o_orderkey, ${rowKeySql("o_orderkey")} AS row_key,
           CAST(8 AS INTEGER) AS key_len
           FROM orders WHERE o_orderkey <= 800""",
+    "q_decontam" ->
+      s"""WITH ngr AS (SELECT doc_id, ${ngramSql(4)} AS gs FROM documents),
+          ev AS (SELECT DISTINCT unnest(gs) AS g FROM ngr WHERE doc_id % 5 = 3),
+          tr AS (SELECT doc_id, unnest(gs) AS g FROM ngr WHERE doc_id % 5 <> 3)
+          SELECT tr.doc_id, count(*) AS n_hits
+          FROM tr JOIN ev USING (g) GROUP BY tr.doc_id""",
+    "q_rep_stats" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+                      FROM documents),
+          w AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(tk) - 1, 1)),
+                    i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS ws
+                FROM tok)
+          SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_windows,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+            round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                        / CAST(len(ws) AS DOUBLE), 6) AS dup_frac,
+            round(CAST(list_max(list_transform(list_distinct(ws),
+                    x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE)
+                  / CAST(len(ws) AS DOUBLE), 6) AS top_frac
+          FROM w""",
     "q_point_lookup" ->
       "SELECT * FROM customer WHERE c_custkey = 42",
     "q_range_scan" ->

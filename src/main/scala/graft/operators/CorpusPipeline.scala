@@ -181,4 +181,50 @@ object CorpusPipeline {
   /** Query-pack adapter: pack the corpus into 256-token sequences. */
   def packSequencesQuery(spark: SparkSession, sfDir: String): DataFrame =
     packSequences(Tables.load(spark, sfDir, "documents"), budget = 256L)
+
+  /**
+   * Benchmark decontamination — the leakage gate of a training-data
+   * pipeline: a training document is contaminated when it shares any
+   * n-token window with an eval/benchmark document (the published-corpus
+   * convention is n = 13 whole-word grams). Returns one row per
+   * contaminated train doc with its distinct-overlapping-window count.
+   *
+   * 100 TB shape: the eval side is benchmark-sized (millions of windows at
+   * most), so its distinct gram set stays broadcastable — AQE plans a
+   * broadcast hash join and the train corpus NEVER shuffles for the probe.
+   * The only exchange is the per-doc hit aggregation over the matching
+   * grams (a corpus-independent, benchmark-bounded set). Windows are the
+   * 64-bit [[graft.functions.MinHashImpl.shingleHashes]] hashes (one
+   * codegen'd pass, each token hashed once), not materialized strings.
+   */
+  def contaminationHits(train: DataFrame, evalSet: DataFrame, n: Int = 13): DataFrame = {
+    import graft.functions.MinHashFunctions.shingle_hashes
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(shingle_hashes(split(lower(col("text")), "\\s+"), n)).as("g"))
+    val evalGrams = grams(evalSet).select("g").distinct()
+    grams(train).join(evalGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop every train doc with at least `minHits` overlapping windows; the
+    * contaminated-id list is benchmark-bounded, so the anti-join broadcasts. */
+  def decontaminate(
+      train: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 13,
+      minHits: Long = 1L): DataFrame =
+    train.join(
+      contaminationHits(train, evalSet, n)
+        .filter(col("n_hits") >= minHits).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  /** Query-pack adapter: every 5th doc is the "benchmark"; 4-gram overlap
+    * against the rest (fixture texts are short — 13-grams would not fire). */
+  def decontamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    contaminationHits(
+      train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 3),
+      evalSet = docs.filter(pmod(col("doc_id"), lit(5)) === 3),
+      n = 4)
+  }
 }

@@ -180,6 +180,67 @@ object TextAnalysis {
   /** The fixture corpus is synthetic vocabulary with no real PII, so the
     * adapter plants one email and one IP per document (derived from the
     * doc id — deterministic, oracle-reproducible) and scrubs them. */
+  /**
+   * Gopher-style within-document repetition signals — the quality gate that
+   * catches boilerplate/templated/looping text that plain length and
+   * punctuation ratios miss:
+   *
+   *  - `n_windows` / `n_distinct` — total vs distinct n-token windows
+   *    (short docs collapse to one whole-doc window, mirroring the shingle
+   *    fallback);
+   *  - `dup_frac` — fraction of window occurrences that repeat an earlier
+   *    one (`1 - distinct/total`);
+   *  - `top_frac` — share of the single most frequent window.
+   *
+   * 100 TB shape: everything is a per-row higher-order expression over the
+   * token array — zero shuffles, zero joins, stays inside whole-stage
+   * codegen; the per-doc O(distinct × windows) counting loop is bounded by
+   * document length, not corpus size.
+   */
+  /** (dup_frac, top_frac) as inline column expressions over `text`. */
+  private def repetitionFracs(n: Int): (Column, Column) = {
+    val tk = "split(lower(text), '\\\\s+')"
+    val w = s"""transform(sequence(1, greatest(size($tk) - ${n - 1}, 1)),
+                  i -> concat_ws(' ', slice($tk, i, $n)))"""
+    val dup = expr(
+      s"""1.0D - CAST(size(array_distinct($w)) AS DOUBLE)
+               / CAST(size($w) AS DOUBLE)""")
+    val top = expr(
+      s"""CAST(array_max(transform(array_distinct($w),
+                x -> size(filter($w, y -> y = x)))) AS DOUBLE)
+          / CAST(size($w) AS DOUBLE)""")
+    (dup, top)
+  }
+
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val (dup, top) = repetitionFracs(n)
+    val tk = "split(lower(text), '\\\\s+')"
+    val w = s"""transform(sequence(1, greatest(size($tk) - ${n - 1}, 1)),
+                  i -> concat_ws(' ', slice($tk, i, $n)))"""
+    docs.select(
+      col("doc_id"),
+      expr(s"CAST(size($w) AS BIGINT)").as("n_windows"),
+      expr(s"CAST(size(array_distinct($w)) AS BIGINT)").as("n_distinct"),
+      round(dup, 6).as("dup_frac"),
+      round(top, 6).as("top_frac"))
+  }
+
+  /** Repetition gate for the cleaning pipeline — a plain row filter (the
+    * fracs are inline expressions), so it folds into the scan with the
+    * other quality gates: no join, no shuffle. */
+  def filterRepetitive(
+      docs: DataFrame,
+      n: Int = 2,
+      maxDupFrac: Double = 0.5,
+      maxTopFrac: Double = 0.2): DataFrame = {
+    val (dup, top) = repetitionFracs(n)
+    docs.filter(dup <= maxDupFrac && top <= maxTopFrac)
+  }
+
+  /** Query-pack adapter: bigram repetition over the fixture corpus. */
+  def repStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStats(Tables.load(spark, sfDir, "documents"), n = 2)
+
   def redactQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val planted = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),

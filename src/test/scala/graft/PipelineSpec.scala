@@ -31,6 +31,42 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(CorpusPipeline.clean(docs).select("doc_id").as[Long].collect().toSet == ids)
   }
 
+  test("decontamination: flags n-gram overlap with the eval set, spares clean docs") {
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "tiny")  // shorter than n -> whole-doc window
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro words then alpha beta gamma delta and a tail"), // shares one 4-gram
+      (2L, "alpha beta gamma delta epsilon zeta verbatim run"),   // shares three 4-grams
+      (3L, "completely unrelated training text with no overlap at all"),
+      (4L, "tiny")                                                // whole-doc match
+    ).toDF("doc_id", "text")
+
+    val hits = CorpusPipeline.contaminationHits(train, evalSet, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 3L, 4L -> 1L))
+
+    val kept = CorpusPipeline.decontaminate(train, evalSet, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    // raising the hit floor keeps single-gram brushes
+    val kept2 = CorpusPipeline.decontaminate(train, evalSet, n = 4, minHits = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 3L, 4L))
+  }
+
+  test("decontamination probe broadcasts the eval side (train never shuffles)") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val df = CorpusPipeline.contaminationHits(
+      train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 3),
+      evalSet = docs.filter(pmod(col("doc_id"), lit(5)) === 3),
+      n = 4)
+    df.collect() // let AQE finalize the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe in:\n$plan")
+  }
+
   test("pipeline query runs on the fixture corpus and shrinks it") {
     val docs = graft.sources.Tables.load(spark, sf001, "documents")
     val n = CorpusPipeline.cleanQuery(spark, sf001).count()

@@ -43,6 +43,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0)
   }
 
+  test("repetition stats: looping text flagged, varied text clean, short-doc fallback") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // bigrams: 3x "spam spam"
+      (2L, "all these words occur only once here"),
+      (3L, "hi")                            // shorter than n -> one whole-doc window
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, n = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("dup_frac"), r.getAs[Double]("top_frac")))).toMap
+    assert(got(1L) == ((3L, 1L, 0.666667, 1.0)))
+    assert(got(2L) == ((6L, 6L, 0.0, 0.166667)))
+    assert(got(3L) == ((1L, 1L, 0.0, 1.0)))
+
+    val kept = TextAnalysis.filterRepetitive(df, n = 2, maxDupFrac = 0.5, maxTopFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L)) // 1 fails dup_frac; 3 fails top_frac (whole-doc window)
+  }
+
   test("fingerprint: identical texts share sketch; sketch has k entries") {
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
       (3L, "k l m n o p q r s t")).toDF("doc_id", "text")
