@@ -236,6 +236,7 @@ object SparkEntry {
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
     "q_ann_lsh"        -> (Similarity.lshQuery _),
+    "q_ann_multiprobe" -> (Similarity.multiProbeQuery _),
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
     "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
@@ -747,6 +748,30 @@ object SparkEntry {
            scored AS (
              SELECT q.query_id, c.vec_id, ${cosineSql("c.ev", "q.qv")} AS cosine
              FROM bkt c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) t WHERE rank <= 20""",
+    // ANN multi-probe: base bucket + single-bit flips of the 3 smallest
+    // |margin| planes (ties by plane index, both engines), exact cosine
+    // top-20 within the probed buckets — probe mechanics replicated in SQL.
+    "q_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", 8, 42L)} AS bucket FROM e),
+           qd AS (SELECT vec_id AS query_id, ev AS qv, bucket AS base,
+                         ${operators.Similarity.dotsSql("ev", 8, 42L)} AS ds
+                  FROM bkt WHERE vec_id < 5),
+           fl AS (SELECT query_id, qv, base,
+                    list_transform(list_slice(list_sort(
+                      list_transform(range(8), i -> {'m': abs(ds[i+1]), 'i': i})), 1, 3),
+                      s -> s.i) AS flips
+                  FROM qd),
+           pb AS (SELECT query_id, qv,
+                    unnest(list_prepend(base, list_transform(flips, i -> xor(base, 1 << i)))) AS bucket
+                  FROM fl),
+           scored AS (
+             SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
+             FROM bkt c JOIN pb p ON c.bucket = p.bucket AND c.vec_id != p.query_id)
           SELECT query_id, vec_id, cosine, rank FROM (
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank

@@ -71,24 +71,15 @@ object Dedup {
    * @param maxBucket bucket-skew guard: buckets above this size switch from
    *                  all-pairs to star pairing (see below)
    */
-  def minhashLsh(
-      docs: DataFrame,
-      numHashes: Int = 64,
-      bands: Int = 16,
-      shingleN: Int = 3,
-      threshold: Double = 0.5,
-      maxBucket: Int = 1024): DataFrame = {
+  /** (doc_id, bucket) rows from a (doc_id, shingles) frame — one row per
+    * band; bucket key = hash of the band's minhash slice. Only
+    * (doc_id, bucket) travels through downstream joins — the shingle
+    * arrays would otherwise be duplicated `bands`× through the exchange. */
+  private def bandBuckets(
+      withSh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    require(maxBucket > 1, "maxBucket must exceed 1")
     val rows = numHashes / bands
-
-    val withSh = docs
-      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("shingles"))
-
-    // One (doc, bucket) row per band; bucket key = hash of the band's slice.
-    // Only (doc_id, bucket) travels through the self-join — the shingle
-    // arrays would otherwise be duplicated `bands`× through the exchange.
-    val banded = withSh
+    withSh
       .withColumn("sig",
         graft.functions.MinHashFunctions.minhash(col("shingles"), numHashes))
       .select(
@@ -96,6 +87,32 @@ object Dedup {
         explode(array((0 until bands).map { b =>
           xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
         }: _*)).as("bucket"))
+  }
+
+  /** Public banding entry for index builders ([[IncrementalDedup]]): the
+    * EXACT bucket keys [[minhashLsh]] collides on, from raw documents. */
+  def lshBuckets(
+      docs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3): DataFrame =
+    bandBuckets(
+      docs.select(col("doc_id"), shingleHashes(col("text"), shingleN).as("shingles")),
+      numHashes, bands)
+
+  def minhashLsh(
+      docs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket > 1, "maxBucket must exceed 1")
+
+    val withSh = docs
+      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("shingles"))
+
+    val banded = bandBuckets(withSh, numHashes, bands)
 
     // Bucket-skew guard. A degenerate bucket — mass-identical documents all
     // landing in one signature — would make the all-pairs self-join

@@ -92,6 +92,70 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** DuckDB per-plane dot-product list over a DOUBLE[] column — the
+    * margins [[multiProbeTopK]] ranks; same exactness argument as
+    * [[bucketSql]]. */
+  private[graft] def dotsSql(col: String, planes: Int, seed: Long): String =
+    hyperplanes(planes, 64, seed).map { p =>
+      val lst = p.map(_.toDouble.toString).mkString("[", ",", "]")
+      s"list_dot_product($col, CAST($lst AS DOUBLE[]))"
+    }.mkString("[", ",", "]")
+
+  /**
+   * Multi-probe LSH ANN (Lv et al., VLDB'07): each query examines its own
+   * bucket PLUS single-bit flips of the `probes − 1` planes with the
+   * smallest |dot| margin — the near-boundary planes are the likeliest to
+   * disagree with a true neighbor, so probing their flips recovers most of
+   * the recall lost to bucketing without re-hashing the corpus or holding
+   * extra hash tables.
+   *
+   * 100 TB shape: the corpus is bucketed ONCE (narrow, codegen) exactly as
+   * [[lshTopK]]; only the broadcast query side fans out ×probes, so the
+   * recall/cost knob never touches corpus layout or shuffle.
+   */
+  def multiProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 42L,
+      probes: Int = 4): DataFrame = {
+    require(probes >= 1 && probes <= planes, "probes must be in [1, planes]")
+    val hp = hyperplanes(planes, 64, seed)
+    val bucketedCorpus = corpus.select(
+      col("vec_id"), col("embedding"), bucketExpr(hp).as("bucket"))
+
+    val dots = array(hp.map(p =>
+      VectorFunctions.dot_product(col("query_vec"), typedlit(p))): _*)
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .withColumn("_dots", dots)
+      // base bucket from the SAME dots the margins rank (≡ bucketExpr)
+      .withColumn("_base", expr(
+        """aggregate(
+             transform(_dots, (d, i) ->
+               IF(d >= CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+             CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+      .withColumn("_flips", expr(
+        s"""slice(transform(array_sort(transform(_dots, (d, i) -> struct(abs(d) AS m, i AS i))),
+              s -> s.i), 1, ${probes - 1})"""))
+      .withColumn("bucket", explode(expr(
+        "array_union(array(_base), transform(_flips, i -> _base ^ shiftleft(CAST(1 AS BIGINT), i)))")))
+      .select(col("query_id"), col("query_vec"), col("bucket"))
+
+    val scored = bucketedCorpus
+      .join(broadcast(probed),
+        bucketedCorpus("bucket") === probed("bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   // Query-pack adapters --------------------------------------------------
 
   /** Top-20 neighbors for the first 5 vectors, exact. */
@@ -104,5 +168,11 @@ object Similarity {
   def lshQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     lshTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+  }
+
+  /** Same queries through the multi-probe path (4 probes over 8 planes). */
+  def multiProbeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    multiProbeTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
   }
 }

@@ -34,6 +34,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-probe: probes=1 is exactly single-bucket LSH; more probes only add candidates") {
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+
+    // k beyond corpus size -> no top-k truncation, pure candidate membership
+    val p1 = pairs(Similarity.multiProbeTopK(emb, queries, k = 100000, probes = 1))
+    val lsh = pairs(Similarity.lshTopK(emb, queries, k = 100000))
+    assert(p1 == lsh, "probes=1 must reduce to single-bucket LSH")
+
+    val p4 = pairs(Similarity.multiProbeTopK(emb, queries, k = 100000, probes = 4))
+    assert(p1.subsetOf(p4), "extra probes may only add candidates")
+    assert(p4.size > p1.size, s"expected flips to surface new candidates (p1=${p1.size})")
+  }
+
+  test("multi-probe recall at k=20 is no worse than single-probe, cosines exact") {
+    val exact = Similarity.bruteForceQuery(spark, sf001)
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val truth = exact.map(_._1).toSet
+    val exactCos = exact.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      got.count(truth.contains).toDouble / truth.size
+    }
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val r1 = recall(Similarity.lshTopK(emb, queries, k = 20))
+    val r4 = recall(Similarity.multiProbeTopK(emb, queries, k = 20, probes = 4))
+    assert(r4 >= r1, s"multi-probe recall $r4 must be >= single-probe $r1")
+
+    Similarity.multiProbeQuery(spark, sf001).collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      exactCos.get(key).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
   test("LSH top-k: results are a subset of correct cosine scores, same bucket only") {
     val exact = Similarity.bruteForceQuery(spark, sf001)
       .select("query_id", "vec_id", "cosine").collect()
