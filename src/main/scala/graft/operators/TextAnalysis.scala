@@ -197,44 +197,68 @@ object TextAnalysis {
    * codegen; the per-doc O(distinct × windows) counting loop is bounded by
    * document length, not corpus size.
    */
-  /** (dup_frac, top_frac) as inline column expressions over `text`. */
-  private def repetitionFracs(n: Int): (Column, Column) = {
+  /**
+   * `(n_windows, n_distinct, top)` in ONE pass: sort the window array,
+   * then distinct count and the max run length fall out of a single
+   * `aggregate` fold — O(d log d) per row.
+   *
+   * The naive formulation (`array_max(transform(array_distinct(w),
+   * x -> size(filter(w, y -> y = x))))`) is a measured disaster: lambda
+   * higher-order functions evaluate interpreted, and every `w` reference
+   * inside a lambda RE-EVALUATES the whole split+concat window builder —
+   * O(d³) string work per row (215 s for the sf0.1 corpus vs 0.3 s for
+   * this form). The window array appears exactly once here, so it is
+   * built exactly once per row.
+   */
+  private def repStatsStruct(n: Int): Column = {
     val tk = "split(lower(text), '\\\\s+')"
     val w = s"""transform(sequence(1, greatest(size($tk) - ${n - 1}, 1)),
                   i -> concat_ws(' ', slice($tk, i, $n)))"""
-    val dup = expr(
-      s"""1.0D - CAST(size(array_distinct($w)) AS DOUBLE)
-               / CAST(size($w) AS DOUBLE)""")
-    val top = expr(
-      s"""CAST(array_max(transform(array_distinct($w),
-                x -> size(filter($w, y -> y = x)))) AS DOUBLE)
-          / CAST(size($w) AS DOUBLE)""")
-    (dup, top)
+    expr(
+      s"""aggregate(
+            array_sort($w),
+            named_struct(
+              'prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+              'best', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT),
+              'nw', CAST(0 AS BIGINT)),
+            (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+              named_struct('prev', x, 'run', acc.run + CAST(1 AS BIGINT),
+                'best', greatest(acc.best, acc.run + CAST(1 AS BIGINT)),
+                'nd', acc.nd, 'nw', acc.nw + CAST(1 AS BIGINT)),
+              named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                'best', greatest(acc.best, CAST(1 AS BIGINT)),
+                'nd', acc.nd + CAST(1 AS BIGINT),
+                'nw', acc.nw + CAST(1 AS BIGINT))),
+            acc -> named_struct('nw', acc.nw, 'nd', acc.nd, 'top', acc.best))""")
   }
 
-  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
-    val (dup, top) = repetitionFracs(n)
-    val tk = "split(lower(text), '\\\\s+')"
-    val w = s"""transform(sequence(1, greatest(size($tk) - ${n - 1}, 1)),
-                  i -> concat_ws(' ', slice($tk, i, $n)))"""
-    docs.select(
-      col("doc_id"),
-      expr(s"CAST(size($w) AS BIGINT)").as("n_windows"),
-      expr(s"CAST(size(array_distinct($w)) AS BIGINT)").as("n_distinct"),
-      round(dup, 6).as("dup_frac"),
-      round(top, 6).as("top_frac"))
-  }
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
+    docs.select(col("doc_id"), repStatsStruct(n).as("_s"))
+      .select(
+        col("doc_id"),
+        col("_s.nw").as("n_windows"),
+        col("_s.nd").as("n_distinct"),
+        round(lit(1.0) - col("_s.nd").cast("double")
+          / col("_s.nw").cast("double"), 6).as("dup_frac"),
+        round(col("_s.top").cast("double")
+          / col("_s.nw").cast("double"), 6).as("top_frac"))
 
-  /** Repetition gate for the cleaning pipeline — a plain row filter (the
-    * fracs are inline expressions), so it folds into the scan with the
-    * other quality gates: no join, no shuffle. */
+  /** Repetition gate for the cleaning pipeline — a per-row filter over the
+    * same one-pass stats struct: no join, no shuffle. */
   def filterRepetitive(
       docs: DataFrame,
       n: Int = 2,
       maxDupFrac: Double = 0.5,
       maxTopFrac: Double = 0.2): DataFrame = {
-    val (dup, top) = repetitionFracs(n)
-    docs.filter(dup <= maxDupFrac && top <= maxTopFrac)
+    val s = repStatsStruct(n)
+    docs
+      .withColumn("_rep", s)
+      .filter(
+        (lit(1.0) - col("_rep.nd").cast("double") / col("_rep.nw").cast("double"))
+          <= maxDupFrac &&
+        (col("_rep.top").cast("double") / col("_rep.nw").cast("double"))
+          <= maxTopFrac)
+      .drop("_rep")
   }
 
   /** Query-pack adapter: bigram repetition over the fixture corpus. */
