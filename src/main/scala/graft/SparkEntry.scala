@@ -161,6 +161,22 @@ object SparkEntry {
         col("n_cells"), col("min_ts"), col("max_ts"))
   }
 
+  /** Z-order layout scan: lineitem clustered on (l_partkey, l_suppkey) —
+    * a 2-dim box filter a single-key sort can't serve; parquet min/max
+    * stats prune on BOTH dimensions (ZOrderSpec measures the per-file
+    * tightness; here the oracle checks the layout loses no rows). */
+  private def zorderScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"/tmp/graft_zorder_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    buildOnce(dir) {
+      operators.ZOrderLayout.write(
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+        "l_partkey", "l_suppkey", dir, numFiles = 16)
+    }
+    spark.read.parquet(dir)
+      .filter(col("l_partkey").between(50, 150) && col("l_suppkey").between(2, 6))
+  }
+
   /** CorruptRows pipeline over the cell table: negative account balance
     * poisons the row; output = the reference's (row_key, error) TSV record. */
   private def corruptScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -226,6 +242,7 @@ object SparkEntry {
     "q_store_join"     -> (storeJoinQuery _),
     "q_store_groupby"  -> (storeGroupByQuery _),
     "q_sql_surface"    -> (sqlSurfaceQuery _),
+    "q_zorder_scan"    -> (zorderScanQuery _),
     // LLM-pipeline extension tier
     "q_dedup_exact"    -> (Dedup.exactQuery _),
     "q_minhash_pairs"  -> (Dedup.minhashQuery _),
@@ -459,6 +476,10 @@ object SparkEntry {
                     x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE)
                   / CAST(len(ws) AS DOUBLE), 6) AS top_frac
           FROM w""",
+    "q_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem
+         WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 6""",
     "q_point_lookup" ->
       "SELECT * FROM customer WHERE c_custkey = 42",
     "q_range_scan" ->

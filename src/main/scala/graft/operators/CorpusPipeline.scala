@@ -23,15 +23,25 @@ object CorpusPipeline {
       minQuality: Double = 0.5,
       keepLangs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
       nearDupThreshold: Double = 0.8,
-      shingleN: Int = 3)
+      shingleN: Int = 3,
+      // optional repetition gate (Gopher-style); None = off, preserving the
+      // established pipeline output
+      maxDupFrac: Option[Double] = None,
+      maxTopFrac: Option[Double] = None,
+      repetitionN: Int = 2,
+      decontamN: Int = 13)
 
-  /** Stage 1+2: narrow pre-filters (quality gate, language allowlist) — a
-    * single map over the scan, no join: the quality score is attached as a
-    * column expression, so both gates fold into the scan's filter. */
-  def preFilter(docs: DataFrame, cfg: Config): DataFrame =
-    docs.withColumn("quality", TextAnalysis.qualityColumn(col("text")))
+  /** Stage 1+2(+2b): narrow pre-filters (quality gate, language allowlist,
+    * optional repetition gate) — single maps over the scan, no join: every
+    * gate folds into the scan's filter. */
+  def preFilter(docs: DataFrame, cfg: Config): DataFrame = {
+    val base = docs.withColumn("quality", TextAnalysis.qualityColumn(col("text")))
       .filter(col("quality") >= cfg.minQuality)
       .filter(col("lang").isin(cfg.keepLangs: _*))
+    if (cfg.maxDupFrac.isEmpty && cfg.maxTopFrac.isEmpty) base
+    else TextAnalysis.filterRepetitive(base, cfg.repetitionN,
+      cfg.maxDupFrac.getOrElse(1.0), cfg.maxTopFrac.getOrElse(1.0))
+  }
 
   /** Stage 3: exact dedup — keep the min doc_id per identical text. One
     * shuffle (window min over the digest), no join-back: at 100 TB the
@@ -56,6 +66,15 @@ object CorpusPipeline {
   /** The full pipeline. */
   def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedup(exactDedup(preFilter(docs, cfg)), cfg)
+
+  /** The full pipeline plus the leakage gate: clean, then drop docs whose
+    * n-grams overlap the eval/benchmark set ([[decontaminate]] — broadcast
+    * probe, cleaned corpus never shuffles for it). */
+  def cleanWithEval(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      cfg: Config = Config()): DataFrame =
+    decontaminate(clean(docs, cfg), evalSet, cfg.decontamN)
 
   /** Source balancing — cap the corpus at `maxPerSource` documents per
     * origin, keeping the lowest doc ids (deterministic, so reruns agree).

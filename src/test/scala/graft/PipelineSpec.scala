@@ -31,6 +31,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(CorpusPipeline.clean(docs).select("doc_id").as[Long].collect().toSet == ids)
   }
 
+  test("repetition gate and leakage gate compose with the cleaning pipeline") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val spammy = "spam ham " * 80 // length/alpha fine, bigrams almost all repeats
+    val distinct = "totally different words about query engines and big shuffles " * 5
+    val docs = Seq(
+      (1L, base + "today", "en", "s0"),
+      (4L, distinct, "en", "s2"),
+      (7L, spammy, "en", "s5")
+    ).toDF("doc_id", "text", "lang", "source")
+
+    val defaultIds = CorpusPipeline.clean(docs).select("doc_id").as[Long].collect().toSet
+    assert(defaultIds == Set(1L, 4L, 7L), "gate off: repetitive doc survives")
+
+    // top_frac gate: docs 1/4 repeat a long PHRASE (top bigram ≈ 1/13 of
+    // windows) but the spam doc is one bigram over and over (top ≈ 0.5)
+    val gated = CorpusPipeline.clean(docs,
+        CorpusPipeline.Config(maxTopFrac = Some(0.3)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(1L, 4L), "gate on: repetitive doc dropped")
+
+    val evalSet = Seq((100L, distinct)).toDF("doc_id", "text")
+    val decontaminated = CorpusPipeline.cleanWithEval(docs, evalSet)
+      .select("doc_id").as[Long].collect().toSet
+    assert(decontaminated == Set(1L, 7L), "leaked doc dropped, others kept")
+  }
+
   test("decontamination: flags n-gram overlap with the eval set, spares clean docs") {
     val evalSet = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),

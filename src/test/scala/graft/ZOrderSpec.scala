@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.ZOrderImpl
+import graft.operators.ZOrderLayout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZOrderSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("interleave is a bijection on a grid and preserves quadrant order") {
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val codes = grid.map { case (a, b) => ZOrderImpl.interleave(a, b) }
+    assert(codes.distinct.size == grid.size, "Morton code must be injective")
+    // whole lower-left quadrant sorts before the whole upper-right quadrant
+    val lowMax = (for (a <- 0L until 16L; b <- 0L until 16L)
+      yield ZOrderImpl.interleave(a, b)).max
+    val highMin = (for (a <- 16L until 32L; b <- 16L until 32L)
+      yield ZOrderImpl.interleave(a, b)).min
+    assert(lowMax < highMin)
+  }
+
+  test("z-order layout keeps BOTH dimensions tight per file; linear sort only one") {
+    val n = 128
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+    val df = scala.util.Random.shuffle(grid).toDF("x", "y").repartition(8)
+
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    val linDir = Files.createTempDirectory("graft_linear").toString
+    ZOrderLayout.write(df, "x", "y", zDir, numFiles = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+
+    def avgWidth(dir: String, c: String): Double = {
+      val rows = ZOrderLayout.fileRanges(spark, dir, c).collect()
+      rows.map(r => (r.getAs[Long]("hi") - r.getAs[Long]("lo")).toDouble)
+        .sum / rows.length
+    }
+    // 128x128 grid into 16 files: ideal z-order files are 32x32 rectangles;
+    // repartitionByRange samples its bounds, so a file can straddle two
+    // blocks — allow up to two block widths, still far under the 128 a
+    // linear sort spans on the non-leading dimension.
+    val zY = avgWidth(zDir, "y"); val zX = avgWidth(zDir, "x")
+    val linY = avgWidth(linDir, "y")
+    assert(zY <= 72, s"z-order y-width should be ~32-64, got $zY")
+    assert(zX <= 72, s"z-order x-width should be ~32-64, got $zX")
+    assert(linY >= n - 8, s"linear layout spans y fully, got $linY")
+
+    // semantic sanity: a 2-dim box filter over the layout equals the source
+    val box = spark.read.parquet(zDir)
+      .filter(col("x").between(10, 20) && col("y").between(100, 120))
+    assert(box.count() == 11L * 21L)
+  }
+}
