@@ -233,6 +233,7 @@ object SparkEntry {
     "q_percentiles"    -> (Sketches.percentilesQuery _),
     "q_percentiles_approx" -> (Sketches.percentilesApproxQuery _),
     "q_vocab_approx"   -> (Sketches.vocabApproxQuery _),
+    "q_heavy_hitters"  -> (Sketches.heavyHittersQuery _),
     // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
@@ -476,6 +477,16 @@ object SparkEntry {
                     x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE)
                   / CAST(len(ws) AS DOUBLE), 6) AS top_frac
           FROM w""",
+    // Heavy hitters via Misra-Gries in its exact regime (vocab ≪ capacity):
+    // the oracle recomputes the same top-10 with the same tiebreak.
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                      FROM documents),
+          cnt AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY lang, tok),
+          r AS (SELECT lang, tok, cnt,
+                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+                FROM cnt)
+          SELECT lang, rank, tok, cnt FROM r WHERE rank <= 10""",
     "q_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
          FROM lineitem

@@ -73,7 +73,10 @@ object GraftFunctionRegistry {
       es => { checkArity("cosine_sim", es, 2); CosineSim(es.head, es(1)) }),
     ("dot_product", classOf[DotProduct],
       "dot_product(a, b) - dot product over FLOAT arrays",
-      es => { checkArity("dot_product", es, 2); DotProduct(es.head, es(1)) }))
+      es => { checkArity("dot_product", es, 2); DotProduct(es.head, es(1)) }),
+    ("zvalue", classOf[InterleaveBits],
+      "zvalue(a, b) - Morton code of two BIGINT dimensions (Z-order clustering key)",
+      es => { checkArity("zvalue", es, 2); InterleaveBits(es.head, es(1)) }))
 
   /** Register every function as a session-scoped temp function. */
   def registerAll(spark: SparkSession): Unit =

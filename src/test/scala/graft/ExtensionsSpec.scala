@@ -41,7 +41,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
           |       cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
           |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS cs,
           |       dot_product(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
-          |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp
+          |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp,
+          |       zvalue(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS zv
           |""".stripMargin).head()
 
       assert(row.getAs[String]("rt") == "a\\x00b")
@@ -54,6 +55,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
       assert(row.getAs[Int]("k") == 8)
       assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
       assert(math.abs(row.getAs[Double]("dp") - 25.0) < 1e-12)
+      assert(row.getAs[Long]("zv") == graft.functions.ZOrderImpl.interleave(3L, 5L))
     }
   }
 

@@ -40,6 +40,32 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Misra-Gries: exact when distinct <= capacity, merge-stable across partitions") {
+    import spark.implicits._
+    val words = Seq.tabulate(2000)(i => s"w${i % 17}") // 17 distinct, skewed order
+    val ds = scala.util.Random.shuffle(words).toDS().repartition(8) // force merges
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.operators.Sketches.MisraGries(64))
+    val got = ds.toDF("tok").agg(mg(org.apache.spark.sql.functions.col("tok")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.toMap == exact, "distinct <= k: counts must be exact")
+    // deterministic tiebreak: count desc then token asc
+    assert(got == got.sortBy { case (t, n) => (-n, t) })
+  }
+
+  test("Misra-Gries: items above n/(k+1) survive trimming, counts never overshoot") {
+    val mg = new graft.operators.Sketches.MisraGries(2)
+    val stream = Seq.fill(600)("heavy") ++ Seq.tabulate(300)(i => s"rare$i")
+    val s = scala.util.Random.shuffle(stream)
+      .foldLeft(mg.zero)((acc, x) => mg.reduce(acc, x))
+    val out = mg.finish(s).toMap
+    assert(out.contains("heavy"), "item with freq > n/(k+1) must be present")
+    assert(out("heavy") <= 600L, "MG counts under-estimate, never overshoot")
+    assert(s.counters.size <= 2, "state bounded by capacity")
+  }
+
   test("rollup covers all grouping sets with consistent totals") {
     val rows = graft.operators.Relational.rollupAgg(spark, sf001).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
