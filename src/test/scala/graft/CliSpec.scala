@@ -1,6 +1,6 @@
 package graft
 
-import graft.cli.{Args, CopyRowMain, CorruptRowsMain}
+import graft.cli.{Args, CopyRowMain, CorpusCleanMain, CorruptRowsMain}
 import graft.model.CellTable
 import graft.sources.Catalog
 import org.apache.spark.sql.SaveMode
@@ -100,5 +100,22 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       "--table", "test:probe_expr", "--output", out,
       "--corruptExpr", "cast(rowKey as string) is not null and ts < 0"))
     assert(c.total == 5 && c.failed == 0 && c.success == 5)
+  }
+
+  test("CorpusClean CLI: fixture corpus cleans end to end; eval set tightens it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cli_clean").toString
+    val n = CorpusCleanMain.run(spark, Array(
+      "--input", s"$sf001/documents.parquet", "--output", s"$base/out1"))
+    assert(n > 0 && n <= 500, s"cleaned count out of range: $n")
+
+    // using the corpus itself as the eval set: every surviving doc shares
+    // its own 13-grams with "eval", so decontamination empties the output
+    val n2 = CorpusCleanMain.run(spark, Array(
+      "--input", s"$sf001/documents.parquet", "--output", s"$base/out2",
+      "--evalSet", s"$sf001/documents.parquet"))
+    assert(n2 < n, s"self-eval decontamination must shrink output: $n2 vs $n")
+
+    intercept[Args.CliExit](CorpusCleanMain.run(spark, Array("--bogus", "x")))
+    intercept[Args.CliExit](CorpusCleanMain.run(spark, Array("--input", "only")))
   }
 }

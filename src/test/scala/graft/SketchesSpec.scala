@@ -66,6 +66,33 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(s.counters.size <= 2, "state bounded by capacity")
   }
 
+  test("property: MG never overshoots, keeps guaranteed items, bounds state — reduce and merge paths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val streamGen = Gen.listOfN(400, Gen.frequency(
+      8 -> Gen.const("hot"),
+      4 -> Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")))
+    val k = 3
+    val mg = new graft.operators.Sketches.MisraGries(k)
+    (0 until 40).foreach { i =>
+      val xs = streamGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val st = xs.foldLeft(mg.zero)(mg.reduce)
+      assert(st.counters.size <= k)
+      mg.finish(st).foreach { case (t, c) => assert(c <= truth(t)) }
+      truth.foreach { case (t, n) =>
+        if (n > xs.size.toLong / (k + 1)) assert(st.counters.contains(t)) }
+      // merge path: trim error adds, so the merged guarantee is 2n/(k+1)
+      val (l, r) = xs.splitAt(xs.size / 2)
+      val merged = mg.merge(l.foldLeft(mg.zero)(mg.reduce),
+        r.foldLeft(mg.zero)(mg.reduce))
+      assert(merged.counters.size <= k)
+      mg.finish(merged).foreach { case (t, c) => assert(c <= truth(t)) }
+      truth.foreach { case (t, n) =>
+        if (n > 2L * xs.size / (k + 1)) assert(merged.counters.contains(t)) }
+    }
+  }
+
   test("rollup covers all grouping sets with consistent totals") {
     val rows = graft.operators.Relational.rollupAgg(spark, sf001).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))

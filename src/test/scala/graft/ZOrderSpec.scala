@@ -22,6 +22,38 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     assert(lowMax < highMin)
   }
 
+  test("property: interleave round-trips and orders blocks for random 32-bit pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pairGen = for {
+      a <- Gen.choose(0L, 0xffffffffL)
+      b <- Gen.choose(0L, 0xffffffffL)
+    } yield (a, b)
+    (0 until 300).foreach { i =>
+      val (a, b) = pairGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val z = ZOrderImpl.interleave(a, b)
+      // de-interleave: even bits -> a, odd bits -> b (inverse of spread)
+      def unspread(x0: Long): Long = {
+        var x = x0 & 0x5555555555555555L
+        x = (x | (x >> 1)) & 0x3333333333333333L
+        x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+        x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+        x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+        x = (x | (x >> 16)) & 0x00000000ffffffffL
+        x
+      }
+      val raw = z ^ java.lang.Long.MIN_VALUE
+      assert(unspread(raw) == a && unspread(raw >>> 1) == b,
+        s"round-trip failed for ($a, $b)")
+      // dominance order: strictly smaller in BOTH dims => smaller z
+      val (a2, b2) = pairGen.pureApply(Gen.Parameters.default, Seed(100000L + i))
+      val (loA, hiA) = (math.min(a, a2), math.max(a, a2))
+      val (loB, hiB) = (math.min(b, b2), math.max(b, b2))
+      if (loA != hiA && loB != hiB)
+        assert(ZOrderImpl.interleave(loA, loB) < ZOrderImpl.interleave(hiA, hiB))
+    }
+  }
+
   test("z-order layout keeps BOTH dimensions tight per file; linear sort only one") {
     val n = 128
     val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
