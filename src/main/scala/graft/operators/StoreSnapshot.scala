@@ -37,10 +37,12 @@ object StoreSnapshot {
     val pinned = sfs.listStatus(src)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
       .map(_.getPath.getName).sorted.toSeq
-    val withMeta =
-      if (sfs.exists(new Path(src, CellStoreSource.MetaFile)))
-        pinned :+ CellStoreSource.MetaFile
-      else pinned
+    // side metadata travels with the data files (absent entries are fine:
+    // a store without a salt manifest is a range store, one without blooms
+    // just loses point-GET file elision)
+    val withMeta = pinned ++ Seq(
+      CellStoreSource.MetaFile, graft.sources.CellBloom.BloomFile)
+      .filter(n => sfs.exists(new Path(src, n)))
     withMeta.foreach { name =>
       if (!FileUtil.copy(sfs, new Path(src, name), dfs, new Path(dst, name),
           false, false, conf))

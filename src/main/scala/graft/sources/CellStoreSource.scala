@@ -874,6 +874,20 @@ class CellStoreScan(path: String, buckets: Option[Int],
       // appends landing mid-pass are neither rewritten nor deleted
       .filter(s => fileSubset.forall(_.contains(s.getPath.getName)))
       .sortBy(_.getPath.getName)
+    // Bloom elision for point lookups (HFile ROW bloom analogue): a pushed/
+    // runtime GET/IN key set skips files whose bloom proves every key
+    // absent — the in-range negative GET that min/max stats cannot serve.
+    // A file with no recorded bloom is "may contain"; the residual filter
+    // re-checks rows, so this is pure IO elision.
+    val getKeys = CellStoreSource.exactKeys(allFilters)
+    val blooms: Map[String, Array[Long]] =
+      if (getKeys.isDefined) CellBloom.read(dir, conf)
+      else Map.empty
+    def mayHave(name: String): Boolean = getKeys match {
+      case Some(ks) =>
+        blooms.get(name).forall(b => ks.exists(CellBloom.mayContain(b, _)))
+      case None => true
+    }
     buckets match {
       case Some(n) =>
         // Salted layout: one partition per salt bucket. Keys pinned by the
@@ -897,7 +911,9 @@ class CellStoreScan(path: String, buckets: Option[Int],
             .map(_.map(CellBucketFunction.bucketOf(_, n)).toSet)
         planned.map { b =>
           val fsOf =
-            if (runtimeBuckets.forall(_.contains(b))) byBucket.getOrElse(b, Nil)
+            if (runtimeBuckets.forall(_.contains(b)))
+              byBucket.getOrElse(b, Nil)
+                .filter(p => mayHave(new Path(p).getName))
             else Nil
           CellStoreBucketPartition(b, fsOf): InputPartition
         }.toArray
@@ -909,7 +925,7 @@ class CellStoreScan(path: String, buckets: Option[Int],
         // the reader re-checks per-group stats inside a kept chunk.
         // Footers are read driver-side; a 100 TB deployment swaps this for a
         // cached region index with the same contract.
-        files.flatMap { st =>
+        files.filter(st => mayHave(st.getPath.getName)).flatMap { st =>
           val blocks = CellStoreSource.footerBlocks(st.getPath, conf)
           val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Boolean)]
           blocks.foreach { b =>

@@ -134,8 +134,11 @@ class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath)
       else replaceFiles.map(new Path(dir, _)).filter(fs.exists).toArray
-    val renamed = messages.collect { case CellFileCommitted(file) if file.nonEmpty =>
-      val src = new Path(file)
+    val committed = messages.collect {
+      case m @ CellFileCommitted(file, _) if file.nonEmpty => m
+    }
+    val renamed = committed.map { m =>
+      val src = new Path(m.file)
       if (!fs.rename(src, new Path(dir, src.getName)))
         throw new java.io.IOException(
           s"cellstore commit: rename of $src into $dir failed; store left unchanged plus any already-renamed files")
@@ -144,6 +147,13 @@ class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
     if (replaceFiles.nonEmpty)
       CellStoreSource.writeCompactManifest(dir, conf, queryId,
         inputs = superseded.map(_.getName).toSeq, outputs = renamed.toSeq)
+    // record per-file rowKey blooms: merge on append, reset on truncate,
+    // drop superseded entries on file-scoped rewrites (pure IO elision —
+    // a racing writer losing an entry only loses pruning, never rows)
+    CellBloom.update(dir, conf,
+      added = committed.map(m => new Path(m.file).getName -> m.bloom).toMap,
+      removed = superseded.map(_.getName).toSet,
+      reset = truncateFirst)
     superseded.foreach(p => fs.delete(p, false))
     buckets match {
       case Some(n) => CellStoreSource.writeBucketsMeta(dir, conf, n)
@@ -162,7 +172,8 @@ class CellStoreBatchWrite(path: String, queryId: String, schema: StructType,
   }
 }
 
-final case class CellFileCommitted(file: String) extends WriterCommitMessage
+final case class CellFileCommitted(file: String, bloom: Array[Long])
+    extends WriterCommitMessage
 
 class CellStoreWriterFactory(tmpDir: String, schema: StructType, salted: Boolean)
     extends DataWriterFactory {
@@ -194,18 +205,23 @@ class CellStoreDataWriter(tmpDir: String, schema: StructType,
       f"$tmpDir/part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}%s.parquet"
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var wrote = false
+  // per-file rowKey bloom, folded during the write and shipped to the
+  // driver with the commit message (the HFile ROW bloom analogue)
+  private val rowKeyIdx = schema.fieldIndex("rowKey")
+  private val bloom = CellBloom.empty()
 
   override def write(row: InternalRow): Unit = {
     if (writer == null)
       writer = org.apache.spark.sql.execution.datasources.parquet
         .GraftRowParquetWriter.open(file, schema)
     wrote = true
+    if (!row.isNullAt(rowKeyIdx)) CellBloom.add(bloom, row.getBinary(rowKeyIdx))
     writer.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    CellFileCommitted(if (wrote) file else "")
+    CellFileCommitted(if (wrote) file else "", bloom)
   }
 
   override def abort(): Unit = if (writer != null) writer.close()

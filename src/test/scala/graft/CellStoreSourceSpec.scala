@@ -276,6 +276,39 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
         .select("rowKey").distinct().count())
   }
 
+  test("rowKey blooms: in-range absent GET skips every file; present keys never miss") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom_store").toString + "/s"
+    // only EVEN custkeys: every odd key is inside the store's [min,max]
+    // but absent — the case min/max stats cannot prune and blooms can
+    val even = CellTable.fromTable(spark, sf001, "customer")
+      .filter(pmod(CellTable.keyToLong(col("rowKey")), lit(2)) === 0)
+    even.write.format("cellstore").option("numRegions", "4").mode("overwrite").save(dir)
+    assert(new java.io.File(dir, graft.sources.CellBloom.BloomFile).exists)
+
+    val st = spark.read.format("cellstore").load(dir)
+    val present = st.filter(col("rowKey") === lit(key(42)))
+    assert(present.count() > 0, "no false negatives ever")
+    val absent = st.filter(col("rowKey") === lit(key(43)))
+    assert(absent.rdd.getNumPartitions == 0,
+      "bloom must eliminate every file for an in-range absent key")
+    assert(absent.count() == 0)
+
+    // append merges entries: the new key becomes visible, old ones stay
+    CellTable.fromTable(spark, sf001, "customer")
+      .filter(CellTable.keyToLong(col("rowKey")) === 43)
+      .write.format("cellstore").mode("append").save(dir)
+    val st2 = spark.read.format("cellstore").load(dir)
+    assert(st2.filter(col("rowKey") === lit(key(43))).count() > 0)
+    assert(st2.filter(col("rowKey") === lit(key(42))).count() > 0)
+
+    // salted layout: partition values stay stable, absent GET reads nothing
+    val sdir = java.nio.file.Files.createTempDirectory("bloom_salt").toString + "/s"
+    even.write.format("cellstore").option("buckets", "4").mode("overwrite").save(sdir)
+    val sst = spark.read.format("cellstore").load(sdir)
+    assert(sst.filter(col("rowKey") === lit(key(42))).count() > 0)
+    assert(sst.filter(col("rowKey") === lit(key(43))).count() == 0)
+  }
+
   test("pushed filters stay as residuals: non-key predicates still apply") {
     val out = store
       .filter(col("rowKey") >= lit(key(0L)) && col("qualifier").cast("string") === "c_acctbal")
