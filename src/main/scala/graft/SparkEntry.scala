@@ -250,6 +250,7 @@ object SparkEntry {
     "q_simhash_pairs"  -> (Dedup.simhashQuery _),
     "q_ngram_jaccard"  -> (Dedup.ngramJaccardQuery _),
     "q_dup_clusters"   -> (Dedup.clustersQuery _),
+    "q_rep_windows"    -> (Dedup.repeatedWindowsQuery _),
     "q_split_assign"   -> (CorpusPipeline.splitAssignQuery _),
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
@@ -455,6 +456,13 @@ object SparkEntry {
       s"""SELECT o_orderkey, ${rowKeySql("o_orderkey")} AS row_key,
           CAST(8 AS INTEGER) AS key_len
           FROM orders WHERE o_orderkey <= 800""",
+    "q_rep_windows" ->
+      s"""WITH ngr AS (SELECT doc_id, ${ngramSql(4)} AS gs FROM documents),
+          w AS (SELECT doc_id, unnest(gs) AS g FROM ngr),
+          grp AS (SELECT g, count(*) AS n_docs,
+                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+                  FROM w GROUP BY g)
+          SELECT n_docs, min_doc, max_doc FROM grp WHERE n_docs >= 2""",
     "q_decontam" ->
       s"""WITH ngr AS (SELECT doc_id, ${ngramSql(4)} AS gs FROM documents),
           ev AS (SELECT DISTINCT unnest(gs) AS g FROM ngr WHERE doc_id % 5 = 3),

@@ -155,6 +155,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Repeated-window detection — the window-granularity form of exact
+   * substring dedup (the "memorized boilerplate" cut of training-data
+   * cleaning): every n-token window shared by at least `minDocs`
+   * documents, with the witness doc range. Consumers either drop the
+   * span from all-but-one doc or treat high `n_docs` windows as
+   * boilerplate to scrub everywhere.
+   *
+   * 100 TB shape: ONE explode+groupBy shuffle over 64-bit window hashes
+   * (never window strings); the count/min/max aggregate combines
+   * map-side, so a boilerplate window present in millions of docs is a
+   * single hot key with partial aggregation, not a skew blowup.
+   */
+  def repeatedWindows(docs: DataFrame, n: Int, minDocs: Long = 2L): DataFrame =
+    docs.select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("w"))
+      .groupBy("w")
+      .agg(
+        count(lit(1)).as("n_docs"), // per-doc windows are distinct ⇒ doc count
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   /** SimHash fingerprints: doc_id → 64-bit fingerprint. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(
@@ -403,6 +425,13 @@ object Dedup {
 
   def clustersQuery(spark: SparkSession, sfDir: String): DataFrame =
     nearDupClusters(Tables.load(spark, sfDir, "documents"))
+
+  /** Query adapter: repeated 4-token windows across the corpus. The window
+    * id is the engine's 64-bit hash (not SQL-reproducible as a value), so
+    * the oracle compares the (n_docs, min_doc, max_doc) multiset. */
+  def repeatedWindowsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    repeatedWindows(Tables.load(spark, sfDir, "documents"), n = 4)
+      .select("n_docs", "min_doc", "max_doc")
 
   /** The synthetic embeddings have no true near-dups (max pairwise cosine
     * ≈ 0.48 at sf0.001), so the query-pack entry runs the same pipeline at a

@@ -86,6 +86,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(s == Seq("short text"))
   }
 
+  test("repeated windows: shared n-gram surfaces with witnesses; unique text stays out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique tail one"),
+      (2L, "prefix words then alpha beta gamma delta and more"),
+      (3L, "nothing here matches anything else at all"),
+      (4L, "alpha beta gamma delta unique tail one") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.repeatedWindows(docs, n = 4).collect()
+    assert(out.nonEmpty)
+    // "alpha beta gamma delta" is shared by docs 1, 2, 4
+    val top = out.maxBy(_.getAs[Long]("n_docs"))
+    assert(top.getAs[Long]("n_docs") == 3L)
+    assert(top.getAs[Long]("min_doc") == 1L && top.getAs[Long]("max_doc") == 4L)
+    // doc 3 shares nothing: it never witnesses a repeated window
+    val all = graft.operators.Dedup.repeatedWindows(docs, n = 4, minDocs = 1L)
+      .collect()
+    val doc3Windows = graft.operators.Dedup.repeatedWindows(
+      docs.filter($"doc_id" === 3L), n = 4, minDocs = 1L).collect()
+    assert(doc3Windows.forall(_.getAs[Long]("n_docs") == 1L))
+    assert(all.length >= out.length)
+  }
+
   test("near-dup clusters: transitive duplicates collapse to one component") {
     // a~b and b~c at J>=0.5 while a~c alone is below threshold: pairwise
     // dedup would leave two survivors, the component must leave ONE cluster
