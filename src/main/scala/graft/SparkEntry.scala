@@ -257,6 +257,7 @@ object SparkEntry {
     "q_ann_lsh"        -> (Similarity.lshQuery _),
     "q_ann_multiprobe" -> (Similarity.multiProbeQuery _),
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
+    "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
     "q_token_counts"   -> (TextAnalysis.tokenCountsQuery _),

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (Jégou et al., "Product Quantization for Nearest
+ * Neighbor Search", TPAMI'11) — the memory side of 100 TB ANN: each
+ * L2-normalized vector is split into `m` subvectors, each subvector is
+ * replaced by the id of its nearest codeword from a per-subspace codebook
+ * (k codewords), so a dim-64 float vector (256 B) compresses to `m` small
+ * codes (8 B at m=8) while remaining searchable.
+ *
+ * Search is ADC (asymmetric distance computation): the query stays exact;
+ * per query a (m × k) lookup table of subspace dot products is computed
+ * once, and every corpus vector's approximate score is just `m` table
+ * lookups summed — no float vector is ever touched. The optional rerank
+ * stage re-scores the top `r` candidates with the exact kernel, the
+ * standard recall repair.
+ *
+ * Scale shape: codebooks are driver-side state (m × k × dim/m floats —
+ * KILOBYTES) broadcast into plans as literals, exactly like IVF
+ * centroids; training is Lloyd's over (sub, subvector) rows — one
+ * groupBy shuffle of m × k × dim/m averages per iteration; encode is a
+ * narrow codegen'd map; ADC scoring is a broadcast nested-loop over the
+ * CODES (8 B/vector), so the scan side is ~32× lighter than brute force.
+ */
+object PqIndex {
+
+  /** books(s)(j) = codeword j of subspace s (each of length dim/m). */
+  final case class Codebooks(dim: Int, m: Int, books: Seq[Seq[Seq[Float]]]) {
+    require(dim % m == 0, "m must divide dim")
+    def k: Int = books.head.size
+    def subDim: Int = dim / m
+  }
+
+  /** L2-normalize so dot ≡ cosine ranking (zero vectors stay zero). */
+  private def normed(vec: Column): Column = {
+    val n2 = VectorFunctions.dot_product(vec, vec)
+    transform(vec, x =>
+      when(n2 === 0d, x).otherwise((x / sqrt(n2)).cast("float")))
+  }
+
+  /** 1-based slice of subspace `s`. */
+  private def subCol(vec: Column, s: Int, subDim: Int): Column =
+    slice(vec, s * subDim + 1, subDim)
+
+  /** argmin_j L2(x, c_j) as argmax_j (x·c_j − ½|c_j|²); ties → lowest j. */
+  private def nearestCode(books: Seq[Seq[Float]], sub: Column): Column = {
+    val scored = books.zipWithIndex.map { case (c, j) =>
+      val half = c.map(x => x.toDouble * x).sum / 2.0
+      struct(
+        (VectorFunctions.dot_product(sub, typedlit(c)) - lit(half)).as("score"),
+        lit(j).as("code"))
+    }
+    element_at(
+      array_sort(array(scored: _*), (a, b) =>
+        when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .otherwise(when(a("code") < b("code"), -1).otherwise(1))),
+      1)("code")
+  }
+
+  /**
+   * Train per-subspace codebooks with Lloyd's iterations over
+   * (sub, subvector) rows. Deterministic: subspace s seeds from the first
+   * k vectors by id. One m×k×subDim-row shuffle per iteration.
+   */
+  def train(corpus: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 16,
+      iters: Int = 3): Codebooks = {
+    val subDim = dim / m
+    val seeds = corpus.orderBy("vec_id").limit(k)
+      .select(normed(col("embedding")).as("e")).collect()
+      .map(_.getSeq[Float](0).toSeq)
+    var books: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(s => seeds.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+
+    val subRows = corpus.select(col("vec_id"), normed(col("embedding")).as("e"))
+      .select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), subCol(col("e"), s, subDim).as("sv"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
+
+    (0 until iters).foreach { _ =>
+      val codeCol = (0 until m).map(s =>
+        when(col("sub") === s, nearestCode(books(s), col("sv")))
+      ).reduce((a, b) => coalesce(a, b))
+      val means = subRows
+        .select(col("sub"), codeCol.as("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("sub", "code", "d").agg(avg(col("x")).as("mu"))
+        .collect()
+      val byKey = means.map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[Int]("d")) -> r.getAs[Double]("mu")).toMap
+      books = (0 until m).map { s =>
+        (0 until books(s).size).map { j =>
+          val updated = (0 until subDim).map(d => byKey.get((s, j, d)))
+          if (updated.forall(_.isDefined)) updated.map(_.get.toFloat)
+          else books(s)(j) // empty cluster keeps its codeword
+        }
+      }
+    }
+    Codebooks(dim, m, books)
+  }
+
+  /** (vec_id, codes) — `codes` is an array<int> of length m. */
+  def encode(corpus: DataFrame, model: Codebooks): DataFrame = {
+    val e = normed(col("embedding"))
+    corpus.select(
+      col("vec_id"),
+      array((0 until model.m).map(s =>
+        nearestCode(model.books(s), subCol(e, s, model.subDim))): _*).as("codes"))
+  }
+
+  /**
+   * ADC search over an encoded corpus: per query one (m × k) dot-product
+   * table, per corpus vector m lookups — the float vectors never load.
+   */
+  def searchAdc(encoded: DataFrame, queries: DataFrame, model: Codebooks,
+      k: Int): DataFrame = {
+    val qv = normed(col("embedding"))
+    val tables = array((0 until model.m).map(s =>
+      array(model.books(s).map(c =>
+        VectorFunctions.dot_product(subCol(qv, s, model.subDim), typedlit(c))): _*)): _*)
+    val q = queries.select(
+      col("vec_id").as("query_id"), tables.as("tables"))
+    val scored = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("""aggregate(zip_with(codes, tables, (cd, tb) -> element_at(tb, cd + 1)),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("adc_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * ADC + exact rerank: take the top `r` ADC candidates, re-score them
+   * with the exact cosine kernel, keep the top `k`. Only r float vectors
+   * per query are ever read — the standard recall repair at PQ memory cost.
+   */
+  def searchWithRerank(corpus: DataFrame, queries: DataFrame, model: Codebooks,
+      k: Int, r: Int): DataFrame = {
+    require(r >= k, "rerank pool must be at least k")
+    val cands = searchAdc(encode(corpus, model), queries, model, r)
+      .select(col("query_id"), col("vec_id"))
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val qemb = corpus.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+    val exact = cands.join(emb, "vec_id").join(broadcast(qemb), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Models memoized per corpus, like IVF: train once, search many. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Codebooks]()
+
+  /** Query-pack adapter: PQ-compress the corpus, ADC-search the first 5
+    * vectors with exact rerank (rows-only: the ranking is
+    * approximation-dependent, covered by PqIndexSpec recall bounds). */
+  def pqQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = modelCache.computeIfAbsent(s"$sfDir#m=8#k=16",
+      _ => train(emb, dim = 64, m = 8, k = 16, iters = 2))
+    searchWithRerank(emb, emb.filter(col("vec_id") < 5), model, k = 10, r = 50)
+  }
+}
