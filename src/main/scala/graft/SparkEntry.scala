@@ -268,6 +268,8 @@ object SparkEntry {
     "q_clean_corpus"   -> (CorpusPipeline.cleanQuery _),
     "q_source_cap"     -> (CorpusPipeline.sourceCapQuery _),
     "q_mix_sample"     -> (CorpusPipeline.mixSampleQuery _),
+    "q_temp_sample"    -> (CorpusPipeline.tempSampleQuery _),
+    "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
     "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
@@ -320,6 +322,16 @@ object SparkEntry {
                    generate_series(1, len(regexp_split_to_array(lower(text), '\\s+')) - ${n - 1}),
                    i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + ${n - 1}), ' ')))
             ELSE [array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')] END"""
+
+  /** First-24-bits-of-md5 fixed-point bucket (the `assignSplits` /
+    * `sampleMixture` hash), over a hex-string column `m`, mod `mod` —
+    * DuckDB twin of `conv(substring(md5(..),1,6),16,10) % mod`. */
+  private def md5BucketSql(m: String, mod: Long): String =
+    s"""list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(6), i ->
+              CAST(strpos('0123456789abcdef', substr($m, CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT))),
+          (acc, d) -> acc * 16 + d) % $mod"""
 
   /** Exact-Jaccard all-pairs CTE over `documents`-shaped input `src` —
     * ground truth for the MinHash/LSH near-dup queries. */
@@ -888,6 +900,32 @@ object SparkEntry {
           reach AS (SELECT a, b FROM sym
                     UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
           SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
+    // temperature-flattened mixture: rates n^(alpha-1)/max, rounded half-up
+    // to 6 decimals on BOTH sides, then the shared md5 threshold
+    "q_temp_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id < 350 THEN 'big' ELSE source END AS source
+                FROM documents),
+          cnt AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+          mx AS (SELECT max(pow(n, -0.5)) AS mv FROM cnt),
+          rt AS (SELECT source, floor(pow(n, -0.5) / mv * 1000000 + 0.5) / 1000000.0 AS rate
+                 FROM cnt, mx),
+          h AS (SELECT doc_id, source,
+                  md5(concat(CAST(doc_id AS VARCHAR), 'graft-temp')) AS m
+                FROM d),
+          b AS (SELECT doc_id, source, ${md5BucketSql("m", 1000000L)} AS bucket FROM h)
+          SELECT doc_id, b.source FROM b JOIN rt USING (source)
+          WHERE CAST(bucket AS DOUBLE) < rate * 1000000""",
+    // deterministic shards: md5 bucket mod 8, in-shard order by a second md5
+    "q_shard_assign" ->
+      s"""WITH h AS (SELECT doc_id,
+                  md5(concat(CAST(doc_id AS VARCHAR), 'graft-shard')) AS m,
+                  md5(concat(CAST(doc_id AS VARCHAR), 'graft-shard', '#pos')) AS ok
+                FROM documents),
+          s AS (SELECT doc_id, ${md5BucketSql("m", 8L)} AS shard, ok FROM h)
+          SELECT doc_id, shard,
+                 CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS pos
+          FROM s""",
     // weighted mixture sampling: same md5 fixed-point threshold per source
     "q_mix_sample" ->
       s"""WITH h AS (

@@ -161,6 +161,70 @@ object CorpusPipeline {
       .select("doc_id", "source")
 
   /**
+   * Temperature-flattened mixture (the multilingual "temperature sampling"
+   * convention): source s keeps rate ∝ n_s^(α−1), α ∈ (0,1] — smaller α
+   * flattens the head harder; the smallest source keeps everything (rates
+   * scale so its rate is 1). Rates round HALF-UP to 6 decimals so the
+   * generated oracle reproduces them bit-for-bit. One bounded count
+   * aggregate (#sources rows), then the same narrow hash-threshold filter
+   * as [[sampleMixture]] — rerun/partitioning stable.
+   */
+  def sampleTemperature(
+      docs: DataFrame,
+      alpha: Double = 0.5,
+      salt: String = "graft-temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "corpus has no sources")
+    val raw = counts.view.mapValues(n => math.pow(n.toDouble, alpha - 1.0)).toMap
+    val mx = raw.values.max
+    val rates = raw.view.mapValues(v => math.floor(v / mx * 1e6 + 0.5) / 1e6).toMap
+    sampleMixture(docs, rates, defaultRate = 1.0, salt = salt)
+  }
+
+  /** Query-pack adapter: the fixture's sources are uniform, so a skewed
+    * mega-source is derived (docs below 350 fold into one head source) and
+    * α = 0.5 flattening cuts it hardest — the oracle recomputes the same
+    * counts, rates, and thresholds. */
+  def tempSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sampleTemperature(
+      Tables.load(spark, sfDir, "documents").withColumn("source",
+        when(col("doc_id") < 350, lit("big")).otherwise(col("source"))))
+      .select("doc_id", "source")
+
+  /**
+   * Deterministic training shards: shard = md5 bucket of (doc id, salt)
+   * mod `numShards`; within-shard position = rank of a SECOND independent
+   * md5 — a rerun-stable global shuffle + sharding for the training
+   * dataloader (same stability argument as [[assignSplits]]; `rand()` and
+   * `repartition` are neither rerun- nor topology-stable). One window
+   * shuffle keyed by shard.
+   */
+  def shardCorpus(
+      docs: DataFrame,
+      numShards: Int,
+      salt: String = "graft-shard"): DataFrame = {
+    require(numShards > 0)
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
+      lit(numShards.toLong))
+    val orderKey = md5(concat(col("doc_id").cast("string"), lit(salt), lit("#pos"))
+      .cast("binary"))
+    docs.select(col("doc_id"), shard.as("shard"), orderKey.as("_ok"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy(col("_ok"), col("doc_id")))
+        .cast("bigint"))
+      .drop("_ok")
+  }
+
+  /** Query-pack adapter: 8 deterministic shards with in-shard order. */
+  def shardQuery(spark: SparkSession, sfDir: String): DataFrame =
+    shardCorpus(Tables.load(spark, sfDir, "documents"), numShards = 8)
+
+  /**
    * Sequence packing — group documents into training sequences of at most
    * `budget` tokens (greedy next-fit in doc-id order; an over-budget doc
    * gets its own bin). The packing is DETERMINISTIC and fully distributed:

@@ -31,6 +31,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(CorpusPipeline.clean(docs).select("doc_id").as[Long].collect().toSet == ids)
   }
 
+  test("temperature sampling flattens the head; sharding is deterministic and complete") {
+    // the fixture's sources are uniform (every rate = 1), so flattening is
+    // asserted on a crafted skewed corpus: 240/50/10 docs per source
+    val skewed = (1L to 300L).map(i =>
+      (i, if (i <= 240) "big" else if (i <= 290) "mid" else "small"))
+      .toDF("doc_id", "source")
+    val before = skewed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = CorpusPipeline.sampleTemperature(skewed, alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("small").toDouble / before("small") >
+      after("big").toDouble / before("big"),
+      s"flattening must cut the head hardest: $before -> $after")
+    assert(after("small") == before("small"), "smallest source keeps everything")
+    // deterministic: the same call selects the same docs
+    val a = CorpusPipeline.sampleTemperature(skewed).select("doc_id").as[Long].collect().toSet
+    val b = CorpusPipeline.sampleTemperature(skewed).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+
+    val shards = CorpusPipeline.shardCorpus(docs, numShards = 8).collect()
+    assert(shards.length == docs.count())
+    val byShard = shards.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.values.foreach { rows =>
+      val ps = rows.map(_.getAs[Long]("pos")).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq, "positions are a dense rank")
+    }
+    // in-shard order is the hash order, not doc_id order (a real shuffle)
+    assert(byShard.values.exists { rows =>
+      val inOrder = rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+      inOrder.toSeq != inOrder.sorted.toSeq
+    })
+  }
+
   test("repetition gate and leakage gate compose with the cleaning pipeline") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val spammy = "spam ham " * 80 // length/alpha fine, bigrams almost all repeats
