@@ -104,14 +104,21 @@ object PqIndex {
     Codebooks(dim, m, books)
   }
 
-  /** (vec_id, codes) — `codes` is an array<int> of length m. */
-  def encode(corpus: DataFrame, model: Codebooks): DataFrame = {
-    val e = normed(col("embedding"))
-    corpus.select(
-      col("vec_id"),
-      array((0 until model.m).map(s =>
-        nearestCode(model.books(s), subCol(e, s, model.subDim))): _*).as("codes"))
-  }
+  /** (vec_id, codes) — `codes` is an array<int> of length m.
+    *
+    * The normalized vector is materialized in its OWN projection before
+    * the m×k codeword scorings reference it: interpreted HOF lambdas
+    * (transform has no codegen) re-evaluate inlined subexpressions per
+    * reference, so inlining `normed` into 128 scorings re-ran the
+    * norm per codeword — 12 s/pass at sf0.1 vs 0.6 s in this form
+    * (same lesson as TextAnalysis.repetitionStats). */
+  def encode(corpus: DataFrame, model: Codebooks): DataFrame =
+    corpus.select(col("vec_id"), normed(col("embedding")).as("_e"))
+      .select(
+        col("vec_id"),
+        array((0 until model.m).map(s =>
+          nearestCode(model.books(s), subCol(col("_e"), s, model.subDim))): _*)
+          .as("codes"))
 
   /**
    * ADC search over an encoded corpus: per query one (m × k) dot-product
@@ -119,12 +126,12 @@ object PqIndex {
    */
   def searchAdc(encoded: DataFrame, queries: DataFrame, model: Codebooks,
       k: Int): DataFrame = {
-    val qv = normed(col("embedding"))
     val tables = array((0 until model.m).map(s =>
       array(model.books(s).map(c =>
-        VectorFunctions.dot_product(subCol(qv, s, model.subDim), typedlit(c))): _*)): _*)
-    val q = queries.select(
-      col("vec_id").as("query_id"), tables.as("tables"))
+        VectorFunctions.dot_product(subCol(col("_e"), s, model.subDim), typedlit(c))): _*)): _*)
+    val q = queries
+      .select(col("vec_id").as("query_id"), normed(col("embedding")).as("_e"))
+      .select(col("query_id"), tables.as("tables"))
     val scored = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         expr("""aggregate(zip_with(codes, tables, (cd, tb) -> element_at(tb, cd + 1)),

@@ -84,5 +84,14 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     val box = spark.read.parquet(zDir)
       .filter(col("x").between(10, 20) && col("y").between(100, 120))
     assert(box.count() == 11L * 21L)
+    // and BOTH dimensions reach the parquet scan as data filters — the
+    // stats pruning the layout exists for needs them at the reader.
+    // (PushedFilters renders truncated; DataFilters shows the full list.)
+    val plan = box.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(x,10)") &&
+      """\(y#\d+L? >= 100\)""".r.findFirstIn(plan).isDefined &&
+      """\(y#\d+L? <= 120\)""".r.findFirstIn(plan).isDefined,
+      s"expected both box dimensions pushed in:\n$plan")
   }
 }
