@@ -258,6 +258,7 @@ object SparkEntry {
     "q_ann_multiprobe" -> (Similarity.multiProbeQuery _),
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
+    "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
     "q_token_counts"   -> (TextAnalysis.tokenCountsQuery _),
@@ -463,8 +464,138 @@ object SparkEntry {
               FROM scored) t WHERE rank <= 20"""
     }.toMap
 
+  /** `CAST([...] AS DOUBLE[])` literal for a float codeword/centroid —
+    * Double.toString round-trips, so DuckDB parses the exact value. */
+  private def doubleArrSql(c: Seq[Float]): String =
+    s"CAST(${c.map(_.toDouble.toString).mkString("[", ",", "]")} AS DOUBLE[])"
+
+  /** PQ oracle building blocks, generated from the session's codebooks.
+    *
+    * Float determinism: Spark normalizes with per-element
+    * `(x/√n2).cast("float")`; the SQL twin is
+    * `CAST(CAST(x/sqrt(n2) AS FLOAT) AS DOUBLE)` — the same IEEE divide +
+    * float rounding over the same doubles. Dot products are sequential
+    * double accumulation in both engines (VectorOps.dot /
+    * `list_dot_product`), the ½|c|² constants are computed once driver-side
+    * ([[PqIndex.halfSq]]) and emitted as literals, and the ADC sum replays
+    * Spark's left fold via `list_reduce(list_prepend(0, …))` — so encode
+    * argmaxes, ADC scores, and ranks agree bit-for-bit.
+    */
+  private def pqNormSql: String =
+    """nq AS (SELECT vec_id, ev,
+          CASE WHEN list_dot_product(ev, ev) = 0 THEN ev
+               ELSE list_transform(ev, x ->
+                      CAST(CAST(x / sqrt(list_dot_product(ev, ev)) AS FLOAT) AS DOUBLE))
+          END AS nv FROM e)"""
+
+  /** `scs` (per-subspace codeword scores) + `enc` (codes) CTEs: argmin_j
+    * L2 as argmax_j (x·c_j − ½|c_j|²), ties → lowest j (`list_position`
+    * returns the FIRST max, matching nearestCode's sort tiebreak). */
+  private def pqEncSql(pq: PqIndex.Codebooks): String = {
+    val sd = pq.subDim
+    val scoreLists = (0 until pq.m).map { s =>
+      val sl = s"list_slice(nv, ${s * sd + 1}, ${(s + 1) * sd})"
+      val entries = pq.books(s).map(c =>
+        s"list_dot_product($sl, ${doubleArrSql(c)}) - CAST(${PqIndex.halfSq(c)} AS DOUBLE)")
+        .mkString(",\n                  ")
+      s"[$entries] AS ss_$s"
+    }.mkString(",\n               ")
+    val codes = (0 until pq.m).map(s =>
+      s"CAST(list_position(ss_$s, list_max(ss_$s)) - 1 AS INTEGER)").mkString(", ")
+    s"""scs AS (SELECT vec_id,
+               $scoreLists
+             FROM nq),
+           enc AS (SELECT vec_id, [$codes] AS codes FROM scs)"""
+  }
+
+  /** The (m × k) ADC lookup table expression over a normalized vector
+    * column `nv` — entry (s, j) = query subvector s · codeword j. */
+  private def pqTablesSql(pq: PqIndex.Codebooks): String = {
+    val sd = pq.subDim
+    (0 until pq.m).map { s =>
+      val sl = s"list_slice(nv, ${s * sd + 1}, ${(s + 1) * sd})"
+      "[" + pq.books(s).map(c => s"list_dot_product($sl, ${doubleArrSql(c)})")
+        .mkString(",\n                ") + "]"
+    }.mkString("[", ",\n               ", "]")
+  }
+
+  /** ADC score: Spark's `aggregate(zip_with(codes, tables, …), 0d, +)` left
+    * fold, replayed with `list_reduce` over a 0-prepended list. */
+  private def pqAdcSql(m: Int, tables: String, codes: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range($m), s -> $tables[s+1][$codes[s+1] + 1])),
+        (a, x) -> a + x)"""
+
+  /** Shared ADC→rerank tail: top-`r` by ADC from `adc(query_id, vec_id,
+    * adc_score)`, exact cosine from the raw embeddings, top-`k`. */
+  private def pqRerankTailSql(r: Int, k: Int): String =
+    s"""cand AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id ASC) AS rn
+             FROM adc) t WHERE rn <= $r),
+           rr AS (SELECT cand.query_id, cand.vec_id, ${cosineSql("c.ev", "q.ev")} AS cosine
+                  FROM cand JOIN e c ON c.vec_id = cand.vec_id
+                            JOIN e q ON q.vec_id = cand.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM rr) t WHERE rank <= $k"""
+
+  /** Flat-ADC PQ oracle (q_ann_pq): encode all vectors, ADC-score every
+    * (query, vector) pair, rerank top-50 exactly, keep top-10 — the full
+    * searchWithRerank pipeline replayed from the cached codebooks. */
+  private def pqOracle: Map[String, String] =
+    operators.PqIndex.cachedModel.map { pq =>
+      "q_ann_pq" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           $pqNormSql,
+           ${pqEncSql(pq)},
+           qt AS (SELECT vec_id AS query_id,
+               ${pqTablesSql(pq)} AS tables
+             FROM nq WHERE vec_id < 5),
+           adc AS (SELECT q.query_id, c.vec_id,
+               ${pqAdcSql(pq.m, "q.tables", "c.codes")} AS adc_score
+             FROM enc c JOIN qt q ON c.vec_id != q.query_id),
+           ${pqRerankTailSql(r = 50, k = 10)}"""
+    }.toMap
+
+  /** Composed IVF×PQ oracle (q_ann_ivfpq): IVF cell assignment + top-2
+    * probe cells exactly as the q_ann_ivf oracle, then PQ encode/ADC
+    * restricted to vectors in probed cells, rerank tail as q_ann_pq. */
+  private def ivfpqOracle: Map[String, String] =
+    operators.IvfPqIndex.cachedModel.map { m =>
+      val cent = m.coarse.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, ${doubleArrSql(c)})"
+      }.mkString(",\n              ")
+      "q_ann_ivfpq" ->
+        s"""WITH cent(cell, cv) AS (VALUES
+              $cent),
+           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           sc AS (SELECT e.vec_id, c.cell, list_dot_product(e.ev, c.cv) AS s
+                  FROM e CROSS JOIN cent c),
+           cells AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+             FROM sc) t WHERE rn = 1),
+           probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+             FROM sc WHERE vec_id < 5) t WHERE rn <= 2),
+           $pqNormSql,
+           ${pqEncSql(m.pq)},
+           qt AS (SELECT vec_id AS query_id,
+               ${pqTablesSql(m.pq)} AS tables
+             FROM nq WHERE vec_id < 5),
+           adc AS (SELECT p.query_id, c.vec_id,
+               ${pqAdcSql(m.pq.m, "q.tables", "c.codes")} AS adc_score
+             FROM enc c JOIN cells cl ON cl.vec_id = c.vec_id
+                        JOIN probes p ON cl.cell = p.cell AND c.vec_id != p.query_id
+                        JOIN qt q ON q.query_id = p.query_id),
+           ${pqRerankTailSql(r = 50, k = 10)}"""
+    }.toMap
+
   /** DuckDB equivalents for every SQL-expressible query above. */
-  def oracleSql: Map[String, String] = ivfOracle ++ Map(
+  def oracleSql: Map[String, String] = ivfOracle ++ pqOracle ++ ivfpqOracle ++ Map(
     "q_sql_surface" ->
       s"""SELECT o_orderkey, ${rowKeySql("o_orderkey")} AS row_key,
           CAST(8 AS INTEGER) AS key_len

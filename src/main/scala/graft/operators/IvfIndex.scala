@@ -27,7 +27,7 @@ object IvfIndex {
 
   /** Column: index of the nearest centroid (dot-product argmax — centroids
     * are L2-normalized at train time so dot ≡ cosine ranking). */
-  private def nearestCell(model: Model, vec: org.apache.spark.sql.Column) = {
+  private[operators] def nearestCell(model: Model, vec: org.apache.spark.sql.Column) = {
     val scored = model.centroids.zipWithIndex.map { case (c, i) =>
       struct(VectorFunctions.dot_product(vec, typedlit(c)).as("score"),
         lit(i).as("cell"))
@@ -77,6 +77,21 @@ object IvfIndex {
   def assign(corpus: DataFrame, model: Model): DataFrame =
     corpus.withColumn("cell", nearestCell(model, col("embedding")))
 
+  /** The `nprobe` closest cell ids for a query vector column (shared with
+    * [[IvfPqIndex]] so both probe identically). */
+  private[operators] def probeCellsColumn(
+      model: Model, vec: org.apache.spark.sql.Column, nprobe: Int) = {
+    val scoredCells = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.dot_product(vec, typedlit(c)).as("score"),
+        lit(i).as("cell"))
+    }
+    slice(
+      array_sort(array(scoredCells: _*),
+        (a, b) => when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1).otherwise(0)),
+      1, nprobe)
+  }
+
   /**
    * Search: score queries only against corpus vectors in each query's
    * `nprobe` closest cells.
@@ -87,15 +102,7 @@ object IvfIndex {
       model: Model,
       k: Int,
       nprobe: Int): DataFrame = {
-    val scoredCells = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.dot_product(col("embedding"), typedlit(c)).as("score"),
-        lit(i).as("cell"))
-    }
-    val probeCells = slice(
-      array_sort(array(scoredCells: _*),
-        (a, b) => when(a("score") > b("score"), -1)
-          .when(a("score") < b("score"), 1).otherwise(0)),
-      1, nprobe)
+    val probeCells = probeCellsColumn(model, col("embedding"), nprobe)
     val q = queries.select(
       col("vec_id").as("query_id"),
       col("embedding").as("query_vec"),

@@ -38,20 +38,25 @@ object PqIndex {
   }
 
   /** L2-normalize so dot ≡ cosine ranking (zero vectors stay zero). */
-  private def normed(vec: Column): Column = {
+  private[operators] def normed(vec: Column): Column = {
     val n2 = VectorFunctions.dot_product(vec, vec)
     transform(vec, x =>
       when(n2 === 0d, x).otherwise((x / sqrt(n2)).cast("float")))
   }
 
   /** 1-based slice of subspace `s`. */
-  private def subCol(vec: Column, s: Int, subDim: Int): Column =
+  private[operators] def subCol(vec: Column, s: Int, subDim: Int): Column =
     slice(vec, s * subDim + 1, subDim)
 
+  /** ½|c|² with the driver-side fold order fixed, so the SQL oracle can
+    * emit the bit-identical constant. */
+  private[graft] def halfSq(c: Seq[Float]): Double =
+    c.map(x => x.toDouble * x).sum / 2.0
+
   /** argmin_j L2(x, c_j) as argmax_j (x·c_j − ½|c_j|²); ties → lowest j. */
-  private def nearestCode(books: Seq[Seq[Float]], sub: Column): Column = {
+  private[operators] def nearestCode(books: Seq[Seq[Float]], sub: Column): Column = {
     val scored = books.zipWithIndex.map { case (c, j) =>
-      val half = c.map(x => x.toDouble * x).sum / 2.0
+      val half = halfSq(c)
       struct(
         (VectorFunctions.dot_product(sub, typedlit(c)) - lit(half)).as("score"),
         lit(j).as("code"))
@@ -114,11 +119,28 @@ object PqIndex {
     * (same lesson as TextAnalysis.repetitionStats). */
   def encode(corpus: DataFrame, model: Codebooks): DataFrame =
     corpus.select(col("vec_id"), normed(col("embedding")).as("_e"))
-      .select(
-        col("vec_id"),
-        array((0 until model.m).map(s =>
-          nearestCode(model.books(s), subCol(col("_e"), s, model.subDim))): _*)
-          .as("codes"))
+      .select(col("vec_id"), codesColumn(model, col("_e")).as("codes"))
+
+  /** `array<int>` of per-subspace nearest-codeword ids for a NORMALIZED
+    * vector column (shared with [[IvfPqIndex]]'s cell-partitioned encode). */
+  private[operators] def codesColumn(model: Codebooks, e: Column): Column =
+    array((0 until model.m).map(s =>
+      nearestCode(model.books(s), subCol(e, s, model.subDim))): _*)
+
+  /** (m × k) ADC lookup table for a NORMALIZED query column: entry (s, j)
+    * is the query's subvector-s dot codeword j. */
+  private[operators] def adcTablesColumn(model: Codebooks, e: Column): Column =
+    array((0 until model.m).map(s =>
+      array(model.books(s).map(c =>
+        VectorFunctions.dot_product(subCol(e, s, model.subDim), typedlit(c))): _*)): _*)
+
+  /** ADC score of a codes array against a query's lookup tables — a left
+    * fold so the add order is pinned (the SQL oracle replays it with
+    * `list_reduce`). */
+  private[operators] def adcScore(codes: Column, tables: Column): Column =
+    aggregate(zip_with(codes, tables,
+        (cd, tb) => element_at(tb, cd + lit(1))),
+      lit(0d), (a, x) => a + x)
 
   /**
    * ADC search over an encoded corpus: per query one (m × k) dot-product
@@ -126,16 +148,12 @@ object PqIndex {
    */
   def searchAdc(encoded: DataFrame, queries: DataFrame, model: Codebooks,
       k: Int): DataFrame = {
-    val tables = array((0 until model.m).map(s =>
-      array(model.books(s).map(c =>
-        VectorFunctions.dot_product(subCol(col("_e"), s, model.subDim), typedlit(c))): _*)): _*)
     val q = queries
       .select(col("vec_id").as("query_id"), normed(col("embedding")).as("_e"))
-      .select(col("query_id"), tables.as("tables"))
+      .select(col("query_id"), adcTablesColumn(model, col("_e")).as("tables"))
     val scored = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        expr("""aggregate(zip_with(codes, tables, (cd, tb) -> element_at(tb, cd + 1)),
-                  CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("adc_score"))
+        adcScore(col("codes"), col("tables")).as("adc_score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -153,7 +171,7 @@ object PqIndex {
     val cands = searchAdc(encode(corpus, model), queries, model, r)
       .select(col("query_id"), col("vec_id"))
     val emb = corpus.select(col("vec_id"), col("embedding"))
-    val qemb = corpus.select(col("vec_id").as("query_id"),
+    val qemb = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_vec"))
     val exact = cands.join(emb, "vec_id").join(broadcast(qemb), "query_id")
       .select(col("query_id"), col("vec_id"),
@@ -168,9 +186,19 @@ object PqIndex {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Codebooks]()
 
+  /** The one cached model of this session, if any — lets SparkEntry emit
+    * the PQ oracle SQL from the exact codebooks the query used (Verify runs
+    * queries first, then collects oracleSql — same contract as
+    * [[IvfIndex.cachedModel]]). */
+  def cachedModel: Option[Codebooks] = {
+    val vs = modelCache.values()
+    if (vs.size() == 1) Some(vs.iterator().next()) else None
+  }
+
   /** Query-pack adapter: PQ-compress the corpus, ADC-search the first 5
-    * vectors with exact rerank (rows-only: the ranking is
-    * approximation-dependent, covered by PqIndexSpec recall bounds). */
+    * vectors with exact rerank. Training is deterministic given the seed
+    * rows, so SparkEntry replays encode + ADC tables in generated SQL from
+    * [[cachedModel]] — a full hash oracle, not rows-only. */
   def pqQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val model = modelCache.computeIfAbsent(s"$sfDir#m=8#k=16",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{PqIndex, Similarity}
+import graft.operators.{IvfPqIndex, PqIndex, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -51,5 +51,44 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
       truth.get(key).foreach(c =>
         assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
     }
+  }
+
+  test("IVF×PQ: full probe ≡ flat PQ; partial probe prunes partitions, keeps recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val composed = IvfPqIndex.Model(
+      graft.operators.IvfIndex.train(emb, nlist = 8, iters = 2), model)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    IvfPqIndex.writeIndex(emb, composed, dir)
+    // physical layout: one directory of CODES per cell (no float vectors)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+
+    // nprobe = nlist ⇒ candidate set is the whole corpus ⇒ the composed
+    // search degenerates to flat ADC + rerank, bit-for-bit
+    val full = IvfPqIndex.searchIndex(spark, dir, emb, queries, composed,
+      k = 10, nprobe = 8, r = 50)
+    val flat = PqIndex.searchWithRerank(emb, queries, model, k = 10, r = 50)
+    assert(keyed(full.collect()) == keyed(flat.collect()))
+
+    // partial probe: cell-pruned ADC — plan carries a DPP partition filter,
+    // rerank cosines stay exact, recall stays above random
+    val part = IvfPqIndex.searchIndex(spark, dir, emb, queries, composed,
+      k = 10, nprobe = 2, r = 50)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"expected DPP partition filter in:\n$plan")
+    val rows = part.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      truth.get((r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+        .foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+    val rec = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      .count(truth.contains).toDouble / truth.size
+    assert(rec > 0.05, s"IVF×PQ nprobe=2 recall $rec is no better than random")
   }
 }
