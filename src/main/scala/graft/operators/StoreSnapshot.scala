@@ -38,11 +38,11 @@ object StoreSnapshot {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
       .map(_.getPath.getName).sorted.toSeq
     // side metadata travels with the data files (absent entries are fine:
-    // a store without a salt manifest is a range store, one without blooms
-    // just loses point-GET file elision)
-    val withMeta = pinned ++ Seq(
-      CellStoreSource.MetaFile, graft.sources.CellBloom.BloomFile)
-      .filter(n => sfs.exists(new Path(src, n)))
+    // a store without a salt manifest is a range store, one without bloom
+    // sidecars just loses point-GET file elision)
+    val withMeta = pinned ++
+      graft.sources.CellBloom.sidecarsOf(src, conf, pinned) ++
+      Seq(CellStoreSource.MetaFile).filter(n => sfs.exists(new Path(src, n)))
     withMeta.foreach { name =>
       if (!FileUtil.copy(sfs, new Path(src, name), dfs, new Path(dst, name),
           false, false, conf))

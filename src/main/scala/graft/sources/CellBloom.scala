@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.util.Base64
-
 import graft.functions.{MinHashImpl, SimHashImpl}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -17,14 +15,24 @@ import org.apache.hadoop.fs.Path
  *    filter (~1% false positives up to ~13 k distinct keys per file —
  *    region files are key-partitioned, so per-file cardinality is bounded
  *    by layout, not corpus) and ships it in the commit message;
- *  - the driver persists them in `_cellstore_blooms.json` at commit,
- *    keyed by file name — append merges, truncate resets, file-scoped
- *    rewrites drop superseded entries;
- *  - scan planning consults the filter ONLY for pushed/runtime exact keys
- *    (GET / IN); a file with no entry is "may contain" — blooms are pure
- *    IO elision, never a correctness dependency, and the residual filter
- *    re-checks every row anyway. A lost concurrent update degrades to the
- *    no-entry case.
+ *  - each data file's filter lives in its own hidden SIDECAR
+ *    (`.<file>.parquet.bloom`, 16 KiB of raw little-endian-free longs):
+ *    a commit writes exactly its own files' sidecars and deletes exactly
+ *    its superseded files' — cost ∝ the batch, independent of how many
+ *    files the store already holds. (A single shared manifest would be a
+ *    driver-side O(all-files) read-modify-write per commit and an
+ *    O(all-files) parse per scan planning — the 100 TB metadata-path
+ *    killer.) Sidecars die with their data file, so there is no stale-entry
+ *    GC path to maintain, and nothing is ever re-encoded or re-parsed as
+ *    JSON;
+ *  - scan planning consults sidecars ONLY for pushed/runtime exact keys
+ *    (GET / IN), and only for files that survived bucket/range pruning —
+ *    one lazy 16 KiB read per candidate file. A file with no sidecar is
+ *    "may contain" — blooms are pure IO elision, never a correctness
+ *    dependency, and the residual filter re-checks every row anyway. A
+ *    racing truncate/append at worst leaves an orphan sidecar (ignored:
+ *    lookups go data-file → sidecar, never the reverse) or a missing one
+ *    (degrades to "may contain").
  *
  * Hashing: Kirsch–Mitzenmacher double hashing over (fnv1a64, mix64|1) of
  * the key bytes — the same public-construction kernels the dedup tier
@@ -32,7 +40,7 @@ import org.apache.hadoop.fs.Path
  */
 object CellBloom {
 
-  val BloomFile = "_cellstore_blooms.json"
+  val BloomSuffix = ".bloom"
   val NumBits: Int = 1 << 17
   val NumWords: Int = NumBits / 64
   val NumHashes: Int = 7
@@ -68,46 +76,71 @@ object CellBloom {
     true
   }
 
-  private def encode(bits: Array[Long]): String = {
+  /** Sidecar of a data file: hidden (leading dot ⇒ invisible to Spark/
+    * Hadoop file listings) and name-derived, so lookup needs no index. */
+  def sidecarPath(dir: Path, dataFileName: String): Path =
+    new Path(dir, "." + dataFileName + BloomSuffix)
+
+  private def isSidecar(name: String): Boolean =
+    name.startsWith(".") && name.endsWith(BloomSuffix)
+
+  /** Lazily read ONE candidate file's bloom — 16 KiB, only ever called for
+    * files that survived bucket/range pruning under a GET/IN key set.
+    * None (no/short/unreadable sidecar) means "may contain". */
+  private[graft] def readOne(
+      dir: Path, conf: Configuration, dataFileName: String): Option[Array[Long]] =
+    try {
+      val fs = dir.getFileSystem(conf)
+      val p = sidecarPath(dir, dataFileName)
+      val st = if (fs.exists(p)) Some(fs.getFileStatus(p)) else None
+      st.filter(_.getLen == NumWords.toLong * 8).map { _ =>
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](NumWords * 8)
+          in.readFully(0, bytes)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          Array.fill(NumWords)(bb.getLong())
+        } finally in.close()
+      }
+    } catch {
+      // pure IO elision: an unreadable sidecar degrades to "may contain"
+      case _: java.io.IOException => None
+    }
+
+  private def writeOne(
+      dir: Path, conf: Configuration, dataFileName: String,
+      bits: Array[Long]): Unit = {
+    val fs = dir.getFileSystem(conf)
     val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
     bits.foreach(bb.putLong)
-    Base64.getEncoder.encodeToString(bb.array())
+    val out = fs.create(sidecarPath(dir, dataFileName), true)
+    try out.write(bb.array()) finally out.close()
   }
 
-  private def decode(s: String): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(Base64.getDecoder.decode(s))
-    Array.fill(bb.remaining() / 8)(bb.getLong())
-  }
-
-  /** All recorded blooms of a store (empty map if none). */
-  private[graft] def read(dir: Path, conf: Configuration): Map[String, Array[Long]] = {
-    val fs = dir.getFileSystem(conf)
-    val p = new Path(dir, BloomFile)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(text)
-      .map(m => m.group(1) -> decode(m.group(2))).toMap
-  }
-
-  private def write(dir: Path, conf: Configuration, m: Map[String, Array[Long]]): Unit = {
-    val fs = dir.getFileSystem(conf)
-    val body = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + encode(v) + "\"" }
-      .mkString("{", ",", "}")
-    val out = fs.create(new Path(dir, BloomFile), true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Commit-time update: start from the recorded map (or nothing, on
-    * truncate), drop superseded entries, add the new files'. */
+  /** Commit-time update: write the new files' sidecars, delete the
+    * superseded files' — nothing else is touched, so commit cost is
+    * O(batch), not O(store). A truncate clears every sidecar first (it
+    * rewrites the whole store anyway). */
   private[sources] def update(
       dir: Path, conf: Configuration,
       added: Map[String, Array[Long]],
       removed: Set[String],
       reset: Boolean): Unit = {
-    val base = if (reset) Map.empty[String, Array[Long]] else read(dir, conf)
-    write(dir, conf, (base -- removed) ++ added)
+    val fs = dir.getFileSystem(conf)
+    if (reset && fs.exists(dir))
+      fs.listStatus(dir)
+        .filter(s => s.isFile && isSidecar(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    else removed.foreach(n => fs.delete(sidecarPath(dir, n), false))
+    added.foreach { case (n, bits) => writeOne(dir, conf, n, bits) }
+  }
+
+  /** Sidecar names for the given data files, where present — what a
+    * snapshot export copies along. */
+  private[graft] def sidecarsOf(
+      dir: Path, conf: Configuration, dataFiles: Seq[String]): Seq[String] = {
+    val fs = dir.getFileSystem(conf)
+    dataFiles.map(n => sidecarPath(dir, n).getName)
+      .filter(n => fs.exists(new Path(dir, n)))
   }
 }

@@ -877,15 +877,15 @@ class CellStoreScan(path: String, buckets: Option[Int],
     // Bloom elision for point lookups (HFile ROW bloom analogue): a pushed/
     // runtime GET/IN key set skips files whose bloom proves every key
     // absent — the in-range negative GET that min/max stats cannot serve.
-    // A file with no recorded bloom is "may contain"; the residual filter
+    // Sidecars are read LAZILY, one 16 KiB file per candidate that survived
+    // bucket/key pruning — planning never parses store-wide bloom state.
+    // A file with no sidecar is "may contain"; the residual filter
     // re-checks rows, so this is pure IO elision.
     val getKeys = CellStoreSource.exactKeys(allFilters)
-    val blooms: Map[String, Array[Long]] =
-      if (getKeys.isDefined) CellBloom.read(dir, conf)
-      else Map.empty
     def mayHave(name: String): Boolean = getKeys match {
       case Some(ks) =>
-        blooms.get(name).forall(b => ks.exists(CellBloom.mayContain(b, _)))
+        CellBloom.readOne(dir, conf, name)
+          .forall(b => ks.exists(CellBloom.mayContain(b, _)))
       case None => true
     }
     buckets match {

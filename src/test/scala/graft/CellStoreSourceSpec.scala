@@ -283,7 +283,13 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     val even = CellTable.fromTable(spark, sf001, "customer")
       .filter(pmod(CellTable.keyToLong(col("rowKey")), lit(2)) === 0)
     even.write.format("cellstore").option("numRegions", "4").mode("overwrite").save(dir)
-    assert(new java.io.File(dir, graft.sources.CellBloom.BloomFile).exists)
+    // one hidden sidecar per data file, nothing store-wide
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(n => assert(
+      new java.io.File(dir, s".$n${graft.sources.CellBloom.BloomSuffix}").exists,
+      s"missing bloom sidecar for $n"))
 
     val st = spark.read.format("cellstore").load(dir)
     val present = st.filter(col("rowKey") === lit(key(42)))
@@ -307,6 +313,34 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     val sst = spark.read.format("cellstore").load(sdir)
     assert(sst.filter(col("rowKey") === lit(key(42))).count() > 0)
     assert(sst.filter(col("rowKey") === lit(key(43))).count() == 0)
+  }
+
+  test("bloom sidecars: append commit cost is independent of store file count") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom_incr").toString + "/s"
+    CellTable.fromTable(spark, sf001, "customer")
+      .write.format("cellstore").option("numRegions", "16").mode("overwrite").save(dir)
+    def sidecars(): Map[String, Long] = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".") &&
+        f.getName.endsWith(graft.sources.CellBloom.BloomSuffix))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = sidecars()
+    assert(before.size >= 16)
+    Thread.sleep(50) // mtime granularity guard
+    CellTable.fromTable(spark, sf001, "supplier")
+      .write.format("cellstore").mode("append").save(dir)
+    val after = sidecars()
+    // every pre-existing sidecar untouched — the append wrote only its own
+    before.foreach { case (n, t) =>
+      assert(after(n) == t, s"append rewrote unrelated bloom sidecar $n") }
+    assert(after.size > before.size, "append must add sidecars for its files")
+
+    // truncate clears them all and records only the new files'
+    CellTable.fromTable(spark, sf001, "supplier")
+      .write.format("cellstore").option("numRegions", "2").mode("overwrite").save(dir)
+    val reset = sidecars()
+    assert(reset.keySet.intersect(after.keySet).isEmpty,
+      "truncate must drop all prior sidecars")
+    assert(reset.nonEmpty)
   }
 
   test("pushed filters stay as residuals: non-key predicates still apply") {
