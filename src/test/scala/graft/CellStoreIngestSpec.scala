@@ -133,6 +133,63 @@ class CellStoreIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(store.filter(col("ts") === CellTable.BaseTs + 5000L).count() == cells.count())
   }
 
+  test("streaming appends maintain bloom sidecars per batch; tail + elision compose") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 11:$m%02d:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_bloom").toString
+    val dir = s"$base/store"
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val cells = CellTable.toCells(docs.select("doc_id", "text"),
+      keyCols = Seq("doc_id"), family = "documents", ts = lit(CellTable.BaseTs))
+    def sidecars(): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      if (!d.exists) Map.empty
+      else d.listFiles().filter(f => f.getName.startsWith(".") &&
+          f.getName.endsWith(graft.sources.CellBloom.BloomSuffix))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+
+    val ingest = CellStoreIngest.start(cells, dir, buckets = 4,
+      checkpoint = s"$base/ckpt")
+    try {
+      input.addData((2L, "aaa", ts(0)), (4L, "bbb", ts(1)))
+      ingest.processAllAvailable()
+      val after1 = sidecars()
+      assert(after1.nonEmpty, "first micro-batch must record bloom sidecars")
+
+      // tail the same store while the ingest keeps appending
+      val tail = spark.readStream.format("cellstore").load(dir)
+        .writeStream.format("memory").queryName("bloom_tail")
+        .option("checkpointLocation", s"$base/tailckpt").start()
+      try {
+        tail.processAllAvailable()
+        val n1 = spark.table("bloom_tail").count()
+        assert(n1 > 0)
+        Thread.sleep(50) // mtime granularity guard
+        input.addData((6L, "ccc", ts(2)))
+        ingest.processAllAvailable()
+        tail.processAllAvailable()
+        val after2 = sidecars()
+        // the micro-batch commit wrote only its own files' sidecars
+        after1.foreach { case (n, t) => assert(after2(n) == t,
+          s"micro-batch append rewrote unrelated bloom sidecar $n") }
+        assert(after2.size > after1.size)
+        // and the tail saw exactly the appended cells, not a replay
+        assert(spark.table("bloom_tail").count() > n1, "tail missed the append")
+      } finally tail.stop()
+    } finally ingest.stop()
+
+    // bloom elision across batch files: present keys from BOTH batches
+    // answer; an in-range absent key reads nothing
+    val store = spark.read.format("cellstore").load(dir)
+    def get(k: Long) = store.filter(col("rowKey") ===
+      lit(java.nio.ByteBuffer.allocate(8).putLong(k).array()))
+    assert(get(2L).count() > 0 && get(6L).count() > 0)
+    assert(get(3L).count() == 0)
+  }
+
   test("tailing a store as a stream emits only newly committed files per batch") {
     val base = java.nio.file.Files.createTempDirectory("graft_tail").toString
     val dir = s"$base/store"
