@@ -76,7 +76,11 @@ object GraftFunctionRegistry {
       es => { checkArity("dot_product", es, 2); DotProduct(es.head, es(1)) }),
     ("zvalue", classOf[InterleaveBits],
       "zvalue(a, b) - Morton code of two BIGINT dimensions (Z-order clustering key)",
-      es => { checkArity("zvalue", es, 2); InterleaveBits(es.head, es(1)) }))
+      es => { checkArity("zvalue", es, 2); InterleaveBits(es.head, es(1)) }),
+    ("rep_stats", classOf[RepStats],
+      "rep_stats(text, n) - (nw, nd, top) repetition counts of n-token windows",
+      es => { checkArity("rep_stats", es, 2)
+              RepStats(es.head, intArg("rep_stats", es(1), 2)) }))
 
   /** Register every function as a session-scoped temp function. */
   def registerAll(spark: SparkSession): Unit =

@@ -192,45 +192,25 @@ object TextAnalysis {
    *    one (`1 - distinct/total`);
    *  - `top_frac` — share of the single most frequent window.
    *
-   * 100 TB shape: everything is a per-row higher-order expression over the
-   * token array — zero shuffles, zero joins, stays inside whole-stage
-   * codegen; the per-doc O(distinct × windows) counting loop is bounded by
-   * document length, not corpus size.
+   * 100 TB shape: everything is one per-row native expression — zero
+   * shuffles, zero joins, inside whole-stage codegen; the per-doc O(d)
+   * counting pass is bounded by document length, not corpus size.
    */
   /**
-   * `(n_windows, n_distinct, top)` in ONE pass: sort the window array,
-   * then distinct count and the max run length fall out of a single
-   * `aggregate` fold — O(d log d) per row.
+   * `(n_windows, n_distinct, top)` via the codegen'd
+   * [[graft.functions.RepStats]] expression — one static call per row
+   * inside whole-stage codegen, O(d) hash counting.
    *
-   * The naive formulation (`array_max(transform(array_distinct(w),
-   * x -> size(filter(w, y -> y = x))))`) is a measured disaster: lambda
-   * higher-order functions evaluate interpreted, and every `w` reference
-   * inside a lambda RE-EVALUATES the whole split+concat window builder —
-   * O(d³) string work per row (215 s for the sf0.1 corpus vs 0.3 s for
-   * this form). The window array appears exactly once here, so it is
-   * built exactly once per row.
+   * History, because it keeps mattering: the naive HOF formulation
+   * (`array_max(transform(array_distinct(w), x -> size(filter(w, y ->
+   * y = x))))`) re-evaluated the inlined window builder per lambda
+   * reference — O(d³), 215 s/pass at sf0.1. A one-pass interpreted
+   * `aggregate` fold over `array_sort(w)` fixed the asymptotics (3.5 s)
+   * but still paid interpreted-lambda + per-element struct costs; the
+   * native expression retires that constant factor too.
    */
-  private def repStatsStruct(n: Int): Column = {
-    val tk = "split(lower(text), '\\\\s+')"
-    val w = s"""transform(sequence(1, greatest(size($tk) - ${n - 1}, 1)),
-                  i -> concat_ws(' ', slice($tk, i, $n)))"""
-    expr(
-      s"""aggregate(
-            array_sort($w),
-            named_struct(
-              'prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
-              'best', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT),
-              'nw', CAST(0 AS BIGINT)),
-            (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
-              named_struct('prev', x, 'run', acc.run + CAST(1 AS BIGINT),
-                'best', greatest(acc.best, acc.run + CAST(1 AS BIGINT)),
-                'nd', acc.nd, 'nw', acc.nw + CAST(1 AS BIGINT)),
-              named_struct('prev', x, 'run', CAST(1 AS BIGINT),
-                'best', greatest(acc.best, CAST(1 AS BIGINT)),
-                'nd', acc.nd + CAST(1 AS BIGINT),
-                'nw', acc.nw + CAST(1 AS BIGINT))),
-            acc -> named_struct('nw', acc.nw, 'nd', acc.nd, 'top', acc.best))""")
-  }
+  private def repStatsStruct(n: Int): Column =
+    graft.functions.RepStatsFunctions.rep_stats(col("text"), n)
 
   def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
     docs.select(col("doc_id"), repStatsStruct(n).as("_s"))
