@@ -594,8 +594,28 @@ object SparkEntry {
            ${pqRerankTailSql(r = 50, k = 10)}"""
     }.toMap
 
+  /** Embedding near-dup oracle: buckets regenerated with the SAME
+    * corpus-sized plane count the query used ([[operators.Dedup
+    * .cachedAutoPlanes]] — Verify runs queries first); every
+    * bucket-colliding pair with cosine ≥ 0.1. (Bucketing is recall<1 by
+    * design; the oracle replicates the buckets, so this is exact, not a
+    * recall assumption. The fixture corpora stay under the star-routing
+    * threshold, so the all-pairs form is the whole answer.) */
+  private def embedOracle: Map[String, String] =
+    operators.Dedup.cachedAutoPlanes.map { p =>
+      "q_embed_neardup" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", p, 42L)} AS bucket FROM e)
+          SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ${cosineSql("a.ev", "b.ev")} AS cosine
+            FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+          WHERE cosine >= 0.1"""
+    }.toMap
+
   /** DuckDB equivalents for every SQL-expressible query above. */
-  def oracleSql: Map[String, String] = ivfOracle ++ pqOracle ++ ivfpqOracle ++ Map(
+  def oracleSql: Map[String, String] =
+    ivfOracle ++ pqOracle ++ ivfpqOracle ++ embedOracle ++ Map(
     "q_sql_surface" ->
       s"""SELECT o_orderkey, ${rowKeySql("o_orderkey")} AS row_key,
           CAST(8 AS INTEGER) AS key_len
@@ -960,17 +980,6 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 20""",
-    // Embedding near-dup: same 4-plane buckets; every bucket-colliding pair
-    // with cosine ≥ 0.1. (Bucketing is recall<1 by design; the oracle
-    // replicates the buckets, so this is exact, not a recall assumption.)
-    "q_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", 4, 42L)} AS bucket FROM e)
-          SELECT vec_a, vec_b, cosine FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ${cosineSql("a.ev", "b.ev")} AS cosine
-            FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
-          WHERE cosine >= 0.1""",
     // DSv2 cellstore range scan: keys [100, 200), one cell per non-key
     // customer column, base timestamps (no version injection here).
     "q_store_scan" ->

@@ -236,6 +236,18 @@ object Dedup {
    * in exactly ONE bucket (unlike minhash's bands), so small-path and
    * star-path pair sets are disjoint — no distinct needed.
    */
+  /** (vec_id, embedding, bucket) under `planes` signed-projection bits —
+    * shared by [[embeddingNearDup]] and the occupancy-scaling spec. */
+  private[graft] def embedBuckets(
+      embeddings: DataFrame, planes: Int, seed: Long): DataFrame = {
+    val hyperplanes: Seq[Seq[Float]] = Similarity.hyperplanes(planes, 64, seed)
+    val bucketBits = hyperplanes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dot_product(col("embedding"), typedlit(p)) >= 0, 1L << i)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), col("embedding"), bucketBits.as("bucket"))
+  }
+
   def embeddingNearDup(
       embeddings: DataFrame,
       planes: Int = 12,
@@ -243,17 +255,9 @@ object Dedup {
       threshold: Double = 0.95,
       maxBucket: Int = 1024): DataFrame = {
     require(maxBucket > 1, "maxBucket must exceed 1")
-    val hyperplanes: Seq[Seq[Float]] = Similarity.hyperplanes(planes, 64, seed)
-
-    val bucketBits = hyperplanes.zipWithIndex.map { case (p, i) =>
-      when(VectorFunctions.dot_product(col("embedding"), typedlit(p)) >= 0, 1L << i)
-        .otherwise(0L)
-    }.reduce(_ + _)
-
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("bucket")
-    val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"), bucketBits.as("bucket"))
+    val bucketed = embedBuckets(embeddings, planes, seed)
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("bmin", min(col("vec_id")).over(w))
       .observe("embed_skew",
@@ -291,6 +295,33 @@ object Dedup {
   def planesFor(n: Long, targetBucket: Int = 256): Int =
     math.min(24, math.max(4,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
+  /** [[embeddingNearDup]] with the hyperplane count sized from the corpus
+    * via [[planesFor]] — the production entry point, so a 10⁹-vector run
+    * can't end up hashing into 16 buckets. Costs one count() job; at
+    * 100 TB pass the catalog-known size via `knownCount` instead. */
+  def embeddingNearDupAuto(
+      embeddings: DataFrame,
+      targetBucket: Int = 256,
+      seed: Long = 42L,
+      threshold: Double = 0.95,
+      maxBucket: Int = 1024,
+      knownCount: Option[Long] = None): DataFrame = {
+    val p = planesFor(knownCount.getOrElse(embeddings.count()), targetBucket)
+    lastAutoPlanes.set(p)
+    embeddingNearDup(embeddings, planes = p, seed = seed,
+      threshold = threshold, maxBucket = maxBucket)
+  }
+
+  private val lastAutoPlanes = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Planes chosen by the last auto-sized run — lets SparkEntry emit the
+    * bucket oracle with the SAME hyperplanes (Verify runs queries first,
+    * then collects oracleSql — the cachedModel contract). */
+  def cachedAutoPlanes: Option[Int] = {
+    val v = lastAutoPlanes.get()
+    if (v > 0) Some(v) else None
+  }
 
   /**
    * Connected components over an undirected edge list via alternating
@@ -436,8 +467,9 @@ object Dedup {
   /** The synthetic embeddings have no true near-dups (max pairwise cosine
     * ≈ 0.48 at sf0.001), so the query-pack entry runs the same pipeline at a
     * looser radius — the mechanics (bucketing, verify, threshold) are
-    * identical to a production 0.95 run. */
+    * identical to a production 0.95 run. Planes are corpus-sized via
+    * [[embeddingNearDupAuto]]; the oracle replays the same count. */
   def embeddingNearDupQuery(spark: SparkSession, sfDir: String): DataFrame =
-    embeddingNearDup(Tables.load(spark, sfDir, "embeddings"),
-      planes = 4, threshold = 0.1)
+    embeddingNearDupAuto(Tables.load(spark, sfDir, "embeddings"),
+      threshold = 0.1)
 }

@@ -174,6 +174,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.planesFor(1000000L, 256) == 12)    // 2^12 buckets of ~256
     assert(Dedup.planesFor(1000000000000L) == 24)   // ceiling
     assert(Dedup.planesFor(0L) == 4)
+    // invariant across six decades: expected occupancy n / 2^planes stays
+    // inside [targetBucket/2, targetBucket] wherever the clamp is inactive
+    (0 to 6).map(e => 10000L * math.pow(10, e).toLong).foreach { n =>
+      val p = Dedup.planesFor(n, 256)
+      if (p > 4 && p < 24) {
+        val occ = n.toDouble / (1L << p)
+        assert(occ > 128.0 && occ <= 256.0,
+          s"n=$n planes=$p gives expected occupancy $occ, outside (128, 256]")
+      }
+    }
+  }
+
+  test("auto-sized planes hold MEASURED bucket occupancy ~flat across a 10x sweep") {
+    // pseudo-random synthetic vectors (hash-derived, deterministic): under
+    // fixed planes a 10× corpus means 10× the mean bucket size; with
+    // planesFor the mean stays within a small band
+    def synth(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+                cast(cast(xxhash64(id, d) as double) / 9.223372036854776e18 as float))""")
+        .as("embedding"))
+    def meanOcc(n: Int): Double = {
+      val buckets = Dedup.embedBuckets(synth(n), Dedup.planesFor(n, 64), seed = 42L)
+        .groupBy("bucket").count()
+      val row = buckets.agg(avg("count")).collect().head
+      row.getDouble(0)
+    }
+    val (m1, m10) = (meanOcc(2000), meanOcc(20000))
+    assert(m10 / m1 < 4.0 && m1 / m10 < 4.0,
+      s"mean occupancy drifted 10×-corpus: $m1 vs $m10 — planes not corpus-sized")
   }
 
   test("connectedComponents: long chain collapses in bounded star rounds") {
