@@ -53,8 +53,18 @@ object Sketches {
         approx_count_distinct(col("tok"), 0.01).as("n_distinct_tokens_approx"),
         count(lit(1)).as("n_tokens"))
 
-  /** Misra-Gries state: bounded counter map + total stream length. */
-  final case class MGState(counters: Map[String, Long], processed: Long)
+  /** Misra-Gries state: bounded MUTABLE counter map + total stream length.
+    * Counters are `long[1]` cells in a `java.util.HashMap`, so the hottest
+    * path — incrementing an existing token — is one hash probe and an
+    * in-place bump: zero allocation per token (the previous immutable-`Map`
+    * state rebuilt the whole map per element, GC pressure in the hottest
+    * agg loop of a 100 TB token stream). Serialization (java-ser, binary
+    * buffer) happens only at partial-state shuffle boundaries — within a
+    * partition the aggregator mutates the live object. */
+  final class MGBuffer extends Serializable {
+    val counters = new java.util.HashMap[String, Array[Long]]()
+    var processed = 0L
+  }
 
   /**
    * Misra-Gries frequent-items sketch as a typed [[Aggregator]] — the
@@ -70,41 +80,66 @@ object Sketches {
    * `q_heavy_hitters` runs in (fixture vocab ≈ 31 ≪ 256), which is what
    * lets DuckDB oracle-check a sketch operator at all.
    */
-  class MisraGries(k: Int) extends Aggregator[String, MGState, Seq[(String, Long)]] {
+  class MisraGries(k: Int) extends Aggregator[String, MGBuffer, Seq[(String, Long)]] {
     require(k >= 1)
-    override def zero: MGState = MGState(Map.empty, 0L)
+    override def zero: MGBuffer = new MGBuffer
 
-    override def reduce(s: MGState, x: String): MGState = {
+    override def reduce(s: MGBuffer, x: String): MGBuffer = {
       val c = s.counters
-      if (c.contains(x)) MGState(c.updated(x, c(x) + 1L), s.processed + 1)
-      else if (c.size < k) MGState(c.updated(x, 1L), s.processed + 1)
+      val cur = c.get(x)
+      if (cur != null) cur(0) += 1L
+      else if (c.size < k) c.put(x, Array(1L))
       else {
-        // decrement-all step: drop zeroed counters (classic MG)
-        val dec = c.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
-        MGState(dec, s.processed + 1)
+        // decrement-all step: drop zeroed counters (classic MG), in place
+        val it = c.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          e.getValue()(0) -= 1L
+          if (e.getValue()(0) <= 0L) it.remove()
+        }
       }
+      s.processed += 1L
+      s
     }
 
-    override def merge(a: MGState, b: MGState): MGState = {
-      val combined = (a.counters.keySet ++ b.counters.keySet).iterator.map { t =>
-        t -> (a.counters.getOrElse(t, 0L) + b.counters.getOrElse(t, 0L))
-      }.toMap
-      val trimmed =
-        if (combined.size <= k) combined
-        else {
-          // subtract the (k+1)-th largest count from everyone (the merge
-          // analogue of decrement-all); error bounds add across merges
-          val kth = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
-          combined.view.mapValues(_ - kth).filter(_._2 > 0L).toMap
+    override def merge(a: MGBuffer, b: MGBuffer): MGBuffer = {
+      val bit = b.counters.entrySet().iterator()
+      while (bit.hasNext) {
+        val e = bit.next()
+        val cur = a.counters.get(e.getKey)
+        if (cur != null) cur(0) += e.getValue()(0)
+        else a.counters.put(e.getKey, Array(e.getValue()(0)))
+      }
+      if (a.counters.size > k) {
+        // subtract the (k+1)-th largest count from everyone (the merge
+        // analogue of decrement-all); error bounds add across merges
+        val vals = new Array[Long](a.counters.size)
+        var i = 0
+        val vit = a.counters.values().iterator()
+        while (vit.hasNext) { vals(i) = vit.next()(0); i += 1 }
+        java.util.Arrays.sort(vals)
+        val kth = vals(vals.length - 1 - k)
+        val it = a.counters.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          e.getValue()(0) -= kth
+          if (e.getValue()(0) <= 0L) it.remove()
         }
-      MGState(trimmed, a.processed + b.processed)
+      }
+      a.processed += b.processed
+      a
     }
 
     /** Counters sorted (count desc, token asc) — deterministic ties. */
-    override def finish(s: MGState): Seq[(String, Long)] =
-      s.counters.toSeq.sortBy { case (t, n) => (-n, t) }
+    override def finish(s: MGBuffer): Seq[(String, Long)] = {
+      val out = Seq.newBuilder[(String, Long)]
+      val it = s.counters.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); out += (e.getKey -> e.getValue()(0)) }
+      out.result().sortBy { case (t, n) => (-n, t) }
+    }
 
-    override def bufferEncoder: Encoder[MGState] = Encoders.product[MGState]
+    override def bufferEncoder: Encoder[MGBuffer] =
+      Encoders.javaSerialization[MGBuffer]
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       ExpressionEncoder[Seq[(String, Long)]]()
   }

@@ -81,7 +81,7 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       assert(st.counters.size <= k)
       mg.finish(st).foreach { case (t, c) => assert(c <= truth(t)) }
       truth.foreach { case (t, n) =>
-        if (n > xs.size.toLong / (k + 1)) assert(st.counters.contains(t)) }
+        if (n > xs.size.toLong / (k + 1)) assert(st.counters.containsKey(t)) }
       // merge path: trim error adds, so the merged guarantee is 2n/(k+1)
       val (l, r) = xs.splitAt(xs.size / 2)
       val merged = mg.merge(l.foldLeft(mg.zero)(mg.reduce),
@@ -89,7 +89,7 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       assert(merged.counters.size <= k)
       mg.finish(merged).foreach { case (t, c) => assert(c <= truth(t)) }
       truth.foreach { case (t, n) =>
-        if (n > 2L * xs.size / (k + 1)) assert(merged.counters.contains(t)) }
+        if (n > 2L * xs.size / (k + 1)) assert(merged.counters.containsKey(t)) }
     }
   }
 
