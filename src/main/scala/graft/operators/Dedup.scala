@@ -388,26 +388,31 @@ object Dedup {
         .distinct()
     }
 
-    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val row = e.agg(
+    // Convergence probe piggybacks on the round's ONE materialization job:
+    // the (count, order-free checksum) ride as `observe` metrics on the
+    // eager localCheckpoint — the accumulators fill while the checkpoint
+    // job runs, so no separate agg+collect job per round.
+    def checkpointWithChecksum(e: DataFrame): (DataFrame, Long, java.math.BigDecimal) = {
+      val obs = e.observe("cc_round",
         count(lit(1)).as("cnt"),
         coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("sum")).collect()(0)
-      (row.getLong(0), row.getDecimal(1))
+          lit(java.math.BigDecimal.ZERO)).as("sum"))
+      val cp = obs.localCheckpoint(true)
+      val row = obs.queryExecution.observedMetrics("cc_round")
+      (cp, row.getLong(0), row.getDecimal(1))
     }
 
-    var cur = canonical0.localCheckpoint(true)
-    var (prevCnt, prevSum) = checksum(cur)
+    var (cur, prevCnt, prevSum) = checkpointWithChecksum(canonical0)
     var converged = prevCnt == 0
     var i = 0
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      val (cnt, sm) = checksum(next)
+      val (next, cnt, sm) = checkpointWithChecksum(smallStar(largeStar(cur)))
       converged = cnt == prevCnt && sm.compareTo(prevSum) == 0
       prevCnt = cnt; prevSum = sm
       cur = next
       i += 1
     }
+    lastCcRounds.set(i)
     // nodes that survive only as roots (never a src at the fixpoint) label
     // themselves; everyone else reads the star edge.
     val nodes = canonical0
@@ -420,6 +425,10 @@ object Dedup {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
     out
   }
+
+  /** Star rounds the last [[connectedComponents]] run took — lets the spec
+    * assert the one-job-per-round contract via the status tracker. */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /**
    * Near-dup CLUSTER assignment — connected components over the verified

@@ -206,6 +206,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"mean occupancy drifted 10×-corpus: $m1 vs $m10 — planes not corpus-sized")
   }
 
+  test("connectedComponents: one Spark job per star round (observe-folded probe)") {
+    val edges = spark.range(200)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    // AQE materializes each shuffle stage as its own job and broadcast
+    // exchanges submit theirs — pin both off so actions map 1:1 to jobs
+    // and the count below audits ACTIONS per round
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bct = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sparkContext.setJobGroup("cc_job_count", "cc round job audit")
+      val cc = Dedup.connectedComponents(edges, maxIters = 30)
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("cc_job_count").length
+      spark.sparkContext.clearJobGroup()
+      val rounds = Dedup.lastCcRounds.get()
+      assert(rounds >= 1)
+      // initial canonicalize+checkpoint job + exactly one job per round —
+      // the convergence checksum must not cost a second job
+      assert(jobs == rounds + 1,
+        s"expected ${rounds + 1} jobs for $rounds rounds, saw $jobs")
+      // and the answer is still the single chain component
+      assert(cc.filter(col("component") =!= 0L).count() == 0)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bct)
+    }
+  }
+
   test("connectedComponents: long chain collapses in bounded star rounds") {
     // a 500-node path graph has diameter 499 — min-label propagation needs
     // ~500 rounds; large-star/small-star must finish inside maxIters=30
