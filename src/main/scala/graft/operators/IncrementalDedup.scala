@@ -65,10 +65,18 @@ object IncrementalDedup {
       lit("Put").as("cellType"),
       col("text").cast("binary").as("value"))
 
-  private def storeExists(dir: String): Boolean =
-    new java.io.File(dir, "_cellstore_meta.json").exists() ||
-      { val d = new java.io.File(dir)
-        d.isDirectory && d.listFiles() != null && d.listFiles().nonEmpty }
+  /** A store exists iff the salt manifest is present or at least one
+    * committed store file is — NOT merely "directory is non-empty", which
+    * would send a reused temp dir full of unrelated files through
+    * `format("cellstore")` and yield garbage candidates. */
+  private def storeExists(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    new java.io.File(d, "_cellstore_meta.json").exists() || {
+      val fs = d.listFiles()
+      fs != null && fs.exists(f => f.isFile && f.getName.endsWith(".parquet")
+        && f.length() > 0)
+    }
+  }
 
   /**
    * Probe history + verify + append one batch.
