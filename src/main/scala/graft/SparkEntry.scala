@@ -247,6 +247,7 @@ object SparkEntry {
     // LLM-pipeline extension tier
     "q_dedup_exact"    -> (Dedup.exactQuery _),
     "q_minhash_pairs"  -> (Dedup.minhashQuery _),
+    "q_incr_neardup"   -> (IncrementalDedup.incrementalQuery _),
     "q_simhash_pairs"  -> (Dedup.simhashQuery _),
     "q_ngram_jaccard"  -> (Dedup.ngramJaccardQuery _),
     "q_dup_clusters"   -> (Dedup.clustersQuery _),
@@ -1019,6 +1020,13 @@ object SparkEntry {
     // dups sit far above threshold), so the approximate pipeline attains
     // full recall and matches the exact answer. Verified at sf0.01/sf0.001.
     "q_minhash_pairs" ->
+      s"""WITH ${jaccardPairsSql("documents")}
+          SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+          FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5""",
+    // Incremental near-dup: two-batch replay covers the full corpus with
+    // the same banding + hashed-shingle verify as q_minhash_pairs, so the
+    // same ground-truth jaccard SQL is the oracle.
+    "q_incr_neardup" ->
       s"""WITH ${jaccardPairsSql("documents")}
           SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
           FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5""",

@@ -130,7 +130,7 @@ object Dedup {
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("bmin", min(col("doc_id")).over(w))
-      .observe("lsh_skew",
+      .observe(s"lsh_skew_${skewMetricSeq.incrementAndGet()}",
         count(when(col("bsz") > maxBucket, 1)).as("star_routed_rows"))
 
     val small = sized.filter(col("bsz") <= maxBucket)
@@ -260,7 +260,7 @@ object Dedup {
     val bucketed = embedBuckets(embeddings, planes, seed)
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("bmin", min(col("vec_id")).over(w))
-      .observe("embed_skew",
+      .observe(s"embed_skew_${skewMetricSeq.incrementAndGet()}",
         count(when(col("bsz") > maxBucket, 1)).as("star_routed_rows"))
 
     val small = bucketed.filter(col("bsz") <= maxBucket)
@@ -429,6 +429,13 @@ object Dedup {
   /** Star rounds the last [[connectedComponents]] run took — lets the spec
     * assert the one-job-per-round contract via the status tracker. */
   private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Observed-metric names must be unique within ONE query plan — two LSH
+    * runs unioned into a single plan (the incremental two-batch replay)
+    * would collide on a fixed name, so each bucketing pass gets a fresh
+    * suffix. Nothing reads the skew audit by name; it surfaces in the UI /
+    * listener stream either way. */
+  private val skewMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /**
    * Near-dup CLUSTER assignment — connected components over the verified

@@ -161,4 +161,27 @@ object IncrementalDedup {
       materialized
     } finally batchCached.unpersist()
   }
+
+  private val queryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Query-pack adapter: replay the fixture corpus as TWO batches (even
+    * then odd doc ids) through the incremental pipeline against fresh
+    * session stores. Banding and verification are shared with
+    * [[Dedup.minhashLsh]], so within-b1 ∪ (b1×b2 ∪ within-b2) pairs equal
+    * the one-shot batch run over the whole corpus — which is exactly what
+    * the ground-truth jaccard oracle recomputes. Memoized per sfDir
+    * (appendBatch settles results eagerly), so Verify and the specs can
+    * re-invoke without re-appending. */
+  def incrementalQuery(spark: SparkSession, sfDir: String): DataFrame =
+    queryCache.computeIfAbsent(sfDir, _ => {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_incr_query").toString
+      val (ix, cp) = (s"$base/index", s"$base/corpus")
+      val b1 = appendBatch(spark, ix, cp, docs.filter(col("doc_id") % 2 === 0))
+      val b2 = appendBatch(spark, ix, cp, docs.filter(col("doc_id") % 2 =!= 0))
+      b1.unionByName(b2)
+        .groupBy("doc_a", "doc_b").agg(max(col("jaccard")).as("jaccard"))
+    })
 }
