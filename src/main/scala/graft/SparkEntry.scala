@@ -254,6 +254,7 @@ object SparkEntry {
     "q_rep_windows"    -> (Dedup.repeatedWindowsQuery _),
     "q_split_assign"   -> (CorpusPipeline.splitAssignQuery _),
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
+    "q_embed_clusters" -> (Dedup.embeddingClustersQuery _),
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
     "q_ann_lsh"        -> (Similarity.lshQuery _),
     "q_ann_multiprobe" -> (Similarity.multiProbeQuery _),
@@ -603,7 +604,7 @@ object SparkEntry {
     * recall assumption. The fixture corpora stay under the star-routing
     * threshold, so the all-pairs form is the whole answer.) */
   private def embedOracle: Map[String, String] =
-    operators.Dedup.cachedAutoPlanes.map { p =>
+    operators.Dedup.cachedAutoPlanes.toSeq.flatMap { p => Seq(
       "q_embed_neardup" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
            bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", p, 42L)} AS bucket FROM e)
@@ -611,8 +612,26 @@ object SparkEntry {
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ${cosineSql("a.ev", "b.ev")} AS cosine
             FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
-          WHERE cosine >= 0.1"""
-    }.toMap
+          WHERE cosine >= 0.1""",
+      // Semantic clusters: recursive transitive closure over the same edge
+      // set, cluster id = least reachable vec id (the q_dup_clusters
+      // pattern, on embedding edges).
+      "q_embed_clusters" ->
+        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", p, 42L)} AS bucket FROM e),
+           edges AS (SELECT vec_a, vec_b FROM (
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    ${cosineSql("a.ev", "b.ev")} AS cosine
+             FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+             WHERE cosine >= 0.1),
+           sym AS (SELECT vec_a AS a, vec_b AS b FROM edges
+                   UNION SELECT vec_b, vec_a FROM edges
+                   UNION SELECT vec_a, vec_a FROM edges
+                   UNION SELECT vec_b, vec_b FROM edges),
+           reach AS (SELECT a, b FROM sym
+                     UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+          SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a"""
+    )}.toMap
 
   /** DuckDB equivalents for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =

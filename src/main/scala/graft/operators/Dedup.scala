@@ -456,6 +456,27 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /**
+   * Semantic duplicate clusters (the SemDeDup shape): connected components
+   * over the verified embedding near-dup edges, cluster id = least vec id.
+   * What an embedding-dedup pipeline consumes — "keep one representative
+   * per semantic cluster"; pairwise edges alone under-delete transitive
+   * near-dups. Composes [[embeddingNearDupAuto]] (corpus-sized buckets,
+   * star guard) with [[connectedComponents]] (bounded star rounds), so
+   * both halves keep their 100 TB shapes.
+   */
+  def embeddingClusters(
+      embeddings: DataFrame,
+      targetBucket: Int = 256,
+      threshold: Double = 0.95,
+      maxIters: Int = 30): DataFrame = {
+    val pairs = embeddingNearDupAuto(embeddings, targetBucket = targetBucket,
+        threshold = threshold)
+      .select(col("vec_a"), col("vec_b"))
+    connectedComponents(pairs, maxIters)
+      .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+  }
+
   // Query-pack adapters --------------------------------------------------
 
   def exactQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -487,5 +508,12 @@ object Dedup {
     * [[embeddingNearDupAuto]]; the oracle replays the same count. */
   def embeddingNearDupQuery(spark: SparkSession, sfDir: String): DataFrame =
     embeddingNearDupAuto(Tables.load(spark, sfDir, "embeddings"),
+      threshold = 0.1)
+
+  /** Same loose-radius regime as [[embeddingNearDupQuery]] (the synthetic
+    * embeddings have no 0.95-cosine pairs); cluster mechanics identical to
+    * a production run. */
+  def embeddingClustersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingClusters(Tables.load(spark, sfDir, "embeddings"),
       threshold = 0.1)
 }
