@@ -53,6 +53,26 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Delete-marker visibility: versions injected as in [[cellLatestQuery]],
+    * then a DeleteColumn marker at BaseTs+1500 on every custkey%7==0
+    * coordinate. %7∧%10 rows keep their v2 Put (ts 2000 > marker); %7-only
+    * rows lose their single base Put entirely — both mask regimes in one
+    * query. */
+  private def cellVisibleQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
+    val marked = CellTable.withDeleteMarkers(
+      versioned, pmod(CellTable.keyToLong(col("rowKey")), lit(7)) === 0,
+      lit(CellTable.BaseTs + 1500L))
+    CellTable.visibleLatest(marked)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** DSv2 cell-store scan (S1 region splits + S2 pushdown): persist the
     * customer cells in region layout, then range-scan keys [100, 200)
     * through the `cellstore` source — the filter prunes regions via parquet
@@ -237,6 +257,7 @@ object SparkEntry {
     // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
+    "q_cell_visible"   -> (cellVisibleQuery _),
     "q_cell_composite" -> (cellCompositeQuery _),
     "q_corrupt_scan"   -> (corruptScanQuery _),
     "q_store_scan"     -> (storeScanQuery _),
@@ -946,6 +967,21 @@ object SparkEntry {
                    CASE WHEN c_custkey % 10 = 0 THEN 1700000002000 ELSE 1700000000000 END AS vts,
                    CASE WHEN c_custkey % 10 = 0 THEN '#v2' ELSE '' END AS sfx
             FROM customer)
+          SELECT rk AS row_key, 'c_name' AS qualifier, CAST(vts AS BIGINT) AS ts,
+                 c_name || sfx AS value FROM c
+          UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
+          UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
+          UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // Delete-marker visibility: same versions, a marker at BaseTs+1500 on
+    // custkey%7==0 — masks the base Put (and v1) but not v2, so %7-only
+    // rows vanish and %7∧%10 rows still answer with their v2 cell.
+    "q_cell_visible" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk,
+                   CASE WHEN c_custkey % 10 = 0 THEN 1700000002000 ELSE 1700000000000 END AS vts,
+                   CASE WHEN c_custkey % 10 = 0 THEN '#v2' ELSE '' END AS sfx
+            FROM customer
+            WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 10 <> 0))
           SELECT rk AS row_key, 'c_name' AS qualifier, CAST(vts AS BIGINT) AS ts,
                  c_name || sfx AS value FROM c
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c

@@ -145,4 +145,44 @@ object CellTable {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Inject a DeleteColumn-style marker at `ts` for every (row, family,
+    * qualifier) coordinate where `pred` holds — the mutation type the
+    * reference carries verbatim (`CopyRow.java:135` `setType`) made
+    * observable: a marker masks all cells at or before its timestamp. */
+  def withDeleteMarkers(
+      cells: DataFrame,
+      pred: org.apache.spark.sql.Column,
+      ts: org.apache.spark.sql.Column): DataFrame = {
+    val markers = cells.filter(pred)
+      .select(col("rowKey"), col("family"), col("qualifier")).distinct()
+      .select(
+        col("rowKey"), col("family"), col("qualifier"),
+        ts.cast("long").as("ts"),
+        lit("Delete").as("cellType"),
+        lit(Array.empty[Byte]).as("value"))
+    cells.unionByName(markers)
+  }
+
+  /**
+   * Delete-masked latest-version read — HBase GET visibility with
+   * DeleteColumn markers: per (rowKey, family, qualifier) a marker at ts T
+   * hides every cell with ts ≤ T; the newest surviving Put wins. A
+   * coordinate whose every Put is masked disappears entirely.
+   *
+   * One shuffle: both window passes (unordered marker-max, ordered
+   * row_number) share the same partitioning key.
+   */
+  def visibleLatest(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("rowKey", "family", "qualifier")
+    cells
+      .withColumn("_delTs",
+        max(when(col("cellType") === "Delete", col("ts"))).over(w))
+      .filter(col("cellType") =!= "Delete" &&
+        (col("_delTs").isNull || col("ts") > col("_delTs")))
+      .withColumn("_rn", row_number().over(w.orderBy(col("ts").desc)))
+      .filter(col("_rn") === 1)
+      .drop("_delTs", "_rn")
+  }
 }

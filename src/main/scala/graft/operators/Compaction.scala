@@ -16,24 +16,41 @@ import org.apache.spark.sql.functions._
  *  1. TTL: cells with `ts < watermark` expire (HBase `TTL`), where the
  *     watermark is an explicit parameter — deterministic and replayable,
  *     never wall-clock.
- *  2. Version retention: keep the newest `maxVersions` cells per
+ *  2. Delete masking: a `Delete` marker hides every cell at or before its
+ *     timestamp in its (rowKey, family, qualifier) — HBase DeleteColumn.
+ *     Masked cells are dropped; the markers themselves are purged too
+ *     (major-compaction discipline — every committed file is in the
+ *     rewrite, so no older file can still hold a masked cell) unless
+ *     `retainDeleteMarkers` asks for minor-compaction behavior. As in
+ *     HBase, a client writing a PRE-marker timestamp after a purging
+ *     compaction can resurrect — schedule purges accordingly.
+ *  3. Version retention: keep the newest `maxVersions` surviving cells per
  *     (rowKey, family, qualifier) — HBase `VERSIONS`.
  *
- * Shape: one shuffle (the per-coordinate window), then the writer's
- * declared distribution re-ranges the survivors into sorted region files.
- * At 100 TB this runs region-by-region (the layout makes regions
- * independent units of work) — same operator, partition-pruned input.
+ * Shape: one shuffle (the per-coordinate window, shared by the marker-max
+ * and retention passes), then the writer's declared distribution re-ranges
+ * the survivors into sorted region files. At 100 TB this runs
+ * region-by-region (the layout makes regions independent units of work) —
+ * same operator, partition-pruned input.
  */
 object Compaction {
 
-  /** The cells surviving TTL + version retention. */
-  def survivors(cells: DataFrame, maxVersions: Int, ttlWatermark: Long): DataFrame = {
+  /** The cells surviving TTL + delete masking + version retention. */
+  def survivors(cells: DataFrame, maxVersions: Int, ttlWatermark: Long,
+      retainDeleteMarkers: Boolean = false): DataFrame = {
     val w = Window.partitionBy("rowKey", "family", "qualifier")
-      .orderBy(col("ts").desc)
-    cells.filter(col("ts") >= ttlWatermark)
-      .withColumn("_v", row_number().over(w))
+    val live = cells.filter(col("ts") >= ttlWatermark)
+      .withColumn("_delTs",
+        max(when(col("cellType") === "Delete", col("ts"))).over(w))
+    val puts = live
+      .filter(col("cellType") =!= "Delete" &&
+        (col("_delTs").isNull || col("ts") > col("_delTs")))
+      .withColumn("_v", row_number().over(w.orderBy(col("ts").desc)))
       .filter(col("_v") <= maxVersions)
-      .drop("_v")
+      .drop("_delTs", "_v")
+    if (retainDeleteMarkers)
+      puts.unionByName(live.filter(col("cellType") === "Delete").drop("_delTs"))
+    else puts
   }
 
   /** Compact a cell-store directory in place via the DSv2 writer, keeping

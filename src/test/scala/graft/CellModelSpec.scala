@@ -59,6 +59,40 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
     assert(badValues == 0)
   }
 
+  test("delete markers: mask at-or-before their ts, newer puts survive, purge on compaction") {
+    // every cell gets v1/v2 versions; rows with even keys get a marker
+    // BETWEEN v1 (ts+1000) and v2 (ts+2000)
+    val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
+    val evenKey = pmod(CellTable.keyToLong(col("rowKey")), lit(2)) === 0
+    val marked = CellTable.withDeleteMarkers(
+      versioned, evenKey, lit(CellTable.BaseTs + 1500L))
+
+    val visible = CellTable.visibleLatest(marked)
+    // no coordinate vanished (v2 outlives the marker everywhere)
+    assert(visible.count() == cells.count())
+    // and every visible cell is the v2 version, never a marker
+    assert(visible.filter(col("cellType") === "Delete").count() == 0)
+    assert(visible.filter(col("ts") =!= (CellTable.BaseTs + 2000L)).count() == 0)
+
+    // a marker NEWER than every put hides the coordinate entirely
+    val wiped = CellTable.withDeleteMarkers(
+      versioned, evenKey, lit(CellTable.BaseTs + 9000L))
+    val evenCoords = cells.filter(evenKey).count()
+    assert(CellTable.visibleLatest(wiped).count() == cells.count() - evenCoords)
+
+    // compaction: masked cells AND markers purged; retain flag keeps markers
+    val compacted = graft.operators.Compaction
+      .survivors(marked, maxVersions = 3, ttlWatermark = Long.MinValue)
+    assert(compacted.filter(col("cellType") === "Delete").count() == 0)
+    // even keys: only v2 survives (base+v1 masked); odd keys: all 3 versions
+    assert(compacted.filter(evenKey).count() == evenCoords)
+    assert(compacted.count() == evenCoords + (cells.count() - evenCoords) * 3)
+    val retained = graft.operators.Compaction
+      .survivors(marked, maxVersions = 3, ttlWatermark = Long.MinValue,
+        retainDeleteMarkers = true)
+    assert(retained.filter(col("cellType") === "Delete").count() == evenCoords)
+  }
+
   test("CopyRow: T1 ts override rewrites only the timestamp") {
     val out = CopyRow.plan(cells, "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
       overrideTs = true, tsToUse = 1234L)
