@@ -131,6 +131,17 @@ object IvfIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Index maintenance: route NEW vectors into the existing cell layout
+    * without rebuilding — centroids stay fixed (the standard trade: cell
+    * balance drifts as the corpus grows; retrain + rebuild when it does).
+    * Appends only touch the new vectors' cell directories, so maintenance
+    * cost ∝ the delta, and searches keep pruning the union of old and new
+    * files per cell. */
+  def appendToIndex(delta: DataFrame, model: Model, path: String): Unit =
+    assign(delta, model)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /**
    * Search the persisted index. [[search]]'s equi-join on `cell` against the
    * broadcast (query × probe-cell) side triggers DYNAMIC PARTITION PRUNING:

@@ -40,6 +40,36 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(after.filter(col("rowKey") === lit(key42)).rdd.getNumPartitions == 1)
   }
 
+  test("delete markers round-trip the DSv2 store; compaction purges them in place") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_delmark").toString
+    val base = CellTable.fromTable(spark, sf001, "region") // 5 rows × 2 quals
+    val versioned = CellTable.withExtraVersions(base, lit(true), n = 1)
+    val evenKey = pmod(CellTable.keyToLong(col("rowKey")), lit(2)) === 0
+    // marker between the base put (BaseTs) and v1 (BaseTs+1000)
+    val marked = CellTable.withDeleteMarkers(
+      versioned, evenKey, lit(CellTable.BaseTs + 500L))
+    marked.write.format("cellstore").option("numRegions", "2")
+      .mode("overwrite").save(dir)
+
+    val store = spark.read.format("cellstore").load(dir)
+    val nMarkers = base.filter(evenKey).count()
+    assert(store.filter(col("cellType") === "Delete").count() == nMarkers,
+      "cellType must survive the store round-trip")
+    // GET visibility over the store: v1 outlives the marker everywhere
+    val vis = CellTable.visibleLatest(store)
+    assert(vis.count() == base.count())
+    assert(vis.filter(col("ts") =!= (CellTable.BaseTs + 1000L)).count() == 0)
+
+    Compaction.compactStore(spark, dir, maxVersions = 2,
+      ttlWatermark = Long.MinValue, numRegions = 2)
+    val after = spark.read.format("cellstore").load(dir)
+    assert(after.filter(col("cellType") === "Delete").count() == 0,
+      "major compaction must purge markers")
+    // marked coords: masked base dropped, v1 kept; unmarked: both versions
+    assert(after.filter(evenKey).count() == nMarkers)
+    assert(after.count() == nMarkers + (base.count() - nMarkers) * 2)
+  }
+
   test("TTL watermark expires whole rows deterministically") {
     import spark.implicits._
     val cells = Seq(

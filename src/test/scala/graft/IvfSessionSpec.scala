@@ -71,6 +71,31 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     assert(ix == dx)
   }
 
+  test("IVF append maintenance: delta routed into existing cells, search sees it") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    IvfIndex.writeIndex(old, model, dir)
+    val filesBefore = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getAbsolutePath).toSet
+    IvfIndex.appendToIndex(delta, model, dir)
+    // append adds files, never rewrites the old ones
+    val filesAfter = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getAbsolutePath).toSet
+    assert(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size)
+    // the maintained index answers exactly like a from-scratch build
+    val queries = emb.filter(col("vec_id") < 3)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivf_fresh").toString
+    IvfIndex.writeIndex(emb, model, fresh)
+    assert(keyed(IvfIndex.searchIndex(spark, dir, queries, model, k = 10, nprobe = 3))
+      == keyed(IvfIndex.searchIndex(spark, fresh, queries, model, k = 10, nprobe = 3)))
+  }
+
   test("sessionize batch: contiguous per-user coverage, gap invariant") {
     val sessions = Sessionize.sessionQuery(spark, sf001)
     val events = Tables.load(spark, sf001, "events")
