@@ -263,6 +263,7 @@ object SparkEntry {
     "q_store_scan"     -> (storeScanQuery _),
     "q_store_join"     -> (storeJoinQuery _),
     "q_store_groupby"  -> (storeGroupByQuery _),
+    "q_value_lookup"   -> (ValueIndex.valueLookupQuery _),
     "q_sql_surface"    -> (sqlSurfaceQuery _),
     "q_zorder_scan"    -> (zorderScanQuery _),
     // LLM-pipeline extension tier
@@ -972,6 +973,15 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // Secondary value index: the lookup returns exactly the base cells
+    // holding the value — for 'BUILDING' that is each matching customer's
+    // c_mktsegment cell at the base timestamp.
+    "q_value_lookup" ->
+      s"""SELECT ${rowKeySql("c_custkey")} AS row_key,
+               'c_mktsegment' AS qualifier,
+               CAST(1700000000000 AS BIGINT) AS ts,
+               c_mktsegment AS value
+          FROM customer WHERE c_mktsegment = 'BUILDING'""",
     // Delete-marker visibility: same versions, a marker at BaseTs+1500 on
     // custkey%7==0 — masks the base Put (and v1) but not v2, so %7-only
     // rows vanish and %7∧%10 rows still answer with their v2 cell.

@@ -32,6 +32,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("o_orderpriority"), "unused column not pruned from scan")
   }
 
+  test("rep_stats evaluates inside whole-stage codegen with no shuffle") {
+    val df = graft.operators.TextAnalysis.repStatsQuery(spark, sf001)
+    val plan = executedPlan(df)
+    // `*(n)` prefixes mark whole-stage-codegen stages; the rep_stats
+    // projection must carry one (an interpreted fallback would print a
+    // bare Project)
+    assert(plan.contains("*(1) Project") && plan.contains("rep_stats"),
+      s"rep_stats projection not inside a codegen stage:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"per-row fold must not shuffle:\n$plan")
+  }
+
   test("CopyRow plan is narrow: no shuffle exchange anywhere") {
     val cells = CellTable.fromTable(spark, sf001, "customer")
     val plan = executedPlan(

@@ -1,0 +1,61 @@
+package graft
+
+import graft.model.CellTable
+import graft.operators.ValueIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Secondary value index: exactness (collisions re-checked), plan shape
+  * (index GET pushed, base GETs runtime-filtered), maintenance append. */
+class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  test("lookup returns exactly the cells holding the value; plans prune both stores") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vix").toString
+    val cells = CellTable.fromTable(spark, sf001, "customer")
+    cells.write.format("cellstore").option("buckets", "4")
+      .mode("overwrite").save(s"$base/base")
+    ValueIndex.build(spark.read.format("cellstore").load(s"$base/base"),
+      s"$base/index")
+
+    val hit = ValueIndex.lookup(spark, s"$base/index", s"$base/base",
+      "BUILDING".getBytes("UTF-8"))
+    val expected = spark.read.parquet(s"$sf001/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(hit.count() == expected && expected > 0)
+    // exactness: every returned cell carries the value, qualifier is the
+    // segment column (no other same-hash cell leaked through)
+    val rows = hit.collect()
+    assert(rows.forall(r => new String(r.getAs[Array[Byte]]("value")) == "BUILDING"))
+    assert(rows.forall(r => new String(r.getAs[Array[Byte]]("qualifier")) == "c_mktsegment"))
+
+    // plan shape: the index side is a pushed GET (EqualTo on rowKey after
+    // constant folding), the base side carries a runtime rowKey filter
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[EqualTo(rowKey"), s"index GET not pushed in:\n$plan")
+    assert(plan.contains("RuntimeFilters: [dynamicpruning") ||
+      plan.contains("dynamicpruningexpression") || plan.contains("In(rowKey"),
+      s"base scan missing runtime rowKey filter in:\n$plan")
+
+    // a value absent from the corpus finds nothing (bloom-elided GET)
+    assert(ValueIndex.lookup(spark, s"$base/index", s"$base/base",
+      "NO_SUCH_SEGMENT".getBytes("UTF-8")).count() == 0)
+
+    // maintenance: appending a new base batch + its index rows makes the
+    // new value findable without rebuilding
+    val extra = cells.limit(0).unionByName(
+      spark.range(1).select(
+        CellTable.bigEndianKey(lit(999999L)).as("rowKey"),
+        lit("customer").as("family"),
+        lit("c_mktsegment").cast("binary").as("qualifier"),
+        lit(CellTable.BaseTs).as("ts"),
+        lit("Put").as("cellType"),
+        lit("NEWSEGMENT").cast("binary").as("value")))
+    extra.write.format("cellstore").mode("append").save(s"$base/base")
+    ValueIndex.indexCells(extra).write.format("cellstore")
+      .mode("append").save(s"$base/index")
+    val post = ValueIndex.lookup(spark, s"$base/index", s"$base/base",
+      "NEWSEGMENT".getBytes("UTF-8")).collect()
+    assert(post.length == 1 &&
+      CellTable.keyToLong(lit(post.head.getAs[Array[Byte]]("rowKey"))) != null)
+  }
+}
