@@ -73,6 +73,27 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Copy verification (the reference's CopyRow closed loop): the "copy"
+    * drops every custkey%17==0 row and corrupts the c_acctbal cell of
+    * every remaining custkey%13==0 row; the diff reports exactly those
+    * cells — 4 ONLY_SOURCE cells per dropped row, 1 VALUE_MISMATCH per
+    * corrupted one. */
+  private def storeDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = CellTable.fromTable(spark, sfDir, "customer")
+    val keyL = CellTable.keyToLong(col("rowKey"))
+    val copied = src.filter(pmod(keyL, lit(17)) =!= 0)
+      .withColumn("value",
+        when(pmod(keyL, lit(13)) === 0 &&
+            col("qualifier").cast("string") === "c_acctbal",
+          concat(col("value").cast("string"), lit("#corrupt")).cast("binary"))
+        .otherwise(col("value")))
+    StoreDiff.report(src, copied)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("status"))
+  }
+
   /** DSv2 cell-store scan (S1 region splits + S2 pushdown): persist the
     * customer cells in region layout, then range-scan keys [100, 200)
     * through the `cellstore` source — the filter prunes regions via parquet
@@ -264,6 +285,7 @@ object SparkEntry {
     "q_store_join"     -> (storeJoinQuery _),
     "q_store_groupby"  -> (storeGroupByQuery _),
     "q_value_lookup"   -> (ValueIndex.valueLookupQuery _),
+    "q_store_diff"     -> (storeDiffQuery _),
     "q_sql_surface"    -> (sqlSurfaceQuery _),
     "q_zorder_scan"    -> (zorderScanQuery _),
     // LLM-pipeline extension tier
@@ -973,6 +995,17 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // Copy-verification diff: dropped rows surface one ONLY_SOURCE cell
+    // per qualifier, corrupted rows one VALUE_MISMATCH on c_acctbal.
+    "q_store_diff" ->
+      s"""WITH c AS (SELECT *, ${rowKeySql("c_custkey")} AS rk FROM customer)
+          SELECT rk AS row_key, q.q AS qualifier, 'ONLY_SOURCE' AS status
+          FROM c CROSS JOIN (VALUES ('c_name'), ('c_nationkey'),
+            ('c_acctbal'), ('c_mktsegment')) q(q)
+          WHERE c_custkey % 17 = 0
+          UNION ALL
+          SELECT rk, 'c_acctbal', 'VALUE_MISMATCH' FROM c
+          WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0""",
     // Secondary value index: the lookup returns exactly the base cells
     // holding the value — for 'BUILDING' that is each matching customer's
     // c_mktsegment cell at the base timestamp.
