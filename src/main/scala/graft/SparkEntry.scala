@@ -302,6 +302,7 @@ object SparkEntry {
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
     "q_ann_lsh"        -> (Similarity.lshQuery _),
     "q_ann_multiprobe" -> (Similarity.multiProbeQuery _),
+    "q_ann_filtered"   -> (Similarity.filteredQuery _),
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
@@ -1042,6 +1043,19 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 20""",
+    // Filtered ANN: exact top-10 among same-label corpus vectors only
+    // (pre-filtering — the predicate applies before scoring).
+    "q_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+                     FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+           scored AS (
+             SELECT q.query_id, c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
+             FROM c JOIN q ON c.label = q.label AND c.vec_id != q.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) t WHERE rank <= 10""",
     // ANN LSH: identical hyperplane buckets (generated from the same seed),
     // then exact cosine top-20 within the query's bucket.
     "q_ann_lsh" ->

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,12 +156,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Filtered (metadata-constrained) ANN: exact top-k among only the corpus
+   * vectors satisfying `pred` — the "vector search WHERE clause"
+   * (same-tenant, same-language, same-class, time-ranged…).
+   *
+   * This is PRE-filtering: the predicate applies before scoring, so the
+   * result is the true top-k of the eligible subset (post-filtering a
+   * plain top-k can return < k rows, or miss eligible neighbors entirely
+   * when the unfiltered top-k is dominated by ineligible vectors).
+   *
+   * 100 TB shape: `pred` may reference corpus columns and/or `query_`-side
+   * columns. Corpus-only conjuncts are pushed by Catalyst below the join
+   * into the scan (PushedFilters — asserted in SimilaritySpec), so a
+   * selective filter turns the whole scan-bound pass into a fraction of
+   * the corpus; cross-side conjuncts ride the broadcast-join condition.
+   * No corpus shuffle either way.
+   */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, pred: Column,
+      k: Int): DataFrame = {
+    val q = queries.select(queries.columns.map {
+      case "vec_id"    => col("vec_id").as("query_id")
+      case "embedding" => col("embedding").as("query_vec")
+      case c           => col(c).as(s"query_$c")
+    }: _*)
+    val scored = corpus
+      .join(broadcast(q), pred && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   // Query-pack adapters --------------------------------------------------
 
   /** Top-20 neighbors for the first 5 vectors, exact. */
   def bruteForceQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+  }
+
+  /** Same-label constrained top-10: each query only searches its own
+    * label's partition of the corpus (the multi-tenant ANN shape). */
+  def filteredQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    filteredTopK(emb, emb.filter(col("vec_id") < 5),
+      col("label") === col("query_label"), k = 10)
   }
 
   /** Same queries through the LSH path. */

@@ -74,6 +74,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("filtered top-k: true top-k of the eligible subset, filter pushed to scan") {
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.filteredTopK(emb, queries,
+      col("label") === col("query_label"), k = 10)
+    // ground truth: per query, brute-force over its own label's subset
+    val labels = queries.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    labels.foreach { case (qid, lbl) =>
+      val want = Similarity.bruteForceTopK(
+          emb.filter(col("label") === lbl), queries.filter(col("vec_id") === qid), k = 10)
+        .select("vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val gotQ = got.filter(col("query_id") === qid)
+        .select("vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(gotQ == want, s"query $qid (label $lbl)")
+      // every returned neighbor carries the query's label
+      assert(emb.filter(col("vec_id").isin(gotQ.map(_._1).toSeq: _*))
+        .select("label").collect().forall(_.getInt(0) == lbl))
+    }
+    // a corpus-only conjunct reaches the parquet scan as a pushed filter
+    val pushed = Similarity.filteredTopK(emb, queries,
+      col("label") === 3 && col("label") === col("query_label"), k = 10)
+    val scans = pushed.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("PushedFilters") && s.contains("label")
+        && !s.contains("PushedFilters: []")),
+      s"expected the label predicate pushed into a scan:\n${scans.mkString("\n")}")
+  }
+
   test("LSH top-k: results are a subset of correct cosine scores, same bucket only") {
     val exact = Similarity.bruteForceQuery(spark, sf001)
       .select("query_id", "vec_id", "cosine").collect()
