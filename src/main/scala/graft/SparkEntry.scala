@@ -319,6 +319,7 @@ object SparkEntry {
     "q_temp_sample"    -> (CorpusPipeline.tempSampleQuery _),
     "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
+    "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
     "q_salted_distinct"-> (Skew.saltedDistinctQuery _),
@@ -698,6 +699,17 @@ object SparkEntry {
           tr AS (SELECT doc_id, unnest(gs) AS g FROM ngr WHERE doc_id % 5 <> 3)
           SELECT tr.doc_id, count(*) AS n_hits
           FROM tr JOIN ev USING (g) GROUP BY tr.doc_id""",
+    // Semantic decontamination: same hyperplane buckets (6 planes, seed
+    // 42) as the query; per train vector, eval neighbors with cos >= 0.1.
+    "q_sem_decontam" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+          bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", 6, 42L)} AS bucket FROM e),
+          tr AS (SELECT vec_id, ev, bucket FROM bkt WHERE vec_id % 5 <> 3),
+          evs AS (SELECT vec_id AS eval_id, ev AS eev, bucket FROM bkt WHERE vec_id % 5 = 3),
+          hits AS (SELECT tr.vec_id, ${cosineSql("tr.ev", "evs.eev")} AS cosine
+                   FROM tr JOIN evs USING (bucket))
+          SELECT vec_id, count(*) AS n_hits, max(cosine) AS max_cosine
+          FROM hits WHERE cosine >= 0.1 GROUP BY vec_id""",
     "q_rep_stats" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
                       FROM documents),

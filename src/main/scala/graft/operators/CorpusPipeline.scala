@@ -301,6 +301,65 @@ object CorpusPipeline {
         .filter(col("n_hits") >= minHits).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /**
+   * Semantic (embedding-level) benchmark decontamination — the companion
+   * to the n-gram [[contaminationHits]]: a train example is contaminated
+   * when its EMBEDDING lies within cosine `threshold` of any eval
+   * example, catching the paraphrases and near-rewrites an exact-window
+   * probe misses. Output: (vec_id, n_hits, max_cosine) per flagged train
+   * vector.
+   *
+   * Same 100 TB shape as the n-gram form: both sides hash into shared
+   * hyperplane buckets (narrow codegen'd dot products); the eval side is
+   * benchmark-bounded so its bucketed table broadcasts, and the train
+   * corpus never shuffles for the probe — each train vector meets only
+   * its own bucket's eval candidates, every candidate verified with the
+   * exact cosine kernel. Recall < 1 by bucketing (raise recall by
+   * lowering `planes`; the eval side is small, so cost stays bounded).
+   */
+  def semanticContaminationHits(
+      train: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val t = Dedup.embedBuckets(train, planes, seed)
+    val e = Dedup.embedBuckets(evalSet, planes, seed)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"),
+        col("bucket"))
+    t.join(broadcast(e), "bucket")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .cosine_sim(col("embedding"), col("eval_emb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))
+  }
+
+  /** Drop every train vector semantically too close to the eval set; the
+    * flagged-id list is benchmark-bounded, so the anti-join broadcasts. */
+  def semanticDecontaminate(
+      train: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame =
+    train.join(
+      semanticContaminationHits(train, evalSet, threshold, planes, seed)
+        .select("vec_id"),
+      Seq("vec_id"), "left_anti")
+
+  /** Query-pack adapter: every 5th vector is the "benchmark"; hyperplane
+    * buckets at 6 planes, cosine ≥ 0.1 (fixture embeddings are near-
+    * orthogonal — a production threshold would return nothing). */
+  def semDecontamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    semanticContaminationHits(
+      train = emb.filter(pmod(col("vec_id"), lit(5)) =!= 3),
+      evalSet = emb.filter(pmod(col("vec_id"), lit(5)) === 3),
+      threshold = 0.1, planes = 6)
+  }
+
   /** Query-pack adapter: every 5th doc is the "benchmark"; 4-gram overlap
     * against the rest (fixture texts are short — 13-grams would not fire). */
   def decontamQuery(spark: SparkSession, sfDir: String): DataFrame = {

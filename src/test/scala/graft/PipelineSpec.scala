@@ -119,6 +119,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept2 == Set(1L, 3L, 4L))
   }
 
+  test("semantic decontamination: flags exact/near eval copies, broadcast probe") {
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val evalSet = emb.filter(col("vec_id") < 5) // verbatim copies of 5 train vecs
+    // at cos >= 0.9 only (near-)copies fire; identical vectors always share
+    // a bucket, so the 5 planted leaks are guaranteed hits with cosine 1
+    val hits = CorpusPipeline.semanticContaminationHits(emb, evalSet, threshold = 0.9)
+    val flagged = hits.select("vec_id").as[Long].collect().toSet
+    assert(Set(0L, 1L, 2L, 3L, 4L).subsetOf(flagged), s"planted leaks missed: $flagged")
+    hits.filter(col("vec_id") < 5).select("max_cosine").collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+
+    val kept = CorpusPipeline.semanticDecontaminate(emb, evalSet, threshold = 0.9)
+    assert(kept.count() == emb.count() - flagged.size)
+    assert(kept.filter(col("vec_id") < 5).count() == 0)
+
+    hits.collect() // let AQE finalize the plan
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe in:\n$plan")
+  }
+
   test("decontamination probe broadcasts the eval side (train never shuffles)") {
     val docs = graft.sources.Tables.load(spark, sf001, "documents")
     val df = CorpusPipeline.contaminationHits(
