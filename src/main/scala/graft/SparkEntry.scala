@@ -73,6 +73,29 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Authorized scan under cell visibility labels: each qualifier carries a
+    * deterministic label expression exercising every grammar branch
+    * (plain label, '&' conjunction, '|' alternative, '!' negation, empty
+    * = public); the scan runs with auths {internal, marketing}. */
+  private def cellAclQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = CellTable.fromTable(spark, sfDir, "customer")
+    val keyL = CellTable.keyToLong(col("rowKey"))
+    val q = col("qualifier").cast("string")
+    val vis = when(q === "c_acctbal", lit("finance&internal"))
+      .when(q === "c_name",
+        when(pmod(keyL, lit(3)) === 0, lit("pii"))
+          .when(pmod(keyL, lit(3)) === 1, lit("!restricted&internal"))
+          .otherwise(lit("")))
+      .when(q === "c_mktsegment", lit("marketing|finance"))
+      .otherwise(lit("!partner"))
+    Visibility.scanWithAuths(cells.withColumn("vis", vis),
+        Seq("internal", "marketing"))
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        q.as("qualifier"),
+        col("value").cast("string").as("value"))
+  }
+
   /** Copy verification (the reference's CopyRow closed loop): the "copy"
     * drops every custkey%17==0 row and corrupts the c_acctbal cell of
     * every remaining custkey%13==0 row; the diff reports exactly those
@@ -279,6 +302,7 @@ object SparkEntry {
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
     "q_cell_visible"   -> (cellVisibleQuery _),
+    "q_cell_acl"       -> (cellAclQuery _),
     "q_cell_composite" -> (cellCompositeQuery _),
     "q_corrupt_scan"   -> (corruptScanQuery _),
     "q_store_scan"     -> (storeScanQuery _),
@@ -1043,6 +1067,26 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // Visibility labels: same per-qualifier label expressions, evaluated
+    // independently with DuckDB list functions (DNF: any '|' term whose
+    // '&' atoms all hold; '!' negates; '' is public) under auths
+    // {internal, marketing}.
+    "q_cell_acl" ->
+      s"""WITH c AS (SELECT *, ${rowKeySql("c_custkey")} AS rk FROM customer),
+          cells AS (
+            SELECT rk, 'c_name' AS qualifier, c_name AS value,
+                   CASE WHEN c_custkey % 3 = 0 THEN 'pii'
+                        WHEN c_custkey % 3 = 1 THEN '!restricted&internal'
+                        ELSE '' END AS vis FROM c
+            UNION ALL SELECT rk, 'c_nationkey', CAST(c_nationkey AS VARCHAR), '!partner' FROM c
+            UNION ALL SELECT rk, 'c_acctbal', CAST(c_acctbal AS VARCHAR), 'finance&internal' FROM c
+            UNION ALL SELECT rk, 'c_mktsegment', c_mktsegment, 'marketing|finance' FROM c)
+          SELECT rk AS row_key, qualifier, value FROM cells
+          WHERE vis = '' OR len(list_filter(str_split(vis, '|'), t ->
+            len(list_filter(str_split(t, '&'), x ->
+              NOT (CASE WHEN x[1] = '!'
+                        THEN NOT list_contains(['internal','marketing'], x[2:])
+                        ELSE list_contains(['internal','marketing'], x) END))) = 0)) > 0""",
     // ANN brute force: exact cosine top-20 per query vector.
     "q_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
