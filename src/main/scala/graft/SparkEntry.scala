@@ -96,6 +96,38 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** HBase Increment over counter cells: base = one order_count counter
+    * per customer seeded at custkey%100; the delta batch derives from
+    * orders (+1 order_count per order, +floor(totalprice) to a
+    * spend_floor counter that does not exist yet — increments create it
+    * from 0). Output: the new counter versions, values decoded. */
+  private def counterIncrQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val base = cust.select(
+      CellTable.bigEndianKey(col("c_custkey")).as("rowKey"),
+      lit("counters").as("family"),
+      lit("order_count").cast("binary").as("qualifier"),
+      lit(CellTable.BaseTs).as("ts"),
+      lit("Put").as("cellType"),
+      StoreCounters.encodeCounter(pmod(col("c_custkey"), lit(100))).as("value"))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val deltas = orders.select(
+        CellTable.bigEndianKey(col("o_custkey")).as("rowKey"),
+        lit("counters").as("family"),
+        lit("order_count").cast("binary").as("qualifier"),
+        lit(1L).as("delta"))
+      .unionByName(orders.select(
+        CellTable.bigEndianKey(col("o_custkey")).as("rowKey"),
+        lit("counters").as("family"),
+        lit("spend_floor").cast("binary").as("qualifier"),
+        floor(col("o_totalprice")).cast("bigint").as("delta")))
+    StoreCounters.applyIncrements(base, deltas, CellTable.BaseTs + 1000L)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        StoreCounters.decodeCounter(col("value")).as("value_long"))
+  }
+
   /** Copy verification (the reference's CopyRow closed loop): the "copy"
     * drops every custkey%17==0 row and corrupts the c_acctbal cell of
     * every remaining custkey%13==0 row; the diff reports exactly those
@@ -310,6 +342,7 @@ object SparkEntry {
     "q_store_groupby"  -> (storeGroupByQuery _),
     "q_value_lookup"   -> (ValueIndex.valueLookupQuery _),
     "q_store_diff"     -> (storeDiffQuery _),
+    "q_counter_incr"   -> (counterIncrQuery _),
     "q_sql_surface"    -> (sqlSurfaceQuery _),
     "q_zorder_scan"    -> (zorderScanQuery _),
     // LLM-pipeline extension tier
@@ -1032,6 +1065,21 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // Increment semantics: per customer with orders, order_count = seed +
+    // n_orders (seed custkey%100), spend_floor created from 0.
+    "q_counter_incr" ->
+      s"""WITH d AS (
+            SELECT o_custkey AS k, 'order_count' AS qualifier,
+                   CAST(count(*) AS BIGINT) AS delta
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT o_custkey, 'spend_floor',
+                   CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+            FROM orders GROUP BY 1)
+          SELECT ${rowKeySql("k")} AS row_key, qualifier,
+                 CASE WHEN qualifier = 'order_count' THEN k % 100 ELSE 0 END
+                   + delta AS value_long
+          FROM d""",
     // Copy-verification diff: dropped rows surface one ONLY_SOURCE cell
     // per qualifier, corrupted rows one VALUE_MISMATCH on c_acctbal.
     "q_store_diff" ->
