@@ -128,6 +128,58 @@ object SparkEntry {
         StoreCounters.decodeCounter(col("value")).as("value_long"))
   }
 
+  /** checkAndPut batch over the customer cells: promote BUILDING
+    * segments (check passes only there), stamp a c_flag cell gated on
+    * its own absence (always applies), and a doomed write checked
+    * against a wrong expected value (always rejected). Output: every
+    * mutation with its applied/rejected decision. */
+  private def checkAndPutQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    def mut(target: String, value: String, check: String, expected: Option[String],
+        onlyEven: Boolean) = {
+      val src = if (onlyEven) cust.filter(pmod(col("c_custkey"), lit(2)) === 0) else cust
+      src.select(
+        CellTable.bigEndianKey(col("c_custkey")).as("rowKey"),
+        lit("customer").as("family"),
+        lit(check).cast("binary").as("checkQualifier"),
+        expected.map(e => lit(e).cast("binary")).getOrElse(lit(null).cast("binary"))
+          .as("expected"),
+        lit(target).cast("binary").as("qualifier"),
+        lit(value).cast("binary").as("value"))
+    }
+    val muts = mut("c_mktsegment", "PROMOTED", "c_mktsegment", Some("BUILDING"), onlyEven = false)
+      .unionByName(mut("c_flag", "NEW", "c_flag", None, onlyEven = false))
+      .unionByName(mut("c_name", "X", "c_nationkey", Some("no-such-value"), onlyEven = true))
+    StoreMutations.checkAndPut(base, muts, CellTable.BaseTs + 1000L)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("value").cast("string").as("value"),
+        col("applied"))
+  }
+
+  /** Append batch: '#a' onto every %4 customer's c_name, plus '#b' for
+    * the %8 subset — multi-append coordinates concatenate in suffix byte
+    * order, so %8 rows read name#a#b. */
+  private def cellAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    def app(suffix: String, mod: Int) = cust
+      .filter(pmod(col("c_custkey"), lit(mod)) === 0)
+      .select(
+        CellTable.bigEndianKey(col("c_custkey")).as("rowKey"),
+        lit("customer").as("family"),
+        lit("c_name").cast("binary").as("qualifier"),
+        lit(suffix).cast("binary").as("suffix"))
+    val appends = app("#a", 4).unionByName(app("#b", 8))
+    StoreMutations.applyAppends(base, appends, CellTable.BaseTs + 1000L)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("value").cast("string").as("value"))
+  }
+
   /** Copy verification (the reference's CopyRow closed loop): the "copy"
     * drops every custkey%17==0 row and corrupts the c_acctbal cell of
     * every remaining custkey%13==0 row; the diff reports exactly those
@@ -343,6 +395,8 @@ object SparkEntry {
     "q_value_lookup"   -> (ValueIndex.valueLookupQuery _),
     "q_store_diff"     -> (storeDiffQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
+    "q_check_and_put"  -> (checkAndPutQuery _),
+    "q_cell_append"    -> (cellAppendQuery _),
     "q_sql_surface"    -> (sqlSurfaceQuery _),
     "q_zorder_scan"    -> (zorderScanQuery _),
     // LLM-pipeline extension tier
@@ -1080,6 +1134,21 @@ object SparkEntry {
                  CASE WHEN qualifier = 'order_count' THEN k % 100 ELSE 0 END
                    + delta AS value_long
           FROM d""",
+    // checkAndPut: decision per mutation — segment promotion passes only
+    // on BUILDING, absent-gated c_flag always passes, wrong-expected
+    // c_name write always rejects.
+    "q_check_and_put" ->
+      s"""WITH c AS (SELECT *, ${rowKeySql("c_custkey")} AS rk FROM customer)
+          SELECT rk AS row_key, 'c_mktsegment' AS qualifier,
+                 'PROMOTED' AS value, c_mktsegment = 'BUILDING' AS applied FROM c
+          UNION ALL SELECT rk, 'c_flag', 'NEW', TRUE FROM c
+          UNION ALL SELECT rk, 'c_name', 'X', FALSE FROM c WHERE c_custkey % 2 = 0""",
+    // Append: %4 customers read name#a, the %8 subset name#a#b (suffixes
+    // concatenate in byte order).
+    "q_cell_append" ->
+      s"""SELECT ${rowKeySql("c_custkey")} AS row_key, 'c_name' AS qualifier,
+                 c_name || CASE WHEN c_custkey % 8 = 0 THEN '#a#b' ELSE '#a' END AS value
+          FROM customer WHERE c_custkey % 4 = 0""",
     // Copy-verification diff: dropped rows surface one ONLY_SOURCE cell
     // per qualifier, corrupted rows one VALUE_MISMATCH on c_acctbal.
     "q_store_diff" ->
