@@ -431,6 +431,7 @@ object SparkEntry {
     "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
+    "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
     "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
     "q_salted_distinct"-> (Skew.saltedDistinctQuery _),
@@ -810,6 +811,18 @@ object SparkEntry {
           tr AS (SELECT doc_id, unnest(gs) AS g FROM ngr WHERE doc_id % 5 <> 3)
           SELECT tr.doc_id, count(*) AS n_hits
           FROM tr JOIN ev USING (g) GROUP BY tr.doc_id""",
+    // C4 line dedup: same 8-token folding, ban lines occurring > 2 times
+    // corpus-wide, reassemble in line order.
+    "q_line_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS tk FROM documents),
+          lines AS (SELECT doc_id, i AS pos,
+                      array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' ') AS line
+                    FROM tok, LATERAL unnest(generate_series(0,
+                      CAST(ceil(len(tk)/8.0) AS INT) - 1)) AS t(i)),
+          banned AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 2)
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+          FROM lines WHERE line NOT IN (SELECT line FROM banned)
+          GROUP BY doc_id""",
     // Semantic decontamination: same hyperplane buckets (6 planes, seed
     // 42) as the query; per train vector, eval neighbors with cos >= 0.1.
     "q_sem_decontam" ->

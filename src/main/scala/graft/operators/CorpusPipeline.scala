@@ -302,6 +302,58 @@ object CorpusPipeline {
       Seq("doc_id"), "left_anti")
 
   /**
+   * Global line-level dedup — the C4 rule (Raffel et al., JMLR'20: "we
+   * discarded any line that occurred more than N times in the corpus"):
+   * boilerplate (nav bars, cookie banners, license headers) repeats
+   * across pages verbatim at line granularity, below document near-dup's
+   * radar. Every line occurring more than `maxOccurrences` times
+   * corpus-wide is removed from EVERY document; documents reassemble in
+   * original line order, and a document whose every line is banned drops
+   * entirely.
+   *
+   * Scale shape: the global tally groups on the line's md5 digest (the
+   * [[Dedup.exact]] device — 16 bytes shuffle per line, not the text);
+   * banned digests are the boilerplate set, typically tiny, so the
+   * removal anti-join broadcasts under AQE and the corpus-side explode /
+   * reassemble never shuffles text between stages of a different key —
+   * one digest groupBy + one doc_id groupBy. Digest collisions: same
+   * accepted md5 tradeoff as exact dedup.
+   */
+  def dedupLines(
+      docs: DataFrame,
+      maxOccurrences: Long = 2,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line").cast("binary")))
+    val banned = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxOccurrences)
+      .select("h")
+    lines.join(banned, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")),
+        sep).as("text"))
+  }
+
+  /** Query-pack adapter: fixture docs are single-line token soup, so the
+    * adapter first folds them into 8-token lines (deterministic, SQL-
+    * replicable), then applies the corpus-wide ban at maxOccurrences=2. */
+  def lineDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tk = split(col("text"), " ")
+    val folded = docs.select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0), ceil(size(tk) / 8.0).cast("int") - 1),
+          i => array_join(slice(tk, i * 8 + 1, lit(8)), " ")),
+        "\n").as("text"))
+    dedupLines(folded, maxOccurrences = 2)
+  }
+
+  /**
    * Semantic (embedding-level) benchmark decontamination — the companion
    * to the n-gram [[contaminationHits]]: a train example is contaminated
    * when its EMBEDDING lies within cosine `threshold` of any eval

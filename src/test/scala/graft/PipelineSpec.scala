@@ -119,6 +119,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept2 == Set(1L, 3L, 4L))
   }
 
+  test("line dedup: corpus-wide ban above the cap, order kept, empty docs drop") {
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\nfooter"),
+      (2L, "cookie banner\nreal content two\nfooter"),
+      (3L, "cookie banner\nreal content three\nfooter"),
+      (4L, "twice-used line\nunique tail"),
+      (5L, "twice-used line"),
+      (6L, "cookie banner\nfooter")               // all lines banned -> doc drops
+    ).toDF("doc_id", "text")
+    // 'cookie banner' and 'footer' occur 4x (> 2) -> banned everywhere;
+    // 'twice-used line' occurs 2x (= cap) -> kept
+    val out = CorpusPipeline.dedupLines(docs, maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "real content one",
+      2L -> "real content two",
+      3L -> "real content three",
+      4L -> "twice-used line\nunique tail",
+      5L -> "twice-used line"))
+  }
+
   test("semantic decontamination: flags exact/near eval copies, broadcast probe") {
     val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
     val evalSet = emb.filter(col("vec_id") < 5) // verbatim copies of 5 train vecs
