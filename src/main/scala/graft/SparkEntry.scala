@@ -433,6 +433,7 @@ object SparkEntry {
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
     "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
+    "q_lm_score"       -> (TextAnalysis.lmScoreQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
     "q_salted_distinct"-> (Skew.saltedDistinctQuery _),
     "q_redact"         -> (TextAnalysis.redactQuery _),
@@ -834,6 +835,22 @@ object SparkEntry {
                    FROM tr JOIN evs USING (bucket))
           SELECT vec_id, count(*) AS n_hits, max(cosine) AS max_cosine
           FROM hits WHERE cosine >= 0.1 GROUP BY vec_id""",
+    // Corpus bigram LM: add-one-smoothed avg bigram probability per doc,
+    // counts and vocabulary recomputed identically.
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+                      FROM documents),
+          bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                 FROM tok, LATERAL unnest(generate_series(1, len(tk) - 1)) AS t(i)
+                 WHERE len(tk) >= 2),
+          bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+          uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+          v AS (SELECT count(DISTINCT t) AS v
+                FROM (SELECT unnest(tk) AS t FROM tok))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(avg((c12 + 1.0) / (c1 + v)), 6) AS avg_prob
+          FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+          GROUP BY doc_id""",
     "q_rep_stats" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
                       FROM documents),

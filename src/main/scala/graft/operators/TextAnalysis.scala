@@ -152,6 +152,50 @@ object TextAnalysis {
       (regexp_count(col("text"), lit(EmailPattern)) +
         regexp_count(col("text"), lit(Ipv4Pattern))).cast("bigint").as("n_redactions"))
 
+  /**
+   * Corpus n-gram LM fluency score — the CCNet-style statistical quality
+   * signal (Wenzek et al., LREC'20 score documents with an n-gram LM;
+   * gibberish and mangled extractions land in the tail): train a bigram
+   * model ON the corpus itself, then score each document by its average
+   * add-one-smoothed bigram probability
+   *
+   *   p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)
+   *
+   * (avg-probability rather than perplexity keeps the whole computation
+   * in rational arithmetic — every per-bigram term is one IEEE division,
+   * bit-identical across engines, where exp/ln would not be; the ranking
+   * it induces is the same monotone fluency signal).
+   *
+   * 100 TB shape: the MODEL IS A TABLE, never driver state — bigram and
+   * prefix counts are two map-side-combined aggregations over the
+   * corpus, and scoring joins documents' bigram instances against them
+   * on the bigram key. Hot bigrams ("of the") are skewed join keys; AQE
+   * skew-join splits them. Nothing is collected; V is the only scalar
+   * and rides a 1-row broadcast cross join.
+   */
+  def ngramLmScore(docs: DataFrame): DataFrame = {
+    val tk = whitespaceTokens(lower(col("text")))
+    val bi = docs.select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val bigramCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val prefixCounts = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(tk).as("t")).agg(
+      countDistinct(col("t")).as("v"))
+    bi.join(bigramCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        ((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(avg(col("p")), 6).as("avg_prob"))
+  }
+
   // Query-pack adapters --------------------------------------------------
 
   def textStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -240,6 +284,10 @@ object TextAnalysis {
           <= maxTopFrac)
       .drop("_rep")
   }
+
+  /** Query-pack adapter: corpus-trained bigram LM over the fixture docs. */
+  def lmScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
+    ngramLmScore(Tables.load(spark, sfDir, "documents"))
 
   /** Query-pack adapter: bigram repetition over the fixture corpus. */
   def repStatsQuery(spark: SparkSession, sfDir: String): DataFrame =

@@ -62,6 +62,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(2L)) // 1 fails dup_frac; 3 fails top_frac (whole-doc window)
   }
 
+  test("bigram LM score: pinned hand-computed probabilities, rare docs rank low") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    // c12: (a,b)=3 (b,a)=1 (z,z)=1; c1: a=3 b=1 z=1; V=3
+    // p(a,b)=4/6, p(b,a)=2/4, p(z,z)=2/4
+    val got = TextAnalysis.ngramLmScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_prob")))).toMap
+    assert(got(1L) == ((3L, 0.611111)))  // (4/6 + 2/4 + 4/6)/3
+    assert(got(2L) == ((1L, 0.666667)))
+    assert(got(3L) == ((1L, 0.5)))
+    // the common-pattern doc outranks the rare-pattern doc
+    assert(got(2L)._2 > got(3L)._2)
+
+    // a single-token doc produces no score row but still widens the vocab
+    val withSolo = df.union(Seq((4L, "solo")).toDF("doc_id", "text"))
+    val got2 = TextAnalysis.ngramLmScore(withSolo).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_prob")).toMap
+    assert(!got2.contains(4L))
+    assert(got2(3L) == 0.4) // V=4 now: p(z,z)=2/5
+  }
+
   test("fingerprint: identical texts share sketch; sketch has k entries") {
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
       (3L, "k l m n o p q r s t")).toDF("doc_id", "text")
