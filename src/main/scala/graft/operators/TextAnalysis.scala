@@ -183,7 +183,9 @@ object TextAnalysis {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
     val bigramCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val prefixCounts = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // prefix counts roll up from the bigram table (Σ_w2 c12 = c1), not
+    // from a second corpus-wide explode — the input is |distinct bigrams|
+    val prefixCounts = bigramCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(tk).as("t")).agg(
       countDistinct(col("t")).as("v"))
     bi.join(bigramCounts, Seq("w1", "w2"))
