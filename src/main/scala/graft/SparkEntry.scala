@@ -96,6 +96,17 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Exact balanced split points (the RegionSplitter answer) over the
+    * orders-per-customer cell population — variable per-key weights, so
+    * the rank walk is non-trivial; n=8 regions. */
+  private def regionSplitsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(CellTable.bigEndianKey(col("o_custkey")).as("rowKey"))
+    StoreRebalance.splitPoints(cells, 8)
+      .select(col("split_idx"),
+        graft.functions.GraftFunctions.to_string_binary(col("split_key")).as("split_key"))
+  }
+
   /** HBase Increment over counter cells: base = one order_count counter
     * per customer seeded at custkey%100; the delta batch derives from
     * orders (+1 order_count per order, +floor(totalprice) to a
@@ -396,6 +407,7 @@ object SparkEntry {
     "q_store_diff"     -> (storeDiffQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
+    "q_region_splits"  -> (regionSplitsQuery _),
     "q_cell_append"    -> (cellAppendQuery _),
     "q_sql_surface"    -> (sqlSurfaceQuery _),
     "q_zorder_scan"    -> (zorderScanQuery _),
@@ -1149,6 +1161,18 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // Exact split points: key k owns split i iff rank ⌈i·R/8⌉ lands in
+    // (cum−nc, cum] — replicated with the same integer arithmetic.
+    "q_region_splits" ->
+      s"""WITH kc AS (SELECT o_custkey AS k, count(*) AS nc FROM orders GROUP BY 1),
+          c AS (SELECT k, nc, sum(nc) OVER (ORDER BY k) AS cum FROM kc),
+          g AS (SELECT sum(nc) AS r FROM kc),
+          b AS (SELECT k, nc, cum, cum - nc AS prev, r FROM c CROSS JOIN g),
+          s AS (SELECT k, unnest(generate_series(
+                  CAST((prev*8)//r + 1 AS BIGINT),
+                  CAST(least((cum*8)//r, 7) AS BIGINT))) AS split_idx
+                FROM b WHERE (prev*8)//r + 1 <= least((cum*8)//r, 7))
+          SELECT split_idx, ${rowKeySql("k")} AS split_key FROM s""",
     // Increment semantics: per customer with orders, order_count = seed +
     // n_orders (seed custkey%100), spend_floor created from 0.
     "q_counter_incr" ->
