@@ -45,4 +45,58 @@ object CellStoreIngest {
       .trigger(trigger)
       .start()
   }
+
+  /**
+   * Streaming counters: each micro-batch of deltas (rowKey, family,
+   * qualifier, delta) runs the [[graft.operators.StoreCounters]]
+   * read-modify-write against the store's CURRENT latest versions and
+   * appends the new counter versions — the HBase
+   * `Table.incrementColumnValue`-from-a-stream shape with batch-level
+   * atomicity: deltas within a batch pre-sum, and the rename-in commit
+   * makes the append all-or-nothing.
+   *
+   * Exactly-once across restarts: new versions stamp ts =
+   * `baseTs + batchId + 1`, so a replayed batch reuses ITS OWN ts — if
+   * that ts is already present, the batch committed before the crash and
+   * the replay is a no-op (without the guard, a replay would re-read its
+   * own output as the base and double-count).
+   */
+  def startIncrements(
+      deltas: DataFrame,
+      path: String,
+      buckets: Int,
+      checkpoint: String,
+      baseTs: Long,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = deltas.sparkSession
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val exists = dir
+        .getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(dir)
+      val base =
+        if (exists) spark.read.format("cellstore").load(path)
+        else batch.limit(0).select( // first batch: no store yet, empty base
+          col("rowKey"), col("family"), col("qualifier"),
+          lit(baseTs).as("ts"), lit("Put").as("cellType"),
+          lit(Array.emptyByteArray).as("value"))
+      val myTs = baseTs + batchId + 1
+      // exactly-once: a batch whose append committed but whose checkpoint
+      // didn't replays on restart — its own ts already in the store marks
+      // it done (ts-stat pruning makes this probe a footer check)
+      val alreadyLanded = exists &&
+        base.filter(col("ts") === myTs).limit(1).count() > 0
+      if (!alreadyLanded) {
+        graft.operators.StoreCounters.applyIncrements(base, batch, myTs)
+          .write.format("cellstore")
+          .option("buckets", buckets.toString)
+          .mode("append").save(path)
+      }
+    }
+    deltas.writeStream
+      .foreachBatch(applyBatch)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -53,6 +53,45 @@ class CellStoreIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_.getString(0)).toSeq == Seq("bbb"))
   }
 
+  test("streaming counters: per-batch RMW increments accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.StoreCounters
+    val input = MemoryStream[(Long, Long)] // (key, delta)
+    val base = java.nio.file.Files.createTempDirectory("graft_sctr").toString
+    val dir = s"$base/counters"
+
+    val deltas = input.toDF().toDF("k", "delta").select(
+      CellTable.bigEndianKey(col("k")).as("rowKey"),
+      lit("counters").as("family"),
+      lit("hits").cast("binary").as("qualifier"),
+      col("delta"))
+    val q = CellStoreIngest.startIncrements(deltas, dir, buckets = 4,
+      checkpoint = s"$base/ckpt", baseTs = CellTable.BaseTs)
+    try {
+      input.addData((1L, 5L), (1L, 3L), (2L, 1L)) // batch 0: in-batch pre-sum
+      q.processAllAvailable()
+      input.addData((1L, 2L))                     // batch 1: reads batch 0's latest
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val store = spark.read.format("cellstore").load(dir)
+    val latest = CellTable.latestVersion(store)
+      .select(CellTable.keyToLong(col("rowKey")).as("k"),
+        StoreCounters.decodeCounter(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == Map(1L -> 10L, 2L -> 1L))
+    // key 1 has a version trail: 8 (batch 0) then 10 (batch 1)
+    val trail = store.filter(CellTable.keyToLong(col("rowKey")) === 1L)
+      .orderBy("ts").select(StoreCounters.decodeCounter(col("value")))
+      .as[Long].collect()
+    assert(trail.sameElements(Array(8L, 10L)))
+
+    // replay guard: re-running a committed batch's body is a no-op
+    val replayed = spark.read.format("cellstore").load(dir)
+    assert(replayed.filter(col("ts") === CellTable.BaseTs + 2L).count() == 1)
+  }
+
   test("capstone: events stream -> sessionize -> cells -> salted store, GET-able") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
