@@ -96,6 +96,32 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Per-family compaction (HBase column-family TTL/VERSIONS): customer
+    * cells split into a 'num' family (c_acctbal, c_nationkey) and a
+    * 'txt' family; every %5 key gets 2 extra versions. num expires below
+    * BaseTs+1500 (base cells AND v1 die — non-%5 num cells vanish
+    * entirely) with 2 versions retained; txt keeps all ages, 1 version. */
+  private def familyCompactQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+      .withColumn("family",
+        when(col("qualifier").cast("string").isin("c_acctbal", "c_nationkey"), "num")
+          .otherwise("txt"))
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(5)) === 0, n = 2)
+    Compaction.survivorsPerFamily(versioned,
+        Map(
+          "num" -> Compaction.FamilyPolicy(maxVersions = 2,
+            ttlWatermark = CellTable.BaseTs + 1500L),
+          "txt" -> Compaction.FamilyPolicy(maxVersions = 1)),
+        default = Compaction.FamilyPolicy())
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("family"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** Exact balanced split points (the RegionSplitter answer) over the
     * orders-per-customer cell population — variable per-key weights, so
     * the rank walk is non-trivial; n=8 regions. */
@@ -408,6 +434,7 @@ object SparkEntry {
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
     "q_region_splits"  -> (regionSplitsQuery _),
+    "q_family_compact" -> (familyCompactQuery _),
     "q_cell_append"    -> (cellAppendQuery _),
     "q_sql_surface"    -> (sqlSurfaceQuery _),
     "q_zorder_scan"    -> (zorderScanQuery _),
@@ -1161,6 +1188,20 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // Per-family compaction: txt keeps newest of all ages, num's TTL
+    // (BaseTs+1500) kills base cells and v1 so only %5 keys' v2 survive.
+    "q_family_compact" ->
+      s"""WITH c AS (SELECT *, ${rowKeySql("c_custkey")} AS rk,
+                   CASE WHEN c_custkey % 5 = 0 THEN 1700000002000 ELSE 1700000000000 END AS vts,
+                   CASE WHEN c_custkey % 5 = 0 THEN '#v2' ELSE '' END AS sfx
+            FROM customer)
+          SELECT rk AS row_key, 'txt' AS family, 'c_name' AS qualifier,
+                 CAST(vts AS BIGINT) AS ts, c_name || sfx AS value FROM c
+          UNION ALL SELECT rk, 'txt', 'c_mktsegment', vts, c_mktsegment || sfx FROM c
+          UNION ALL SELECT rk, 'num', 'c_acctbal', 1700000002000,
+                 CAST(c_acctbal AS VARCHAR) || '#v2' FROM c WHERE c_custkey % 5 = 0
+          UNION ALL SELECT rk, 'num', 'c_nationkey', 1700000002000,
+                 CAST(c_nationkey AS VARCHAR) || '#v2' FROM c WHERE c_custkey % 5 = 0""",
     // Exact split points: key k owns split i iff rank ⌈i·R/8⌉ lands in
     // (cum−nc, cum] — replicated with the same integer arithmetic.
     "q_region_splits" ->

@@ -35,18 +35,45 @@ import org.apache.spark.sql.functions._
  */
 object Compaction {
 
+  /** Per-family retention config — HBase sets `TTL` and `VERSIONS` on the
+    * column-family descriptor, so the compaction policy is per family. */
+  final case class FamilyPolicy(
+      maxVersions: Int = 1,
+      ttlWatermark: Long = Long.MinValue)
+
   /** The cells surviving TTL + delete masking + version retention. */
   def survivors(cells: DataFrame, maxVersions: Int, ttlWatermark: Long,
+      retainDeleteMarkers: Boolean = false): DataFrame =
+    survivorsPerFamily(cells, Map.empty,
+      FamilyPolicy(maxVersions, ttlWatermark), retainDeleteMarkers)
+
+  /** [[survivors]] with the policy resolved per column family (HBase's
+    * actual schema model): `policies` maps family name → policy, `default`
+    * covers unlisted families. Families are schema-level metadata — a
+    * handful of driver-known names — so the per-cell policy lookup folds
+    * into two literal CASE columns; the plan shape (one window shuffle)
+    * is identical to the uniform-policy pass. */
+  def survivorsPerFamily(cells: DataFrame,
+      policies: Map[String, FamilyPolicy],
+      default: FamilyPolicy,
       retainDeleteMarkers: Boolean = false): DataFrame = {
+    val ttlCol = policies.foldLeft(lit(default.ttlWatermark)) {
+      case (acc, (f, p)) =>
+        when(col("family") === f, lit(p.ttlWatermark)).otherwise(acc)
+    }
+    val maxVCol = policies.foldLeft(lit(default.maxVersions)) {
+      case (acc, (f, p)) =>
+        when(col("family") === f, lit(p.maxVersions)).otherwise(acc)
+    }
     val w = Window.partitionBy("rowKey", "family", "qualifier")
-    val live = cells.filter(col("ts") >= ttlWatermark)
+    val live = cells.filter(col("ts") >= ttlCol)
       .withColumn("_delTs",
         max(when(col("cellType") === "Delete", col("ts"))).over(w))
     val puts = live
       .filter(col("cellType") =!= "Delete" &&
         (col("_delTs").isNull || col("ts") > col("_delTs")))
       .withColumn("_v", row_number().over(w.orderBy(col("ts").desc)))
-      .filter(col("_v") <= maxVersions)
+      .filter(col("_v") <= maxVCol)
       .drop("_delTs", "_v")
     if (retainDeleteMarkers)
       puts.unionByName(live.filter(col("cellType") === "Delete").drop("_delTs"))

@@ -70,6 +70,33 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(after.count() == nMarkers + (base.count() - nMarkers) * 2)
   }
 
+  test("per-family policies: TTL and version retention resolve by family") {
+    import spark.implicits._
+    def cell(k: Long, fam: String, ts: Long, v: String) =
+      (k, fam, "q", ts, "Put", v)
+    val cells = Seq(
+      cell(1L, "hot", 1000L, "h1"), cell(1L, "hot", 2000L, "h2"),
+      cell(1L, "hot", 3000L, "h3"),
+      cell(1L, "cold", 1000L, "c1"), cell(1L, "cold", 2000L, "c2"),
+      cell(1L, "cold", 3000L, "c3"))
+      .toDF("k", "family", "q", "ts", "cellType", "v").select(
+        CellTable.bigEndianKey(col("k")).as("rowKey"), col("family"),
+        col("q").cast("binary").as("qualifier"), col("ts"), col("cellType"),
+        col("v").cast("binary").as("value"))
+    // hot: keep 2 versions, TTL >= 1500 (kills h1); cold: keep all ages, 1 version
+    val out = Compaction.survivorsPerFamily(cells,
+        Map("hot" -> Compaction.FamilyPolicy(maxVersions = 2, ttlWatermark = 1500L),
+            "cold" -> Compaction.FamilyPolicy(maxVersions = 1)),
+        default = Compaction.FamilyPolicy())
+      .select(col("family"), col("value").cast("string").as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(out.toSet == Set("hot" -> "h3", "hot" -> "h2", "cold" -> "c3"))
+    // uniform survivors is the single-policy special case
+    val uniform = Compaction.survivors(cells, maxVersions = 1, ttlWatermark = 1500L)
+      .select(col("value").cast("string").as("v")).as[String].collect().toSet
+    assert(uniform == Set("h3", "c3"))
+  }
+
   test("TTL watermark expires whole rows deterministically") {
     import spark.implicits._
     val cells = Seq(
