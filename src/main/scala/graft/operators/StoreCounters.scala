@@ -40,11 +40,14 @@ object StoreCounters {
    */
   def applyIncrements(base: DataFrame, deltas: DataFrame, newTs: Long): DataFrame = {
     val coord = Seq("rowKey", "family", "qualifier")
+    // decode BEFORE aggregating: max_by over a binary value plans a
+    // SortAggregate (immutable buffer), max_by(long, long) hash-aggregates
+    // with map-side partials — counters are longs by contract anyway
     val latest = base
+      .select(col("rowKey"), col("family"), col("qualifier"), col("ts"),
+        decodeCounter(col("value")).as("_prevLong"))
       .groupBy(coord.map(col): _*)
-      .agg(max_by(col("value"), col("ts")).as("_prev"))
-      .select(col("rowKey"), col("family"), col("qualifier"),
-        decodeCounter(col("_prev")).as("_prev"))
+      .agg(max_by(col("_prevLong"), col("ts")).as("_prev"))
     val summed = deltas
       .groupBy(coord.map(col): _*)
       .agg(sum(col("delta")).as("_delta"))
