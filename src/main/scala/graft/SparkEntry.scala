@@ -471,6 +471,7 @@ object SparkEntry {
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
+    "q_token_budget"   -> (CorpusPipeline.tokenBudgetQuery _),
     "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
     "q_lm_score"       -> (TextAnalysis.lmScoreQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
@@ -851,6 +852,15 @@ object SparkEntry {
           tr AS (SELECT doc_id, unnest(gs) AS g FROM ngr WHERE doc_id % 5 <> 3)
           SELECT tr.doc_id, count(*) AS n_hits
           FROM tr JOIN ev USING (g) GROUP BY tr.doc_id""",
+    // Token-budget selection: per source, prefix cutoff at 700 running
+    // tokens in (n_chars desc, doc_id asc) order.
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+            sum(len(regexp_split_to_array(text, '\s+')))
+              OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+          SELECT doc_id, source, n_chars FROM t WHERE cum <= 700""",
     // C4 line dedup: same 8-token folding, ban lines occurring > 2 times
     // corpus-wide, reassemble in line order.
     "q_line_dedup" ->

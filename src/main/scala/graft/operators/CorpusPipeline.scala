@@ -339,6 +339,42 @@ object CorpusPipeline {
         sep).as("text"))
   }
 
+  /**
+   * Token-budget corpus selection — the data-mixing primitive: per
+   * source, keep documents in descending quality order while the running
+   * token total stays within the budget (prefix cutoff: the first
+   * overflowing document and everything below it drop — NOT next-fit
+   * back-filling, which needs the full per-source prefix in memory; the
+   * prefix rule is a running sum, constant state per partition).
+   * Deterministic: ties break on doc_id, so a rerun selects a
+   * byte-identical corpus.
+   *
+   * One shuffle (the per-source sort window); sources are independent
+   * units of work, and the window streams — no buffering beyond the
+   * running sum.
+   */
+  def selectWithinBudget(
+      docs: DataFrame,
+      tokenBudget: Long,
+      quality: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(quality.desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTok = size(split(col("text"), "\\s+")).cast("bigint")
+    docs
+      .withColumn("_cumTok", sum(nTok).over(w))
+      .filter(col("_cumTok") <= tokenBudget)
+      .drop("_cumTok")
+  }
+
+  /** Query-pack adapter: 700 whitespace-tokens per source, ranked by the
+    * fixture's n_chars as the quality proxy. */
+  def tokenBudgetQuery(spark: SparkSession, sfDir: String): DataFrame =
+    selectWithinBudget(Tables.load(spark, sfDir, "documents"),
+        tokenBudget = 700L, quality = col("n_chars"))
+      .select("doc_id", "source", "n_chars")
+
   /** Query-pack adapter: fixture docs are single-line token soup, so the
     * adapter first folds them into 8-token lines (deterministic, SQL-
     * replicable), then applies the corpus-wide ban at maxOccurrences=2. */

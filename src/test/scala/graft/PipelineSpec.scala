@@ -140,6 +140,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       5L -> "twice-used line"))
   }
 
+  test("token-budget selection: quality-ordered prefix per source, deterministic") {
+    val docs = Seq(
+      // source A: qualities 9 > 7 > 5; token counts 3, 3, 3; budget 7
+      (1L, "a b c", "A", 9.0), (2L, "d e f", "A", 7.0), (3L, "g h i", "A", 5.0),
+      // source B: the top doc alone overflows -> B contributes nothing
+      (4L, "one two three four five six seven eight nine ten", "B", 8.0),
+      (5L, "small", "B", 2.0)
+    ).toDF("doc_id", "text", "source", "q")
+    val kept = CorpusPipeline.selectWithinBudget(docs, tokenBudget = 7L, col("q"))
+      .select("doc_id").as[Long].collect().toSet
+    // A: 3 + 3 = 6 <= 7, third would hit 9 -> dropped; B: first hits 10 ->
+    // prefix cutoff drops it AND the smaller one below it
+    assert(kept == Set(1L, 2L))
+    // rerun = identical selection
+    val again = CorpusPipeline.selectWithinBudget(docs, tokenBudget = 7L, col("q"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("semantic decontamination: flags exact/near eval copies, broadcast probe") {
     val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
     val evalSet = emb.filter(col("vec_id") < 5) // verbatim copies of 5 train vecs
