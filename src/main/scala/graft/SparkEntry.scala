@@ -472,6 +472,7 @@ object SparkEntry {
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
     "q_token_budget"   -> (CorpusPipeline.tokenBudgetQuery _),
+    "q_semantic_dedup" -> (CorpusPipeline.semanticDedupQuery _),
     "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
     "q_lm_score"       -> (TextAnalysis.lmScoreQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
@@ -829,7 +830,32 @@ object SparkEntry {
                    UNION SELECT vec_b, vec_b FROM edges),
            reach AS (SELECT a, b FROM sym
                      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-          SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a"""
+          SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""",
+      // SemDeDup applied: same transitive clusters; keep the max-n_chars
+      // (tie: least doc_id) representative per cluster plus every
+      // unclustered doc.
+      "q_semantic_dedup" ->
+        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", p, 42L)} AS bucket FROM e),
+           edges AS (SELECT vec_a, vec_b FROM (
+             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    ${cosineSql("a.ev", "b.ev")} AS cosine
+             FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+             WHERE cosine >= 0.1),
+           sym AS (SELECT vec_a AS a, vec_b AS b FROM edges
+                   UNION SELECT vec_b, vec_a FROM edges
+                   UNION SELECT vec_a, vec_a FROM edges
+                   UNION SELECT vec_b, vec_b FROM edges),
+           reach AS (SELECT a, b FROM sym
+                     UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+           reps AS (SELECT doc_id FROM (
+             SELECT d.doc_id, row_number() OVER (PARTITION BY cl.cluster_id
+                      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+             FROM cl JOIN documents d USING (doc_id)) t WHERE rn = 1)
+          SELECT d.doc_id, d.source, d.n_chars FROM documents d
+          LEFT JOIN cl USING (doc_id)
+          WHERE cl.cluster_id IS NULL OR d.doc_id IN (SELECT doc_id FROM reps)"""
     )}.toMap
 
   /** DuckDB equivalents for every SQL-expressible query above. */

@@ -368,6 +368,48 @@ object CorpusPipeline {
       .drop("_cumTok")
   }
 
+  /**
+   * SemDeDup applied (Abbas et al., "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication", 2023): drop all but ONE
+   * representative per semantic duplicate cluster — the highest-`quality`
+   * document, ties to the least doc_id — keeping every unclustered
+   * document. Clusters come from [[Dedup.embeddingClusters]] (corpus-sized
+   * LSH buckets + star-guarded verify + bounded-round connected
+   * components), so transitive near-dup chains collapse to one survivor
+   * where pairwise dropping would under-delete. Embeddings map to
+   * documents by vec_id = doc_id.
+   *
+   * Shape on top of the cluster pass: one per-cluster max_by aggregation
+   * (map-side combine; cluster count ≪ corpus) and one broadcast-prone
+   * semi-join of survivors back to docs.
+   */
+  def semanticDedup(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      quality: org.apache.spark.sql.Column,
+      targetBucket: Int = 256,
+      threshold: Double = 0.95): DataFrame = {
+    val clusters = Dedup.embeddingClusters(embeddings,
+        targetBucket = targetBucket, threshold = threshold)
+      .withColumnRenamed("vec_id", "doc_id")
+    val withCluster = docs.join(clusters, Seq("doc_id"), "left")
+    val reps = withCluster.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(quality, -col("doc_id"))).as("doc_id"))
+      .select("doc_id")
+    withCluster.filter(col("cluster_id").isNull).drop("cluster_id")
+      .unionByName(docs.join(reps, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Query-pack adapter: same loose-radius regime as q_embed_clusters
+    * (fixture embeddings have no 0.95 pairs); n_chars as quality. */
+  def semanticDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedup(
+        Tables.load(spark, sfDir, "documents"),
+        Tables.load(spark, sfDir, "embeddings"),
+        quality = col("n_chars"), threshold = 0.1)
+      .select("doc_id", "source", "n_chars")
+
   /** Query-pack adapter: 700 whitespace-tokens per source, ranked by the
     * fixture's n_chars as the quality proxy. */
   def tokenBudgetQuery(spark: SparkSession, sfDir: String): DataFrame =

@@ -159,6 +159,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(again == kept)
   }
 
+  test("semantic dedup keeps one best-quality representative per cluster") {
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    // plant a 3-vector duplicate cluster: ids 1000/1001/1002 share vec 0's
+    // embedding (cos 1 -> same bucket, verified edges, one component)
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 0L).crossJoin(
+          spark.range(1000, 1003).select(col("id").as("nid")))
+        .select(col("nid").as("vec_id"), col("embedding"),
+          lit(0).as("label")))
+    val docs = planted.select(col("vec_id").as("doc_id"),
+      lit("x").as("text"), lit("s").as("source"),
+      // quality: 1001 wins its cluster
+      when(col("vec_id") === 1001L, 9L).otherwise(col("vec_id") % 7).as("n_chars"))
+    val kept = CorpusPipeline.semanticDedup(docs, planted,
+        quality = col("n_chars"), threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {0, 1000, 1001, 1002}: only 1001 survives
+    assert(kept.contains(1001L))
+    assert(Set(0L, 1000L, 1002L).intersect(kept).isEmpty)
+    // everything outside the planted cluster survives
+    assert(kept.size == docs.count() - 3)
+  }
+
   test("semantic decontamination: flags exact/near eval copies, broadcast probe") {
     val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
     val evalSet = emb.filter(col("vec_id") < 5) // verbatim copies of 5 train vecs
