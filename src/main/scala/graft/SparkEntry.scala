@@ -238,6 +238,36 @@ object SparkEntry {
         col("status"))
   }
 
+  /** SyncTable repair closing the diff loop: diverge a copy the same way
+    * as [[storeDiffQuery]] (drop %17 rows, corrupt %13 acctbals) plus a
+    * spurious %19 `c_bogus` qualifier only the copy has, repair it back to
+    * the source, read the repaired view — repaired cells carry the sync
+    * timestamp, untouched cells their original one, the spurious
+    * qualifier is masked away. */
+  private def syncTableQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = CellTable.fromTable(spark, sfDir, "customer")
+    val keyL = CellTable.keyToLong(col("rowKey"))
+    val copied = src.filter(pmod(keyL, lit(17)) =!= 0)
+      .withColumn("value",
+        when(pmod(keyL, lit(13)) === 0 &&
+            col("qualifier").cast("string") === "c_acctbal",
+          concat(col("value").cast("string"), lit("#corrupt")).cast("binary"))
+        .otherwise(col("value")))
+    val bogus = src
+      .filter(pmod(keyL, lit(19)) === 0 &&
+        col("qualifier").cast("string") === "c_name")
+      .select(col("rowKey"), col("family"),
+        lit("c_bogus").cast("binary").as("qualifier"), col("ts"),
+        col("cellType"), lit("spurious").cast("binary").as("value"))
+    StoreSync.syncedView(src, copied.unionByName(bogus),
+        syncTs = 1800000000000L)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** DSv2 cell-store scan (S1 region splits + S2 pushdown): persist the
     * customer cells in region layout, then range-scan keys [100, 200)
     * through the `cellstore` source — the filter prunes regions via parquet
@@ -431,6 +461,7 @@ object SparkEntry {
     "q_store_groupby"  -> (storeGroupByQuery _),
     "q_value_lookup"   -> (ValueIndex.valueLookupQuery _),
     "q_store_diff"     -> (storeDiffQuery _),
+    "q_sync_table"     -> (syncTableQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
     "q_region_splits"  -> (regionSplitsQuery _),
@@ -1291,6 +1322,23 @@ object SparkEntry {
           UNION ALL
           SELECT rk, 'c_acctbal', 'VALUE_MISMATCH' FROM c
           WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0""",
+    // SyncTable repair: after the repair batch, the destination's visible
+    // view is exactly the source's cells; coordinates the copy dropped
+    // (%17 rows) or corrupted (%13 acctbals) read at the sync timestamp,
+    // everything else at the original; the spurious qualifier is gone.
+    "q_sync_table" ->
+      s"""WITH c AS (SELECT *, ${rowKeySql("c_custkey")} AS rk FROM customer),
+          cells AS (
+            SELECT c_custkey AS k, rk, 'c_name' AS qualifier, c_name AS value FROM c
+            UNION ALL SELECT c_custkey, rk, 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM c
+            UNION ALL SELECT c_custkey, rk, 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM c
+            UNION ALL SELECT c_custkey, rk, 'c_mktsegment', c_mktsegment FROM c)
+          SELECT rk AS row_key, qualifier,
+                 CAST(CASE WHEN k % 17 = 0
+                             OR (k % 13 = 0 AND qualifier = 'c_acctbal')
+                      THEN 1800000000000 ELSE 1700000000000 END AS BIGINT) AS ts,
+                 value
+          FROM cells""",
     // Secondary value index: the lookup returns exactly the base cells
     // holding the value — for 'BUILDING' that is each matching customer's
     // c_mktsegment cell at the base timestamp.
