@@ -238,6 +238,18 @@ object SparkEntry {
         col("status"))
   }
 
+  /** CellCounter: per-(family, qualifier) cell totals, row counts, and
+    * version depth over the same multi-version injection as
+    * [[cellLatestQuery]] (%10 keys carry 3 versions). */
+  private def cellCountsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
+    StoreStats.cellCounts(versioned)
+      .select(col("family"), col("qualifier").cast("string").as("qualifier"),
+        col("n_cells"), col("n_rows"), col("max_versions"))
+  }
+
   /** SyncTable repair closing the diff loop: diverge a copy the same way
     * as [[storeDiffQuery]] (drop %17 rows, corrupt %13 acctbals) plus a
     * spurious %19 `c_bogus` qualifier only the copy has, repair it back to
@@ -462,6 +474,7 @@ object SparkEntry {
     "q_value_lookup"   -> (ValueIndex.valueLookupQuery _),
     "q_store_diff"     -> (storeDiffQuery _),
     "q_sync_table"     -> (syncTableQuery _),
+    "q_cell_counts"    -> (cellCountsQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
     "q_region_splits"  -> (regionSplitsQuery _),
@@ -1322,6 +1335,16 @@ object SparkEntry {
           UNION ALL
           SELECT rk, 'c_acctbal', 'VALUE_MISMATCH' FROM c
           WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0""",
+    // CellCounter: per-qualifier cell totals over the %10 three-version
+    // injection — 4 qualifiers, uniform counts, version depth 3.
+    "q_cell_counts" ->
+      """WITH q AS (SELECT unnest(['c_name','c_nationkey','c_acctbal','c_mktsegment']) AS qualifier),
+          c AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN 3 ELSE 1 END AS v FROM customer)
+          SELECT 'customer' AS family, q.qualifier,
+                 CAST(sum(v) AS BIGINT) AS n_cells,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(max(v) AS BIGINT) AS max_versions
+          FROM c CROSS JOIN q GROUP BY 1, 2""",
     // SyncTable repair: after the repair batch, the destination's visible
     // view is exactly the source's cells; coordinates the copy dropped
     // (%17 rows) or corrupted (%13 acctbals) read at the sync timestamp,

@@ -69,4 +69,28 @@ object StoreStats {
       sum(col("rows")).as("rows"),
       sum(col("bytes")).as("bytes"))
   }
+
+  /**
+   * The hbase-tools CellCounter analogue over a cell frame: per (family,
+   * qualifier) — total cells, distinct rows, and the deepest version
+   * stack. Answers the operational questions CellCounter's MR job prints
+   * (cells per CF/qualifier, version depth) as one DataFrame.
+   *
+   * Shape: one shuffle on (family, qualifier, rowKey) with map-side
+   * partial counts, then a second aggregation over the per-coordinate
+   * version counts — already at most one row per coordinate, so the
+   * second exchange moves the small frame. No distinct-count blowup:
+   * `n_rows` falls out of counting the already-unique coordinates.
+   */
+  def cellCounts(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    cells
+      .groupBy(col("family"), col("qualifier"), col("rowKey"))
+      .agg(count(lit(1)).as("_versions"))
+      .groupBy(col("family"), col("qualifier"))
+      .agg(
+        sum(col("_versions")).as("n_cells"),
+        count(lit(1)).as("n_rows"),
+        max(col("_versions")).as("max_versions"))
+  }
 }

@@ -193,4 +193,17 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
     val lines = spark.read.text(dir).collect().map(_.getString(0))
     assert(lines.forall(_.contains("\tCorruptCellException, message: poisoned cell value")))
   }
+
+  test("CellCounter: per-qualifier cells, rows, and version depth") {
+    val base = CellTable.fromTable(spark, sf001, "region") // 5 rows × r_name
+    val versioned = CellTable.withExtraVersions(
+      base, CellTable.keyToLong(col("rowKey")) < 2L, n = 2) // rows 0,1 → 3 versions
+    val rows = graft.operators.StoreStats.cellCounts(versioned).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(new String(r.getAs[Array[Byte]]("qualifier")) == "r_name")
+    assert(r.getAs[Long]("n_cells") == 5 + 4)  // 2 rows gain 2 versions each
+    assert(r.getAs[Long]("n_rows") == 5)
+    assert(r.getAs[Long]("max_versions") == 3)
+  }
 }
