@@ -238,6 +238,28 @@ object SparkEntry {
         col("status"))
   }
 
+  /** Per-doc tf-idf keywords: rational idf (N+1)/(df+1) — two IEEE ops
+    * per score, no sums, bit-exact cross-engine. Top 3 per doc. */
+  private def tfidfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    InvertedIndex.tfidfTopTerms(docs, k = 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rank"))
+  }
+
+  /** Keyword search THROUGH the inverted-index cell store: build once,
+    * probe the three query terms' buckets via pushed GETs, rank by the
+    * decimal-summed tf·idf score. The oracle replays the same ranking
+    * straight from the documents table — the index is lossless, so the
+    * two must agree exactly. */
+  private def keywordSearchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"/tmp/graft_invidx_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    buildOnce(dir) {
+      InvertedIndex.buildIndex(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), dir)
+    }
+    InvertedIndex.search(spark, dir, Seq("merge", "sort", "window"), k = 20)
+  }
+
   /** CellCounter: per-(family, qualifier) cell totals, row counts, and
     * version depth over the same multi-version injection as
     * [[cellLatestQuery]] (%10 keys carry 3 versions). */
@@ -475,6 +497,8 @@ object SparkEntry {
     "q_store_diff"     -> (storeDiffQuery _),
     "q_sync_table"     -> (syncTableQuery _),
     "q_cell_counts"    -> (cellCountsQuery _),
+    "q_tfidf"          -> (tfidfQuery _),
+    "q_keyword_search" -> (keywordSearchQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
     "q_region_splits"  -> (regionSplitsQuery _),
@@ -1335,6 +1359,43 @@ object SparkEntry {
           UNION ALL
           SELECT rk, 'c_acctbal', 'VALUE_MISMATCH' FROM c
           WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0""",
+    // tf-idf keywords: rational idf — score is exactly tf * ((N+1)/(df+1)),
+    // two IEEE ops, replayed verbatim; per-doc rank (score desc, term asc).
+    "q_tfidf" ->
+      """WITH p AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+                          FROM documents)
+                    GROUP BY 1, 2),
+          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          s AS (SELECT p.doc_id, p.term,
+                       CAST(p.tf AS DOUBLE) * ((n.n + 1.0) / (d.df + 1)) AS score
+                FROM p JOIN d USING (term) CROSS JOIN n),
+          r AS (SELECT doc_id, term, score,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT doc_id, term, score, rank FROM r WHERE rank <= 3""",
+    // Keyword search: same postings/idf arithmetic, contributions summed
+    // as DECIMAL(18,6) (exact, order-free), top 20 by (score, doc_id).
+    "q_keyword_search" ->
+      """WITH p AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+                          FROM documents)
+                    GROUP BY 1, 2),
+          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          s AS (SELECT p.doc_id,
+                       CAST(sum(CAST(CAST(p.tf AS DOUBLE) * ((n.n + 1.0) / (d.df + 1))
+                                     AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS score
+                FROM p JOIN d USING (term) CROSS JOIN n
+                WHERE p.term IN ('merge', 'sort', 'window')
+                GROUP BY 1),
+          r AS (SELECT doc_id, score,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                            AS BIGINT) AS rank
+                FROM s)
+          SELECT doc_id, score, rank FROM r WHERE rank <= 20""",
     // CellCounter: per-qualifier cell totals over the %10 three-version
     // injection — 4 qualifiers, uniform counts, version depth 3.
     "q_cell_counts" ->

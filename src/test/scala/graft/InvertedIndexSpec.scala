@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inverted-index retrieval: postings exactness, tf-idf ranking on a
+  * hand corpus, and index-store search ≡ direct computation. */
+class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val tiny = {
+    import spark.implicits._
+    Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "apple cherry cherry date")
+    ).toDF("doc_id", "text")
+  }
+
+  test("postings count term occurrences per doc") {
+    val p = InvertedIndex.postings(tiny).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p(("apple", 0L)) == 2)
+    assert(p(("apple", 2L)) == 1)
+    assert(p(("banana", 1L)) == 1)
+    assert(p(("cherry", 2L)) == 2)
+    assert(p.size == 7)
+  }
+
+  test("tfidf top terms rank by tf*(N+1)/(df+1), term-ascending ties") {
+    // N=3; df: apple 2, banana 2, cherry 2, date 1
+    val top = InvertedIndex.tfidfTopTerms(tiny, k = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    assert(top(0L) == "apple")  // tf 2 → 2·(4/3) = 2.67 beats banana 1.33
+    assert(top(1L) == "banana") // 1.33 tie with cherry → term asc wins
+    assert(top(2L) == "cherry") // 2·(4/3) = 2.67 beats date 1·(4/2) = 2.0
+  }
+
+  test("index-store search equals the direct tf-idf ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    InvertedIndex.buildIndex(spark, docs, dir, buckets = 4)
+    val terms = Seq("merge", "sort")
+    val viaIndex = InvertedIndex.search(spark, dir, terms, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[java.math.BigDecimal]("score").toPlainString,
+        r.getAs[Long]("rank")))
+
+    // direct: same arithmetic straight from the postings
+    val post = InvertedIndex.postings(docs)
+    val dfs = InvertedIndex.docFrequencies(post)
+    val n = docs.count()
+    val direct = post.filter(col("term").isin(terms: _*))
+      .join(dfs, Seq("term"))
+      .select(col("doc_id"),
+        (col("tf").cast("double") * ((lit(n) + lit(1.0)) / (col("df") + lit(1))))
+          .cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).cast("decimal(18,6)").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getAs[Long]("doc_id"),
+        r.getAs[java.math.BigDecimal]("score").toPlainString, i + 1L) }
+    assert(viaIndex.toSeq == direct.toSeq)
+
+    // the probe is a pushed point lookup: only the terms' buckets scan
+    val store = spark.read.format("cellstore").load(dir)
+    val probePlan = store
+      .filter(col("rowKey") === graft.model.CellTable.bigEndianKey(xxhash64(lit("merge"))))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("cellstore"), probePlan)
+  }
+}
