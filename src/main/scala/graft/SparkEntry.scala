@@ -498,6 +498,7 @@ object SparkEntry {
     "q_sync_table"     -> (syncTableQuery _),
     "q_cell_counts"    -> (cellCountsQuery _),
     "q_tfidf"          -> (tfidfQuery _),
+    "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_keyword_search" -> (keywordSearchQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
@@ -1359,6 +1360,15 @@ object SparkEntry {
           UNION ALL
           SELECT rk, 'c_acctbal', 'VALUE_MISMATCH' FROM c
           WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0""",
+    // Stratified exact sampling: 7 docs per source in md5(doc_id‖salt)
+    // order — membership is a pure function of the ids.
+    "q_strat_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'graft-strat')),
+                            doc_id) AS BIGINT) AS sample_rank
+          FROM documents)
+          SELECT doc_id, source, sample_rank FROM t WHERE sample_rank <= 7""",
     // tf-idf keywords: rational idf — score is exactly tf * ((N+1)/(df+1)),
     // two IEEE ops, replayed verbatim; per-doc rank (score desc, term asc).
     "q_tfidf" ->

@@ -225,6 +225,43 @@ object CorpusPipeline {
     shardCorpus(Tables.load(spark, sfDir, "documents"), numShards = 8)
 
   /**
+   * Exact stratified sample: exactly min(n, |stratum|) documents per
+   * stratum, chosen by deterministic md5 order — the exact-count
+   * companion to the rate-based [[sampleMixture]]/[[sampleTemperature]]
+   * (a rate times a stratum only approximates a count; eval-set
+   * construction and per-source quotas need the count to be exact).
+   * Rerun- and partitioning-stable: membership is a pure function of
+   * (doc_id, salt), never of physical row order.
+   *
+   * One shuffle, partitioned by the stratum. A pathologically hot
+   * stratum concentrates its sort on one partition — the same bound as
+   * any per-stratum top-n; for small n Spark's WindowGroupLimit pushes
+   * the rank filter into the sort, so state stays O(n) per stratum.
+   */
+  def stratifiedSample(
+      docs: DataFrame,
+      perStratum: Int,
+      strataCol: String = "source",
+      salt: String = "graft-strat"): DataFrame = {
+    require(perStratum > 0)
+    import org.apache.spark.sql.expressions.Window
+    val orderKey = md5(concat(col("doc_id").cast("string"), lit(salt))
+      .cast("binary"))
+    docs.withColumn("_ok", orderKey)
+      .withColumn("sample_rank", row_number()
+        .over(Window.partitionBy(col(strataCol))
+          .orderBy(col("_ok"), col("doc_id")))
+        .cast("bigint"))
+      .filter(col("sample_rank") <= perStratum)
+      .drop("_ok")
+  }
+
+  /** Query-pack adapter: 7 docs per source, deterministic. */
+  def stratSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSample(Tables.load(spark, sfDir, "documents"), perStratum = 7)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+
+  /**
    * Sequence packing — group documents into training sequences of at most
    * `budget` tokens (greedy next-fit in doc-id order; an over-budget doc
    * gets its own bin). The packing is DETERMINISTIC and fully distributed:

@@ -257,4 +257,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("stratified sample: exact per-stratum counts, repartition-stable, salt-sensitive") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val s = CorpusPipeline.stratifiedSample(docs, perStratum = 7)
+    val bySource = s.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.values.forall(_ == 7)) // 25 docs/source at sf0.001
+    // membership is a function of ids, not physical layout
+    val a = s.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CorpusPipeline.stratifiedSample(docs.repartition(13), perStratum = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // a different salt resamples
+    val c = CorpusPipeline.stratifiedSample(docs, perStratum = 7, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+    // a stratum smaller than n keeps everything
+    val small = CorpusPipeline.stratifiedSample(docs.limit(3), perStratum = 7)
+    assert(small.count() == 3)
+  }
 }
