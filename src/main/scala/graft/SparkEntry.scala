@@ -523,6 +523,8 @@ object SparkEntry {
     "q_ann_multiprobe" -> (Similarity.multiProbeQuery _),
     "q_ann_filtered"   -> (Similarity.filteredQuery _),
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
+    "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
+    "q_embed_outliers" -> (IvfIndex.outliersQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
@@ -712,7 +714,7 @@ object SparkEntry {
       val cent = m.centroids.zipWithIndex.map { case (c, i) =>
         s"($i, CAST(${c.map(_.toDouble.toString).mkString("[", ",", "]")} AS DOUBLE[]))"
       }.mkString(",\n              ")
-      "q_ann_ivf" ->
+      val cellsCte =
         s"""WITH cent(cell, cv) AS (VALUES
               $cent),
              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
@@ -721,7 +723,10 @@ object SparkEntry {
              cells AS (SELECT vec_id, ev, cell FROM (
                SELECT vec_id, ev, cell,
                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-               FROM sc) t WHERE rn = 1),
+               FROM sc) t WHERE rn = 1)"""
+      Map(
+        "q_ann_ivf" ->
+          s"""$cellsCte,
              probes AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
                SELECT vec_id, ev, cell,
                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
@@ -732,8 +737,25 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine, rank FROM (
               SELECT query_id, vec_id, cosine,
                      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-              FROM scored) t WHERE rank <= 20"""
-    }.toMap
+              FROM scored) t WHERE rank <= 20""",
+        // Cluster profiles: population + DECIMAL-exact cosine mass per
+        // assigned cell (same argmax, same cosine kernel).
+        "q_doc_clusters" ->
+          s"""$cellsCte,
+             cosd AS (SELECT cl.cell, ${cosineSql("cl.ev", "c.cv")} AS cc
+                      FROM cells cl JOIN cent c USING (cell))
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS cos_sum
+            FROM cosd GROUP BY cell""",
+        // Outliers: cosine to the OWN centroid below 0.25.
+        "q_embed_outliers" ->
+          s"""$cellsCte,
+             cosd AS (SELECT cl.vec_id, cl.cell,
+                             ${cosineSql("cl.ev", "c.cv")} AS centroid_cos
+                      FROM cells cl JOIN cent c USING (cell))
+            SELECT vec_id, cell, centroid_cos FROM cosd
+            WHERE centroid_cos < 0.25""")
+    }.getOrElse(Map.empty)
 
   /** `CAST([...] AS DOUBLE[])` literal for a float codeword/centroid —
     * Double.toString round-trips, so DuckDB parses the exact value. */

@@ -77,6 +77,37 @@ object IvfIndex {
   def assign(corpus: DataFrame, model: Model): DataFrame =
     corpus.withColumn("cell", nearestCell(model, col("embedding")))
 
+  /**
+   * Cell assignment plus the vector's cosine to ITS OWN centroid — the
+   * quantity corpus topic-clustering and outlier mining both need. The
+   * per-cell cosines are one array of codegen'd kernels indexed by the
+   * assigned cell; cost is the same O(nlist·dim) the argmax already pays,
+   * zero shuffles, model broadcast as literals.
+   */
+  def clusterAssign(corpus: DataFrame, model: Model): DataFrame = {
+    val cosines = array(model.centroids.map(c =>
+      VectorFunctions.cosine_sim(col("embedding"), typedlit(c))): _*)
+    assign(corpus, model)
+      .withColumn("centroid_cos", element_at(cosines, col("cell") + 1))
+  }
+
+  /** Per-cluster profile: population and the DECIMAL-exact cosine mass
+    * (sum, not mean — decimal sums are order-free; a mean's division has
+    * engine-specific decimal scale rules). One hash aggregation. */
+  def clusterProfiles(corpus: DataFrame, model: Model): DataFrame =
+    clusterAssign(corpus, model)
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("centroid_cos").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("cos_sum"))
+
+  /** Vectors far from every topic: cosine to their own (nearest!)
+    * centroid below `minCos` — the embedding-space noise filter for
+    * corpus cleaning. Narrow: a per-row predicate, no shuffle. */
+  def outliers(corpus: DataFrame, model: Model, minCos: Double): DataFrame =
+    clusterAssign(corpus, model).filter(col("centroid_cos") < minCos)
+
   /** The `nprobe` closest cell ids for a query vector column (shared with
     * [[IvfPqIndex]] so both probe identically). */
   private[operators] def probeCellsColumn(
@@ -181,10 +212,30 @@ object IvfIndex {
   /** Query-pack adapter: train (or reuse) a small index, persist it
     * cell-partitioned (once), search the first 5 vectors through the
     * partition-pruned layout. */
+  /** The one session model the query pack shares (same key as
+    * [[ivfQuery]], so `cachedModel` stays unambiguous for the oracle
+    * generators no matter which query trains first). */
+  private def packModel(spark: SparkSession, sfDir: String): Model = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    modelCache.computeIfAbsent(s"$sfDir#nlist=8#iters=2",
+      _ => train(emb, nlist = 8, iters = 2))
+  }
+
+  /** Query-pack adapter: per-cluster population + cosine mass. */
+  def clustersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    clusterProfiles(Tables.load(spark, sfDir, "embeddings"),
+      packModel(spark, sfDir))
+      .select(col("cell"), col("n_vectors"), col("cos_sum"))
+
+  /** Query-pack adapter: embedding outliers below cosine 0.25. */
+  def outliersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    outliers(Tables.load(spark, sfDir, "embeddings"),
+      packModel(spark, sfDir), minCos = 0.25)
+      .select(col("vec_id"), col("cell"), col("centroid_cos"))
+
   def ivfQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val model = modelCache.computeIfAbsent(s"$sfDir#nlist=8#iters=2",
-      _ => train(emb, nlist = 8, iters = 2))
+    val model = packModel(spark, sfDir)
     val dir = indexCache.computeIfAbsent(sfDir, _ => {
       val d = s"/tmp/graft_ivf_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
       writeIndex(emb, model, d)

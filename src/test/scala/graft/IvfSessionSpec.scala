@@ -169,4 +169,25 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     assert(missing.join(lastPerUser, Seq("user_id", "session_start_ms"), "left_anti")
       .count() == 0)
   }
+
+  test("cluster assignment: argmax cell, own-centroid cosine, outlier split") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 4, iters = 1)
+    val assigned = IvfIndex.clusterAssign(emb, model)
+    // profiles account for every vector exactly once
+    val profiles = IvfIndex.clusterProfiles(emb, model)
+    assert(profiles.agg(sum("n_vectors")).head().getLong(0) == emb.count())
+    // outliers are exactly the below-threshold slice
+    val theta = 0.25
+    val out = IvfIndex.outliers(emb, model, theta)
+    assert(out.collect().forall(_.getAs[Double]("centroid_cos") < theta))
+    assert(out.count() +
+      assigned.filter(col("centroid_cos") >= theta).count() == emb.count())
+    // the assigned cell is the dot-product argmax against the centroids
+    val row = assigned.orderBy("vec_id").limit(1).head()
+    val v = row.getAs[scala.collection.Seq[Float]]("embedding")
+    val dots = model.centroids.map(c =>
+      c.zip(v).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y })
+    assert(row.getAs[Int]("cell") == dots.indexOf(dots.max))
+  }
 }
