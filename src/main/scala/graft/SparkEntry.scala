@@ -499,6 +499,7 @@ object SparkEntry {
     "q_cell_counts"    -> (cellCountsQuery _),
     "q_tfidf"          -> (tfidfQuery _),
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
+    "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
     "q_keyword_search" -> (keywordSearchQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
@@ -1382,6 +1383,27 @@ object SparkEntry {
           UNION ALL
           SELECT rk, 'c_acctbal', 'VALUE_MISMATCH' FROM c
           WHERE c_custkey % 13 = 0 AND c_custkey % 17 <> 0""",
+    // Hashed-linear quality classifier: per token fnv1a64 → bucket
+    // (4096 divides 2^64, so unsigned-mod ≡ Java floorMod of the signed
+    // hash) → splitmix64 weight in (-1,1); margin = left fold in doc
+    // order (exact double replay), keep = margin > 0.
+    "q_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS tk
+                        FROM documents),
+          hs AS (SELECT doc_id, list_transform(tk, t -> ${fnvUSql("t")}) AS hl
+                 FROM toks),
+          bs AS (SELECT doc_id, list_transform(hl, h -> h % 4096::HUGEINT) AS bl
+                 FROM hs),
+          ws AS (SELECT doc_id,
+                        list_transform(bl, b ->
+                          CAST(${signedSql(s"(${mix64Sql("b")})")} AS DOUBLE)
+                            / CAST(9223372036854775808.0 AS DOUBLE)) AS wl
+                 FROM bs),
+          m AS (SELECT doc_id,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), wl),
+                                   (a, b) -> a + b) AS margin
+                FROM ws)
+          SELECT doc_id, margin, margin > 0.0 AS keep FROM m""",
     // Stratified exact sampling: 7 docs per source in md5(doc_id‖salt)
     // order — membership is a pure function of the ids.
     "q_strat_sample" ->

@@ -80,7 +80,11 @@ object GraftFunctionRegistry {
     ("rep_stats", classOf[RepStats],
       "rep_stats(text, n) - (nw, nd, top) repetition counts of n-token windows",
       es => { checkArity("rep_stats", es, 2)
-              RepStats(es.head, intArg("rep_stats", es(1), 2)) }))
+              RepStats(es.head, intArg("rep_stats", es(1), 2)) }),
+    ("hlc_margin", classOf[HashedLinearMargin],
+      "hlc_margin(text, dim) - hashed-linear classifier margin over dim buckets",
+      es => { checkArity("hlc_margin", es, 2)
+              HashedLinearMargin(es.head, intArg("hlc_margin", es(1), 2)) }))
 
   /** Register every function as a session-scoped temp function. */
   def registerAll(spark: SparkSession): Unit =

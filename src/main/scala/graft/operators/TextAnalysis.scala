@@ -305,4 +305,22 @@ object TextAnalysis {
           lit(".7 today")).as("text"))
     redactPii(planted)
   }
+
+  /**
+   * fastText-style quality gate: hashed bag-of-words linear margin per
+   * document ([[graft.functions.HashedLinearImpl]] — one codegen'd pass
+   * per row, zero shuffle), keep = margin above the threshold. The stub
+   * weights are a pure function of the bucket; a trained model drops in
+   * without touching the plan.
+   */
+  def classifyQuality(docs: DataFrame, dim: Int = 4096,
+      threshold: Double = 0.0): DataFrame =
+    docs.withColumn("margin",
+        graft.functions.HashedLinearFunctions.hlc_margin(col("text"), dim))
+      .withColumn("keep", col("margin") > threshold)
+
+  /** Query-pack adapter: margin + keep over the fixture corpus. */
+  def qualityClassifierQuery(spark: SparkSession, sfDir: String): DataFrame =
+    classifyQuality(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("margin"), col("keep"))
 }

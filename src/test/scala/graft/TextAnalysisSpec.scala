@@ -93,4 +93,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(sk(1L) != sk(3L))
     assert(sk(1L).length == 4)
   }
+
+  test("hashed-linear classifier: margin is the ordered weight fold, keep splits corpus") {
+    import spark.implicits._
+    import graft.functions.{MinHashImpl, SimHashImpl}
+    val docs = Seq((0L, "a b c"), (1L, "merge sort window")).toDF("doc_id", "text")
+    val got = TextAnalysis.classifyQuality(docs, dim = 4096).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("margin"), r.getAs[Boolean]("keep"))).toMap
+    def expected(text: String): Double =
+      text.split(" ", -1).foldLeft(0.0) { (acc, t) =>
+        val b = java.lang.Math.floorMod(
+          SimHashImpl.fnv1a64(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 4096L)
+        acc + MinHashImpl.mix64(b).toDouble / Long.MaxValue.toDouble
+      }
+    assert(got(0L)._1 == expected("a b c")) // bit-exact: same fold, same ops
+    assert(got(1L)._1 == expected("merge sort window"))
+    assert(got.forall { case (_, (m, k)) => k == (m > 0.0) })
+    // the stub weights split the fixture corpus nontrivially
+    val corpus = TextAnalysis.classifyQuality(
+      graft.sources.Tables.load(spark, sf001, "documents"))
+    val kept = corpus.filter(col("keep")).count()
+    assert(kept > 0 && kept < corpus.count())
+  }
 }
