@@ -1,6 +1,6 @@
 package graft
 
-import graft.cli.{Args, CopyRowMain, CorpusCleanMain, CorruptRowsMain}
+import graft.cli.{Args, CopyRowMain, CorpusCleanMain, CorruptRowsMain, ImportTsvMain}
 import graft.model.CellTable
 import graft.sources.Catalog
 import org.apache.spark.sql.SaveMode
@@ -117,5 +117,37 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
 
     intercept[Args.CliExit](CorpusCleanMain.run(spark, Array("--bogus", "x")))
     intercept[Args.CliExit](CorpusCleanMain.run(spark, Array("--input", "only")))
+  }
+
+  test("ImportTsv CLI: TSV lines become cells; bad lines abort or skip by flag") {
+    val base = java.nio.file.Files.createTempDirectory("graft_importtsv").toString
+    val tsv = java.nio.file.Paths.get(base, "in.tsv")
+    java.nio.file.Files.writeString(tsv,
+      "\\x00\\x00\\x00\\x00\\x00\\x00\\x00A\tAlice\t100\n" +
+      "\\x00\\x00\\x00\\x00\\x00\\x00\\x00B\tBob\t200\n" +
+      "malformed-line-without-tabs\n")
+    // default --skipBadLines false: malformed input aborts before writing
+    intercept[IllegalArgumentException](ImportTsvMain.run(spark, Array(
+      "--input", tsv.toString, "--output", s"$base/store",
+      "--columns", "HBASE_ROW_KEY,c_name,c_score", "--family", "f")))
+    // with the flag: two rows × two qualifiers land, bad line counted
+    val res = ImportTsvMain.run(spark, Array(
+      "--input", tsv.toString, "--output", s"$base/store",
+      "--columns", "HBASE_ROW_KEY,c_name,c_score", "--family", "f",
+      "--timestampToUse", "1700000000000", "--buckets", "2",
+      "--skipBadLines", "true"))
+    assert(res.cells == 4 && res.badLines == 1)
+    val store = spark.read.format("cellstore").load(s"$base/store")
+    val got = store.collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("rowKey")).last,
+        new String(r.getAs[Array[Byte]]("qualifier")),
+        new String(r.getAs[Array[Byte]]("value")))
+    }.toSet
+    assert(got == Set(('A', "c_name", "Alice"), ('A', "c_score", "100"),
+      ('B', "c_name", "Bob"), ('B', "c_score", "200")))
+    // D1 validation: HBASE_ROW_KEY required in the column map
+    intercept[Args.CliExit](ImportTsvMain.run(spark, Array(
+      "--input", tsv.toString, "--output", s"$base/s2",
+      "--columns", "c_name,c_score", "--family", "f")))
   }
 }
