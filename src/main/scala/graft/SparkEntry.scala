@@ -530,6 +530,10 @@ object SparkEntry {
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
+    "q_chunk_docs"     -> (TextAnalysis.chunkQuery _),
+    "q_winnow"         -> (TextAnalysis.winnowQuery _),
+    "q_corpus_stats"   -> (TextAnalysis.corpusStatsQuery _),
+    "q_hard_negatives" -> (Similarity.hardNegativesQuery _),
     "q_token_counts"   -> (TextAnalysis.tokenCountsQuery _),
     "q_lang_id"        -> (TextAnalysis.langIdQuery _),
     "q_vocab"          -> (TextAnalysis.vocabQuery _),
@@ -607,6 +611,17 @@ object SparkEntry {
             list_transform(range(6), i ->
               CAST(strpos('0123456789abcdef', substr($m, CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT))),
           (acc, d) -> acc * 16 + d) % $mod"""
+
+  /** 48-bit md5-prefix gram hash over a string expression `g` — DuckDB twin
+    * of `conv(substring(md5(g),1,12),16,10)` (TextAnalysis.gramHash48). */
+  private def md5Hash48Sql(g: String): String =
+    // lambda vars deliberately obscure: `g` is spliced into the inner lambda
+    // body, so a short name like `i` would capture the caller's variables
+    s"""list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(12), _hxd ->
+              CAST(strpos('0123456789abcdef', substr(md5($g), CAST(_hxd + 1 AS INTEGER), 1)) - 1 AS BIGINT))),
+          (_hxa, _hxv) -> _hxa * 16 + _hxv)"""
 
   /** Exact-Jaccard all-pairs CTE over `documents`-shaped input `src` —
     * ground truth for the MinHash/LSH near-dup queries. */
@@ -1143,6 +1158,40 @@ object SparkEntry {
                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace_chars
          FROM documents""",
+    // RAG chunking: identical window/stride arithmetic over the same
+    // whitespace token array; DuckDB list slicing clamps at the array end
+    // exactly like Spark's `slice`, so short tail chunks agree.
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+           n AS (SELECT doc_id, tk,
+                   CASE WHEN len(tk) <= 64 THEN 1
+                        ELSE CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT) + 1 END AS nc FROM t)
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                 CAST(len(tk[CAST(i*48+1 AS INTEGER):CAST(i*48+64 AS INTEGER)]) AS BIGINT) AS n_tokens,
+                 array_to_string(tk[CAST(i*48+1 AS INTEGER):CAST(i*48+64 AS INTEGER)], ' ') AS chunk_text
+          FROM n, unnest(range(nc)) AS u(i)""",
+    // Winnowing fingerprints (SIGMOD'03): same positional 3-gram md5-48
+    // hashes, same window-4 minima, distinct per doc. Short docs follow the
+    // same whole-doc-gram / single-window fallbacks as the Spark plan.
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+           g AS (SELECT doc_id, tk,
+                   CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 1 END AS ng FROM t),
+           h AS (SELECT doc_id, ng, list_transform(range(ng), i ->
+                   ${md5Hash48Sql("array_to_string(tk[CAST(i+1 AS INTEGER):CAST(i+3 AS INTEGER)], ' ')")}) AS hs FROM g),
+           w AS (SELECT doc_id, list_distinct(list_transform(
+                   range(CASE WHEN ng >= 4 THEN ng - 3 ELSE 1 END),
+                   j -> list_min(hs[CAST(j+1 AS INTEGER):CAST(j+4 AS INTEGER)]))) AS fps FROM h)
+          SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w""",
+    // Data card: bucket floor/least arithmetic over the stored n_chars
+    // column; token totals from the same \s+ split.
+    "q_corpus_stats" ->
+      s"""SELECT source,
+                 CAST(least(floor(n_chars / 200.0), 9) AS BIGINT) AS len_bucket,
+                 count(*) AS n_docs,
+                 round(avg(n_chars), 6) AS avg_chars,
+                 CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_ws_tokens
+          FROM documents GROUP BY source, len_bucket""",
     "q_quality" ->
       """SELECT doc_id,
                 round(
@@ -1542,6 +1591,19 @@ object SparkEntry {
            scored AS (
              SELECT q.query_id, c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
              FROM c JOIN q ON c.label = q.label AND c.vec_id != q.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) t WHERE rank <= 10""",
+    // Hard negatives: the filtered-ANN oracle with the label equality
+    // negated — true top-10 among different-label vectors.
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+                     FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+           scored AS (
+             SELECT q.query_id, c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
+             FROM c JOIN q ON c.label != q.label AND c.vec_id != q.query_id)
           SELECT query_id, vec_id, cosine, rank FROM (
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank

@@ -207,6 +207,19 @@ object Similarity {
       col("label") === col("query_label"), k = 10)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE data
+    * prep step): for each query, the top-k most similar corpus vectors
+    * whose label DIFFERS from the query's — maximally confusable
+    * cross-class examples. Pre-filtered [[filteredTopK]] with a negated
+    * label equality, so it is the true top-k of the eligible (different-
+    * label) subset and inherits the same scan-bound, no-corpus-shuffle
+    * plan. */
+  def hardNegativesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    filteredTopK(emb, emb.filter(col("vec_id") < 5),
+      col("label") =!= col("query_label"), k = 10)
+  }
+
   /** Same queries through the LSH path. */
   def lshQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")

@@ -198,7 +198,112 @@ object TextAnalysis {
         round(avg(col("p")), 6).as("avg_prob"))
   }
 
+  /**
+   * RAG / context-window chunking: split each document into overlapping
+   * token windows (`window` tokens long, `stride` tokens apart) — the
+   * standard retrieval-corpus and packing preprocessor. A document of n
+   * tokens yields `1` chunk when n ≤ window, else `ceil((n−window)/stride)+1`
+   * — the last chunk may be short but no chunk start ever lands beyond the
+   * text, so there are no degenerate fully-contained tail chunks.
+   *
+   * 100 TB shape: one narrow projection + posexplode per row — zero
+   * shuffles, zero joins; output size is bounded by n/stride chunks per
+   * document. The token array is materialized in its own projection before
+   * the per-chunk slices reference it (interpreted-HOF re-evaluation trap —
+   * see repetitionStats history).
+   */
+  def chunkDocuments(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    docs
+      .select(col("doc_id"), whitespaceTokens(col("text")).as("_tk"))
+      .select(col("doc_id"), col("_tk"),
+        when(size(col("_tk")) <= window, lit(1))
+          .otherwise(ceil((size(col("_tk")) - window).cast("double") / stride)
+            .cast("int") + 1).as("_nc"))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), col("_nc") - 1),
+        i => slice(col("_tk"), i * stride + 1, lit(window)))))
+      .select(col("doc_id"),
+        col("pos").cast("bigint").as("chunk_idx"),
+        size(col("col")).cast("bigint").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
+  /** 48-bit md5-prefix hash of a string column — small enough for exact
+    * integer arithmetic in every engine (the fixed-point idiom the split /
+    * shard / mixture samplers already use), wide enough that corpus-scale
+    * gram collisions are negligible. */
+  private def gramHash48(g: Column): Column =
+    conv(substring(md5(g), 1, 12), 16, 10).cast("long")
+
+  /**
+   * Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+   * Local Algorithms for Document Fingerprinting", SIGMOD'03, the MOSS
+   * algorithm): hash every k-token gram positionally, slide a window of `w`
+   * consecutive gram hashes, keep each window's minimum, emit the distinct
+   * selected hashes per document. Guarantee: any shared token run of at
+   * least w+k−1 tokens between two documents produces at least one shared
+   * fingerprint — positional, unlike the min-k sketch in [[fingerprint]],
+   * so matches can be localized.
+   *
+   * Docs shorter than k tokens hash as one whole-doc gram (the shingle
+   * fallback used corpus-wide); gram sequences shorter than w collapse to a
+   * single window.
+   *
+   * 100 TB shape: a narrow per-row fold — zero shuffles; the O(n·w)
+   * window-min pass is bounded by document length. Both the gram-hash array
+   * and the token array live in their own projections (HOF re-evaluation
+   * trap).
+   */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    docs
+      .select(col("doc_id"), whitespaceTokens(lower(col("text"))).as("_tk"))
+      .select(col("doc_id"), col("_tk"),
+        greatest(size(col("_tk")) - (k - 1), lit(1)).as("_ng"))
+      .select(col("doc_id"), col("_ng"),
+        transform(sequence(lit(0), col("_ng") - 1),
+          i => gramHash48(array_join(slice(col("_tk"), i + 1, lit(k)), " "))).as("_h"))
+      .select(col("doc_id"), col("_h"),
+        greatest(col("_ng") - (w - 1), lit(1)).as("_nw"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), col("_nw") - 1),
+          j => array_min(slice(col("_h"), j + 1, lit(w)))))).as("fp"))
+  }
+
+  /**
+   * Corpus data card: per-(source, length-bucket) profile — document count,
+   * mean length, total whitespace tokens. The first artifact a dataset
+   * release needs and the cheapest corpus-drift monitor: one map-side-
+   * combined groupBy over ~10·|sources| cells, independent of corpus size.
+   */
+  def corpusDataCard(docs: DataFrame, bucketChars: Int = 200,
+      maxBucket: Int = 9): DataFrame =
+    docs
+      .select(col("source"),
+        least(floor(col("n_chars") / lit(bucketChars)), lit(maxBucket))
+          .cast("bigint").as("len_bucket"),
+        col("n_chars"),
+        size(whitespaceTokens(col("text"))).cast("bigint").as("_ws"))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        sum(col("_ws")).as("total_ws_tokens"))
+
   // Query-pack adapters --------------------------------------------------
+
+  /** Query-pack adapter: 64-token chunks, 48-token stride (25% overlap). */
+  def chunkQuery(spark: SparkSession, sfDir: String): DataFrame =
+    chunkDocuments(Tables.load(spark, sfDir, "documents"))
+
+  /** Query-pack adapter: 3-gram hashes, window 4 (detects shared runs ≥ 6
+    * tokens). */
+  def winnowQuery(spark: SparkSession, sfDir: String): DataFrame =
+    winnow(Tables.load(spark, sfDir, "documents"))
+
+  /** Query-pack adapter: per-source 200-char length-bucket profile. */
+  def corpusStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    corpusDataCard(Tables.load(spark, sfDir, "documents"))
 
   def textStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     textStats(Tables.load(spark, sfDir, "documents"))

@@ -104,6 +104,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"expected the label predicate pushed into a scan:\n${scans.mkString("\n")}")
   }
 
+  test("hard negatives: top-k among different-label vectors only, matches brute force") {
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegativesQuery(spark, sf001).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10)
+      // no returned negative shares the query's label
+      assert(rows.forall(r => labels(r.getAs[Long]("vec_id")) != labels(q)))
+    }
+    // equivalence: top-10 of the pre-filtered (different-label) corpus
+    val bf = Similarity.bruteForceTopK(
+        emb.filter(col("label") =!= labels(0L)), emb.filter(col("vec_id") === 0L), k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(byQ(0L).map(_.getAs[Long]("vec_id")).toSet == bf)
+  }
+
   test("LSH top-k: results are a subset of correct cosine scores, same bucket only") {
     val exact = Similarity.bruteForceQuery(spark, sf001)
       .select("query_id", "vec_id", "cosine").collect()

@@ -94,6 +94,57 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(sk(1L).length == 4)
   }
 
+  test("chunkDocuments: stride coverage, tail chunk, short-doc single chunk") {
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "u v w x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, window = 4, stride = 3).collect()
+    val c1 = got.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Long]("chunk_idx"))
+    // n=10, W=4, S=3 -> ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6
+    assert(c1.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(c1.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L))
+    // every token of the source is covered by some chunk
+    assert(c1.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet ==
+      doc.split(" ").toSet)
+    // doc shorter than the window: exactly one whole-doc chunk
+    val c2 = got.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "a b")
+    // tail chunk may be short but never starts past the text: n=5 -> 0,3
+    val c3 = got.filter(_.getAs[Long]("doc_id") == 3L).sortBy(_.getAs[Long]("chunk_idx"))
+    assert(c3.map(_.getAs[String]("chunk_text")).toSeq == Seq("u v w x", "x y"))
+  }
+
+  test("winnow: shared run >= w+k-1 tokens shares a fingerprint; disjoint docs don't") {
+    // k=3, w=4: the winnowing guarantee covers shared runs of >= 6 tokens
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $shared three"),
+      (2L, s"$shared nine ten eleven"),
+      (3L, "completely different words only here now")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(df, k = 3, w = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("fp")).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // selected fingerprints are a subset of the doc's own gram hashes
+    assert(fps(1L).size >= 1 && fps(1L).size <= 9) // <= n-k+1 grams
+    // doc shorter than k tokens: one whole-doc-gram fingerprint
+    val solo = TextAnalysis.winnow(Seq((9L, "ab cd")).toDF("doc_id", "text")).collect()
+    assert(solo.length == 1 && solo.head.getAs[Long]("doc_id") == 9L)
+  }
+
+  test("corpusDataCard: buckets partition the corpus, totals add up") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val card = TextAnalysis.corpusDataCard(docs).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val want = docs.select(sum(size(split(col("text"), "\\s+"))).cast("long"))
+      .as[Long].head()
+    assert(card.map(_.getAs[Long]("total_ws_tokens")).sum == want)
+    assert(card.forall { r =>
+      val b = r.getAs[Long]("len_bucket"); b >= 0 && b <= 9
+    })
+  }
+
   test("hashed-linear classifier: margin is the ordered weight fold, keep splits corpus") {
     import spark.implicits._
     import graft.functions.{MinHashImpl, SimHashImpl}
