@@ -549,6 +549,7 @@ object SparkEntry {
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
     "q_token_budget"   -> (CorpusPipeline.tokenBudgetQuery _),
     "q_semantic_dedup" -> (CorpusPipeline.semanticDedupQuery _),
+    "q_pipeline_e2e"   -> (CorpusPipeline.pipelineE2eQuery _),
     "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
     "q_lm_score"       -> (TextAnalysis.lmScoreQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
@@ -1953,5 +1954,39 @@ object SparkEntry {
            dropped AS (SELECT DISTINCT db AS doc_id FROM pairs
                        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.8)
           SELECT fd.doc_id, fd.lang, fd.source, fd.quality
-          FROM fd ANTI JOIN dropped USING (doc_id)""")
+          FROM fd ANTI JOIN dropped USING (doc_id)""",
+    // End-to-end pipeline: the q_clean_corpus chain over the train slice,
+    // then the q_decontam gram gate as an anti-join, then the
+    // q_split_assign bucket — each stage the already-verified oracle piece.
+    "q_pipeline_e2e" ->
+      s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 3),
+           ql AS (SELECT doc_id, $QualitySql AS quality FROM base),
+           f AS (SELECT d.doc_id, d.text, d.lang, d.source, ql.quality
+                 FROM base d JOIN ql USING (doc_id)
+                 WHERE ql.quality >= 0.5 AND d.lang IN ('en','es','de','fr','zh')),
+           keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+           fd AS (SELECT f.* FROM f JOIN keep USING (doc_id)),
+           sh AS (SELECT doc_id, $ShingleSql AS shs FROM fd),
+           pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                       len(list_intersect(a.shs, b.shs)) AS inter,
+                       len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS uni
+                     FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           dropped AS (SELECT DISTINCT db AS doc_id FROM pairs
+                       WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.8),
+           cl AS (SELECT fd.* FROM fd ANTI JOIN dropped USING (doc_id)),
+           ngr AS (SELECT doc_id, ${ngramSql(4)} AS gs FROM documents),
+           ev AS (SELECT DISTINCT unnest(gs) AS g FROM ngr WHERE doc_id % 5 = 3),
+           contaminated AS (SELECT DISTINCT tr.doc_id
+                            FROM (SELECT doc_id, unnest(gs) AS g FROM ngr
+                                  WHERE doc_id % 5 <> 3) tr
+                            JOIN ev USING (g)),
+           dc AS (SELECT cl.* FROM cl ANTI JOIN contaminated USING (doc_id)),
+           spl AS (SELECT doc_id,
+                     md5(concat(CAST(doc_id AS VARCHAR), 'graft-split')) AS m
+                   FROM dc),
+           spb AS (SELECT doc_id, ${md5BucketSql("m", 100L)} AS b FROM spl)
+          SELECT dc.doc_id, dc.source, dc.quality,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM dc JOIN spb USING (doc_id)""")
 }

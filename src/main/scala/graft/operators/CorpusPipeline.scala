@@ -109,22 +109,28 @@ object CorpusPipeline {
    * `md5(doc_id‖salt)` mod 100; changing the salt resamples every split.
    * Narrow map, no shuffle, no state.
    */
-  def assignSplits(
-      docs: DataFrame,
-      trainPct: Int = 80,
-      valPct: Int = 10,
-      salt: String = "graft-split"): DataFrame = {
+  /** The split decision as a plain column expression, so pipelines attach
+    * it with a narrow projection instead of a join back to [[assignSplits]]
+    * (which would re-evaluate the whole upstream subtree). */
+  def splitColumn(trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "graft-split"): org.apache.spark.sql.Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
     val bucket = pmod(
       conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
         .cast("binary")), 1, 6), 16, 10).cast("bigint"),
       lit(100L))
-    docs.select(
-      col("doc_id"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
+
+  def assignSplits(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      salt: String = "graft-split"): DataFrame =
+    docs.select(col("doc_id"),
+      splitColumn(trainPct, valPct, salt).as("split"))
 
   /** Query-pack adapter for split assignment. */
   def splitAssignQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -549,5 +555,24 @@ object CorpusPipeline {
       train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 3),
       evalSet = docs.filter(pmod(col("doc_id"), lit(5)) === 3),
       n = 4)
+  }
+
+  /**
+   * End-to-end training-data preparation as ONE declarative plan — the
+   * flagship composition: quality + language gates, exact dedup, near-dup
+   * removal ([[clean]]), benchmark decontamination against the held-out
+   * eval slice ([[decontaminate]]), and leakage-safe split assignment
+   * ([[splitColumn]] — a narrow projection, not a join). Every stage is
+   * the already-oracle-verified operator; Catalyst fuses the narrow gates
+   * into the scan, and the only exchanges are the dedup window, the LSH
+   * band-bucket join, and AQE-broadcast anti-joins.
+   */
+  def pipelineE2eQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(5L)) === 3)
+    val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 3)
+    cleanWithEval(train, evalSet, Config(decontamN = 4))
+      .select(col("doc_id"), col("source"), col("quality"),
+        splitColumn().as("split"))
   }
 }

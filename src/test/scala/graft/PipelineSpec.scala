@@ -94,6 +94,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(decontaminated == Set(1L, 7L), "leaked doc dropped, others kept")
   }
 
+  test("e2e pipeline query: composition of the verified stages, leakage-safe splits") {
+    val got = CorpusPipeline.pipelineE2eQuery(spark, sf001).collect()
+    assert(got.nonEmpty)
+    // no eval-slice doc survives; quality gate held; splits well-formed
+    assert(got.forall(_.getAs[Long]("doc_id") % 5 != 3))
+    assert(got.forall(_.getAs[Double]("quality") >= 0.5))
+    assert(got.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    // equals the manual composition of the published operators
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val manual = CorpusPipeline.cleanWithEval(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 3),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 3),
+        CorpusPipeline.Config(decontamN = 4))
+    val manualIds = manual.select("doc_id").as[Long].collect().toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == manualIds)
+    // split agrees with assignSplits on the same ids
+    val splits = CorpusPipeline.assignSplits(manual).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(got.forall(r => splits(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+  }
+
   test("decontamination: flags n-gram overlap with the eval set, spares clean docs") {
     val evalSet = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
