@@ -516,8 +516,10 @@ object CorpusPipeline {
         col("bucket"))
     t.join(broadcast(e), "bucket")
       .select(col("vec_id"),
-        graft.functions.VectorFunctions
-          .cosine_sim(col("embedding"), col("eval_emb")).as("cosine"))
+        // quantized (9 decimals) before the threshold filter and the max —
+        // raw IEEE tails are not portable cross-engine (Similarity.q9)
+        round(graft.functions.VectorFunctions
+          .cosine_sim(col("embedding"), col("eval_emb")), 9).as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))

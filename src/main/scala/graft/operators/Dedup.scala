@@ -271,7 +271,10 @@ object Dedup {
       .join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        VectorFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("cosine"))
+        // quantized (9 decimals) before the threshold filter so the edge
+        // set — and everything built on it — is ulp-robust cross-engine
+        round(VectorFunctions.cosine_sim(col("a.embedding"), col("b.embedding")), 9)
+          .as("cosine"))
 
     // Star path re-joins the embeddings for the cosine verify (the window
     // carries only ids); every emitted edge is still scored exactly.
@@ -282,7 +285,8 @@ object Dedup {
     val embB = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     val starScored = starPairs.join(embA, "vec_a").join(embB, "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        VectorFunctions.cosine_sim(col("emb_a"), col("emb_b")).as("cosine"))
+        round(VectorFunctions.cosine_sim(col("emb_a"), col("emb_b")), 9)
+          .as("cosine"))
 
     smallPairs.unionByName(starScored).filter(col("cosine") >= threshold)
   }

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
  *
  * Training is Lloyd's algorithm expressed as DataFrames: assignment is an
  * argmax over broadcast centroid literals (codegen'd dot products), the
- * update step is a posexplode → groupBy(cell, dim) → avg — one shuffle of
- * nlist×dim rows per iteration, never a driver-side pass over vectors.
+ * update step is a posexplode → groupBy(cell, dim) → exact decimal sum —
+ * one shuffle of nlist×dim rows per iteration, never a driver-side pass
+ * over vectors.
  */
 object IvfIndex {
 
@@ -43,8 +44,14 @@ object IvfIndex {
   }
 
   /**
-   * Train centroids with Lloyd's iterations. Deterministic: seeds are the
-   * first `nlist` vectors by id.
+   * Train centroids with Lloyd's iterations. Deterministic BY CONSTRUCTION,
+   * not by convention: seeds are the first `nlist` vectors by id, and the
+   * update step sums each dimension as DECIMAL — decimal addition is exact
+   * and associative, so the centroid is independent of partitioning and
+   * task order (a plain `avg` over doubles is order-dependent at the ulp,
+   * which made centroids — and every oracle literal generated from them —
+   * a per-session lottery). The mean's single double division happens
+   * driver-side on the exact decimal sum, so it is reproducible too.
    */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 3): Model = {
     val seedRows = corpus.orderBy("vec_id").limit(nlist)
@@ -57,14 +64,21 @@ object IvfIndex {
         col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim", "x")),
         nearestCell(model, col("embedding")).as("cell"))
+      // float components round exactly into DECIMAL(27,12); the sum is
+      // order-free, unlike avg() over doubles
       val means = assigned.groupBy("cell", "dim")
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(col("x").cast("decimal(27,12)")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val byCell = means.groupBy(_.getAs[Int]("cell"))
       centroids = centroids.indices.map { c =>
         byCell.get(c) match {
           case Some(rows) =>
-            val dims = rows.map(r => r.getAs[Int]("dim") -> r.getAs[Double]("m")).toMap
+            val dims = rows.map { r =>
+              val mean = r.getAs[java.math.BigDecimal]("s").doubleValue() /
+                r.getAs[Long]("n")
+              r.getAs[Int]("dim") -> mean
+            }.toMap
             normalize((0 until dims.size).map(d => dims(d).toFloat))
           case None => centroids(c)   // empty cell keeps its centroid
         }
@@ -88,25 +102,36 @@ object IvfIndex {
     val cosines = array(model.centroids.map(c =>
       VectorFunctions.cosine_sim(col("embedding"), typedlit(c))): _*)
     assign(corpus, model)
-      .withColumn("centroid_cos", element_at(cosines, col("cell") + 1))
+      .withColumn("_centroid_cos_raw", element_at(cosines, col("cell") + 1))
   }
 
   /** Per-cluster profile: population and the DECIMAL-exact cosine mass
     * (sum, not mean — decimal sums are order-free; a mean's division has
-    * engine-specific decimal scale rules). One hash aggregation. */
+    * engine-specific decimal scale rules). One hash aggregation.
+    * Each cosine is rounded to the DECIMAL's OWN scale (6) before the
+    * cast: round(x, 6) lands within ~1e-16 of an exact 6-decimal value,
+    * so the cast can never sit on a rounding boundary — a raw-double
+    * cast is a tie-break lottery whenever digits 7+ are near 5e-7
+    * (ulp-different engines, or engine versions with different cast
+    * rounding rules, flip it). */
   def clusterProfiles(corpus: DataFrame, model: Model): DataFrame =
     clusterAssign(corpus, model)
       .groupBy(col("cell"))
       .agg(
         count(lit(1)).as("n_vectors"),
-        sum(col("centroid_cos").cast("decimal(18,6)"))
+        sum(round(col("_centroid_cos_raw"), 6).cast("decimal(18,6)"))
           .cast("decimal(18,6)").as("cos_sum"))
 
   /** Vectors far from every topic: cosine to their own (nearest!)
     * centroid below `minCos` — the embedding-space noise filter for
-    * corpus cleaning. Narrow: a per-row predicate, no shuffle. */
+    * corpus cleaning. Narrow: a per-row predicate, no shuffle. The
+    * emitted (and filtered) cosine is quantized to 9 decimals — see
+    * [[Similarity.q9]] — so the hashed output is ulp-robust. */
   def outliers(corpus: DataFrame, model: Model, minCos: Double): DataFrame =
-    clusterAssign(corpus, model).filter(col("centroid_cos") < minCos)
+    clusterAssign(corpus, model)
+      .withColumn("centroid_cos", round(col("_centroid_cos_raw"), 9))
+      .drop("_centroid_cos_raw")
+      .filter(col("centroid_cos") < minCos)
 
   /** The `nprobe` closest cell ids for a query vector column (shared with
     * [[IvfPqIndex]] so both probe identically). */
@@ -144,7 +169,8 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+        round(VectorFunctions.cosine_sim(col("embedding"), col("query_vec")), 9)
+          .as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -237,7 +263,7 @@ object IvfIndex {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val model = packModel(spark, sfDir)
     val dir = indexCache.computeIfAbsent(sfDir, _ => {
-      val d = s"/tmp/graft_ivf_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val d = graft.WorkDirs.dir(s"ivf_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
       writeIndex(emb, model, d)
       d
     })

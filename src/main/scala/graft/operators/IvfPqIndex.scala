@@ -86,7 +86,9 @@ object IvfPqIndex {
     val scored = encoded.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        PqIndex.adcScore(col("codes"), col("tables")).as("adc_score"))
+        // quantized before ranking so the candidate cut is ulp-robust
+        // cross-engine (see Similarity.q9)
+        round(PqIndex.adcScore(col("codes"), col("tables")), 9).as("adc_score"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("vec_id").asc)
     val cands = scored.withColumn("rn", row_number().over(wAdc))
@@ -98,7 +100,8 @@ object IvfPqIndex {
       col("embedding").as("query_vec"))
     val exact = cands.join(emb, "vec_id").join(broadcast(qemb), "query_id")
       .select(col("query_id"), col("vec_id"),
-        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+        round(VectorFunctions.cosine_sim(col("embedding"), col("query_vec")), 9)
+          .as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     exact.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -130,7 +133,7 @@ object IvfPqIndex {
       _ => train(emb, nlist = 8, dim = 64, m = 8, k = 16,
         coarseIters = 2, pqIters = 2))
     val dir = indexCache.computeIfAbsent(sfDir, _ => {
-      val d = s"/tmp/graft_ivfpq_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val d = graft.WorkDirs.dir(s"ivfpq_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
       writeIndex(emb, model, d)
       d
     })

@@ -71,8 +71,12 @@ object PqIndex {
 
   /**
    * Train per-subspace codebooks with Lloyd's iterations over
-   * (sub, subvector) rows. Deterministic: subspace s seeds from the first
-   * k vectors by id. One m×k×subDim-row shuffle per iteration.
+   * (sub, subvector) rows. Deterministic BY CONSTRUCTION: subspace s seeds
+   * from the first k vectors by id, and the update step sums each
+   * dimension as DECIMAL (exact, order-free — a double `avg` depends on
+   * partition order at the ulp, and these codewords are emitted as oracle
+   * literals; same fix as [[IvfIndex.train]]). One m×k×subDim-row shuffle
+   * per iteration.
    */
   def train(corpus: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 16,
       iters: Int = 3): Codebooks = {
@@ -94,10 +98,12 @@ object PqIndex {
       ).reduce((a, b) => coalesce(a, b))
       val means = subRows
         .select(col("sub"), codeCol.as("code"), posexplode(col("sv")).as(Seq("d", "x")))
-        .groupBy("sub", "code", "d").agg(avg(col("x")).as("mu"))
+        .groupBy("sub", "code", "d")
+        .agg(sum(col("x").cast("decimal(27,12)")).as("s"), count(lit(1)).as("n"))
         .collect()
       val byKey = means.map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
-        r.getAs[Int]("d")) -> r.getAs[Double]("mu")).toMap
+        r.getAs[Int]("d")) ->
+          (r.getAs[java.math.BigDecimal]("s").doubleValue() / r.getAs[Long]("n"))).toMap
       books = (0 until m).map { s =>
         (0 until books(s).size).map { j =>
           val updated = (0 until subDim).map(d => byKey.get((s, j, d)))
@@ -153,7 +159,9 @@ object PqIndex {
       .select(col("query_id"), adcTablesColumn(model, col("_e")).as("tables"))
     val scored = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcScore(col("codes"), col("tables")).as("adc_score"))
+        // quantized before ranking so the candidate cut is ulp-robust
+        // cross-engine (see Similarity.q9)
+        round(adcScore(col("codes"), col("tables")), 9).as("adc_score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -175,7 +183,8 @@ object PqIndex {
       col("embedding").as("query_vec"))
     val exact = cands.join(emb, "vec_id").join(broadcast(qemb), "query_id")
       .select(col("query_id"), col("vec_id"),
-        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+        round(VectorFunctions.cosine_sim(col("embedding"), col("query_vec")), 9)
+          .as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     exact.withColumn("rank", row_number().over(w).cast("bigint"))

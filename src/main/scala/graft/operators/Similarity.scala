@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Quantize a float-kernel score before it is ranked, filtered, or
+    * emitted: raw IEEE accumulation tails are NOT portable across engines
+    * (two correct sequential folds can differ in the last ulp), so every
+    * score that reaches an oracle comparison is rounded to 9 decimals on
+    * BOTH sides — 7 orders of magnitude above ulp noise, far below any
+    * semantic tolerance. Ranks order by the ROUNDED value (ties fall to
+    * the deterministic id tiebreak), so rank columns are ulp-robust too. */
+  private[operators] def q9(c: Column): Column = round(c, 9)
+
   /** Brute-force exact top-k neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(
@@ -29,7 +38,7 @@ object Similarity {
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+        q9(VectorFunctions.cosine_sim(col("embedding"), col("query_vec"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     // bigint rank: lines up with DuckDB's row_number type in the oracle
@@ -85,7 +94,7 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+        q9(VectorFunctions.cosine_sim(col("embedding"), col("query_vec"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -149,7 +158,7 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+        q9(VectorFunctions.cosine_sim(col("embedding"), col("query_vec"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -184,7 +193,7 @@ object Similarity {
       .join(broadcast(q), pred && col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        VectorFunctions.cosine_sim(col("embedding"), col("query_vec")).as("cosine"))
+        q9(VectorFunctions.cosine_sim(col("embedding"), col("query_vec"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))

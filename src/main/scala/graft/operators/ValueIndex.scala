@@ -73,7 +73,7 @@ object ValueIndex {
     val cells = CellTable.fromTable(spark, sfDir, "customer")
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val base = builtIndexes.computeIfAbsent(key, _ => {
-      val d = s"/tmp/graft_vix_$key"
+      val d = graft.WorkDirs.dir(s"vix_$key")
       cells.write.format("cellstore").option("buckets", "4")
         .mode("overwrite").save(s"$d/base")
       build(spark.read.format("cellstore").load(s"$d/base"), s"$d/index")

@@ -182,7 +182,8 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     val out = IvfIndex.outliers(emb, model, theta)
     assert(out.collect().forall(_.getAs[Double]("centroid_cos") < theta))
     assert(out.count() +
-      assigned.filter(col("centroid_cos") >= theta).count() == emb.count())
+      assigned.filter(round(col("_centroid_cos_raw"), 9) >= theta).count() ==
+        emb.count())
     // the assigned cell is the dot-product argmax against the centroids
     val row = assigned.orderBy("vec_id").limit(1).head()
     val v = row.getAs[scala.collection.Seq[Float]]("embedding")

@@ -21,8 +21,13 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("every oracleSql key has a matching query") {
+    // zz_probe_* entries are deliberate oracle-side diagnostics (e.g. the
+    // DuckDB version/cast-rule probe): SQL the driver MAY run, with no
+    // Spark twin to compare against. The correctness loop iterates the
+    // per-query parquet dirs, so unmatched oracle keys are ignored there.
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(unknown.isEmpty, s"oracleSql without query: $unknown")
+    assert(unknown.forall(_.startsWith("zz_probe_")),
+      s"oracleSql without query: ${unknown.filterNot(_.startsWith("zz_probe_"))}")
   }
 
   test("point lookup returns exactly the requested key") {

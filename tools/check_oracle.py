@@ -41,6 +41,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
     failures = 0
     for name, sql in sorted(oracles.items()):
+        if name.startswith("zz_probe_"):
+            # oracle-side diagnostic (no Spark twin): run it and print the
+            # result — e.g. the DuckDB version + cast-rule canary
+            print(f"PROBE {name}: {con.sql(sql).df().to_dict('records')}")
+            continue
         try:
             got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
