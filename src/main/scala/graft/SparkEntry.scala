@@ -147,6 +147,13 @@ object SparkEntry {
       lit(CellTable.BaseTs).as("ts"),
       lit("Put").as("cellType"),
       StoreCounters.encodeCounter(pmod(col("c_custkey"), lit(100))).as("value"))
+    // %9 customers' counters are DELETED before the batch: the marker
+    // masks the seed value, so those resume from 0 + delta — the HBase
+    // GET-visibility contract the raw max_by read used to violate
+    val marked = CellTable.withDeleteMarkers(
+      base,
+      pmod(CellTable.keyToLong(col("rowKey")), lit(9)) === 0,
+      lit(CellTable.BaseTs))
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val deltas = orders.select(
         CellTable.bigEndianKey(col("o_custkey")).as("rowKey"),
@@ -158,7 +165,7 @@ object SparkEntry {
         lit("counters").as("family"),
         lit("spend_floor").cast("binary").as("qualifier"),
         floor(col("o_totalprice")).cast("bigint").as("delta")))
-    StoreCounters.applyIncrements(base, deltas, CellTable.BaseTs + 1000L)
+    StoreCounters.applyIncrements(marked, deltas, CellTable.BaseTs + 1000L)
       .select(
         graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
         col("qualifier").cast("string").as("qualifier"),
@@ -166,12 +173,20 @@ object SparkEntry {
   }
 
   /** checkAndPut batch over the customer cells: promote BUILDING
-    * segments (check passes only there), stamp a c_flag cell gated on
-    * its own absence (always applies), and a doomed write checked
-    * against a wrong expected value (always rejected). Output: every
-    * mutation with its applied/rejected decision. */
+    * segments (check passes only there — and NOT on %5 customers, whose
+    * c_mktsegment is delete-masked, i.e. absent), stamp a c_flag cell
+    * gated on its own absence (always applies), a doomed write checked
+    * against a wrong expected value (always rejected), and an
+    * absent-gated write on c_mktsegment that applies EXACTLY on the
+    * deleted %5 rows (a marker must read as "absent", not as the
+    * marker's empty value). Output: every mutation with its
+    * applied/rejected decision. */
   private def checkAndPutQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val base = CellTable.withDeleteMarkers(
+      CellTable.fromTable(spark, sfDir, "customer"),
+      col("qualifier").cast("string") === "c_mktsegment" &&
+        pmod(CellTable.keyToLong(col("rowKey")), lit(5)) === 0,
+      lit(CellTable.BaseTs))
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
     def mut(target: String, value: String, check: String, expected: Option[String],
         onlyEven: Boolean) = {
@@ -188,6 +203,7 @@ object SparkEntry {
     val muts = mut("c_mktsegment", "PROMOTED", "c_mktsegment", Some("BUILDING"), onlyEven = false)
       .unionByName(mut("c_flag", "NEW", "c_flag", None, onlyEven = false))
       .unionByName(mut("c_name", "X", "c_nationkey", Some("no-such-value"), onlyEven = true))
+      .unionByName(mut("c_seg2", "RESET", "c_mktsegment", None, onlyEven = false))
     StoreMutations.checkAndPut(base, muts, CellTable.BaseTs + 1000L)
       .select(
         graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
@@ -200,7 +216,13 @@ object SparkEntry {
     * the %8 subset — multi-append coordinates concatenate in suffix byte
     * order, so %8 rows read name#a#b. */
   private def cellAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = CellTable.fromTable(spark, sfDir, "customer")
+    // %10 customers' c_name is delete-masked → their appends start from
+    // empty (deleted ≡ absent, Append creates the cell)
+    val base = CellTable.withDeleteMarkers(
+      CellTable.fromTable(spark, sfDir, "customer"),
+      col("qualifier").cast("string") === "c_name" &&
+        pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0,
+      lit(CellTable.BaseTs))
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
     def app(suffix: String, mod: Int) = cust
       .filter(pmod(col("c_custkey"), lit(mod)) === 0)
@@ -1467,23 +1489,32 @@ object SparkEntry {
                    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
             FROM orders GROUP BY 1)
           SELECT ${rowKeySql("k")} AS row_key, qualifier,
-                 CASE WHEN qualifier = 'order_count' THEN k % 100 ELSE 0 END
+                 -- %9 customers' order_count seed is delete-masked: those
+                 -- counters resume from 0, exactly like a missing cell
+                 CASE WHEN qualifier = 'order_count' AND k % 9 <> 0
+                      THEN k % 100 ELSE 0 END
                    + delta AS value_long
           FROM d""",
     // checkAndPut: decision per mutation — segment promotion passes only
-    // on BUILDING, absent-gated c_flag always passes, wrong-expected
-    // c_name write always rejects.
+    // on BUILDING and NOT on the delete-masked %5 rows (deleted = absent),
+    // absent-gated c_flag always passes, wrong-expected c_name write
+    // always rejects, absent-gated c_seg2 passes exactly on the deleted
+    // %5 rows.
     "q_check_and_put" ->
       s"""WITH c AS (SELECT *, ${rowKeySql("c_custkey")} AS rk FROM customer)
           SELECT rk AS row_key, 'c_mktsegment' AS qualifier,
-                 'PROMOTED' AS value, c_mktsegment = 'BUILDING' AS applied FROM c
+                 'PROMOTED' AS value,
+                 c_mktsegment = 'BUILDING' AND c_custkey % 5 <> 0 AS applied FROM c
           UNION ALL SELECT rk, 'c_flag', 'NEW', TRUE FROM c
-          UNION ALL SELECT rk, 'c_name', 'X', FALSE FROM c WHERE c_custkey % 2 = 0""",
+          UNION ALL SELECT rk, 'c_name', 'X', FALSE FROM c WHERE c_custkey % 2 = 0
+          UNION ALL SELECT rk, 'c_seg2', 'RESET', c_custkey % 5 = 0 FROM c""",
     // Append: %4 customers read name#a, the %8 subset name#a#b (suffixes
-    // concatenate in byte order).
+    // concatenate in byte order); the delete-masked %10 rows append onto
+    // EMPTY (deleted = absent).
     "q_cell_append" ->
       s"""SELECT ${rowKeySql("c_custkey")} AS row_key, 'c_name' AS qualifier,
-                 c_name || CASE WHEN c_custkey % 8 = 0 THEN '#a#b' ELSE '#a' END AS value
+                 CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END
+                   || CASE WHEN c_custkey % 8 = 0 THEN '#a#b' ELSE '#a' END AS value
           FROM customer WHERE c_custkey % 4 = 0""",
     // Copy-verification diff: dropped rows surface one ONLY_SOURCE cell
     // per qualifier, corrupted rows one VALUE_MISMATCH on c_acctbal.

@@ -185,4 +185,35 @@ object CellTable {
       .filter(col("_rn") === 1)
       .drop("_delTs", "_rn")
   }
+
+  /**
+   * [[visibleLatest]] as ONE hash aggregation instead of two window
+   * passes — the read shape the read-modify-write operators
+   * ([[graft.operators.StoreMutations]], [[graft.operators.StoreCounters]])
+   * build on: per coordinate, the newest Put value, masked by Delete
+   * markers (marker at T hides every cell with ts ≤ T; a fully-masked
+   * coordinate disappears). Equivalent because the newest Put survives the
+   * mask iff its ts is beyond the newest marker — and then it IS the
+   * visible latest.
+   *
+   * `value` is the raw binary, so the final aggregate is a SortAggregate
+   * (binary buffers aren't UnsafeRow-mutable); callers whose value domain
+   * decodes to a primitive should copy this shape with the decode pushed
+   * before the groupBy ([[graft.operators.StoreCounters]] does) to get a
+   * map-side-combining HashAggregate.
+   */
+  def visibleLatestValue(cells: DataFrame): DataFrame = {
+    val put = col("cellType") =!= "Delete"
+    cells
+      .groupBy(col("rowKey"), col("family"), col("qualifier"))
+      .agg(
+        max(when(!put, col("ts"))).as("_delTs"),
+        max(when(put, col("ts"))).as("_putTs"),
+        // max_by skips rows whose ordering is null, i.e. the markers
+        max_by(when(put, col("value")), when(put, col("ts"))).as("value"))
+      .filter(col("_putTs").isNotNull &&
+        (col("_delTs").isNull || col("_putTs") > col("_delTs")))
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        col("_putTs").as("ts"), col("value"))
+  }
 }

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
  * Distributed counters — the HBase `Increment` analogue
  * (`Table.incrementColumnValue`): counter cells hold an 8-byte big-endian
  * long; an increment batch adds per-coordinate deltas to the LATEST
- * existing counter value (a missing cell counts from 0, so increments
- * create counters — HBase's contract) and writes the sums as new cell
- * versions, leaving history intact.
+ * VISIBLE counter value — Delete markers mask, so a deleted counter
+ * resumes from 0 just like a missing one (both are absent to an HBase
+ * GET, and increments create counters — HBase's contract) — and writes
+ * the sums as new cell versions, leaving history intact.
  *
  * The batch analogue of HBase's per-RPC atomicity: one Spark job applies
  * the whole delta frame atomically-per-coordinate — deltas for the same
@@ -40,14 +41,25 @@ object StoreCounters {
    */
   def applyIncrements(base: DataFrame, deltas: DataFrame, newTs: Long): DataFrame = {
     val coord = Seq("rowKey", "family", "qualifier")
-    // decode BEFORE aggregating: max_by over a binary value plans a
-    // SortAggregate (immutable buffer), max_by(long, long) hash-aggregates
-    // with map-side partials — counters are longs by contract anyway
+    // The delete-masked latest read (CellTable.visibleLatestValue's shape:
+    // a coordinate whose newest Put is at or before its newest Delete
+    // marker is ABSENT, so its counter resumes from 0 — HBase GET
+    // visibility). Decoded BEFORE aggregating: max_by over a binary value
+    // plans a SortAggregate (immutable buffer), max_by(long, long)
+    // hash-aggregates with map-side partials — counters are longs by
+    // contract anyway, so this read keeps the all-primitive buffer.
+    val put = col("cellType") =!= "Delete"
     val latest = base
       .select(col("rowKey"), col("family"), col("qualifier"), col("ts"),
-        decodeCounter(col("value")).as("_prevLong"))
+        col("cellType"), decodeCounter(col("value")).as("_prevLong"))
       .groupBy(coord.map(col): _*)
-      .agg(max_by(col("_prevLong"), col("ts")).as("_prev"))
+      .agg(
+        max(when(!put, col("ts"))).as("_delTs"),
+        max(when(put, col("ts"))).as("_putTs"),
+        max_by(when(put, col("_prevLong")), when(put, col("ts"))).as("_prev"))
+      .filter(col("_putTs").isNotNull &&
+        (col("_delTs").isNull || col("_putTs") > col("_delTs")))
+      .select(col("rowKey"), col("family"), col("qualifier"), col("_prev"))
     val summed = deltas
       .groupBy(coord.map(col): _*)
       .agg(sum(col("delta")).as("_delta"))

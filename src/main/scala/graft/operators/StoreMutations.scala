@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.model.CellTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,15 +19,20 @@ import org.apache.spark.sql.functions._
  *    like Increment).
  *
  * Batch semantics: mutations are applied against the base's latest
- * versions, one decision per mutation row. Unlike Increment (deltas
- * commute, so the batch pre-sums), two checkAndPut mutations on the SAME
- * check cell do not commute; this operator evaluates all checks against
- * the pre-batch state — the deterministic bulk contract, documented here
- * rather than HBase's arrival-order races.
+ * VISIBLE versions — [[CellTable.visibleLatestValue]], so Delete markers
+ * mask: a deleted coordinate reads as ABSENT (an expected-null check
+ * passes against it; an append starts from empty), exactly like an HBase
+ * GET would see it. One decision per mutation row. Unlike Increment
+ * (deltas commute, so the batch pre-sums), two checkAndPut mutations on
+ * the SAME check cell do not commute; this operator evaluates all checks
+ * against the pre-batch state — the deterministic bulk contract,
+ * documented here rather than HBase's arrival-order races.
  *
- * Scale shape: one latest-per-coordinate aggregation over base (map-side
- * combine) + one join against the batch-bounded mutation frame (AQE
- * broadcasts small batches; same-N salted stores co-partition).
+ * Scale shape: one latest-visible-per-coordinate aggregation over base
+ * (single hash shuffle; the binary value forces the final step to a
+ * SortAggregate — see [[CellTable.visibleLatestValue]]) + one join
+ * against the batch-bounded mutation frame (AQE broadcasts small
+ * batches; same-N salted stores co-partition).
  */
 object StoreMutations {
 
@@ -38,9 +44,8 @@ object StoreMutations {
    * at ts = `newTs`.
    */
   def checkAndPut(base: DataFrame, muts: DataFrame, newTs: Long): DataFrame = {
-    val latest = base
-      .groupBy(col("rowKey"), col("family"), col("qualifier"))
-      .agg(max_by(col("value"), col("ts")).as("_current"))
+    val latest = CellTable.visibleLatestValue(base)
+      .withColumnRenamed("value", "_current").drop("ts")
       .withColumnRenamed("qualifier", "checkQualifier")
     muts.join(latest, Seq("rowKey", "family", "checkQualifier"), "left")
       .select(
@@ -66,13 +71,13 @@ object StoreMutations {
    * Apply an append batch. `appends` columns: rowKey, family, qualifier,
    * suffix (binary). Multiple appends to one coordinate concatenate in
    * (rowKey, family, qualifier, suffix) byte order — a deterministic
-   * batch ordering where HBase has arrival order. Returns the new cell
-   * versions at `newTs`.
+   * batch ordering where HBase has arrival order. Missing AND deleted
+   * cells append onto empty (Append creates cells, and a Delete-masked
+   * coordinate is absent). Returns the new cell versions at `newTs`.
    */
   def applyAppends(base: DataFrame, appends: DataFrame, newTs: Long): DataFrame = {
-    val latest = base
-      .groupBy(col("rowKey"), col("family"), col("qualifier"))
-      .agg(max_by(col("value"), col("ts")).as("_current"))
+    val latest = CellTable.visibleLatestValue(base)
+      .withColumnRenamed("value", "_current").drop("ts")
     val batched = appends
       .groupBy(col("rowKey"), col("family"), col("qualifier"))
       .agg(array_join(array_sort(collect_list(hex(col("suffix")))), "")

@@ -67,4 +67,26 @@ class StoreCountersSpec extends AnyFunSuite with SparkTestBase {
       .select(StoreCounters.decodeCounter(col("value"))).as[Long].collect()
     assert(history.sameElements(Array(100L, 101L, 102L)))
   }
+
+  test("a deleted counter resumes from zero; a post-marker put is live again") {
+    val puts = cells(Seq(
+      cell(1L, "hits", 1000L, 100L),   // deleted at 2000 -> resumes from 0
+      cell(2L, "hits", 1000L, 100L),   // deleted at 2000, re-put at 3000
+      cell(2L, "hits", 3000L, 7L),     //   -> increments start from 7
+      cell(3L, "hits", 1000L, 9L)))    // no marker -> starts from 9
+    val base = CellTable.withDeleteMarkers(
+      puts, CellTable.keyToLong(col("rowKey")).isin(1L, 2L) && col("ts") === 1000L,
+      lit(2000L))
+    val deltas = Seq((1L, "hits", 1L), (2L, "hits", 1L), (3L, "hits", 1L))
+      .toDF("k", "q", "delta").select(
+        CellTable.bigEndianKey(col("k")).as("rowKey"),
+        lit("counters").as("family"),
+        col("q").cast("binary").as("qualifier"),
+        col("delta"))
+    val out = StoreCounters.applyIncrements(base, deltas, newTs = 5000L)
+      .select(CellTable.keyToLong(col("rowKey")).as("k"),
+        StoreCounters.decodeCounter(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 8L, 3L -> 10L))
+  }
 }

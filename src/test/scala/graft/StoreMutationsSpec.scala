@@ -74,4 +74,47 @@ class StoreMutationsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) == ("alice#a#b", 2000L))
     assert(out(2L) == ("solo", 2000L))
   }
+
+  test("mutations read THROUGH delete markers: deleted coordinates are absent") {
+    // k=1 seg deleted after its put; k=2 seg deleted then re-put (visible)
+    val puts = baseCells(Seq(
+      (1L, "seg", 1000L, "BUILDING"),
+      (2L, "seg", 1000L, "BUILDING"),
+      (2L, "seg", 3000L, "REBORN")))
+    val base = CellTable.withDeleteMarkers(
+      puts, CellTable.keyToLong(col("rowKey")).isin(1L, 2L), lit(2000L))
+    // checkAndPut: expected=null must MATCH the deleted k=1 (absent), and
+    // expected=BUILDING must FAIL on it; k=2's post-marker put is live
+    val mutDf = Seq(
+      (1L, "seg", None: Option[String], "flag", "SET"),
+      (1L, "seg", Some("BUILDING"), "seg", "X"),
+      (2L, "seg", Some("REBORN"), "seg", "OK"))
+      .toDF("k", "cq", "exp", "q", "v").select(
+        CellTable.bigEndianKey(col("k")).as("rowKey"),
+        lit("f").as("family"),
+        col("cq").cast("binary").as("checkQualifier"),
+        col("exp").cast("binary").as("expected"),
+        col("q").cast("binary").as("qualifier"),
+        col("v").cast("binary").as("value"))
+    val decisions = StoreMutations.checkAndPut(base, mutDf, newTs = 5000L)
+      .select(CellTable.keyToLong(col("rowKey")).as("k"),
+        col("qualifier").cast("string").as("q"), col("applied"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(decisions((1L, "flag")), "null-expected must match a deleted cell")
+    assert(!decisions((1L, "seg")), "concrete expected must fail on a deleted cell")
+    assert(decisions((2L, "seg")), "a put AFTER the marker is visible again")
+    // append: deleted k=1 starts from empty; k=2 appends onto the re-put
+    val appends = Seq((1L, "seg", "+x"), (2L, "seg", "+x"))
+      .toDF("k", "q", "s").select(
+        CellTable.bigEndianKey(col("k")).as("rowKey"),
+        lit("f").as("family"),
+        col("q").cast("binary").as("qualifier"),
+        col("s").cast("binary").as("suffix"))
+    val appended = StoreMutations.applyAppends(base, appends, newTs = 5000L)
+      .select(CellTable.keyToLong(col("rowKey")).as("k"),
+        col("value").cast("string").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(appended(1L) == "+x")
+    assert(appended(2L) == "REBORN+x")
+  }
 }
