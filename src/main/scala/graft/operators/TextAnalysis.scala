@@ -166,12 +166,20 @@ object TextAnalysis {
    * bit-identical across engines, where exp/ln would not be; the ranking
    * it induces is the same monotone fluency signal).
    *
-   * 100 TB shape: the MODEL IS A TABLE, never driver state — bigram and
-   * prefix counts are two map-side-combined aggregations over the
-   * corpus, and scoring joins documents' bigram instances against them
-   * on the bigram key. Hot bigrams ("of the") are skewed join keys; AQE
-   * skew-join splits them. Nothing is collected; V is the only scalar
-   * and rides a 1-row broadcast cross join.
+   * 100 TB shape: the MODEL IS A TABLE, never driver state — and it is a
+   * MATERIALIZED table: bigram counts are one map-side-combined
+   * aggregation over the corpus, localCheckpointed (they are the model
+   * artifact — |distinct bigrams| rows, corpus-independent size), and
+   * prefix counts roll up from the checkpoint. Without the checkpoint the
+   * explode+zip_with subtree appeared under bigramCounts, under
+   * prefixCounts, AND under the scoring join — three corpus passes for
+   * one model; now the corpus is exploded once for the model and once
+   * (streaming, no materialization) for scoring. Hot bigrams ("of the")
+   * are skewed join keys; AQE skew-join splits them. Nothing is
+   * collected; V is the only scalar and rides a 1-row broadcast cross
+   * join (its unigram-distinct pass stays on the corpus by definition —
+   * V counts ALL tokens, including single-token documents that produce
+   * no bigram).
    */
   def ngramLmScore(docs: DataFrame): DataFrame = {
     val tk = whitespaceTokens(lower(col("text")))
@@ -182,9 +190,11 @@ object TextAnalysis {
           slice(col("tk"), lit(2), size(col("tk")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-    val bigramCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    // prefix counts roll up from the bigram table (Σ_w2 c12 = c1), not
-    // from a second corpus-wide explode — the input is |distinct bigrams|
+    val bigramCounts = bi.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    // rolls up from the CHECKPOINTED bigram table (Σ_w2 c12 = c1) — the
+    // input is |distinct bigrams| rows, not a second corpus explode
     val prefixCounts = bigramCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(tk).as("t")).agg(
       countDistinct(col("t")).as("v"))

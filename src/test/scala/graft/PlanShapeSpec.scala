@@ -136,4 +136,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(cosPlan.linesIterator.exists(l =>
       l.contains("Project") && l.trim.startsWith("*(") && l.contains("cosine_sim")), cosPlan)
   }
+
+  test("bigram LM explodes the corpus once for the model (checkpointed)") {
+    val df = graft.operators.TextAnalysis.lmScoreQuery(spark, sf001)
+    val plan = executedPlan(df)
+    // the model side (bigram + prefix counts) must read the checkpointed
+    // bigram table, not re-derive it: exactly ONE zip_with bigram explode
+    // may remain in the plan — the streaming scoring pass
+    val explodes = plan.linesIterator.count(l =>
+      l.contains("Generate explode") && l.contains("zip_with"))
+    assert(explodes == 1, s"expected 1 zip_with explode, got $explodes in:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"model side should scan the checkpointed bigram table:\n$plan")
+  }
 }
