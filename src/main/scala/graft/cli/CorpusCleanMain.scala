@@ -17,10 +17,10 @@ object CorpusCleanMain {
       |         [--minQuality <0..1>] [--langs en,es,...]
       |         [--nearDupThreshold <0..1>] [--maxTopFrac <0..1>]
       |         [--maxDupFrac <0..1>] [--evalSet <parquet dir>]
-      |         [--decontamN <tokens>]""".stripMargin
+      |         [--decontamN <tokens>] [--materialize true|false]""".stripMargin
 
   val Known = Set("input", "output", "minQuality", "langs", "nearDupThreshold",
-    "maxTopFrac", "maxDupFrac", "evalSet", "decontamN")
+    "maxTopFrac", "maxDupFrac", "evalSet", "decontamN", "materialize")
 
   /** Parse + run; returns the cleaned-row count (tests observe it). */
   def run(spark: SparkSession, args: Array[String]): Long = {
@@ -37,10 +37,15 @@ object CorpusCleanMain {
       decontamN = p.get("decontamN").map(_.toInt).getOrElse(13))
 
     val docs = spark.read.parquet(input)
+    // stage checkpoints between clean/decontam — the operational default
+    // for a batch job (each stage computes once); declarative opt-out for
+    // plan inspection
+    val mat = p.get("materialize").forall(_.toBoolean)
     val cleaned = p.get("evalSet") match {
       case Some(evalDir) =>
-        CorpusPipeline.cleanWithEval(docs, spark.read.parquet(evalDir), cfg)
-      case None => CorpusPipeline.clean(docs, cfg)
+        CorpusPipeline.cleanWithEval(docs, spark.read.parquet(evalDir), cfg,
+          materialize = mat)
+      case None => CorpusPipeline.clean(docs, cfg, materialize = mat)
     }
     cleaned.write.mode("overwrite").parquet(output)
     spark.read.parquet(output).count()

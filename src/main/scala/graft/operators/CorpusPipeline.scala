@@ -63,18 +63,39 @@ object CorpusPipeline {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  /** The full pipeline. */
-  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    nearDedup(exactDedup(preFilter(docs, cfg)), cfg)
+  /** The full pipeline.
+    *
+    * `materialize = true` inserts a stage boundary after the gated+exact-
+    * deduped corpus: [[nearDedup]] consumes its input TWICE (the LSH
+    * band self-join and the anti-join back), so the declarative form
+    * recomputes the gate subtree per consumer — fine for the optimizer's
+    * view and the oracle, wasteful as an operational shape at 100 TB,
+    * where checkpoint-between-stages is how these pipelines actually run
+    * (resume, audit, and no recompute). `localCheckpoint` demonstrates
+    * the boundary in one JVM; a cluster deployment would swap in a
+    * reliable checkpoint/parquet stage store — the shape is the same.
+    * Output is IDENTICAL either way (spec-asserted). */
+  def clean(docs: DataFrame, cfg: Config = Config(),
+      materialize: Boolean = false): DataFrame = {
+    val gated = exactDedup(preFilter(docs, cfg))
+    nearDedup(if (materialize) gated.localCheckpoint() else gated, cfg)
+  }
 
   /** The full pipeline plus the leakage gate: clean, then drop docs whose
     * n-grams overlap the eval/benchmark set ([[decontaminate]] — broadcast
-    * probe, cleaned corpus never shuffles for it). */
+    * probe, cleaned corpus never shuffles for it). `materialize` adds the
+    * [[clean]] stage boundary AND one after the cleaned corpus —
+    * [[decontaminate]] also reads its train side twice (gram probe +
+    * anti-join back). */
   def cleanWithEval(
       docs: DataFrame,
       evalSet: DataFrame,
-      cfg: Config = Config()): DataFrame =
-    decontaminate(clean(docs, cfg), evalSet, cfg.decontamN)
+      cfg: Config = Config(),
+      materialize: Boolean = false): DataFrame = {
+    val cleaned = clean(docs, cfg, materialize)
+    decontaminate(if (materialize) cleaned.localCheckpoint() else cleaned,
+      evalSet, cfg.decontamN)
+  }
 
   /** Source balancing — cap the corpus at `maxPerSource` documents per
     * origin, keeping the lowest doc ids (deterministic, so reruns agree).

@@ -115,6 +115,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(r => splits(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
   }
 
+  test("materialized pipeline (stage checkpoints) equals the declarative plan") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 3)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(5L)) === 3)
+    val cfg = CorpusPipeline.Config(decontamN = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "source", "quality")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(CorpusPipeline.cleanWithEval(train, evalSet, cfg, materialize = true)) ==
+      rows(CorpusPipeline.cleanWithEval(train, evalSet, cfg)),
+      "checkpointed stage boundaries must not change the output")
+  }
+
   test("decontamination: flags n-gram overlap with the eval set, spares clean docs") {
     val evalSet = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
