@@ -52,9 +52,25 @@ object IvfIndex {
    * which made centroids — and every oracle literal generated from them —
    * a per-session lottery). The mean's single double division happens
    * driver-side on the exact decimal sum, so it is reproducible too.
+   *
+   * `stratifiedSeeds = true` swaps the first-`nlist` seeds for the vectors
+   * at the (2i+1)/2·nlist vec_id QUANTILES — deterministic (exact
+   * quantiles) and mass-proportional: a region holding fraction f of the
+   * corpus receives ~f·nlist seeds, which is what lets [[rebuildIndex]]
+   * split a drifted mega-cell (Lloyd's never moves a centroid into a
+   * dense region no centroid already owns, so seed placement IS the
+   * balance repair). Off by default: the plain seeding is part of the
+   * established model contract for the query pack.
    */
-  def train(corpus: DataFrame, nlist: Int, iters: Int = 3): Model = {
-    val seedRows = corpus.orderBy("vec_id").limit(nlist)
+  def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
+      stratifiedSeeds: Boolean = false): Model = {
+    val seedRows = if (stratifiedSeeds) {
+      val probs = (0 until nlist).map(i => (2.0 * i + 1) / (2 * nlist)).toArray
+      val qs = corpus.stat.approxQuantile("vec_id", probs, 0.0)
+        .map(_.toLong).distinct
+      corpus.filter(col("vec_id").isin(qs: _*))
+        .orderBy("vec_id").limit(nlist).select("embedding").collect()
+    } else corpus.orderBy("vec_id").limit(nlist)
       .select("embedding").collect()
     var centroids = seedRows.map(_.getSeq[Float](0).toSeq).toSeq.map(normalize)
 
@@ -190,14 +206,87 @@ object IvfIndex {
 
   /** Index maintenance: route NEW vectors into the existing cell layout
     * without rebuilding — centroids stay fixed (the standard trade: cell
-    * balance drifts as the corpus grows; retrain + rebuild when it does).
-    * Appends only touch the new vectors' cell directories, so maintenance
-    * cost ∝ the delta, and searches keep pruning the union of old and new
-    * files per cell. */
+    * balance drifts as the corpus grows; [[driftReport]] measures it,
+    * [[rebuildIndex]] repairs it). Appends only touch the new vectors'
+    * cell directories, so maintenance cost ∝ the delta, and searches keep
+    * pruning the union of old and new files per cell. */
   def appendToIndex(delta: DataFrame, model: Model, path: String): Unit =
     assign(delta, model)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Per-cell population of a persisted index, FOOTER METADATA ONLY — the
+    * [[StoreStats.describe]] device applied to the cell layout: list each
+    * `cell=<i>/` directory, sum its parquet row-group counts; no data
+    * pages read, no Spark job. Driver-side cost is one footer per index
+    * file — nlist directories with compaction-bounded file counts, the
+    * same order as planning a scan of the index. */
+  def cellStats(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val rows = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .sortBy(_.getPath.getName)
+      .map { cellDir =>
+        val cell = cellDir.getPath.getName.stripPrefix("cell=").toInt
+        val n = fs.listStatus(cellDir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            f.getLen > 0)
+          .map { f =>
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+            try r.getRowGroups.asScala.map(_.getRowCount).sum
+            finally r.close()
+          }.sum
+        (cell, n)
+      }.toSeq
+    import spark.implicits._
+    rows.toDF("cell", "n_vectors")
+  }
+
+  /** One-row balance verdict over [[cellStats]]: min/mean/max cell
+    * population, the max/mean skew ratio, and `drifted` when that ratio
+    * exceeds `maxSkew` — "does this index need a retrain?" without
+    * touching vector data. A drifted index still answers correctly
+    * (probing is by centroid, not size); what degrades is the prune
+    * fraction — a mega-cell makes every probe that hits it read far more
+    * than nprobe/nlist of the corpus, so drift is a PERFORMANCE alarm,
+    * and the threshold trades rebuild cost against probe cost. */
+  def driftReport(spark: SparkSession, path: String,
+      maxSkew: Double = 2.0): DataFrame =
+    cellStats(spark, path).agg(
+      count(lit(1)).cast("bigint").as("n_cells"),
+      min(col("n_vectors")).as("min_vectors"),
+      round(avg(col("n_vectors")), 2).as("mean_vectors"),
+      max(col("n_vectors")).as("max_vectors"),
+      round(max(col("n_vectors")) / avg(col("n_vectors")), 4).as("skew"))
+      .withColumn("drifted", col("skew") > maxSkew)
+
+  /** Retrain on the CURRENT index contents (base + every appended delta)
+    * and rewrite the cell layout — the repair [[driftReport]] calls for.
+    * The new layout lands in a sibling directory first and swaps in with
+    * a rename, so a crash mid-rebuild leaves the old index intact (same
+    * commit discipline as the store tier's compaction). Returns the new
+    * model — centroids move, so searches must use it (DOCUMENTED
+    * CONTRACT: an old model probes the wrong cells of the new layout). */
+  def rebuildIndex(spark: SparkSession, path: String, nlist: Int,
+      iters: Int = 3): Model = {
+    import org.apache.hadoop.fs.Path
+    val vectors = spark.read.parquet(path).select("vec_id", "embedding")
+    val model = train(vectors, nlist, iters, stratifiedSeeds = true)
+    val tmp = s"$path.rebuild.tmp"
+    writeIndex(vectors, model, tmp)       // reads old layout, writes sibling
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+    model
+  }
 
   /**
    * Search the persisted index. [[search]]'s equi-join on `cell` against the

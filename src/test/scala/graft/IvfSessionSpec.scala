@@ -96,6 +96,58 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
       == keyed(IvfIndex.searchIndex(spark, fresh, queries, model, k = 10, nprobe = 3)))
   }
 
+  test("IVF drift: skewed appends flag the report, rebuild restores balance") {
+    import org.apache.spark.sql.DataFrame
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    IvfIndex.writeIndex(emb, model, dir)
+
+    // footer stats agree with the data before anything drifts
+    val stats0 = IvfIndex.cellStats(spark, dir)
+    assert(stats0.agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
+    val report0 = IvfIndex.driftReport(spark, dir, maxSkew = 3.0).head()
+
+    // a skewed delta: 4 extra copies of ONE cell's entire (diverse)
+    // population — they all route back into that cell under the frozen
+    // model, quintupling it (new ids so nothing collides)
+    val donorCell = IvfIndex.assign(emb, model)
+      .groupBy("cell").count().orderBy(col("count").desc).head().getAs[Int]("cell")
+    val donors = IvfIndex.assign(emb, model)
+      .filter(col("cell") === donorCell).select("vec_id", "embedding")
+    val delta: DataFrame = (1 to 4).map(c =>
+        donors.select((col("vec_id") + lit(100000L * c)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+    val copies = delta.count()
+    IvfIndex.appendToIndex(delta, model, dir)
+
+    val report1 = IvfIndex.driftReport(spark, dir, maxSkew = 3.0).head()
+    assert(report1.getAs[Boolean]("drifted"),
+      s"skewed append must trip the drift alarm: $report1")
+    assert(report1.getAs[Double]("skew") > report0.getAs[Double]("skew"))
+
+    // rebuild: retrains on base+delta, rewrites the layout, returns the
+    // new model; the mega-cell splits so skew drops back under the alarm
+    val rebuilt = IvfIndex.rebuildIndex(spark, dir, nlist = 8, iters = 2)
+    val report2 = IvfIndex.driftReport(spark, dir, maxSkew = 3.0).head()
+    assert(!report2.getAs[Boolean]("drifted"),
+      s"rebuild must restore balance: $report2")
+    assert(IvfIndex.cellStats(spark, dir).agg(sum(col("n_vectors")))
+      .head().getLong(0) == emb.count() + copies)
+
+    // and the rebuilt index still answers exactly: full probe == brute
+    // force over the union corpus
+    val union = emb.select("vec_id", "embedding").unionByName(delta)
+    val queries = emb.filter(col("vec_id") < 3)
+    def keyed2(df: DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    assert(
+      keyed2(IvfIndex.searchIndex(spark, dir, queries, rebuilt, k = 10, nprobe = 8))
+        == keyed2(Similarity.bruteForceTopK(union, queries, k = 10)))
+  }
+
   test("sessionize batch: contiguous per-user coverage, gap invariant") {
     val sessions = Sessionize.sessionQuery(spark, sf001)
     val events = Tables.load(spark, sf001, "events")
