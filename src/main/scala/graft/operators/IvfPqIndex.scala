@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
  * the codes, and dynamic partition pruning skips the rest at scan time.
  *
  * Design choices vs the paper:
- *  - Codes are global-PQ over the L2-normalized vectors, not per-cell
- *    residual-PQ. Residuals buy in-cell quantization accuracy at the cost
- *    of per-cell codebook bookkeeping; with the exact rerank stage on top,
- *    both only affect CANDIDATE recall, and global codes keep the encode a
- *    single narrow projection reusable across layouts.
+ *  - DEFAULT codes are global-PQ over the L2-normalized vectors; residual
+ *    PQ (the paper's §IV scheme: encode x̂ − c against codebooks trained
+ *    on residuals, score as q̂·c + q̂·r̂) is available via
+ *    `train(residual = true)`. Residuals concentrate what the codebooks
+ *    must represent into the in-cell displacement, so at the same code
+ *    budget the candidate pool is truer and a smaller rerank `r` reaches
+ *    the same recall — the lever that matters at 100 TB, where rerank
+ *    reads r float vectors per query. Global stays the default: encode is
+ *    a single cell-independent projection reusable across layouts, and
+ *    the established oracle replays it.
  *  - The index layout is one parquet partition directory per cell holding
  *    only (vec_id, codes) — 8 B of codes per vector at m=8. Rerank reads
  *    the float vectors for just the r candidates per query via an equi-join
@@ -33,20 +38,48 @@ import org.apache.spark.sql.functions._
  */
 object IvfPqIndex {
 
-  /** Coarse quantizer + product codebooks, trained on the same corpus. */
-  final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Codebooks)
+  /** Coarse quantizer + product codebooks, trained on the same corpus.
+    * `residual = true` means the codebooks quantize x̂ − c(cell) and ADC
+    * scores reconstruct q̂·x̂ as q̂·c + q̂·r̂. */
+  final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Codebooks,
+      residual: Boolean = false)
+
+  /** The centroid of the assigned cell, as an array column (1-based
+    * element_at over the broadcast centroid literals). */
+  private def centroidCol(coarse: IvfIndex.Model, cell: Column): Column =
+    element_at(array(coarse.centroids.map(c => typedlit(c)): _*), cell + 1)
+
+  /** x̂ − c(cell) for an already-normalized vector column. */
+  private def residualCol(coarse: IvfIndex.Model, e: Column, cell: Column): Column =
+    zip_with(e, centroidCol(coarse, cell), (a, b) => (a - b).cast("float"))
 
   /** Train both stages (each deterministic — seeds are the first vectors
-    * by id, see [[IvfIndex.train]] / [[PqIndex.train]]). */
+    * by id, see [[IvfIndex.train]] / [[PqIndex.train]]). With
+    * `residual = true` the PQ stage trains on the coarse residuals
+    * x̂ − c (un-normalized — the residual's magnitude IS information). */
   def train(corpus: DataFrame, nlist: Int, dim: Int = 64, m: Int = 8,
-      k: Int = 16, coarseIters: Int = 3, pqIters: Int = 3): Model =
-    Model(
-      IvfIndex.train(corpus, nlist, coarseIters),
-      PqIndex.train(corpus, dim, m, k, pqIters))
+      k: Int = 16, coarseIters: Int = 3, pqIters: Int = 3,
+      residual: Boolean = false): Model = {
+    val coarse = IvfIndex.train(corpus, nlist, coarseIters)
+    if (!residual)
+      Model(coarse, PqIndex.train(corpus, dim, m, k, pqIters))
+    else {
+      val res = corpus
+        .select(col("vec_id"), PqIndex.normed(col("embedding")).as("_e"))
+        .select(col("vec_id"), col("_e"),
+          IvfIndex.nearestCell(coarse, col("_e")).as("cell"))
+        .select(col("vec_id"),
+          residualCol(coarse, col("_e"), col("cell")).as("embedding"))
+      Model(coarse,
+        PqIndex.train(res, dim, m, k, pqIters, normalize = false),
+        residual = true)
+    }
+  }
 
   /** Persist the index: PQ codes partitioned by IVF cell (`cell=<i>/`).
     * A probe of `nprobe` cells reads nprobe/nlist of the CODES — the float
-    * vectors are not in the index at all. */
+    * vectors are not in the index at all. Residual models encode
+    * x̂ − c(cell); global models encode x̂ directly. */
   def writeIndex(corpus: DataFrame, model: Model, path: String): Unit =
     IvfIndex.assign(corpus, model.coarse)
       // normalized vector materialized in its OWN projection: the m×k
@@ -55,7 +88,12 @@ object IvfPqIndex {
       // PqIndex.encode / TextAnalysis.repetitionStats)
       .select(col("vec_id"), col("cell"), PqIndex.normed(col("embedding")).as("_e"))
       .select(col("vec_id"), col("cell"),
-        PqIndex.codesColumn(model.pq, col("_e")).as("codes"))
+        (if (model.residual)
+          residualCol(model.coarse, col("_e"), col("cell"))
+        else col("_e")).as("_enc"))
+      // the encoded vector in its own projection too — same HOF trap
+      .select(col("vec_id"), col("cell"),
+        PqIndex.codesColumn(model.pq, col("_enc")).as("codes"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
@@ -71,24 +109,33 @@ object IvfPqIndex {
     require(r >= k, "rerank pool must be at least k")
     val encoded = spark.read.parquet(path) // (vec_id, codes, cell)
 
-    // probe cells score on the RAW embedding (ranking is norm-invariant);
-    // ADC tables need the normalized query — both in named projections
+    // probe cells score on the NORMALIZED query (same ranking as raw —
+    // positive rescale — and in residual mode the probe score IS the
+    // q̂·c term of the reconstruction); ADC tables need the normalized
+    // query too — each in a named projection (HOF re-eval trap)
     val q = queries
       .select(col("vec_id").as("query_id"),
-        PqIndex.normed(col("embedding")).as("_e"),
-        IvfIndex.probeCellsColumn(model.coarse, col("embedding"), nprobe).as("_pc"))
+        PqIndex.normed(col("embedding")).as("_e"))
+      .select(col("query_id"), col("_e"),
+        IvfIndex.probeCellsColumn(model.coarse, col("_e"), nprobe).as("_pc"))
       .select(col("query_id"),
         PqIndex.adcTablesColumn(model.pq, col("_e")).as("tables"),
         col("_pc"))
       .select(col("query_id"), col("tables"), explode(col("_pc")).as("probe"))
-      .select(col("query_id"), col("tables"), col("probe.cell").as("cell"))
+      .select(col("query_id"), col("tables"), col("probe.cell").as("cell"),
+        col("probe.score").as("cell_dot"))
 
+    // residual ADC reconstructs q̂·x̂ ≈ q̂·c + q̂·r̂: the cell term comes
+    // from the probe, the residual term from the lookup tables; global
+    // ADC is the table sum alone
+    val adcTable = PqIndex.adcScore(col("codes"), col("tables"))
+    val adc = if (model.residual) adcTable + col("cell_dot") else adcTable
     val scored = encoded.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         // quantized before ranking so the candidate cut is ulp-robust
         // cross-engine (see Similarity.q9)
-        round(PqIndex.adcScore(col("codes"), col("tables")), 9).as("adc_score"))
+        round(adc, 9).as("adc_score"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("vec_id").asc)
     val cands = scored.withColumn("rn", row_number().over(wAdc))

@@ -77,17 +77,23 @@ object PqIndex {
    * partition order at the ulp, and these codewords are emitted as oracle
    * literals; same fix as [[IvfIndex.train]]). One m×k×subDim-row shuffle
    * per iteration.
+   *
+   * `normalize = false` trains on the embedding column AS GIVEN — the
+   * residual-PQ path ([[IvfPqIndex]]): residuals x̂ − c are already the
+   * quantity to encode, and re-normalizing them would destroy exactly the
+   * magnitude information the residual carries.
    */
   def train(corpus: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 16,
-      iters: Int = 3): Codebooks = {
+      iters: Int = 3, normalize: Boolean = true): Codebooks = {
     val subDim = dim / m
+    val e = if (normalize) normed(col("embedding")) else col("embedding")
     val seeds = corpus.orderBy("vec_id").limit(k)
-      .select(normed(col("embedding")).as("e")).collect()
+      .select(e.as("e")).collect()
       .map(_.getSeq[Float](0).toSeq)
     var books: Seq[Seq[Seq[Float]]] =
       (0 until m).map(s => seeds.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
 
-    val subRows = corpus.select(col("vec_id"), normed(col("embedding")).as("e"))
+    val subRows = corpus.select(col("vec_id"), e.as("e"))
       .select(col("vec_id"), explode(array((0 until m).map(s =>
         struct(lit(s).as("sub"), subCol(col("e"), s, subDim).as("sv"))): _*)).as("x"))
       .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
