@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
  * the executor processes an iterator of rows, amortizing codec/library init
  * once per partition.
  *
- * The actual codecs are NOT in this environment, so the decode kernels are
- * clearly-marked deterministic STUBS (`decodeStub`): they derive plausible
- * metadata from the payload bytes alone, so the surrounding Spark machinery
- * — schema, partitioning, batch iteration, null routing — is real and
- * testable. Swapping in a real decoder is a one-function change.
+ * Decode kernels come in two tiers. The DEFAULT is a clearly-marked
+ * deterministic STUB (`decodeStub`) deriving plausible metadata from the
+ * payload bytes alone — stable for the oracle queries regardless of
+ * payload format. `decodeMeta(realCodecs = true)` swaps in the REAL
+ * decoders the JRE ships: `javax.imageio` for images (PNG/JPEG/GIF/BMP)
+ * and `javax.sound.sampled` for audio (WAV/AIFF/AU); video has no JRE
+ * codec and stays stubbed. Both tiers run through the SAME per-partition
+ * lifecycle and error channel, so swapping in heavier external codecs is
+ * still a one-function change.
  */
 object Multimodal {
 
@@ -63,22 +67,55 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode — `javax.imageio`, present in every JRE. Returns
+    * (width, height, bands, 0): bands from the decoded raster (3 RGB,
+    * 4 RGBA, 1 gray). `ImageIO.read` signals undecodable input by
+    * returning null (unknown container) or throwing (truncated/corrupt
+    * stream) — both route to the caller's error channel as exceptions. */
+  private[operators] def decodeImageReal(content: Array[Byte]): (Int, Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) throw new IllegalArgumentException("undecodable image payload")
+    (img.getWidth, img.getHeight, img.getRaster.getNumBands, 0L)
+  }
+
+  /** REAL audio inspect — `javax.sound.sampled` (WAV/AIFF/AU): channel
+    * count and duration from the container header, no sample decode. */
+  private[operators] def decodeAudioReal(content: Array[Byte]): (Int, Int, Int, Long) = {
+    val fmt = javax.sound.sampled.AudioSystem
+      .getAudioFileFormat(new java.io.ByteArrayInputStream(content))
+    val durMs =
+      if (fmt.getFrameLength > 0 && fmt.getFormat.getFrameRate > 0)
+        (fmt.getFrameLength * 1000L / fmt.getFormat.getFrameRate.toDouble).toLong
+      else 0L
+    (0, 0, fmt.getFormat.getChannels, durMs)
+  }
+
   /**
    * Decode/inspect every payload, batched per partition, with the M4-style
    * error channel: a payload the decoder rejects becomes an `ok=false` row,
-   * never a task failure.
+   * never a task failure. `realCodecs = true` decodes images with
+   * `javax.imageio` and audio headers with `javax.sound.sampled` (video
+   * stays stubbed — no JRE codec); the default stub tier is deterministic
+   * on arbitrary bytes, which is what the fixture-derived oracle needs.
    */
-  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+  def decodeMeta(media: DataFrame, realCodecs: Boolean = false): Dataset[MediaMeta] = {
     implicit val enc = Encoders.product[MediaMeta]
     media.select("media_id", "kind", "content").as(
       Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
       .mapPartitions { iter =>
-        // per-partition "codec init" happens here in a real implementation
+        // per-partition codec init (M3): one setting per task, not per row;
+        // ImageIO's default file-backed cache would add a disk round-trip
+        // per payload
+        if (realCodecs) javax.imageio.ImageIO.setUseCache(false)
         iter.map { case (id, kind, content) =>
           try {
             if (content == null || content.isEmpty)
               throw new IllegalArgumentException("empty payload")
-            val (w, hgt, ch, dur) = decodeStub(kind, content)
+            val (w, hgt, ch, dur) = (kind, realCodecs) match {
+              case ("image", true) => decodeImageReal(content)
+              case ("audio", true) => decodeAudioReal(content)
+              case _               => decodeStub(kind, content)
+            }
             MediaMeta(id, kind, content.length.toLong, w, hgt, ch, dur, ok = true, null)
           } catch { case e: Exception =>
             MediaMeta(id, kind, if (content == null) 0L else content.length.toLong,

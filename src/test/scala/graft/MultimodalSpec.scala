@@ -60,6 +60,49 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     byQuery.values.foreach(rows => assert(rows.length == 10))
   }
 
+  test("real codecs: planted PNG and WAV decode; corrupt bytes hit the error channel") {
+    import spark.implicits._
+    // a real 7x5 RGB PNG, rendered in memory
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 7).foreach(x => (0 until 5).foreach(y =>
+      img.setRGB(x, y, (x * 40) << 16 | (y * 50) << 8)))
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val png = pngOut.toByteArray
+
+    // a real 1-channel 16-bit WAV: 8000 frames at 8 kHz = exactly 1000 ms
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array.fill[Byte](8000 * 2)(0)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 8000L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wav = wavOut.toByteArray
+
+    val corrupt = "this is not an image".getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image", png, "s"),
+      (2L, "audio", wav, "s"),
+      (3L, "image", corrupt, "s"),       // undecodable -> error row
+      (4L, "image", png.take(20), "s"))  // truncated PNG -> error row
+      .toDF("media_id", "kind", "content", "source")
+
+    val out = Multimodal.decodeMeta(media, realCodecs = true).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L).ok && out(1L).width == 7 && out(1L).height == 5 &&
+      out(1L).channels == 3, s"png meta: ${out(1L)}")
+    assert(out(2L).ok && out(2L).channels == 1 && out(2L).duration_ms == 1000L,
+      s"wav meta: ${out(2L)}")
+    assert(!out(3L).ok && out(3L).error != null, s"corrupt must error: ${out(3L)}")
+    assert(!out(4L).ok, s"truncated must error: ${out(4L)}")
+
+    // the stub tier is untouched by the real-codec flag (oracle stability)
+    val stub = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(stub(1L).ok && stub(3L).ok, "stub decodes any non-empty payload")
+  }
+
   test("frame sampling explodes videos into deterministic frame rows") {
     val frames = Multimodal.frameSampleQuery(spark, sf001)
     val meta = Multimodal.decodeQuery(spark, sf001)
