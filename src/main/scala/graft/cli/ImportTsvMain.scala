@@ -15,23 +15,33 @@ import org.apache.spark.sql.functions._
  * ImportTsv's own default behavior).
  *
  * Scale shape: textfile scan → split → explode, zero shuffles before the
- * store writer's own layout exchange; bad-line counting rides a
- * `Dataset.observe` so it costs no extra pass (A1 discipline).
+ * store writer's own layout exchange. Bad-line counting depends on the
+ * mode: with `--skipBadLines true` the tally rides a `Dataset.observe`
+ * on the line scan, so the write IS the only pass (A1 discipline); with
+ * the abort default the count is necessarily a separate pre-pass — the
+ * job must refuse to write anything when a line is malformed, and that
+ * decision cannot wait for the write that would have made it free.
  */
 object ImportTsv {
 
   final case class Result(cells: Long, badLines: Long)
 
-  /** (good cells, bad lines) frames for a TSV file under a column map
-    * like ImportTsv's `-Dimporttsv.columns`: one entry per TSV field,
-    * `HBASE_ROW_KEY` marking the key column, the rest naming qualifiers. */
+  /** (good cells, bad lines, bad-line observation) for a TSV file under a
+    * column map like ImportTsv's `-Dimporttsv.columns`: one entry per TSV
+    * field, `HBASE_ROW_KEY` marking the key column, the rest naming
+    * qualifiers. The observation is attached to the shared line scan and
+    * yields `n_bad` when any action over `cells` runs. */
   def parse(spark: SparkSession, file: String, columns: Seq[String],
-      family: String, ts: Long, sep: String = "\t"): (DataFrame, DataFrame) = {
+      family: String, ts: Long, sep: String = "\t")
+      : (DataFrame, DataFrame, org.apache.spark.sql.Observation) = {
     val keyIdx = columns.indexOf("HBASE_ROW_KEY")
     require(keyIdx >= 0, "columns must include HBASE_ROW_KEY")
+    val obs = org.apache.spark.sql.Observation()
     val lines = spark.read.textFile(file).toDF("line")
       .withColumn("_p", split(col("line"),
         java.util.regex.Pattern.quote(sep), -1))
+      .observe(obs, sum(when(size(col("_p")) =!= columns.length, 1L)
+        .otherwise(0L)).as("n_bad"))
     val ok = size(col("_p")) === columns.length
     val bad = lines.filter(!ok).select(col("line"))
     val qualifiers = columns.zipWithIndex.filter(_._1 != "HBASE_ROW_KEY")
@@ -52,21 +62,27 @@ object ImportTsv {
         lit(ts).as("ts"),
         lit("Put").as("cellType"),
         col("cell.value").as("value"))
-    (cells, bad)
+    (cells, bad, obs)
   }
 
   /** Ingest into a cell-store directory (append); returns counters. */
   def run(spark: SparkSession, file: String, columns: Seq[String],
       family: String, dest: String, ts: Long, buckets: Int,
       skipBadLines: Boolean, sep: String = "\t"): Result = {
-    val (cells, bad) = parse(spark, file, columns, family, ts, sep)
-    val nBad = bad.count()
-    if (nBad > 0 && !skipBadLines)
-      throw new IllegalArgumentException(
-        s"$nBad malformed line(s); rerun with --skipBadLines true to drop them")
+    val (cells, bad, obs) = parse(spark, file, columns, family, ts, sep)
+    if (!skipBadLines) {
+      // abort mode: the bad count GATES the write, so it must be its own
+      // pass — nothing may land in the store when a line is malformed
+      val nBad = bad.count()
+      if (nBad > 0)
+        throw new IllegalArgumentException(
+          s"$nBad malformed line(s); rerun with --skipBadLines true to drop them")
+    }
     val writer = cells.write.format("cellstore").mode("append")
     (if (buckets > 0) writer.option("buckets", buckets.toString) else writer)
       .save(dest)
+    // skip mode: the tally rode the write's own scan (observe) — one pass
+    val nBad = obs.get("n_bad").asInstanceOf[Long]
     val nCells = spark.read.format("cellstore").load(dest).count()
     Result(nCells, nBad)
   }

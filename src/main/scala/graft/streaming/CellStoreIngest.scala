@@ -71,9 +71,12 @@ object CellStoreIngest {
     import org.apache.spark.sql.functions.{col, lit}
     val spark = deltas.sparkSession
     val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      // the SESSION's Hadoop conf, not a bare new Configuration(): any
+      // spark.hadoop.* filesystem settings/credentials (object stores)
+      // must apply to this probe too, or it misreports the store as absent
       val dir = new org.apache.hadoop.fs.Path(path)
       val exists = dir
-        .getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf()).exists(dir)
       val base =
         if (exists) spark.read.format("cellstore").load(path)
         else batch.limit(0).select( // first batch: no store yet, empty base
