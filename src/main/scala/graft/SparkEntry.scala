@@ -577,6 +577,7 @@ object SparkEntry {
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
+    "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
     "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
     "q_chunk_docs"     -> (TextAnalysis.chunkQuery _),
@@ -861,8 +862,11 @@ object SparkEntry {
 
   /** `scs` (per-subspace codeword scores) + `enc` (codes) CTEs: argmin_j
     * L2 as argmax_j (x·c_j − ½|c_j|²), ties → lowest j (`list_position`
-    * returns the FIRST max, matching nearestCode's sort tiebreak). */
-  private def pqEncSql(pq: PqIndex.Codebooks): String = {
+    * returns the FIRST max, matching nearestCode's sort tiebreak).
+    * `from` names the CTE holding the to-encode vector as `nv` — `nq`
+    * for global codes over the normalized vector, `rv` for residual
+    * codes over x̂ − c. */
+  private def pqEncSql(pq: PqIndex.Codebooks, from: String = "nq"): String = {
     val sd = pq.subDim
     val scoreLists = (0 until pq.m).map { s =>
       val sl = s"list_slice(nv, ${s * sd + 1}, ${(s + 1) * sd})"
@@ -875,7 +879,7 @@ object SparkEntry {
       s"CAST(list_position(ss_$s, list_max(ss_$s)) - 1 AS INTEGER)").mkString(", ")
     s"""scs AS (SELECT vec_id,
                $scoreLists
-             FROM nq),
+             FROM $from),
            enc AS (SELECT vec_id, [$codes] AS codes FROM scs)"""
   }
 
@@ -890,14 +894,19 @@ object SparkEntry {
     }.mkString("[", ",\n               ", "]")
   }
 
-  /** ADC score: Spark's `aggregate(zip_with(codes, tables, …), 0d, +)` left
-    * fold, replayed with `list_reduce` over a 0-prepended list, then
-    * quantized to 9 decimals like the engine (candidate cuts rank the
-    * ROUNDED score on both sides — see [[cosineSql]]). */
-  private def pqAdcSql(m: Int, tables: String, codes: String): String =
-    s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+  /** The raw ADC fold: Spark's `aggregate(zip_with(codes, tables, …),
+    * 0d, +)` left fold, replayed with `list_reduce` over a 0-prepended
+    * list. Unquantized — residual scoring adds the cell term BEFORE the
+    * round. */
+  private def pqAdcFoldSql(m: Int, tables: String, codes: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(range($m), s -> $tables[s+1][$codes[s+1] + 1])),
-        (a, x) -> a + x), 9)"""
+        (a, x) -> a + x)"""
+
+  /** ADC score quantized to 9 decimals like the engine (candidate cuts
+    * rank the ROUNDED score on both sides — see [[cosineSql]]). */
+  private def pqAdcSql(m: Int, tables: String, codes: String): String =
+    s"round(${pqAdcFoldSql(m, tables, codes)}, 9)"
 
   /** Shared ADC→rerank tail: top-`r` by ADC from `adc(query_id, vec_id,
     * adc_score)`, exact cosine from the raw embeddings, top-`k`. */
@@ -961,6 +970,53 @@ object SparkEntry {
              FROM nq WHERE vec_id < 5),
            adc AS (SELECT p.query_id, c.vec_id,
                ${pqAdcSql(m.pq.m, "q.tables", "c.codes")} AS adc_score
+             FROM enc c JOIN cells cl ON cl.vec_id = c.vec_id
+                        JOIN probes p ON cl.cell = p.cell AND c.vec_id != p.query_id
+                        JOIN qt q ON q.query_id = p.query_id),
+           ${pqRerankTailSql(r = 50, k = 10)}"""
+    }.toMap
+
+  /** Residual IVF×PQ oracle (q_ann_ivfpq_res): corpus cells from the raw
+    * dot argmax (the engine's `assign`), residual x̂ − c(cell) replayed as
+    * FLOAT subtraction (float ops evaluated in double then rounded to
+    * float are exact — binary64 carries 2·24+2 bits, so the double
+    * rounding is innocuous), residual codes from the residual codebooks,
+    * ADC = q̂·c + table fold (rounded to 9 AFTER the sum, like the
+    * engine), rerank tail as the global twin. */
+  private def ivfpqResidualOracle: Map[String, String] =
+    operators.IvfPqIndex.cachedResidualModel.map { m =>
+      val cent = m.coarse.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, ${doubleArrSql(c)})"
+      }.mkString(",\n              ")
+      val dim = m.pq.dim
+      "q_ann_ivfpq_res" ->
+        s"""WITH cent(cell, cv) AS (VALUES
+              $cent),
+           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           sc AS (SELECT e.vec_id, c.cell, list_dot_product(e.ev, c.cv) AS s
+                  FROM e CROSS JOIN cent c),
+           cells AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+             FROM sc) t WHERE rn = 1),
+           $pqNormSql,
+           rv AS (SELECT n.vec_id,
+                    list_transform(range($dim), i ->
+                      CAST(CAST(n.nv[i+1] - c.cv[i+1] AS FLOAT) AS DOUBLE)) AS nv
+                  FROM nq n JOIN cells cl ON cl.vec_id = n.vec_id
+                            JOIN cent c ON c.cell = cl.cell),
+           ${pqEncSql(m.pq, from = "rv")},
+           scq AS (SELECT n.vec_id, c.cell, list_dot_product(n.nv, c.cv) AS s
+                   FROM nq n CROSS JOIN cent c WHERE n.vec_id < 5),
+           probes AS (SELECT vec_id AS query_id, cell, s AS cell_dot FROM (
+             SELECT vec_id, cell, s,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+             FROM scq) t WHERE rn <= 2),
+           qt AS (SELECT vec_id AS query_id,
+               ${pqTablesSql(m.pq)} AS tables
+             FROM nq WHERE vec_id < 5),
+           adc AS (SELECT p.query_id, c.vec_id,
+               round(${pqAdcFoldSql(m.pq.m, "q.tables", "c.codes")} + p.cell_dot, 9) AS adc_score
              FROM enc c JOIN cells cl ON cl.vec_id = c.vec_id
                         JOIN probes p ON cl.cell = p.cell AND c.vec_id != p.query_id
                         JOIN qt q ON q.query_id = p.query_id),
@@ -1037,7 +1093,7 @@ object SparkEntry {
     * when a float-cast rule differs between builds. Harmless if ignored:
     * the correctness loop iterates `queries`, not this map. */
   def oracleSql: Map[String, String] =
-    ivfOracle ++ pqOracle ++ ivfpqOracle ++ embedOracle ++ Map(
+    ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++ embedOracle ++ Map(
     "zz_probe_duckdb_version" ->
       """SELECT version() AS duckdb_version,
                 CAST(round(CAST(0.1234565 AS DOUBLE), 6) AS DECIMAL(18,6)) AS canary_r6_cast,

@@ -187,4 +187,37 @@ object IvfPqIndex {
     searchIndex(spark, dir, emb, emb.filter(col("vec_id") < 5), model,
       k = 10, nprobe = 2, r = 50)
   }
+
+  /** Residual models live in their OWN cache so [[cachedModel]]'s
+    * one-model contract (the global oracle generator) stays intact. */
+  private val residualModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  /** The one cached RESIDUAL model of this session, if any — twin of
+    * [[cachedModel]] for the residual oracle generator. */
+  def cachedResidualModel: Option[Model] = {
+    val vs = residualModelCache.values()
+    if (vs.size() == 1) Some(vs.iterator().next()) else None
+  }
+
+  private val residualIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Query-pack adapter for the RESIDUAL composed index: same corpus,
+    * probe, pool, and k as [[ivfpqQuery]], but codes quantize x̂ − c and
+    * ADC reconstructs q̂·c + q̂·r̂ — the IVFADC §IV scheme, hash-checked
+    * against a generated SQL replay like its global twin. */
+  def ivfpqResidualQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = residualModelCache.computeIfAbsent(s"$sfDir#res#nlist=8#m=8#k=16",
+      _ => train(emb, nlist = 8, dim = 64, m = 8, k = 16,
+        coarseIters = 2, pqIters = 2, residual = true))
+    val dir = residualIndexCache.computeIfAbsent(sfDir, _ => {
+      val d = graft.WorkDirs.dir(s"ivfpqres_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+      writeIndex(emb, model, d)
+      d
+    })
+    searchIndex(spark, dir, emb, emb.filter(col("vec_id") < 5), model,
+      k = 10, nprobe = 2, r = 50)
+  }
 }
