@@ -56,11 +56,13 @@ object IvfPqIndex {
   /** Train both stages (each deterministic — seeds are the first vectors
     * by id, see [[IvfIndex.train]] / [[PqIndex.train]]). With
     * `residual = true` the PQ stage trains on the coarse residuals
-    * x̂ − c (un-normalized — the residual's magnitude IS information). */
+    * x̂ − c (un-normalized — the residual's magnitude IS information).
+    * `stratifiedSeeds` passes through to the coarse stage — the
+    * mass-proportional seeding [[rebuildIndex]] repairs balance with. */
   def train(corpus: DataFrame, nlist: Int, dim: Int = 64, m: Int = 8,
       k: Int = 16, coarseIters: Int = 3, pqIters: Int = 3,
-      residual: Boolean = false): Model = {
-    val coarse = IvfIndex.train(corpus, nlist, coarseIters)
+      residual: Boolean = false, stratifiedSeeds: Boolean = false): Model = {
+    val coarse = IvfIndex.train(corpus, nlist, coarseIters, stratifiedSeeds)
     if (!residual)
       Model(coarse, PqIndex.train(corpus, dim, m, k, pqIters))
     else {
@@ -96,6 +98,46 @@ object IvfPqIndex {
         PqIndex.codesColumn(model.pq, col("_enc")).as("codes"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Route NEW vectors into the existing code layout — [[IvfIndex
+    * .appendToIndex]] for the composed index: centroids and codebooks
+    * stay frozen, cost ∝ the delta, cell balance drifts as the corpus
+    * grows. [[IvfIndex.cellStats]]/[[IvfIndex.driftReport]] read this
+    * layout unchanged (same `cell=<i>/` parquet dirs, codes instead of
+    * floats), and [[rebuildIndex]] is the repair. */
+  def appendToIndex(delta: DataFrame, model: Model, path: String): Unit =
+    IvfIndex.assign(delta, model.coarse)
+      .select(col("vec_id"), col("cell"), PqIndex.normed(col("embedding")).as("_e"))
+      .select(col("vec_id"), col("cell"),
+        (if (model.residual)
+          residualCol(model.coarse, col("_e"), col("cell"))
+        else col("_e")).as("_enc"))
+      .select(col("vec_id"), col("cell"),
+        PqIndex.codesColumn(model.pq, col("_enc")).as("codes"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Retrain BOTH stages on the current corpus (the code layout carries
+    * no floats, so the corpus frame is required — at scale it is the
+    * table the index was built from) and swap the layout in with a
+    * sibling-directory rename, crash-safe like [[IvfIndex.rebuildIndex]].
+    * The coarse stage reseeds mass-proportionally, so a drifted mega-cell
+    * splits; returns the new model (old models probe the wrong cells of
+    * the new layout — same contract as the IVF rebuild). */
+  def rebuildIndex(spark: SparkSession, path: String, corpus: DataFrame,
+      nlist: Int, dim: Int = 64, m: Int = 8, k: Int = 16,
+      coarseIters: Int = 3, pqIters: Int = 3,
+      residual: Boolean = false): Model = {
+    import org.apache.hadoop.fs.Path
+    val model = train(corpus, nlist, dim, m, k, coarseIters, pqIters,
+      residual, stratifiedSeeds = true)
+    val tmp = s"$path.rebuild.tmp"
+    writeIndex(corpus, model, tmp)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+    model
+  }
 
   /**
    * Cell-pruned ADC + exact rerank over a persisted index. Per query: the

@@ -134,4 +134,45 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(recResidual > recGlobal,
       s"residual recall $recResidual must beat global $recGlobal at equal code budget")
   }
+
+  test("IVF×PQ maintenance: append drifts, footer stats see it, rebuild repairs") {
+    val composed = IvfPqIndex.train(emb, nlist = 8, dim = 64, m = 8, k = 16,
+      coarseIters = 2, pqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_maint").toString
+    IvfPqIndex.writeIndex(emb, composed, dir)
+
+    // the IVF footer readers work unchanged on the CODE layout
+    import graft.operators.IvfIndex
+    assert(IvfIndex.cellStats(spark, dir).agg(sum(col("n_vectors")))
+      .head().getLong(0) == emb.count())
+
+    // skewed append: 4 extra copies of the fullest cell's population
+    val donorCell = IvfIndex.assign(emb, composed.coarse)
+      .groupBy("cell").count().orderBy(col("count").desc).head().getAs[Int]("cell")
+    val donors = IvfIndex.assign(emb, composed.coarse)
+      .filter(col("cell") === donorCell).select("vec_id", "embedding")
+    val delta = (1 to 4).map(c =>
+        donors.select((col("vec_id") + lit(100000L * c)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+    IvfPqIndex.appendToIndex(delta, composed, dir)
+    assert(IvfIndex.driftReport(spark, dir, maxSkew = 3.0).head()
+      .getAs[Boolean]("drifted"))
+
+    // rebuild on the grown corpus: balance restored, full probe with a
+    // corpus-sized rerank pool reproduces brute force exactly
+    val union = emb.select("vec_id", "embedding").unionByName(delta)
+    val rebuilt = IvfPqIndex.rebuildIndex(spark, dir, union, nlist = 8,
+      coarseIters = 2, pqIters = 2)
+    assert(!IvfIndex.driftReport(spark, dir, maxSkew = 3.0).head()
+      .getAs[Boolean]("drifted"))
+    val queries = emb.filter(col("vec_id") < 3)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    val full = IvfPqIndex.searchIndex(spark, dir, union, queries, rebuilt,
+      k = 10, nprobe = 8, r = union.count().toInt)
+    assert(keyed(full.collect()) ==
+      keyed(Similarity.bruteForceTopK(union, queries, k = 10).collect()))
+  }
 }
