@@ -578,6 +578,7 @@ object SparkEntry {
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
+    "q_ann_sq"         -> (SqIndex.sqQuery _),
     "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
     "q_chunk_docs"     -> (TextAnalysis.chunkQuery _),
@@ -1023,6 +1024,34 @@ object SparkEntry {
            ${pqRerankTailSql(r = 50, k = 10)}"""
     }.toMap
 
+  /** SQ8 oracle (q_ann_sq): per-dimension int8 quantization against the
+    * session model's scale literals, dequantize (double product rounded
+    * to float — exact replay, see the residual oracle note), asymmetric
+    * dot against the normalized query, rerank tail as the PQ twins. */
+  private def sqOracle: Map[String, String] =
+    operators.SqIndex.cachedModel.map { m =>
+      val dim = m.dim
+      val scales =
+        s"CAST(${m.scales.map(_.toString).mkString("[", ",", "]")} AS DOUBLE[])"
+      "q_ann_sq" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           $pqNormSql,
+           sl(s) AS (VALUES ($scales)),
+           enc AS (SELECT vec_id, list_transform(range($dim), i ->
+                     CASE WHEN s[i+1] = 0 THEN 0
+                          ELSE CAST(round(nv[i+1] / s[i+1]) AS INTEGER) END) AS codes
+                   FROM nq CROSS JOIN sl),
+           deq AS (SELECT vec_id, list_transform(range($dim), i ->
+                     CAST(CAST(CAST(codes[i+1] AS DOUBLE) * s[i+1] AS FLOAT) AS DOUBLE)) AS dv
+                   FROM enc CROSS JOIN sl),
+           adc AS (SELECT q.query_id, c.vec_id,
+                     round(list_dot_product(c.dv, q.nv), 9) AS adc_score
+                   FROM deq c JOIN (SELECT vec_id AS query_id, nv FROM nq
+                                    WHERE vec_id < 5) q
+                        ON c.vec_id != q.query_id),
+           ${pqRerankTailSql(r = 50, k = 10)}"""
+    }.toMap
+
   /** Embedding near-dup oracle: buckets regenerated with the SAME
     * corpus-sized plane count the query used ([[operators.Dedup
     * .cachedAutoPlanes]] — Verify runs queries first); every
@@ -1093,7 +1122,8 @@ object SparkEntry {
     * when a float-cast rule differs between builds. Harmless if ignored:
     * the correctness loop iterates `queries`, not this map. */
   def oracleSql: Map[String, String] =
-    ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++ embedOracle ++ Map(
+    ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
+      sqOracle ++ embedOracle ++ Map(
     "zz_probe_duckdb_version" ->
       """SELECT version() AS duckdb_version,
                 CAST(round(CAST(0.1234565 AS DOUBLE), 6) AS DECIMAL(18,6)) AS canary_r6_cast,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IvfPqIndex, PqIndex, Similarity}
+import graft.operators.{IvfPqIndex, PqIndex, Similarity, SqIndex}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -133,6 +133,35 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     val (recGlobal, recResidual) = (recallOf(false), recallOf(true))
     assert(recResidual > recGlobal,
       s"residual recall $recResidual must beat global $recGlobal at equal code budget")
+  }
+
+  test("SQ8: codes in int8 range, deterministic model, recall between PQ and exact") {
+    val sq = SqIndex.train(emb)
+    assert(sq.dim == 64)
+    assert(sq.scales.forall(s => s >= 0 && s <= 1.0 / 127.0 + 1e-9),
+      "normalized components are ≤1, so scales are ≤1/127")
+    assert(SqIndex.train(emb).scales == sq.scales, "training must be deterministic")
+    val codes = SqIndex.encode(emb, sq).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(codes.size == emb.count())
+    codes.values.foreach { cs =>
+      assert(cs.length == 64)
+      assert(cs.forall(c => c >= -127 && c <= 127), s"int8 range violated: $cs")
+    }
+
+    // SQ8 distorts far less than PQ at the same rerank pool: with the
+    // pool barely above k, its candidate recall must at least match PQ's
+    val queries = emb.filter(col("vec_id") < 5)
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+        .count(truth.contains).toDouble / truth.size
+    val sqRec = recall(
+      SqIndex.searchWithRerank(emb, queries, sq, k = 10, r = 12).collect())
+    val pqRec = recall(
+      PqIndex.searchWithRerank(emb, queries, model, k = 10, r = 12).collect())
+    assert(sqRec >= pqRec,
+      s"SQ8 recall $sqRec must not lose to 8-byte PQ $pqRec at equal pool")
+    assert(sqRec > 0.8, s"64-byte codes should nearly reproduce exact: $sqRec")
   }
 
   test("IVF×PQ maintenance: append drifts, footer stats see it, rebuild repairs") {
