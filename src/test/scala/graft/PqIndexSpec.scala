@@ -141,6 +141,8 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(sq.scales.forall(s => s >= 0 && s <= 1.0 / 127.0 + 1e-9),
       "normalized components are ≤1, so scales are ≤1/127")
     assert(SqIndex.train(emb).scales == sq.scales, "training must be deterministic")
+    assert(SqIndex.train(emb.repartition(7)).scales == sq.scales,
+      "max aggregation is order-free, so partitioning must not matter")
     val codes = SqIndex.encode(emb, sq).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
     assert(codes.size == emb.count())
