@@ -273,14 +273,25 @@ object SparkEntry {
     * decimal-summed tf·idf score. The oracle replays the same ranking
     * straight from the documents table — the index is lossless, so the
     * two must agree exactly. */
-  private def keywordSearchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  private def invIndexDir(spark: SparkSession, sfDir: String): String = {
     val dir = WorkDirs.dir(s"invidx_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
     buildOnce(dir) {
       InvertedIndex.buildIndex(spark,
         spark.read.parquet(s"$sfDir/documents.parquet"), dir)
     }
-    InvertedIndex.search(spark, dir, Seq("merge", "sort", "window"), k = 20)
+    dir
   }
+
+  private def keywordSearchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.search(spark, invIndexDir(spark, sfDir),
+      Seq("merge", "sort", "window"), k = 20)
+
+  /** BM25 through the same index store: length-normalized Okapi ranking
+    * (rational idf), same probe, same terms — compares directly with the
+    * plain tf·idf ranking of [[keywordSearchQuery]]. */
+  private def bm25SearchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
+      Seq("merge", "sort", "window"), k = 20)
 
   /** CellCounter: per-(family, qualifier) cell totals, row counts, and
     * version depth over the same multi-version injection as
@@ -550,6 +561,7 @@ object SparkEntry {
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
     "q_keyword_search" -> (keywordSearchQuery _),
+    "q_bm25_search"    -> (bm25SearchQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
     "q_region_splits"  -> (regionSplitsQuery _),
@@ -1683,6 +1695,37 @@ object SparkEntry {
                             AS BIGINT) AS rank
                 FROM s)
           SELECT doc_id, score, rank FROM r WHERE rank <= 20""",
+    // BM25: Okapi weighting with the rational idf; the k1/b-derived
+    // constants are INTERPOLATED from the same Scala doubles the engine
+    // plan uses (a hand-written "2.2" could sit 1 ulp from the computed
+    // k1+1), and avgdl = Σdl/N divides the same integers on both sides.
+    "q_bm25_search" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH p AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+                          FROM documents)
+                    GROUP BY 1, 2),
+          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+          ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+          s AS (SELECT p.doc_id,
+                       CAST(sum(CAST(round(
+                         ((n.n + 1.0) / (d.df + 1)) *
+                         ((CAST(p.tf AS DOUBLE) * ${k1 + 1}) /
+                          (CAST(p.tf AS DOUBLE) + $k1 *
+                           (${1 - b} + $b * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))), 6)
+                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS score
+                FROM p JOIN d USING (term) JOIN dl USING (doc_id)
+                     CROSS JOIN n CROSS JOIN ad
+                WHERE p.term IN ('merge', 'sort', 'window')
+                GROUP BY 1),
+          r AS (SELECT doc_id, score,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                            AS BIGINT) AS rank
+                FROM s)
+          SELECT doc_id, score, rank FROM r WHERE rank <= 20"""
+    },
     // CellCounter: per-qualifier cell totals over the %10 three-version
     // injection — 4 qualifiers, uniform counts, version depth 3.
     "q_cell_counts" ->

@@ -71,11 +71,17 @@ object InvertedIndex {
 
   // --- index store layout -------------------------------------------------
   // posting cell:  rowKey = bigEndian(xxhash64(term)), family "post",
-  //                qualifier = term ‖ \0 ‖ doc_id, value = bigEndian(tf)
+  //                qualifier = term ‖ \0 ‖ doc_id,
+  //                value = bigEndian(tf) ‖ bigEndian(dl) (16 bytes: the
+  //                doc's token length rides IN the posting — the Lucene
+  //                norms-in-postings device — so BM25's length
+  //                normalization needs no second probe wave keyed by doc)
   // df cell:       rowKey = bigEndian(xxhash64(term)), family "df",
   //                qualifier = term,                   value = bigEndian(df)
   // corpus size:   rowKey = bigEndian(0), family "meta",
   //                qualifier = "n_docs",               value = bigEndian(N)
+  // length sum:    rowKey = bigEndian(0), family "meta",
+  //                qualifier = "sum_dl",               value = bigEndian(Σdl)
   // Hash collisions only co-locate rows (qualifier keeps the coordinate
   // unique and carries the exact term for the post-GET re-check).
 
@@ -90,14 +96,18 @@ object InvertedIndex {
   def indexCells(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val post = postings(docs, idCol, textCol)
-    val postCells = post.select(
+    // per-doc token length (= Σ tf over the doc's terms), denormalized
+    // into every posting value so ranked search never probes by doc id
+    val docLengths = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val postCells = post.join(docLengths, Seq("doc_id")).select(
       termKey(col("term")).as("rowKey"),
       lit("post").as("family"),
       concat(col("term"), lit(Sep), col("doc_id").cast("string"))
         .cast("binary").as("qualifier"),
       lit(CellTable.BaseTs).as("ts"),
       lit("Put").as("cellType"),
-      CellTable.bigEndianKey(col("tf")).as("value"))
+      concat(CellTable.bigEndianKey(col("tf")),
+        CellTable.bigEndianKey(col("dl"))).as("value"))
     val dfCells = docFrequencies(post).select(
       termKey(col("term")).as("rowKey"),
       lit("df").as("family"),
@@ -105,14 +115,18 @@ object InvertedIndex {
       lit(CellTable.BaseTs).as("ts"),
       lit("Put").as("cellType"),
       CellTable.bigEndianKey(col("df")).as("value"))
-    val metaCell = docs.select(col(idCol)).agg(count(lit(1)).as("n")).select(
+    def metaCell(agg: DataFrame, qual: String) = agg.select(
       CellTable.bigEndianKey(lit(0L)).as("rowKey"),
       lit("meta").as("family"),
-      lit("n_docs").cast("binary").as("qualifier"),
+      lit(qual).cast("binary").as("qualifier"),
       lit(CellTable.BaseTs).as("ts"),
       lit("Put").as("cellType"),
-      CellTable.bigEndianKey(col("n")).as("value"))
-    postCells.unionByName(dfCells).unionByName(metaCell)
+      CellTable.bigEndianKey(col("v")).as("value"))
+    postCells.unionByName(dfCells)
+      .unionByName(metaCell(
+        docs.select(col(idCol)).agg(count(lit(1)).as("v")), "n_docs"))
+      .unionByName(metaCell(
+        docLengths.agg(sum(col("dl")).as("v")), "sum_dl"))
   }
 
   /** Build (overwrite) the index store at `dir` as a salted cell store. */
@@ -130,10 +144,10 @@ object InvertedIndex {
    * top-k by (score desc, doc_id asc) via orderBy+limit
    * (TakeOrderedAndProject — no global single-partition window).
    */
-  def search(spark: SparkSession, dir: String, terms: Seq[String],
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val uniq = terms.distinct
+  /** The probed postings/df frames + meta scalars shared by both ranking
+    * functions: (postings with tf and dl, dfs, n_docs, sum_dl). */
+  private def probe(spark: SparkSession, dir: String, uniq: Seq[String])
+      : (DataFrame, DataFrame, Long, Long) = {
     // the probe keys, hashed exactly as the index writer hashed them
     val keys = spark.range(1).select(
       array(uniq.map(t => termKey(lit(t))): _*).as("ks"))
@@ -142,18 +156,38 @@ object InvertedIndex {
     val probed = store.filter(col("rowKey").isInCollection(keys))
     val post = probed.filter(col("family") === "post")
       .select(split(col("qualifier").cast("string"), Sep).as("_q"),
-        CellTable.keyToLong(col("value")).as("tf"))
+        CellTable.keyToLong(substring(col("value"), 1, 8)).as("tf"),
+        CellTable.keyToLong(substring(col("value"), 9, 8)).as("dl"))
       .select(col("_q").getItem(0).as("term"),
-        col("_q").getItem(1).cast("bigint").as("doc_id"), col("tf"))
+        col("_q").getItem(1).cast("bigint").as("doc_id"),
+        col("tf"), col("dl"))
       .filter(col("term").isin(uniq: _*)) // exact re-check past hash collisions
     val dfs = probed.filter(col("family") === "df")
       .select(col("qualifier").cast("string").as("term"),
         CellTable.keyToLong(col("value")).as("df"))
       .filter(col("term").isin(uniq: _*))
-    val nDocs = store
+    val metas = store
       .filter(col("rowKey") === CellTable.bigEndianKey(lit(0L)) &&
         col("family") === "meta")
-      .select(CellTable.keyToLong(col("value"))).head().getLong(0)
+      .select(col("qualifier").cast("string"), CellTable.keyToLong(col("value")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (post, dfs, metas("n_docs"), metas("sum_dl"))
+  }
+
+  /** Bounded-input rank + top-k tail shared by both ranking functions. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    // rank over the k collected rows only — bounded input, safe window
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("bigint"))
+  }
+
+  def search(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val uniq = terms.distinct
+    val (post, dfs, nDocs, _) = probe(spark, dir, uniq)
     // round(x, 6) before the DECIMAL(18,6) cast: the rounded double sits
     // within ~1e-16 of an exact 6-decimal value, so the cast can never
     // land on a rounding boundary — a raw-double cast leaves the result
@@ -165,10 +199,37 @@ object InvertedIndex {
           .cast("decimal(18,6)").as("_c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("_c")).cast("decimal(18,6)").as("score"))
-    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
-    // rank over the k collected rows only — bounded input, safe window
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
-        .cast("bigint"))
+    topK(scored, k)
+  }
+
+  /**
+   * BM25-ranked search (Robertson–Spärck Jones, the Okapi weighting):
+   * per-term contribution
+   *
+   *   idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+   *
+   * with the repo's RATIONAL idf (N+1)/(df+1) standing in for the usual
+   * ln form (same monotone ranking per term, no libm — the engine's
+   * bit-exact-oracle discipline; documented deviation from Okapi's
+   * log-idf). dl rides in the posting value and avgdl = Σdl/N from the
+   * meta cells, so the probe shape is IDENTICAL to [[search]] — the
+   * length normalization is free. Contributions round to 6 decimals and
+   * sum as DECIMAL (order-free), like every score in the engine.
+   */
+  def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val uniq = terms.distinct
+    val (post, dfs, nDocs, sumDl) = probe(spark, dir, uniq)
+    val avgdl = sumDl.toDouble / nDocs
+    val tfD = col("tf").cast("double")
+    val den = tfD + lit(k1) *
+      (lit(1 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))
+    val scored = post.join(dfs, Seq("term"))
+      .select(col("doc_id"),
+        round(idf(nDocs) * ((tfD * lit(k1 + 1)) / den), 6)
+          .cast("decimal(18,6)").as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).cast("decimal(18,6)").as("score"))
+    topK(scored, k)
   }
 }

@@ -69,4 +69,35 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(probePlan.contains("cellstore"), probePlan)
   }
+
+  test("bm25: equal tf, the shorter document wins (length normalization)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_bm25").toString
+    InvertedIndex.buildIndex(spark, tiny, dir, buckets = 2)
+    // "banana": tf 1 in doc0 (dl 3) and doc1 (dl 2) — plain tf·idf TIES
+    // (id tiebreak → doc0 first); BM25's dl/avgdl denominator must rank
+    // the shorter doc1 first
+    val got = InvertedIndex.searchBm25(spark, dir, Seq("banana"), k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[java.math.BigDecimal]("score"), r.getAs[Long]("rank")))
+    assert(got.map(_._1).toSeq == Seq(1L, 0L), s"shorter doc must rank first: ${got.toSeq}")
+
+    // scores replay the exact engine arithmetic (k1=1.2, b=0.75,
+    // avgdl = 9/3, rational idf (3+1)/(2+1))
+    def expected(tf: Double, dl: Double): java.math.BigDecimal = {
+      val avgdl = 9.0 / 3
+      val idf = (3 + 1.0) / (2 + 1)
+      val raw = idf * ((tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      new java.math.BigDecimal(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    assert(got(0)._2.compareTo(expected(1, 2)) == 0, s"doc1: ${got(0)}")
+    assert(got(1)._2.compareTo(expected(1, 3)) == 0, s"doc0: ${got(1)}")
+
+    // plain tf-idf through the SAME (widened) index still ranks doc0
+    // first on the id tiebreak — the two rankings share one store
+    val tfidf = InvertedIndex.search(spark, dir, Seq("banana"), k = 3)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(tfidf.toSeq == Seq(0L, 1L))
+  }
 }
