@@ -1440,10 +1440,12 @@ object SparkEntry {
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
     // Interval join: events inside the 30-minute half-open window after an
     // error event of the same user, vs DuckDB's plain inequality join.
-    // Comparisons go through epoch_us on BOTH sides: the raw fixture carries
-    // nanosecond timestamps, the engine works at Spark's microsecond
-    // precision, and window ends inherit the error's sub-µs fraction — the
-    // explicit µs floor keeps the two engines' boundary decisions identical.
+    // Comparisons go through epoch_us on BOTH sides: the fixture's physical
+    // ts encoding has varied across generations (ns, then µs — see
+    // Tables.normalizeEventTs), the engine always works at Spark's
+    // microsecond precision, and epoch_us is type-generic in DuckDB — the
+    // explicit µs floor keeps the two engines' boundary decisions identical
+    // whichever encoding the fixture carries.
     "q_interval_join" ->
       """SELECT e.event_id, e.user_id,
                 CAST(epoch_us(e.ts) // 1000 AS BIGINT) AS ts_ms,

@@ -29,8 +29,10 @@ object EventMonitor {
         col("event_type"), col("n_events"), col("n_errors"), col("sum_value"))
 
   /** Start the monitor over a parquet directory as a file stream. The raw
-    * schema carries `ts` as nano longs (see Tables); normalization to
-    * TimestampType happens inside the stream so batch and stream share it.
+    * schema carries `ts` in whatever encoding the fixture generation used
+    * (ns longs or µs timestamps — see Tables.normalizeEventTs);
+    * normalization to TimestampType happens inside the stream so batch and
+    * stream share it.
     *
     * `outputMode` defaults to `append` — the production path: the watermark
     * evicts window state and drops late rows, so state stays bounded on an
