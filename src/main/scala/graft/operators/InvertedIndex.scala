@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
  * are the one place two engines legitimately disagree at the ulp, and
  * the repo's correctness gate is bit-exact cross-engine comparison (same
  * reasoning as [[TextAnalysis.ngramLmScore]]'s rational LM). Per-term
- * contributions are cast to DECIMAL(18,6) before summing, so the
- * per-document score is an EXACT decimal sum — associative, and
- * therefore independent of Spark's aggregation order.
+ * contributions are quantized to MICRO-UNITS — `floor(x·10⁶ + 0.5)` as
+ * BIGINT, i.e. scaled-integer half-up — and summed as longs, so the
+ * per-document score is an EXACT integer sum: associative (independent
+ * of Spark's aggregation order) AND tie-rule-free. `round(x, 6)` +
+ * DECIMAL looked equivalent but wasn't: tf·idf contributions are
+ * rationals that land on exact 7-digit `…5` ties whenever df+1 is a
+ * power of two, precisely where engines' (and engine versions') round/
+ * cast tie rules diverge; `floor` is exact IEEE and the multiply/add is
+ * the same double op everywhere, so the quantized value is identical on
+ * any engine evaluating the same arithmetic.
  *
  * Scale shape: postings are one explode + hash aggregation (map-side
  * combine absorbs the ~constant-vocabulary fixture's hot terms); the
@@ -46,6 +53,12 @@ object InvertedIndex {
   /** Rational idf as a Column: (N+1)/(df+1), one IEEE division. */
   private def idf(nDocs: Long): org.apache.spark.sql.Column =
     (lit(nDocs) + lit(1.0)) / (col("df") + lit(1))
+
+  /** Scaled-integer half-up: `floor(x·10⁶ + 0.5)` as BIGINT — the
+    * tie-rule-free 6-decimal quantization every ranked score uses (see
+    * the class doc). Spark's `floor(double)` returns LongType. */
+  private def microUnits(x: org.apache.spark.sql.Column) =
+    floor(x * lit(1000000.0) + lit(0.5))
 
   /**
    * Per-document top-k keywords by tf·idf. Each score is exactly two
@@ -140,8 +153,8 @@ object InvertedIndex {
   /**
    * Ranked keyword search through the index store. Touches only the
    * query terms' buckets (pushed `In(rowKey)` GETs on both the postings
-   * and df families); score = Σ_t tf·idf summed as DECIMAL(18,6);
-   * top-k by (score desc, doc_id asc) via orderBy+limit
+   * and df families); score = Σ_t tf·idf in micro-units (BIGINT, see
+   * [[microUnits]]); top-k by (score desc, doc_id asc) via orderBy+limit
    * (TakeOrderedAndProject — no global single-partition window).
    */
   /** The probed postings/df frames + meta scalars shared by both ranking
@@ -188,17 +201,11 @@ object InvertedIndex {
       k: Int): DataFrame = {
     val uniq = terms.distinct
     val (post, dfs, nDocs, _) = probe(spark, dir, uniq)
-    // round(x, 6) before the DECIMAL(18,6) cast: the rounded double sits
-    // within ~1e-16 of an exact 6-decimal value, so the cast can never
-    // land on a rounding boundary — a raw-double cast leaves the result
-    // hostage to the other engine's cast tie-rule whenever digits beyond
-    // the 6th are near 5e-7.
     val scored = post.join(dfs, Seq("term"))
       .select(col("doc_id"),
-        round(col("tf").cast("double") * idf(nDocs), 6)
-          .cast("decimal(18,6)").as("_c"))
+        microUnits(col("tf").cast("double") * idf(nDocs)).as("_c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("_c")).cast("decimal(18,6)").as("score"))
+      .agg(sum(col("_c")).as("score"))
     topK(scored, k)
   }
 
@@ -213,8 +220,9 @@ object InvertedIndex {
    * bit-exact-oracle discipline; documented deviation from Okapi's
    * log-idf). dl rides in the posting value and avgdl = Σdl/N from the
    * meta cells, so the probe shape is IDENTICAL to [[search]] — the
-   * length normalization is free. Contributions round to 6 decimals and
-   * sum as DECIMAL (order-free), like every score in the engine.
+   * length normalization is free. Contributions quantize to micro-units
+   * and sum as BIGINT (order- and tie-rule-free), like every ranked
+   * score in the engine (see [[microUnits]]).
    */
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -226,10 +234,9 @@ object InvertedIndex {
       (lit(1 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))
     val scored = post.join(dfs, Seq("term"))
       .select(col("doc_id"),
-        round(idf(nDocs) * ((tfD * lit(k1 + 1)) / den), 6)
-          .cast("decimal(18,6)").as("_c"))
+        microUnits(idf(nDocs) * ((tfD * lit(k1 + 1)) / den)).as("_c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("_c")).cast("decimal(18,6)").as("score"))
+      .agg(sum(col("_c")).as("score"))
     topK(scored, k)
   }
 }

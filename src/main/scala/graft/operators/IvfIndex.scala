@@ -121,22 +121,21 @@ object IvfIndex {
       .withColumn("_centroid_cos_raw", element_at(cosines, col("cell") + 1))
   }
 
-  /** Per-cluster profile: population and the DECIMAL-exact cosine mass
-    * (sum, not mean — decimal sums are order-free; a mean's division has
-    * engine-specific decimal scale rules). One hash aggregation.
-    * Each cosine is rounded to the DECIMAL's OWN scale (6) before the
-    * cast: round(x, 6) lands within ~1e-16 of an exact 6-decimal value,
-    * so the cast can never sit on a rounding boundary — a raw-double
-    * cast is a tie-break lottery whenever digits 7+ are near 5e-7
-    * (ulp-different engines, or engine versions with different cast
-    * rounding rules, flip it). */
+  /** Per-cluster profile: population and the cosine mass in MICRO-UNITS
+    * — each cosine quantized as `floor(x·10⁶ + 0.5)` (scaled-integer
+    * half-up, BIGINT) and summed as longs. One hash aggregation; the sum
+    * (not mean) keeps it order-free, and the floor-based quantization is
+    * tie-rule-free: `round(x, 6)`/DECIMAL casts hit engine-specific
+    * half-up-vs-half-even behavior exactly when a cosine lands on a
+    * 7-digit `…5` tie, while `floor` is exact IEEE and the multiply/add
+    * is the same double op on any engine. */
   def clusterProfiles(corpus: DataFrame, model: Model): DataFrame =
     clusterAssign(corpus, model)
       .groupBy(col("cell"))
       .agg(
         count(lit(1)).as("n_vectors"),
-        sum(round(col("_centroid_cos_raw"), 6).cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("cos_sum"))
+        sum(floor(col("_centroid_cos_raw") * lit(1000000.0) + lit(0.5)))
+          .as("cos_sum"))
 
   /** Vectors far from every topic: cosine to their own (nearest!)
     * centroid below `minCos` — the embedding-space noise filter for

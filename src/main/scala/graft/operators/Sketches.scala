@@ -53,6 +53,55 @@ object Sketches {
         approx_count_distinct(col("tok"), 0.01).as("n_distinct_tokens_approx"),
         count(lit(1)).as("n_tokens"))
 
+  /** Driver-checkable form of [[vocabApproxQuery]]: the sketch output is
+    * engine-specific (no SQL oracle can replay HLL++ registers), but its
+    * CONTRACT — within the configured 1% relative standard error of the
+    * exact count, checked at 5% to leave 5σ of headroom — is a boolean
+    * both engines can agree on. Spark computes approx AND exact and emits
+    * (exact stats, within_bound); the oracle recomputes the exact stats
+    * and asserts TRUE — so the driver's hash compare verifies the exact
+    * side bit-for-bit and fails loudly if the sketch ever drifts out of
+    * bound. (The exact twin is verification scaffolding; at 100 TB only
+    * the sketch side runs — that's [[vocabApproxQuery]].) */
+  def vocabApproxCheckQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("lang"),
+        explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("tok"))
+      .groupBy("lang")
+      .agg(
+        approx_count_distinct(col("tok"), 0.01).as("_approx"),
+        countDistinct(col("tok")).as("n_distinct_tokens"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("lang"), col("n_distinct_tokens"), col("n_tokens"),
+        (abs(col("_approx") - col("n_distinct_tokens")).cast("double") <=
+          lit(0.05) * col("n_distinct_tokens").cast("double"))
+          .as("within_bound"))
+
+  /** Driver-checkable form of [[percentilesApproxQuery]]: KLL-style
+    * `percentile_approx(accuracy = 10000)` guarantees rank error ≤ 1e-4,
+    * so each approx quantile's VALUE must land between the exact
+    * interpolated quantiles at q ± 0.001 (10× the guarantee, monotone in
+    * q). The booleans are Spark-computed; the oracle contributes the
+    * group keys and TRUE literals, making a sketch regression a hash
+    * mismatch in the driver's gate. */
+  def percentilesApproxCheckQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("a95"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("a99"),
+        expr("percentile(value, 0.499)").as("lo50"),
+        expr("percentile(value, 0.501)").as("hi50"),
+        expr("percentile(value, 0.949)").as("lo95"),
+        expr("percentile(value, 0.951)").as("hi95"),
+        expr("percentile(value, 0.989)").as("lo99"),
+        expr("percentile(value, 0.991)").as("hi99"))
+      .select(col("event_type"),
+        col("a50").between(col("lo50"), col("hi50")).as("p50_ok"),
+        col("a95").between(col("lo95"), col("hi95")).as("p95_ok"),
+        col("a99").between(col("lo99"), col("hi99")).as("p99_ok"))
+
   /** Misra-Gries state: bounded MUTABLE counter map + total stream length.
     * Counters are `long[1]` cells in a `java.util.HashMap`, so the hottest
     * path — incrementing an existing token — is one hash probe and an

@@ -43,23 +43,24 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     val terms = Seq("merge", "sort")
     val viaIndex = InvertedIndex.search(spark, dir, terms, k = 10).collect()
       .map(r => (r.getAs[Long]("doc_id"),
-        r.getAs[java.math.BigDecimal]("score").toPlainString,
+        r.getAs[Long]("score"),
         r.getAs[Long]("rank")))
 
-    // direct: same arithmetic straight from the postings
+    // direct: same arithmetic straight from the postings (micro-unit
+    // quantization — floor(x·1e6 + 0.5) as long — like the engine)
     val post = InvertedIndex.postings(docs)
     val dfs = InvertedIndex.docFrequencies(post)
     val n = docs.count()
     val direct = post.filter(col("term").isin(terms: _*))
       .join(dfs, Seq("term"))
       .select(col("doc_id"),
-        (col("tf").cast("double") * ((lit(n) + lit(1.0)) / (col("df") + lit(1))))
-          .cast("decimal(18,6)").as("c"))
-      .groupBy("doc_id").agg(sum(col("c")).cast("decimal(18,6)").as("score"))
+        floor((col("tf").cast("double") * ((lit(n) + lit(1.0)) / (col("df") + lit(1))))
+          * lit(1000000.0) + lit(0.5)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(10)
       .collect().zipWithIndex
       .map { case (r, i) => (r.getAs[Long]("doc_id"),
-        r.getAs[java.math.BigDecimal]("score").toPlainString, i + 1L) }
+        r.getAs[Long]("score"), i + 1L) }
     assert(viaIndex.toSeq == direct.toSeq)
 
     // the probe is a pushed point lookup: only the terms' buckets scan
@@ -79,20 +80,20 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     val got = InvertedIndex.searchBm25(spark, dir, Seq("banana"), k = 3)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"),
-        r.getAs[java.math.BigDecimal]("score"), r.getAs[Long]("rank")))
+        r.getAs[Long]("score"), r.getAs[Long]("rank")))
     assert(got.map(_._1).toSeq == Seq(1L, 0L), s"shorter doc must rank first: ${got.toSeq}")
 
     // scores replay the exact engine arithmetic (k1=1.2, b=0.75,
-    // avgdl = 9/3, rational idf (3+1)/(2+1))
-    def expected(tf: Double, dl: Double): java.math.BigDecimal = {
+    // avgdl = 9/3, rational idf (3+1)/(2+1)), quantized to micro-units
+    // with the engine's scaled-integer half-up
+    def expected(tf: Double, dl: Double): Long = {
       val avgdl = 9.0 / 3
       val idf = (3 + 1.0) / (2 + 1)
       val raw = idf * ((tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
-      new java.math.BigDecimal(raw)
-        .setScale(6, java.math.RoundingMode.HALF_UP)
+      math.floor(raw * 1000000.0 + 0.5).toLong
     }
-    assert(got(0)._2.compareTo(expected(1, 2)) == 0, s"doc1: ${got(0)}")
-    assert(got(1)._2.compareTo(expected(1, 3)) == 0, s"doc0: ${got(1)}")
+    assert(got(0)._2 == expected(1, 2), s"doc1: ${got(0)}")
+    assert(got(1)._2 == expected(1, 3), s"doc0: ${got(1)}")
 
     // plain tf-idf through the SAME (widened) index still ranks doc0
     // first on the id tiebreak — the two rankings share one store
