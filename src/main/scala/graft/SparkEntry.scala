@@ -586,6 +586,7 @@ object SparkEntry {
     "q_incr_neardup"   -> (IncrementalDedup.incrementalQuery _),
     "q_simhash_pairs"  -> (Dedup.simhashQuery _),
     "q_ngram_jaccard"  -> (Dedup.ngramJaccardQuery _),
+    "q_source_overlap" -> (Dedup.sourceOverlapQuery _),
     "q_dup_clusters"   -> (Dedup.clustersQuery _),
     "q_rep_windows"    -> (Dedup.repeatedWindowsQuery _),
     "q_split_assign"   -> (CorpusPipeline.splitAssignQuery _),
@@ -1965,6 +1966,27 @@ object SparkEntry {
       s"""WITH ${jaccardPairsSql("documents")}
           SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
           FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.3""",
+    // Cross-source overlap: exact Jaccard over each source's distinct
+    // shingle set (string grams here, 64-bit gram hashes engine-side —
+    // counts agree absent collisions, the same contract q_minhash_pairs
+    // relies on), micro-unit quantized; the MinHash-signature estimate is
+    // Spark-verified against the exact value, surfaced as a boolean.
+    "q_source_overlap" ->
+      s"""WITH sh AS (SELECT source, $ShingleSql AS shs FROM documents),
+          sg AS (SELECT DISTINCT source, unnest(shs) AS g FROM sh),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+          pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                        CAST(count(*) AS BIGINT) AS n_inter
+                 FROM sg a JOIN sg b USING (g)
+                 WHERE a.source < b.source GROUP BY 1, 2)
+          SELECT pr.source_a, pr.source_b, pr.n_inter,
+                 CAST(za.n + zb.n - pr.n_inter AS BIGINT) AS n_union,
+                 CAST(floor((CAST(pr.n_inter AS DOUBLE)
+                             / CAST(za.n + zb.n - pr.n_inter AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro,
+                 TRUE AS mh_within_bound
+          FROM pr JOIN sz za ON pr.source_a = za.source
+                  JOIN sz zb ON pr.source_b = zb.source""",
     // connected components over the ground-truth >=0.5 edge set via a
     // recursive transitive closure; cluster id = least reachable doc id
     // (LSH attains full recall on the fixtures, so edge sets agree)

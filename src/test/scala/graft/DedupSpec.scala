@@ -15,6 +15,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     (1L, doc), (2L, doc), (3L, nearDoc), (4L, other), (5L, "short text")
   ).toDF("doc_id", "text")
 
+  test("source overlap: exact Jaccard from hand-counted shingle sets, estimate in bound") {
+    // srcA and srcB share one full doc → known shingle overlap; srcC is
+    // disjoint from both (no emitted pair — the join IS the intersection)
+    val bysrc = Seq(
+      ("srcA", doc),                            // 14 tokens → 12 shingles
+      ("srcA", "alpha beta gamma delta"),       // 4 tokens  → +2 shingles
+      ("srcB", doc),                            // same 12
+      ("srcB", other),                          // 10 tokens → +8 disjoint
+      ("srcC", "zeta eta theta iota kappa")     // 3 shingles, disjoint
+    ).toDF("source", "text")
+    val r = Dedup.sourceOverlap(bysrc).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        ((x.getAs[Long]("n_inter"), x.getAs[Long]("n_union"),
+          x.getAs[Long]("jaccard_micro"), x.getAs[Boolean]("mh_within_bound"))))
+      .toMap
+    assert(r.keySet == Set(("srcA", "srcB")), s"only the overlapping pair: ${r.keySet}")
+    val (inter, union, jm, ok) = r(("srcA", "srcB"))
+    assert(inter == 12L)                       // the shared doc's 12 shingles
+    assert(union == 14L + 20L - 12L)           // |A| + |B| − |A∩B|
+    assert(jm == math.floor(12.0 / 22.0 * 1000000.0 + 0.5).toLong)
+    assert(ok, "minhash estimate must sit within the bound")
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs).collect()
       .map(x => (x.getAs[Long]("n_docs"), x.getAs[Long]("keep_id")))
