@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Stream-stream interval join — the continuous twin of
+ * [[graft.operators.IntervalJoin.intervalQuery]]: as events arrive, attach
+ * every event to the error events of the same user whose 30-minute blast
+ * radius contains it ("activity in an incident's window", live).
+ *
+ * This is Spark's watermarked stream-stream inner join: both sides carry a
+ * watermark and the join condition bounds each side's event time relative
+ * to the other (`l.ts ∈ [r.ts, r.ts + 30 min)`), which is exactly what the
+ * state store needs to evict — left rows older than the watermark can
+ * never match a future error, and error rows older than watermark + 30 min
+ * can never match a future event. State is therefore bounded by the
+ * watermark horizon × arrival rate, not by stream length — the property
+ * that lets this run forever on an unbounded stream.
+ *
+ * Batch and stream share `transform`, so the join's semantics are covered
+ * by the `q_interval_join` oracle while the streaming spec covers the
+ * watermark/state mechanics via the memory sink. (The batch operator plans
+ * the same predicate through the granule-exploded equi-join shape instead;
+ * see IntervalJoin's scaladoc for why that wins at rest.)
+ */
+object StreamIntervalJoin {
+
+  /** The shared (batch == stream) join: events × same-user error windows.
+    * `events` may be a streaming or a batch frame. */
+  def transform(events: DataFrame): DataFrame = {
+    val l = events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val r = events
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("_ruid"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    l.join(r,
+        col("user_id") === col("_ruid") &&
+          col("ts") >= col("err_ts") &&
+          col("ts") < col("err_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(
+        col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
+        col("error_id"))
+  }
+
+  /** Start the join over the fixture dir as a file stream (same source
+    * shape as [[EventMonitor.start]]); append mode — each match emits
+    * exactly once, state evicted by the watermark. */
+  def start(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    val schema = graft.sources.Tables.eventsRawSchema(spark, sfDir)
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sfDir))
+    transform(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
+  /** Run to exhaustion of available input, return the sink table. */
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = start(spark, sfDir, "stream_interval_join_once")
+    try q.processAllAvailable() finally q.stop()
+    spark.table("stream_interval_join_once")
+  }
+}

@@ -17,6 +17,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val streamed = graft.streaming.StreamIntervalJoin.runOnce(spark, sf001)
+    val batch = graft.operators.IntervalJoin.intervalQuery(spark, sf001)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "stream emitted a pair the batch twin does not have")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "stream missed a pair the batch twin has (state evicted too early?)")
+    // stream-join result also equals the shared transform run in batch mode
+    val viaTransform = graft.streaming.StreamIntervalJoin.transform(
+      graft.sources.Tables.load(spark, sf001, "events"))
+    assert(viaTransform.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(viaTransform).count() == 0)
+  }
+
   test("error channel counts only error events") {
     val out = EventMonitor.runOnce(spark, sf001)
     val totalErrors = out.agg(sum("n_errors")).collect().head.getLong(0)
