@@ -595,6 +595,7 @@ object SparkEntry {
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
     "q_ann_lsh"        -> (Similarity.lshQuery _),
     "q_ann_multiprobe" -> (Similarity.multiProbeQuery _),
+    "q_ann_mrl"        -> (Similarity.mrlQuery _),
     "q_ann_filtered"   -> (Similarity.filteredQuery _),
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
@@ -1850,6 +1851,29 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 20""",
+    // Matryoshka two-stage: prefix-16 cosine first pass (list_slice of the
+    // same doubles — the engine slices the float array before widening,
+    // identical elements), 100-candidate rerank on the full cosine. Both
+    // scores q9-rounded, both ranks carry the (score, vec_id) tiebreak.
+    "q_ann_mrl" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           pre AS (
+             SELECT q.query_id, c.vec_id, c.cv, q.qv,
+                    ${cosineSql("list_slice(c.cv, 1, 16)", "list_slice(q.qv, 1, 16)")} AS prefix_cos
+             FROM c JOIN q ON c.vec_id != q.query_id),
+           cand AS (SELECT query_id, vec_id, cv, qv, prefix_cos FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY prefix_cos DESC, vec_id ASC) AS pr
+             FROM pre) t WHERE pr <= 100),
+           rer AS (SELECT query_id, vec_id, prefix_cos,
+                          ${cosineSql("cv", "qv")} AS cosine
+                   FROM cand)
+          SELECT query_id, vec_id, prefix_cos, cosine, rank FROM (
+            SELECT query_id, vec_id, prefix_cos, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM rer) t WHERE rank <= 20""",
     // Filtered ANN: exact top-10 among same-label corpus vectors only
     // (pre-filtering — the predicate applies before scoring).
     "q_ann_filtered" ->

@@ -200,6 +200,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Matryoshka-style two-stage retrieval: first pass ranks on the cosine
+   * of the first `dPrefix` dimensions only (MRL-trained embeddings
+   * front-load information, so a prefix is itself a usable embedding —
+   * Kusupati et al., NeurIPS'22), keeping `r` candidates per query; the
+   * rerank scores those with the full-dimension cosine. The first pass
+   * reads `dPrefix/dim` of the vector bytes — with a column layout that
+   * stores the prefix separately this is a proportional scan-cost cut on
+   * the expensive pass, and the rerank touches only `r` full vectors per
+   * query. Same broadcast-queries / no-corpus-shuffle shape as
+   * [[bruteForceTopK]]; both scores are q9-quantized and both ranks carry
+   * the (score desc, vec_id asc) tiebreak, so the output is
+   * oracle-replayable.
+   */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, dPrefix: Int,
+      r: Int, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"), col("embedding"), col("query_vec"),
+        q9(VectorFunctions.cosine_sim(
+          slice(col("embedding"), 1, dPrefix),
+          slice(col("query_vec"), 1, dPrefix))).as("prefix_cos"))
+    val wPre = Window.partitionBy("query_id")
+      .orderBy(col("prefix_cos").desc, col("vec_id").asc)
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("_pr", row_number().over(wPre))
+      .filter(col("_pr") <= r)
+      .select(col("query_id"), col("vec_id"), col("prefix_cos"),
+        q9(VectorFunctions.cosine_sim(col("embedding"), col("query_vec")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wFull).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   // Query-pack adapters --------------------------------------------------
 
   /** Top-20 neighbors for the first 5 vectors, exact. */
@@ -239,5 +276,12 @@ object Similarity {
   def multiProbeQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     multiProbeTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+  }
+
+  /** Same queries through the Matryoshka path: 16-of-64-dim first pass,
+    * 100-candidate rerank, top-20. */
+  def mrlQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    mrlTopK(emb, emb.filter(col("vec_id") < 5), dPrefix = 16, r = 100, k = 20)
   }
 }

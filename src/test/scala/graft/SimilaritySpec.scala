@@ -123,6 +123,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(byQ(0L).map(_.getAs[Long]("vec_id")).toSet == bf)
   }
 
+  test("matryoshka: corpus-wide rerank recovers brute force; narrow rerank keeps full-cosine order") {
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    // r = corpus size → the rerank sees every candidate → exact top-k
+    val full = Similarity.mrlTopK(emb, queries, dPrefix = 16, r = 1000, k = 20)
+      .select("query_id", "vec_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 20)
+      .select("query_id", "vec_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(full == bf, "full-width rerank must equal exact brute force")
+    // production regime: every emitted cosine is exact, ranks are
+    // contiguous and ordered by the full cosine within each query
+    val narrow = Similarity.mrlQuery(spark, sf001).collect()
+    val exact = bf.map(t => (t._1, t._2) -> t._3).toMap
+    narrow.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 20L))
+      val ordered = rows.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Double]("cosine"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+    narrow.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      exact.get(key).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
   test("LSH top-k: results are a subset of correct cosine scores, same bucket only") {
     val exact = Similarity.bruteForceQuery(spark, sf001)
       .select("query_id", "vec_id", "cosine").collect()
