@@ -600,6 +600,7 @@ object SparkEntry {
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
+    "q_embed_stats"    -> (EmbeddingStats.dimStatsQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
@@ -1851,6 +1852,20 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 20""",
+    // Per-dimension embedding stats: elements quantized to micro-units
+    // BEFORE aggregation (exact integer min/max/sum — order- and
+    // tie-rule-free); the lateral range() replays posexplode's 0-based
+    // dimension index.
+    "q_embed_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+          d AS (SELECT CAST(t.i AS BIGINT) AS dim,
+                       list_extract(ev, CAST(t.i + 1 AS INTEGER)) AS x
+                FROM e CROSS JOIN range(64) t(i))
+          SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(min(floor(x * 1000000.0 + 0.5)) AS BIGINT) AS min_micro,
+                 CAST(max(floor(x * 1000000.0 + 0.5)) AS BIGINT) AS max_micro,
+                 CAST(sum(floor(x * 1000000.0 + 0.5)) AS BIGINT) AS sum_micro
+          FROM d GROUP BY dim""",
     // Matryoshka two-stage: prefix-16 cosine first pass (list_slice of the
     // same doubles — the engine slices the float array before widening,
     // identical elements), 100-candidate rerank on the full cosine. Both

@@ -151,6 +151,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embedding dim stats: exact micro-unit min/max/sum on a hand corpus") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, -0.5f)),
+      (1L, Seq(0.5f, 0.25f)),
+      (2L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.operators.EmbeddingStats.dimStats(emb).collect()
+      .map(x => x.getAs[Long]("dim") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("min_micro"),
+          x.getAs[Long]("max_micro"), x.getAs[Long]("sum_micro")))).toMap
+    assert(r(0L) == ((3L, -1000000L, 1000000L, 500000L)))
+    assert(r(1L) == ((3L, -500000L, 250000L, -250000L)))
+    // fixture pass covers every (vec, dim) element exactly once
+    val full = graft.operators.EmbeddingStats.dimStatsQuery(spark, sf001)
+    val emb001 = graft.sources.Tables.load(spark, sf001, "embeddings")
+    assert(full.agg(sum("n")).head().getLong(0) == emb001.count() * 64)
+  }
+
   test("LSH top-k: results are a subset of correct cosine scores, same bucket only") {
     val exact = Similarity.bruteForceQuery(spark, sf001)
       .select("query_id", "vec_id", "cosine").collect()
