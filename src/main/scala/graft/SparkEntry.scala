@@ -293,6 +293,18 @@ object SparkEntry {
     InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
       Seq("merge", "sort", "window"), k = 20)
 
+  /** ColumnPaginationFilter page: per customer row, qualifiers at
+    * positions [1, 3) in byte order — of (c_acctbal, c_mktsegment,
+    * c_name, c_nationkey) that is c_mktsegment and c_name. */
+  private def columnPaginateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Relational.columnPaginate(
+        CellTable.fromTable(spark, sfDir, "customer"), offset = 1, limit = 2)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+
   /** CellCounter: per-(family, qualifier) cell totals, row counts, and
     * version depth over the same multi-version injection as
     * [[cellLatestQuery]] (%10 keys carry 3 versions). */
@@ -568,6 +580,7 @@ object SparkEntry {
     "q_store_diff"     -> (storeDiffQuery _),
     "q_sync_table"     -> (syncTableQuery _),
     "q_cell_counts"    -> (cellCountsQuery _),
+    "q_col_paginate"   -> (columnPaginateQuery _),
     "q_tfidf"          -> (tfidfQuery _),
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
@@ -1769,6 +1782,14 @@ object SparkEntry {
                 FROM s)
           SELECT doc_id, score, rank FROM r WHERE rank <= 20"""
     },
+    // ColumnPaginationFilter: the page [1, 3) of the byte-ordered
+    // qualifiers is (c_mktsegment, c_name) for every customer row.
+    "q_col_paginate" ->
+      s"""WITH c AS (SELECT *, ${rowKeySql("c_custkey")} AS rk FROM customer)
+          SELECT rk AS row_key, 'c_mktsegment' AS qualifier,
+                 CAST(1700000000000 AS BIGINT) AS ts, c_mktsegment AS value FROM c
+          UNION ALL
+          SELECT rk, 'c_name', CAST(1700000000000 AS BIGINT), c_name FROM c""",
     // CellCounter: per-qualifier cell totals over the %10 three-version
     // injection — 4 qualifiers, uniform counts, version depth 3.
     "q_cell_counts" ->

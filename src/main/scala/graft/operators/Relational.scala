@@ -56,6 +56,25 @@ object Relational {
            sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
 
   /**
+   * HBase ColumnPaginationFilter analogue: per (rowKey, family), the
+   * qualifiers at positions [offset, offset+limit) in qualifier byte
+   * order — BinaryType ordering matches HBase's unsigned-lex qualifier
+   * order, so the page is the one the filter would return. Spark plans
+   * the rank predicate with a WindowGroupLimit: each map task keeps at
+   * most offset+limit cells per group BEFORE the exchange, so the wide
+   * rows this filter exists for never ship whole.
+   */
+  def columnPaginate(cells: org.apache.spark.sql.DataFrame,
+      offset: Int, limit: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("rowKey", "family")
+      .orderBy(col("qualifier").asc)
+    cells.withColumn("_cp", row_number().over(w))
+      .filter(col("_cp") > offset && col("_cp") <= offset + limit)
+      .drop("_cp")
+  }
+
+  /**
    * F1 — first-key-only: first cell per row ⇒ first lineitem per order by
    * line number. Expressed as `min_by` (hash aggregate), NOT a sort-based
    * window: the partial aggregate collapses each group to one candidate

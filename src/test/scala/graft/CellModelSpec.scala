@@ -93,6 +93,19 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
     assert(retained.filter(col("cellType") === "Delete").count() == evenCoords)
   }
 
+  test("column pagination: byte-ordered page per (row, family), empty past the end") {
+    val page = graft.operators.Relational.columnPaginate(cells, offset = 1, limit = 2)
+    // every customer row has 4 qualifiers; page [1,3) is always full
+    val perRow = page.groupBy("rowKey").count().select("count").distinct().collect()
+    assert(perRow.map(_.getLong(0)).toSeq == Seq(2L))
+    val quals = page.select(col("qualifier").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(quals == Seq("c_mktsegment", "c_name"))
+    // offset past the column count yields nothing
+    assert(graft.operators.Relational.columnPaginate(cells, offset = 4, limit = 2)
+      .isEmpty)
+  }
+
   test("CopyRow: T1 ts override rewrites only the timestamp") {
     val out = CopyRow.plan(cells, "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
       overrideTs = true, tsToUse = 1234L)
