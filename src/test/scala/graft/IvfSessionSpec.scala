@@ -222,6 +222,23 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
       .count() == 0)
   }
 
+  test("transformWithState sessionize == legacy streaming operator == batch twin") {
+    val tws = graft.streaming.TwsSessionize.runOnce(spark, sf001)
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events", "n_errors")
+    assert(tws.count() > 0)
+    val batch = Sessionize.sessionQuery(spark, sf001)
+    // same closed-session contract as the legacy operator: everything the
+    // stream emits is a batch session, and the only batch sessions it may
+    // miss are each user's trailing open one (never flushed on a drain)
+    val missing = batch.exceptAll(tws)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_start_ms").as("session_start_ms"))
+    assert(tws.exceptAll(batch).count() == 0,
+      "new-API stream emitted a session the batch twin does not have")
+    assert(missing.join(lastPerUser, Seq("user_id", "session_start_ms"), "left_anti")
+      .count() == 0)
+  }
+
   test("cluster assignment: argmax cell, own-centroid cosine, outlier split") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val model = IvfIndex.train(emb, nlist = 4, iters = 1)
