@@ -381,6 +381,30 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** MultiRowRangeFilter scan: two DISJOINT key ranges in one pass over
+    * the region store — the pushed `Or(And(≥,<), And(≥,<))` expands to a
+    * bounds disjunction (CellStoreSource.boundsSetOf), so only region
+    * files/row groups overlapping EITHER range are read; the gap between
+    * the ranges is never touched (asserted in CellStoreSourceSpec). */
+  private def multiRangeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = WorkDirs.dir(s"cellstore_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    buildOnce(dir) {
+      CellTable.writeRegionLayout(
+        CellTable.fromTable(spark, sfDir, "customer"), dir, numRegions = 8)
+    }
+    def key(k: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(k).array()
+    def range(lo: Long, hi: Long) =
+      col("rowKey") >= lit(key(lo)) && col("rowKey") < lit(key(hi))
+    spark.read.format("cellstore").load(dir)
+      .filter(range(20L, 60L) || range(100L, 140L))
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
     * key is `l_orderkey‖l_linenumber`, each 8-byte big-endian, so a range
     * on the LEADING component is a plain prefix byte-range scan — pushed
@@ -581,6 +605,7 @@ object SparkEntry {
     "q_sync_table"     -> (syncTableQuery _),
     "q_cell_counts"    -> (cellCountsQuery _),
     "q_col_paginate"   -> (columnPaginateQuery _),
+    "q_multi_range"    -> (multiRangeQuery _),
     "q_tfidf"          -> (tfidfQuery _),
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
@@ -1979,6 +2004,18 @@ object SparkEntry {
       s"""WITH c AS (
             SELECT *, ${rowKeySql("c_custkey")} AS rk
             FROM customer WHERE c_custkey >= 100 AND c_custkey < 200)
+          SELECT rk AS row_key, 'c_name' AS qualifier,
+                 CAST(1700000000000 AS BIGINT) AS ts, c_name AS value FROM c
+          UNION ALL SELECT rk, 'c_nationkey', 1700000000000, CAST(c_nationkey AS VARCHAR) FROM c
+          UNION ALL SELECT rk, 'c_acctbal', 1700000000000, CAST(c_acctbal AS VARCHAR) FROM c
+          UNION ALL SELECT rk, 'c_mktsegment', 1700000000000, c_mktsegment FROM c""",
+    // MultiRowRangeFilter: union of the two disjoint ranges
+    "q_multi_range" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk
+            FROM customer
+            WHERE (c_custkey >= 20 AND c_custkey < 60)
+               OR (c_custkey >= 100 AND c_custkey < 140))
           SELECT rk AS row_key, 'c_name' AS qualifier,
                  CAST(1700000000000 AS BIGINT) AS ts, c_name AS value FROM c
           UNION ALL SELECT rk, 'c_nationkey', 1700000000000, CAST(c_nationkey AS VARCHAR) FROM c

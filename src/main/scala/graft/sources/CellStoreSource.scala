@@ -159,6 +159,10 @@ object CellStoreSource {
     // not understand, so a pushed And(rowKey bound, other predicate) still
     // yields its region/row-group pruning (residuals keep correctness)
     case And(l, r)                                    => prunable(l) || prunable(r)
+    // a disjunction prunes only if BOTH branches do: one opaque branch
+    // could match anywhere, making the whole Or unable to skip any block
+    // (the MultiRowRangeFilter analogue — see boundsSetOf)
+    case Or(l, r)                                     => prunable(l) && prunable(r)
     case _                                            => false
   }
 
@@ -242,6 +246,38 @@ object CellStoreSource {
 
   private[graft] def boundsOf(filters: Seq[Filter]): ScanBounds =
     ScanBounds(rangeOf(filters), tsRangeOf(filters), familiesOf(filters))
+
+  /** A DISJUNCTION of conjunctive scan bounds — the pruning shape of
+    * HBase's MultiRowRangeFilter: a multi-range scan (several key ranges,
+    * or `key range OR ts range` unions) keeps a block iff ANY branch
+    * keeps it. The conjunctive [[ScanBounds]] is the 1-branch case. */
+  private[graft] final case class ScanBoundsSet(branches: Seq[ScanBounds]) {
+    def keep(info: BlockInfo): Boolean = branches.exists(_.keep(info))
+    def keep(block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
+      branches.exists(_.keep(block))
+  }
+
+  /** Expand one filter to its disjunctive branches (each a conjunction). */
+  private def dnfBranches(f: Filter): Seq[Seq[Filter]] = f match {
+    case Or(l, r)  => dnfBranches(l) ++ dnfBranches(r)
+    case And(l, r) => for (a <- dnfBranches(l); b <- dnfBranches(r)) yield a ++ b
+    case leaf      => Seq(Seq(leaf))
+  }
+
+  /** Fold pushed filters (a conjunction) into a bounds DISJUNCTION via
+    * per-filter DNF expansion. Expansion is capped: a filter whose cross
+    * product would exceed the cap is dropped from the bounds — correct
+    * (fewer constraints only keep more blocks; residual filters re-check
+    * rows), and it bounds planner work on adversarial predicates. */
+  private[graft] def boundsSetOf(filters: Seq[Filter],
+      maxBranches: Int = 16): ScanBoundsSet = {
+    val branches = filters.foldLeft(Seq(Seq.empty[Filter])) { (acc, f) =>
+      val fb = dnfBranches(f)
+      if (acc.size.toLong * fb.size > maxBranches) acc
+      else for (a <- acc; b <- fb) yield a ++ b
+    }
+    ScanBoundsSet(branches.map(boundsOf))
+  }
 
   private def tighten(r: KeyRange, f: Filter): KeyRange = f match {
     case EqualTo("rowKey", v: Array[Byte]) =>
@@ -640,7 +676,7 @@ class CellStoreGroupByReaderFactory(
         throw new IllegalArgumentException(s"unexpected partition: $other")
     }
     new CellStoreGroupByReader(
-      new CellStoreFilesReader(chunks, inputSchema, CellStoreSource.boundsOf(Nil)),
+      new CellStoreFilesReader(chunks, inputSchema, CellStoreSource.boundsSetOf(Nil)),
       inputSchema, groupCols, aggs)
   }
 }
@@ -863,7 +899,7 @@ class CellStoreScan(path: String, buckets: Option[Int],
   }
 
   private def plan(): Array[InputPartition] = {
-    val bounds = CellStoreSource.boundsOf(allFilters)
+    val bounds = CellStoreSource.boundsSetOf(allFilters)
     val conf = new Configuration()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -1086,7 +1122,7 @@ class CellStoreReaderFactory(required: StructType, pushed: Array[Filter],
     * which Spark's vectorized parquet reader does not model. */
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CellStoreFilesReader(chunksOf(partition), required,
-      CellStoreSource.boundsOf(pushed.toSeq), limit)
+      CellStoreSource.boundsSetOf(pushed.toSeq), limit)
 
   /** Columnar path: Spark's vectorized parquet decoder fed by the store's
     * row-group skip — page decode straight into ColumnarBatch, no per-row
@@ -1096,14 +1132,14 @@ class CellStoreReaderFactory(required: StructType, pushed: Array[Filter],
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new CellStoreColumnarReader(chunksOf(partition), required,
-      CellStoreSource.boundsOf(pushed.toSeq), limit)
+      CellStoreSource.boundsSetOf(pushed.toSeq), limit)
 }
 
 /** Sequential vectorized reader over a partition's chunks (usually one). */
 class CellStoreColumnarReader(
     chunks: Seq[CellChunk],
     required: StructType,
-    bounds: CellStoreSource.ScanBounds,
+    bounds: CellStoreSource.ScanBoundsSet,
     limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedReader, VectorizedParquetRecordReader}
@@ -1141,7 +1177,7 @@ class CellStoreColumnarReader(
 class CellStoreFilesReader(
     chunks: Seq[CellChunk],
     required: StructType,
-    bounds: CellStoreSource.ScanBounds,
+    bounds: CellStoreSource.ScanBoundsSet,
     limit: Option[Int] = None) extends PartitionReader[InternalRow] {
   private val it = chunks.iterator
   private var cur: CellStorePartitionReader = _
@@ -1174,7 +1210,7 @@ class CellStoreFilesReader(
 class CellStorePartitionReader(
     chunk: CellChunk,
     required: StructType,
-    bounds: CellStoreSource.ScanBounds) extends PartitionReader[InternalRow] {
+    bounds: CellStoreSource.ScanBoundsSet) extends PartitionReader[InternalRow] {
 
   private val reader =
     ParquetFileReader.open(HadoopInputFile.fromPath(new Path(chunk.file), new Configuration()))

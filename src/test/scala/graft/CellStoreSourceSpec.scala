@@ -144,6 +144,27 @@ class CellStoreSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned >= 1 && pruned < 8, s"expected pruning, got $pruned partitions")
   }
 
+  test("multi-range scan (Or of key ranges) prunes the gap between the ranges") {
+    def range(lo: Long, hi: Long) =
+      col("rowKey") >= lit(key(lo)) && col("rowKey") < lit(key(hi))
+    val multi = store.filter(range(10L, 30L) || range(120L, 140L))
+    assert(multi.count() == 40 * 4)
+    val expected = spark.read.parquet(storePath)
+      .filter(range(10L, 30L) || range(120L, 140L))
+    assert(multi.exceptAll(expected).isEmpty && expected.exceptAll(multi).isEmpty)
+    // the bounds DISJUNCTION skips the gap regions a single conjunctive
+    // [10, 140) envelope would read
+    val prunedMulti = multi.rdd.getNumPartitions
+    val envelope = store.filter(range(10L, 140L)).rdd.getNumPartitions
+    assert(prunedMulti < envelope,
+      s"Or pruning must beat the envelope: $prunedMulti vs $envelope partitions")
+    // an Or with a non-prunable branch cannot prune (that branch could
+    // match anywhere) — full scan, rows still correct via residuals
+    val opaque = store.filter(range(10L, 30L) ||
+      col("value") === lit("BUILDING".getBytes("UTF-8")))
+    assert(opaque.rdd.getNumPartitions == 8)
+  }
+
   test("impossible range plans zero partitions") {
     val none = store.filter(col("rowKey") === lit(Array.fill[Byte](8)(-1)))
     assert(none.rdd.getNumPartitions == 0)
