@@ -119,6 +119,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("matryoshka ANN: one shuffle total — the rerank window reuses the first pass's partitioning") {
+    val plan = executedPlan(graft.operators.Similarity.mrlQuery(spark, sf001))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one hash exchange (query_id), got:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side partial top-k (WindowGroupLimit):\n$plan")
+  }
+
+  test("source overlap: sizes and signatures broadcast; only grams shuffle") {
+    val plan = executedPlan(graft.operators.Dedup.sourceOverlapQuery(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for per-source sizes/signatures:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join must stay an equi-join on the gram key:\n$plan")
+  }
+
+  test("embedding dim stats aggregate with map-side partials") {
+    val plan = executedPlan(graft.operators.EmbeddingStats.dimStatsQuery(spark, sf001))
+    // partial aggregation before the exchange: d rows of state per task
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected two-phase hash aggregation:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one exchange (dim):\n$plan")
+  }
+
   test("codec + cosine expressions stay inside whole-stage codegen") {
     // in executedPlan.toString, `*(n)` marks operators inside a
     // WholeStageCodegen stage — the Project carrying our expression must
