@@ -96,6 +96,38 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
       == keyed(IvfIndex.searchIndex(spark, fresh, queries, model, k = 10, nprobe = 3)))
   }
 
+  test("streaming vector ingest: micro-batches append into the live IVF index") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    IvfIndex.writeIndex(base, model, dir)
+    // stage the delta as TWO files → two micro-batches through the stream
+    val staging = java.nio.file.Files.createTempDirectory("graft_ivf_staging").toString
+    emb.filter(col("vec_id") % 4 === 1).coalesce(1).write.parquet(s"$staging/b1")
+    emb.filter(col("vec_id") % 4 === 3).coalesce(1).write.parquet(s"$staging/b2")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt").toString
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(staging)
+    val q = graft.streaming.VectorIngest.start(stream, model, dir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // every vector landed exactly once; footer stats see the appends
+    assert(IvfIndex.cellStats(spark, dir)
+      .agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
+    // the streamed index answers exactly like a from-scratch build
+    val queries = emb.filter(col("vec_id") < 3)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivf_sfresh").toString
+    IvfIndex.writeIndex(emb, model, fresh)
+    assert(keyed(IvfIndex.searchIndex(spark, dir, queries, model, k = 10, nprobe = 3))
+      == keyed(IvfIndex.searchIndex(spark, fresh, queries, model, k = 10, nprobe = 3)))
+  }
+
   test("IVF drift: skewed appends flag the report, rebuild restores balance") {
     import org.apache.spark.sql.DataFrame
     val emb = Tables.load(spark, sf001, "embeddings")
