@@ -119,6 +119,31 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     intercept[Args.CliExit](CorpusCleanMain.run(spark, Array("--input", "only")))
   }
 
+  test("Search CLI: build + ranked tfidf/bm25 queries over the index store") {
+    import graft.cli.SearchMain
+    val dir = java.nio.file.Files.createTempDirectory("graft_search_cli").toString + "/idx"
+    val corpus =
+      java.nio.file.Files.createTempDirectory("graft_search_corpus").toString + "/docs"
+    import spark.implicits._
+    Seq((0L, "apple banana apple"), (1L, "banana cherry"), (2L, "apple cherry cherry"))
+      .toDF("doc_id", "text").write.parquet(corpus)
+    val hits = SearchMain.run(spark, Array(
+      "--indexDir", dir, "--build", corpus,
+      "--terms", "apple,banana", "--k", "2"))
+    assert(hits.length == 2 && hits.map(_.rank) == Seq(1L, 2L))
+    // doc0 carries apple tf=2 AND banana → must rank first
+    assert(hits.head.doc_id == 0L)
+    // the built index serves a second invocation without --build, bm25 mode
+    val bm = SearchMain.run(spark, Array(
+      "--indexDir", dir, "--terms", "cherry", "--mode", "bm25", "--k", "3"))
+    assert(bm.nonEmpty && bm.head.doc_id == 2L) // tf=2, shorter of none — top hit
+    // D1 validation: unknown mode and empty terms die with usage
+    intercept[graft.cli.Args.CliExit](
+      SearchMain.run(spark, Array("--indexDir", dir, "--terms", "x", "--mode", "zz")))
+    intercept[graft.cli.Args.CliExit](
+      SearchMain.run(spark, Array("--indexDir", dir, "--terms", "")))
+  }
+
   test("ImportTsv CLI: TSV lines become cells; bad lines abort or skip by flag") {
     val base = java.nio.file.Files.createTempDirectory("graft_importtsv").toString
     val tsv = java.nio.file.Paths.get(base, "in.tsv")
