@@ -580,6 +580,7 @@ object SparkEntry {
     "q_semi_join"      -> (Relational.semiJoin _),
     "q_json_extract"   -> (Relational.jsonExtract _),
     "q_event_windows"  -> (Relational.eventWindows _),
+    "q_sliding_windows"-> (Relational.slidingWindows _),
     "q_asof_join"      -> (AsofJoin.asofQuery _),
     "q_interval_join"  -> (IntervalJoin.intervalQuery _),
     "q_rollup"         -> (Relational.rollupAgg _),
@@ -627,6 +628,7 @@ object SparkEntry {
     "q_source_overlap" -> (Dedup.sourceOverlapQuery _),
     "q_dup_clusters"   -> (Dedup.clustersQuery _),
     "q_rep_windows"    -> (Dedup.repeatedWindowsQuery _),
+    "q_novelty"        -> (Dedup.noveltyQuery _),
     "q_split_assign"   -> (CorpusPipeline.splitAssignQuery _),
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
     "q_embed_clusters" -> (Dedup.embeddingClustersQuery _),
@@ -1220,6 +1222,19 @@ object SparkEntry {
                     min(doc_id) AS min_doc, max(doc_id) AS max_doc
                   FROM w GROUP BY g)
           SELECT n_docs, min_doc, max_doc FROM grp WHERE n_docs >= 2""",
+    // Per-doc novelty: fraction of the doc's distinct 4-gram windows seen
+    // in no other doc, micro-unit quantized (string grams stand in for
+    // the engine's 64-bit window hashes, as in q_rep_windows).
+    "q_novelty" ->
+      s"""WITH ngr AS (SELECT doc_id, ${ngramSql(4)} AS gs FROM documents),
+          w AS (SELECT doc_id, unnest(gs) AS g FROM ngr),
+          cnt AS (SELECT g, count(*) AS nd FROM w GROUP BY g)
+          SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(CASE WHEN cnt.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                 CAST(floor((CAST(sum(CASE WHEN cnt.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT) AS novelty_micro
+          FROM w JOIN cnt USING (g) GROUP BY w.doc_id""",
     "q_decontam" ->
       s"""WITH ngr AS (SELECT doc_id, ${ngramSql(4)} AS gs FROM documents),
           ev AS (SELECT DISTINCT unnest(gs) AS g FROM ngr WHERE doc_id % 5 = 3),
@@ -1387,6 +1402,21 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // Sliding windows: width 1 h, slide 15 min, epoch-aligned — each event
+    // belongs to exactly 4 windows with starts floor(t/900s)·900s − k·900s,
+    // k ∈ [0, 4); the CROSS JOIN range(4) replays Spark's window expansion.
+    "q_sliding_windows" ->
+      """WITH x AS (
+           SELECT event_type, value,
+                  (epoch_us(ts) // 900000000) * 900000 AS base_ms
+           FROM events),
+         w AS (SELECT event_type, value,
+                      CAST(base_ms - CAST(t.k AS BIGINT) * 900000 AS BIGINT)
+                        AS window_start_ms
+               FROM x CROSS JOIN range(4) t(k))
+         SELECT window_start_ms, event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_docs,
                 CAST(min(doc_id) AS BIGINT) AS keep_id

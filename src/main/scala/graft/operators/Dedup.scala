@@ -177,6 +177,32 @@ object Dedup {
         max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /**
+   * Per-document n-gram novelty: the fraction of a document's DISTINCT
+   * n-gram windows that appear in no other document — the graded,
+   * per-document complement of [[repeatedWindows]]'s corpus-wide pair
+   * report, and the curation signal "how much of this doc is original"
+   * (boilerplate-heavy docs score near 0 even when no single pair
+   * crosses a near-dup threshold). Emitted in micro-units (the engine's
+   * tie-rule-free quantization) so the double division is hash-safe.
+   *
+   * Shape: one explode into a window→doc-count aggregation (map-side
+   * combined), joined back to the per-doc windows — cost ∝ corpus
+   * windows, fanout bounded by docs-per-window, no all-pairs anything.
+   */
+  def novelty(docs: DataFrame, n: Int = 4): DataFrame = {
+    val win = docs.select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("w"))
+    val counts = win.groupBy("w").agg(count(lit(1)).as("_nd"))
+    win.join(counts, Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("_nd") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_windows"), col("n_unique"),
+        floor((col("n_unique").cast("double") / col("n_windows").cast("double"))
+          * lit(1000000.0) + lit(0.5)).as("novelty_micro"))
+  }
+
   /** SimHash fingerprints: doc_id → 64-bit fingerprint. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(
@@ -553,6 +579,9 @@ object Dedup {
 
   def sourceOverlapQuery(spark: SparkSession, sfDir: String): DataFrame =
     sourceOverlap(Tables.load(spark, sfDir, "documents"))
+
+  def noveltyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    novelty(Tables.load(spark, sfDir, "documents"))
 
   def minhashQuery(spark: SparkSession, sfDir: String): DataFrame =
     minhashLsh(Tables.load(spark, sfDir, "documents"))

@@ -322,4 +322,23 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+
+  /** SLIDING windows — `window(ts, 1 hour, 15 min)`: every event lands in
+    * exactly width/slide = 4 overlapping windows (epoch-aligned), the
+    * rolling-rate view a tumbling hour can't give. Spark expands the
+    * window set with a generator BEFORE the hash aggregation, so the
+    * shape stays one explode + one shuffle — the same cost envelope as
+    * the tumbling form times the overlap factor, never a self-join. */
+  def slidingWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+      .select(
+        (unix_micros(col("window.start")) / lit(1000L)).cast("bigint")
+          .as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
 }

@@ -38,6 +38,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ok, "minhash estimate must sit within the bound")
   }
 
+  test("novelty: duplicated docs score 0, unique docs score 1, in micro-units") {
+    val r = Dedup.novelty(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_windows"), x.getAs[Long]("n_unique"),
+          x.getAs[Long]("novelty_micro")))).toMap
+    // docs 1 and 2 are verbatim duplicates → every window shared → 0
+    assert(r(1L)._3 == 0L && r(2L)._3 == 0L)
+    // doc 4 shares nothing → fully novel; doc 5 is the whole-string fallback
+    assert(r(4L) == ((r(4L)._1, r(4L)._1, 1000000L)))
+    assert(r(5L) == ((1L, 1L, 1000000L)))
+    // doc 3 differs from 1/2 only in the last token: 4-gram windows not
+    // touching it are shared, the tail windows are unique
+    assert(r(3L)._3 > 0L && r(3L)._3 < 1000000L)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs).collect()
       .map(x => (x.getAs[Long]("n_docs"), x.getAs[Long]("keep_id")))
