@@ -581,6 +581,7 @@ object SparkEntry {
     "q_json_extract"   -> (Relational.jsonExtract _),
     "q_event_windows"  -> (Relational.eventWindows _),
     "q_sliding_windows"-> (Relational.slidingWindows _),
+    "q_session_window" -> (Relational.sessionWindowQuery _),
     "q_asof_join"      -> (AsofJoin.asofQuery _),
     "q_interval_join"  -> (IntervalJoin.intervalQuery _),
     "q_rollup"         -> (Relational.rollupAgg _),
@@ -1402,6 +1403,28 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // Built-in session windows: merge under a STRICT 30-min gap (Spark's
+    // session_window rule — the custom q_sessionize merges at ≤ gap),
+    // window end = last event + gap; µs-exact gap comparisons, ms floors
+    // only on the emitted bounds.
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+         marked AS (
+           SELECT user_id, tus, event_type,
+                  CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+         sess AS (
+           SELECT user_id, tus, event_type,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id,
+                CAST(min(tus) // 1000 AS BIGINT) AS session_start_ms,
+                CAST((max(tus) + 1800000000) // 1000 AS BIGINT) AS session_end_ms,
+                count(*) AS n_events,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+         FROM sess GROUP BY user_id, sid""",
     // Sliding windows: width 1 h, slide 15 min, epoch-aligned — each event
     // belongs to exactly 4 windows with starts floor(t/900s)·900s − k·900s,
     // k ∈ [0, 4); the CROSS JOIN range(4) replays Spark's window expansion.

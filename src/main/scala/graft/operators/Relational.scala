@@ -323,6 +323,25 @@ object Relational {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(Dec)).cast("double").as("sum_value"))
 
+  /** BUILT-IN session windows — `session_window(ts, 30 min)`: Catalyst's
+    * native gap-merge aggregation, the declarative twin of the custom
+    * stateful [[graft.streaming.Sessionize]] (which exists for streaming
+    * state control; at rest, let the optimizer own the merge). Built-in
+    * semantics: a session's window ends at last-event + gap, and two
+    * events merge when their distance is STRICTLY under the gap — both
+    * replayed in the oracle. */
+  def sessionWindowQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .select(
+        col("user_id"),
+        expr("unix_micros(session_window.start) div 1000").as("session_start_ms"),
+        expr("unix_micros(session_window.end) div 1000").as("session_end_ms"),
+        col("n_events"), col("n_errors"))
+
   /** SLIDING windows — `window(ts, 1 hour, 15 min)`: every event lands in
     * exactly width/slide = 4 overlapping windows (epoch-aligned), the
     * rolling-rate view a tumbling hour can't give. Spark expands the
