@@ -144,6 +144,35 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       SearchMain.run(spark, Array("--indexDir", dir, "--terms", "")))
   }
 
+  test("IndexDoctor CLI: footer-only drift report, rebuild repairs a skewed index") {
+    import graft.cli.IndexDoctorMain
+    import graft.operators.IvfIndex
+    import graft.sources.Tables
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_doctor").toString + "/idx"
+    IvfIndex.writeIndex(emb, model, dir)
+    val healthy = IndexDoctorMain.run(spark,
+      Array("--indexDir", dir, "--maxSkew", "50.0"))
+    assert(healthy.nCells == 4 && !healthy.drifted && !healthy.rebuilt)
+    // skew the index: re-append ONE cell's own vectors five times over
+    val cell0 = IvfIndex.assign(emb, model)
+      .filter(col("cell") === 0).select("vec_id", "embedding")
+    (1 to 5).foreach(_ => IvfIndex.appendToIndex(cell0, model, dir))
+    val sick = IndexDoctorMain.run(spark,
+      Array("--indexDir", dir, "--maxSkew", "1.5"))
+    assert(sick.drifted, s"expected drift at skew ${sick.skew}")
+    val repaired = IndexDoctorMain.run(spark,
+      Array("--indexDir", dir, "--maxSkew", "1.5", "--rebuild", "true", "--nlist", "4"))
+    assert(repaired.rebuilt)
+    // post-rebuild the report is clean again at the same gate
+    val after = IndexDoctorMain.run(spark, Array("--indexDir", dir, "--maxSkew", "1.5"))
+    assert(!after.drifted, s"rebuild should rebalance, skew ${after.skew}")
+    // D1 validation: unknown flag dies with usage
+    intercept[graft.cli.Args.CliExit](
+      IndexDoctorMain.run(spark, Array("--indexDir", dir, "--bogus", "1")))
+  }
+
   test("ImportTsv CLI: TSV lines become cells; bad lines abort or skip by flag") {
     val base = java.nio.file.Files.createTempDirectory("graft_importtsv").toString
     val tsv = java.nio.file.Paths.get(base, "in.tsv")
