@@ -28,8 +28,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamIntervalJoin {
 
   /** The shared (batch == stream) join: events × same-user error windows.
-    * `events` may be a streaming or a batch frame. */
-  def transform(events: DataFrame): DataFrame = {
+    * `events` may be a streaming or a batch frame.
+    *
+    * `joinType` extends to `left_outer`: events matching no error window
+    * emit once with a NULL `error_id` — but only after the watermark
+    * passes their last possible match (the state store must PROVE no
+    * future error can still claim them), so on a drained finite input the
+    * trailing horizon's unmatched rows stay buffered. Specs therefore
+    * assert the stable contract: the non-null slice equals the inner
+    * join, and every null row is a true batch non-match — not that every
+    * non-match has surfaced. */
+  def transform(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val l = events
       .select(col("event_id"), col("user_id"), col("ts"))
       .withWatermark("ts", "1 hour")
@@ -41,7 +50,8 @@ object StreamIntervalJoin {
     l.join(r,
         col("user_id") === col("_ruid") &&
           col("ts") >= col("err_ts") &&
-          col("ts") < col("err_ts") + expr("INTERVAL 30 MINUTES"))
+          col("ts") < col("err_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(
         col("event_id"), col("user_id"),
         expr("unix_micros(ts) div 1000").as("ts_ms"),
@@ -51,7 +61,8 @@ object StreamIntervalJoin {
   /** Start the join over the fixture dir as a file stream (same source
     * shape as [[EventMonitor.start]]); append mode — each match emits
     * exactly once, state evicted by the watermark. */
-  def start(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+  def start(spark: SparkSession, sfDir: String, queryName: String,
+      joinType: String = "inner"): StreamingQuery = {
     val schema = graft.sources.Tables.eventsRawSchema(spark, sfDir)
     val stream = graft.sources.Tables.normalizeEventTs(
       spark.readStream
@@ -59,7 +70,7 @@ object StreamIntervalJoin {
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sfDir))
-    transform(stream).writeStream
+    transform(stream, joinType).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
@@ -67,9 +78,11 @@ object StreamIntervalJoin {
   }
 
   /** Run to exhaustion of available input, return the sink table. */
-  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = start(spark, sfDir, "stream_interval_join_once")
+  def runOnce(spark: SparkSession, sfDir: String,
+      joinType: String = "inner"): DataFrame = {
+    val name = s"stream_interval_join_once_$joinType"
+    val q = start(spark, sfDir, name, joinType)
     try q.processAllAvailable() finally q.stop()
-    spark.table("stream_interval_join_once")
+    spark.table(name)
   }
 }

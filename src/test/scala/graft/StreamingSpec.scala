@@ -32,6 +32,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exceptAll(viaTransform).count() == 0)
   }
 
+  test("left-outer stream-stream join: nulls are true non-matches, matches equal inner") {
+    val outer = graft.streaming.StreamIntervalJoin.runOnce(spark, sf001, "left_outer")
+    val inner = graft.operators.IntervalJoin.intervalQuery(spark, sf001)
+    // the matched slice is exactly the inner join
+    val matched = outer.filter(col("error_id").isNotNull)
+    assert(matched.exceptAll(inner).count() == 0)
+    assert(inner.exceptAll(matched).count() == 0)
+    // every null row is a genuine batch non-match (an event with no
+    // same-user error window containing it); completeness of nulls is NOT
+    // asserted — the trailing watermark horizon legitimately stays buffered
+    val matchedIds = inner.select("event_id").distinct()
+    assert(outer.filter(col("error_id").isNull)
+      .join(matchedIds, Seq("event_id"), "left_semi").count() == 0,
+      "a null row surfaced for an event the batch twin matches")
+  }
+
   test("error channel counts only error events") {
     val out = EventMonitor.runOnce(spark, sf001)
     val totalErrors = out.agg(sum("n_errors")).collect().head.getLong(0)
