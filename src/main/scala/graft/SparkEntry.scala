@@ -646,6 +646,7 @@ object SparkEntry {
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
     "q_ann_sq"         -> (SqIndex.sqQuery _),
+    "q_ann_recall"     -> (AnnRecall.recallQuery _),
     "q_sessionize"     -> (graft.streaming.Sessionize.sessionQuery _),
     "q_text_stats"     -> (TextAnalysis.textStatsQuery _),
     "q_chunk_docs"     -> (TextAnalysis.chunkQuery _),
@@ -1193,7 +1194,19 @@ object SparkEntry {
     * record which DuckDB build evaluated the oracles — the missing piece
     * when a float-cast rule differs between builds. Harmless if ignored:
     * the correctness loop iterates `queries`, not this map. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // the recall gate's oracle composes the per-tier oracle statements, so
+    // it exists exactly when every tier's (model-dependent) entry does
+    val annKeys = Seq("q_ann_topk", "q_ann_lsh", "q_ann_multiprobe",
+      "q_ann_mrl", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
+      "q_ann_ivfpq_res", "q_ann_sq")
+    if (annKeys.forall(base.contains))
+      base + ("q_ann_recall" -> AnnRecall.recallOracleSql(base))
+    else base
+  }
+
+  private def oracleSqlBase: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
       sqOracle ++ embedOracle ++ Map(
     "zz_probe_duckdb_version" ->

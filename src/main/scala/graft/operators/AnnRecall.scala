@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-verified ANN quality gate: recall@k of every approximate tier
+ * against the brute-force exact top-k, computed in-engine and emitted as
+ * one row per tier — `(tier, k, n_matches, recall_micro, within_floor)`.
+ *
+ * The pattern is [[Sketches.vocabApproxCheckQuery]]'s bound-boolean: the
+ * approximate side's OUTPUT is engine-specific, but its quality CONTRACT
+ * (recall ≥ a per-tier floor) is a value both engines can agree on. The
+ * oracle replays every tier relationally (the same generated SQL the
+ * per-tier correctness rows already verify bit-for-bit), recomputes the
+ * identical integer recall, and asserts the identical boolean — so a
+ * silent quality regression in any tier (bad codebooks, broken probe
+ * selection, wrong bucket math) flips a driver hash mismatch, not just a
+ * spec inequality.
+ *
+ * Determinism: recall is exact integer arithmetic — `matches · 1e6 div
+ * (queries · k)` — no floats anywhere, so there is no quantization rule
+ * for the engines to disagree on.
+ *
+ * At 100 TB the truth side is the scan-bound exact baseline
+ * ([[Similarity.bruteForceTopK]] — one corpus pass, no shuffle); running
+ * it IS the cost of the gate, exactly like the exact `countDistinct` twin
+ * in the vocab sketch gate. Production reruns this on a sampled query set,
+ * not per query.
+ */
+object AnnRecall {
+
+  /** (tier, k, floor in micro-units). Floors are the tier's documented
+    * quality contract on the synthetic fixtures: comfortably below every
+    * measured value at sf0.001/sf0.01/sf0.1 (0.59/0.65/0.38 for mrl,
+    * 0.80/0.84/0.94 ivf, 0.70/0.74/0.68 pq, 0.82/0.86/0.66 ivfpq,
+    * 0.82/0.88/0.40 ivfpq_res, 1.0 everywhere for sq8) but high enough
+    * that a broken tier — empty probes, garbage codebooks, wrong rerank —
+    * lands far under. The two single-table bucketing tiers are
+    * speed-over-recall by construction (8 planes ⇒ 256 buckets ⇒ a
+    * query's bucket holds ~N/256 vectors, so exact-top-k recall decays
+    * with corpus size: lsh measures 0.02/0.02/0.00, multiprobe
+    * 0.02/0.08/0.06); their floors document that weak contract — lsh's
+    * floor is 0 (presence sanity only), multiprobe's asserts it recovers
+    * ≥ 1% — and the cross-tier ordering (multiprobe ≥ lsh, rerank tiers
+    * ≫ both) is spec-asserted in AnnRecallSpec rather than floor-encoded. */
+  val Tiers: Seq[(String, Int, Long)] = Seq(
+    ("lsh", 20, 0L),
+    ("multiprobe", 20, 10000L),
+    ("mrl", 20, 250000L),
+    ("ivf", 20, 500000L),
+    ("pq", 10, 400000L),
+    ("ivfpq", 10, 400000L),
+    ("ivfpq_res", 10, 250000L),
+    ("sq8", 10, 900000L))
+
+  private val NQueries = 5
+
+  /** One (tier, k, n_matches, recall_micro, within_floor) row per tier. */
+  def recallQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NQueries)
+    def truthAt(k: Int): DataFrame =
+      Similarity.bruteForceTopK(emb, queries, k).select("query_id", "vec_id")
+    val truth: Map[Int, DataFrame] =
+      Tiers.map(_._2).distinct.map(k => k -> truthAt(k)).toMap
+    val tierDf: Map[String, DataFrame] = Map(
+      "lsh"        -> Similarity.lshQuery(spark, sfDir),
+      "multiprobe" -> Similarity.multiProbeQuery(spark, sfDir),
+      "mrl"        -> Similarity.mrlQuery(spark, sfDir),
+      "ivf"        -> IvfIndex.ivfQuery(spark, sfDir),
+      "pq"         -> PqIndex.pqQuery(spark, sfDir),
+      "ivfpq"      -> IvfPqIndex.ivfpqQuery(spark, sfDir),
+      "ivfpq_res"  -> IvfPqIndex.ivfpqResidualQuery(spark, sfDir),
+      "sq8"        -> SqIndex.sqQuery(spark, sfDir))
+    Tiers.map { case (tier, k, floorMicro) =>
+      val denom = NQueries * k
+      tierDf(tier).select("query_id", "vec_id")
+        .join(truth(k), Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .select(
+          lit(tier).as("tier"),
+          lit(k).as("k"),
+          col("n_matches"),
+          expr(s"n_matches * 1000000 div $denom").as("recall_micro"),
+          (expr(s"n_matches * 1000000 div $denom") >= lit(floorMicro))
+            .as("within_floor"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** DuckDB twin, composed from the SAME generated per-tier oracle SQL the
+    * driver already verifies row-for-row: each tier's full statement is
+    * embedded as a subquery, intersected with the brute-force truth (the
+    * `q_ann_topk` oracle, rank-cut to the tier's k), and reduced with the
+    * identical integer recall. `tierSql` keys are the oracleSql map's. */
+  def recallOracleSql(tierSql: Map[String, String]): String = {
+    val truthSql = tierSql("q_ann_topk")
+    val tierKeys = Map(
+      "lsh" -> "q_ann_lsh", "multiprobe" -> "q_ann_multiprobe",
+      "mrl" -> "q_ann_mrl", "ivf" -> "q_ann_ivf", "pq" -> "q_ann_pq",
+      "ivfpq" -> "q_ann_ivfpq", "ivfpq_res" -> "q_ann_ivfpq_res",
+      "sq8" -> "q_ann_sq")
+    val rows = Tiers.map { case (tier, k, _) =>
+      s"""SELECT '$tier' AS tier, CAST($k AS INTEGER) AS k,
+            CAST((SELECT count(*)
+                  FROM (SELECT query_id, vec_id FROM (${tierSql(tierKeys(tier))}) x) r
+                  JOIN (SELECT query_id, vec_id FROM ($truthSql) tt WHERE tt.rank <= $k) t
+                    USING (query_id, vec_id)) AS BIGINT) AS n_matches"""
+    }
+    // recall/floor derived from n_matches in an outer pass so the integer
+    // arithmetic appears exactly once per column (denominator varies by k)
+    val union = rows.mkString("\n          UNION ALL\n          ")
+    s"""WITH m AS (
+          $union
+        )
+        SELECT tier, k, n_matches,
+               (n_matches * 1000000) // ($NQueries * k) AS recall_micro,
+               (n_matches * 1000000) // ($NQueries * k) >=
+                 CASE tier ${Tiers.map { case (t, _, f) =>
+                   s"WHEN '$t' THEN $f"
+                 }.mkString(" ")} END AS within_floor
+        FROM m"""
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnnRecall
+
+/** The ANN quality gate: every tier's recall@k floor holds at both spec
+  * scale factors, and the structural ordering between tiers — multi-probe
+  * recovers at least single-bucket LSH's recall, every rerank-backed
+  * quantizer tier beats both bucketing tiers — is stable. */
+class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
+
+  private def recalls(sfDir: String): Map[String, (Long, Boolean)] =
+    AnnRecall.recallQuery(spark, sfDir).collect().map { r =>
+      r.getString(0) -> (r.getLong(3), r.getBoolean(4))
+    }.toMap
+
+  for (sf <- Seq(sf001, sf01)) {
+    test(s"every tier is within its floor at $sf") {
+      val r = recalls(sf)
+      assert(r.keySet === AnnRecall.Tiers.map(_._1).toSet)
+      val out = r.collect { case (t, (_, ok)) if !ok => t }
+      assert(out.isEmpty, s"tiers under floor: $out ($r)")
+    }
+
+    test(s"cross-tier recall ordering holds at $sf") {
+      val r = recalls(sf).map { case (t, (micro, _)) => t -> micro }
+      assert(r("multiprobe") >= r("lsh"),
+        s"multi-probe must dominate single-bucket LSH: $r")
+      val bucketMax = math.max(r("lsh"), r("multiprobe"))
+      for (t <- Seq("mrl", "ivf", "pq", "ivfpq", "ivfpq_res", "sq8"))
+        assert(r(t) > bucketMax, s"$t should beat bucketing tiers: $r")
+      // SQ8 keeps full-dim scores (just quantized), reranked exactly —
+      // it must sit at the top of the quantizer tiers
+      for (t <- Seq("pq", "ivfpq", "ivfpq_res"))
+        assert(r("sq8") >= r(t), s"sq8 under $t: $r")
+    }
+  }
+}
