@@ -40,9 +40,15 @@ object Bench {
     // min-of-n hides it, but on a stalled host with runs=2 it polluted
     // the reported tail). The plans themselves are NOT executed here —
     // the timed passes below still measure cold-plan runs.
+    // a query whose eager build fails here is NOT silently warmed-over:
+    // it is recorded and annotated in the output JSON, so a later
+    // timed-pass failure is attributable to the build (and its timing —
+    // which then pays the build cost in pass 1 — is flagged as polluted)
+    val warmupFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir)
       catch { case e: Throwable =>
+        warmupFailed += name
         System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
       }
     }
@@ -92,7 +98,8 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    val warmJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"n_warmup_failed":${warmupFailed.size},"warmup_failed":$warmJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

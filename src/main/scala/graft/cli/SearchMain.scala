@@ -56,6 +56,11 @@ object SearchMain {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
+      // UTC pin keeps the engine-wide invariant Tables.normalizeEventTs
+      // relies on, uniform across every entry point (Verify/Bench/
+      // CorpusCleanMain already pin it) — a future events-consuming CLI
+      // copied from this template must not be host-timezone-dependent
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try run(spark, args) finally spark.stop()
   }

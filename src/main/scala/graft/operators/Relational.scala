@@ -67,9 +67,27 @@ object Relational {
   def columnPaginate(cells: org.apache.spark.sql.DataFrame,
       offset: Int, limit: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // HBase's ColumnPaginationFilter counts a COLUMN once per row no
+    // matter how many versions it stores, so reduce to the latest version
+    // per (rowKey, family, qualifier) BEFORE paginating — otherwise a
+    // multi-version frame counts each version as a column and the page
+    // content depends on the (nondeterministic) version order inside the
+    // window. max_by's ordering struct carries a (ts, value) tiebreak so
+    // same-ts versions resolve deterministically. Counting-unit note:
+    // HBase pages per ROW across families; this frame's grouping unit is
+    // (rowKey, family), so a page spans ONE family's qualifiers — the
+    // per-family page, not the cross-family row page.
+    val latest = cells
+      .groupBy("rowKey", "family", "qualifier")
+      .agg(max_by(
+        struct(col("ts"), col("cellType"), col("value")),
+        struct(col("ts"), col("value"))).as("_v"))
+      .select(col("rowKey"), col("family"), col("qualifier"),
+        col("_v.ts").as("ts"), col("_v.cellType").as("cellType"),
+        col("_v.value").as("value"))
     val w = Window.partitionBy("rowKey", "family")
       .orderBy(col("qualifier").asc)
-    cells.withColumn("_cp", row_number().over(w))
+    latest.withColumn("_cp", row_number().over(w))
       .filter(col("_cp") > offset && col("_cp") <= offset + limit)
       .drop("_cp")
   }

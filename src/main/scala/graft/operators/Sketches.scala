@@ -78,29 +78,52 @@ object Sketches {
           .as("within_bound"))
 
   /** Driver-checkable form of [[percentilesApproxQuery]]: KLL-style
-    * `percentile_approx(accuracy = 10000)` guarantees rank error ≤ 1e-4,
-    * so each approx quantile's VALUE must land between the exact
-    * interpolated quantiles at q ± 0.001 (10× the guarantee, monotone in
-    * q). The booleans are Spark-computed; the oracle contributes the
-    * group keys and TRUE literals, making a sketch regression a hash
-    * mismatch in the driver's gate. */
-  def percentilesApproxCheckQuery(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "events")
-      .groupBy("event_type")
+    * `percentile_approx(accuracy = 10000)` returns an ELEMENT of the
+    * group whose rank is within ε·n of q·n (ε = 1e-4), so the sound
+    * bracket is in rank space: the approx value must land between the
+    * order statistics at ranks q·n ∓ max(1, 0.001·n) — 10× the guarantee,
+    * and a bound that follows from the rank-error contract for EVERY
+    * group size. (The previous bracket used interpolated quantiles at
+    * q ± 0.001, which for small groups can interpolate strictly between
+    * order statistics and sit above the returned element — fixture-
+    * fragile, not sketch-wrong.) Order statistics come from a per-group
+    * rank (value order; ties rank arbitrarily but the VALUE at a rank is
+    * tie-invariant, so the bracket is deterministic). The booleans are
+    * Spark-computed; the oracle contributes the group keys and TRUE
+    * literals, making a sketch regression a hash mismatch in the
+    * driver's gate. */
+  def percentilesApproxCheckQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sfDir, "events").select("event_type", "value")
+    val approx = ev.groupBy("event_type")
       .agg(
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("a95"),
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("a99"),
-        expr("percentile(value, 0.499)").as("lo50"),
-        expr("percentile(value, 0.501)").as("hi50"),
-        expr("percentile(value, 0.949)").as("lo95"),
-        expr("percentile(value, 0.951)").as("hi95"),
-        expr("percentile(value, 0.989)").as("lo99"),
-        expr("percentile(value, 0.991)").as("hi99"))
+        count(lit(1)).as("n"))
+      .withColumn("d", greatest(lit(1L), floor(col("n") * 0.001).cast("long")))
+    val ranked = ev.withColumn("_r", row_number().over(
+      Window.partitionBy("event_type").orderBy(col("value").asc)).cast("long"))
+    def rlo(q: Double) = greatest(lit(1L),
+      (floor(col("n") * q).cast("long") - col("d")))
+    def rhi(q: Double) = least(col("n"),
+      (ceil(col("n") * q).cast("long") + col("d")))
+    val bounds = ranked
+      .join(broadcast(approx.select("event_type", "n", "d")), "event_type")
+      .groupBy("event_type")
+      .agg(
+        min(when(col("_r") === rlo(0.5), col("value"))).as("lo50"),
+        min(when(col("_r") === rhi(0.5), col("value"))).as("hi50"),
+        min(when(col("_r") === rlo(0.95), col("value"))).as("lo95"),
+        min(when(col("_r") === rhi(0.95), col("value"))).as("hi95"),
+        min(when(col("_r") === rlo(0.99), col("value"))).as("lo99"),
+        min(when(col("_r") === rhi(0.99), col("value"))).as("hi99"))
+    approx.join(bounds, "event_type")
       .select(col("event_type"),
         col("a50").between(col("lo50"), col("hi50")).as("p50_ok"),
         col("a95").between(col("lo95"), col("hi95")).as("p95_ok"),
         col("a99").between(col("lo99"), col("hi99")).as("p99_ok"))
+  }
 
   /** Misra-Gries state: bounded MUTABLE counter map + total stream length.
     * Counters are `long[1]` cells in a `java.util.HashMap`, so the hottest

@@ -106,6 +106,27 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
       .isEmpty)
   }
 
+  test("column pagination counts a qualifier once on a multi-version frame") {
+    // HBase ColumnPaginationFilter counting unit: a COLUMN, not a cell —
+    // extra versions must change neither the page membership nor its size,
+    // and each paged column surfaces its latest version
+    val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
+    val page = graft.operators.Relational
+      .columnPaginate(versioned, offset = 1, limit = 2)
+    val quals = page.select(col("qualifier").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(quals == Seq("c_mktsegment", "c_name"))
+    val perRow = page.groupBy("rowKey").count().select("count").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(perRow == Seq(2L))
+    // latest-version semantics: the paged ts is the max ts per coordinate
+    val maxTs = versioned.groupBy("rowKey", "family", "qualifier")
+      .agg(max("ts").as("max_ts"))
+    val stale = page.join(maxTs, Seq("rowKey", "family", "qualifier"))
+      .filter(col("ts") =!= col("max_ts")).count()
+    assert(stale == 0)
+  }
+
   test("CopyRow: T1 ts override rewrites only the timestamp") {
     val out = CopyRow.plan(cells, "\\x00\\x00\\x00\\x00\\x00\\x00\\x00*",
       overrideTs = true, tsToUse = 1234L)
