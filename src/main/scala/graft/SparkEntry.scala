@@ -290,8 +290,11 @@ object SparkEntry {
     * (rational idf), same probe, same terms — compares directly with the
     * plain tf·idf ranking of [[keywordSearchQuery]]. */
   private def bm25SearchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // lnIdf = false: the rational-idf twin is the DRIVER-COMPARED form (a
+    // libm ln in the score would reopen cross-engine ulp drift); the
+    // production ln-idf default is spec-pinned to the same ranking order
     InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
-      Seq("merge", "sort", "window"), k = 20)
+      Seq("merge", "sort", "window"), k = 20, lnIdf = false)
 
   /** ColumnPaginationFilter page: per customer row, qualifiers at
     * positions [1, 3) in byte order — of (c_acctbal, c_mktsegment,

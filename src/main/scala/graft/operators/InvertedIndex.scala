@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
  * out the pipeline tier: dedup/cleaning decide what to keep, search
  * finds it again.
  *
- * Scoring uses the RATIONAL idf `(N+1)/(df+1)` — a single IEEE division
- * — rather than the usual `ln((N+1)/(df+1))`: transcendental libm calls
- * are the one place two engines legitimately disagree at the ulp, and
- * the repo's correctness gate is bit-exact cross-engine comparison (same
- * reasoning as [[TextAnalysis.ngramLmScore]]'s rational LM). Per-term
+ * tf-idf scoring uses the RATIONAL idf `(N+1)/(df+1)` — a single IEEE
+ * division — rather than the usual `ln((N+1)/(df+1))`: transcendental
+ * libm calls are the one place two engines legitimately disagree at the
+ * ulp, and the repo's correctness gate is bit-exact cross-engine
+ * comparison (same reasoning as [[TextAnalysis.ngramLmScore]]'s rational
+ * LM). BM25 defaults to the production `ln` Okapi idf, with the rational
+ * form as its oracle-compared twin — see [[searchBm25]]. Per-term
  * contributions are quantized to MICRO-UNITS — `floor(x·10⁶ + 0.5)` as
  * BIGINT, i.e. scaled-integer half-up — and summed as longs, so the
  * per-document score is an EXACT integer sum: associative (independent
@@ -215,26 +217,42 @@ object InvertedIndex {
    *
    *   idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
    *
-   * with the repo's RATIONAL idf (N+1)/(df+1) standing in for the usual
-   * ln form (same monotone ranking per term, no libm — the engine's
-   * bit-exact-oracle discipline; documented deviation from Okapi's
-   * log-idf). dl rides in the posting value and avgdl = Σdl/N from the
-   * meta cells, so the probe shape is IDENTICAL to [[search]] — the
-   * length normalization is free. Contributions quantize to micro-units
-   * and sum as BIGINT (order- and tie-rule-free), like every ranked
-   * score in the engine (see [[microUnits]]).
+   * The DEFAULT idf is the production Okapi form
+   * `ln(1 + (N − df + 0.5)/(df + 0.5))` (the Lucene/BM25+ variant, always
+   * positive) — real ranking parity with standard search engines. Setting
+   * `lnIdf = false` swaps in the repo's RATIONAL idf `(N+1)/(df+1)` — a
+   * single IEEE division, no libm — which is the ORACLE-COMPARED twin:
+   * transcendental calls are the one place two engines legitimately
+   * disagree at the ulp, so the driver-verified query pins the rational
+   * form while InvertedIndexSpec pins the relationship between the two:
+   * single-term rankings are IDENTICAL (idf is a per-term constant, so
+   * any positive idf orders by the length-normalized tf factor alone);
+   * multi-term queries weight terms in different RATIOS, so the two are
+   * similar-but-distinct rankings there — the spec pins top-hit
+   * agreement and high retrieved-set overlap. dl rides in the posting
+   * value and avgdl =
+   * Σdl/N from the meta cells, so the probe shape is IDENTICAL to
+   * [[search]] — the length normalization is free. Contributions
+   * quantize to micro-units and sum as BIGINT (order- and tie-rule-free),
+   * like every ranked score in the engine (see [[microUnits]]).
    */
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = true): DataFrame = {
     val uniq = terms.distinct
     val (post, dfs, nDocs, sumDl) = probe(spark, dir, uniq)
     val avgdl = sumDl.toDouble / nDocs
     val tfD = col("tf").cast("double")
+    val idfCol =
+      if (lnIdf)
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)))
+      else idf(nDocs)
     val den = tfD + lit(k1) *
       (lit(1 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))
     val scored = post.join(dfs, Seq("term"))
       .select(col("doc_id"),
-        microUnits(idf(nDocs) * ((tfD * lit(k1 + 1)) / den)).as("_c"))
+        microUnits(idfCol * ((tfD * lit(k1 + 1)) / den)).as("_c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("_c")).as("score"))
     topK(scored, k)

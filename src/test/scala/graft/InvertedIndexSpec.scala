@@ -77,7 +77,8 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     // "banana": tf 1 in doc0 (dl 3) and doc1 (dl 2) — plain tf·idf TIES
     // (id tiebreak → doc0 first); BM25's dl/avgdl denominator must rank
     // the shorter doc1 first
-    val got = InvertedIndex.searchBm25(spark, dir, Seq("banana"), k = 3)
+    val got = InvertedIndex
+      .searchBm25(spark, dir, Seq("banana"), k = 3, lnIdf = false)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"),
         r.getAs[Long]("score"), r.getAs[Long]("rank")))
@@ -95,10 +96,56 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0)._2 == expected(1, 2), s"doc1: ${got(0)}")
     assert(got(1)._2 == expected(1, 3), s"doc0: ${got(1)}")
 
+    // the DEFAULT (production ln-idf) scorer: same ranking, scores replay
+    // ln(1 + (N − df + 0.5)/(df + 0.5)) over the same dl normalization
+    val gotLn = InvertedIndex.searchBm25(spark, dir, Seq("banana"), k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score")))
+    assert(gotLn.map(_._1).toSeq == Seq(1L, 0L))
+    def expectedLn(tf: Double, dl: Double): Long = {
+      val avgdl = 9.0 / 3
+      val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+      val raw = idf * ((tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      math.floor(raw * 1000000.0 + 0.5).toLong
+    }
+    assert(gotLn(0)._2 == expectedLn(1, 2), s"ln doc1: ${gotLn(0)}")
+    assert(gotLn(1)._2 == expectedLn(1, 3), s"ln doc0: ${gotLn(1)}")
+
     // plain tf-idf through the SAME (widened) index still ranks doc0
     // first on the id tiebreak — the two rankings share one store
     val tfidf = InvertedIndex.search(spark, dir, Seq("banana"), k = 3)
       .collect().map(_.getAs[Long]("doc_id"))
     assert(tfidf.toSeq == Seq(0L, 1L))
+  }
+
+  test("ln-idf and rational-idf BM25: single-term rankings identical, " +
+      "multi-term heads and result sets agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_ln").toString
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    InvertedIndex.buildIndex(spark, docs, dir, buckets = 4)
+    def ranking(terms: Seq[String], lnIdf: Boolean): Seq[Long] =
+      InvertedIndex.searchBm25(spark, dir, terms, k = 20, lnIdf = lnIdf)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+    // single term: idf is a per-term CONSTANT across docs, so the ranking
+    // is by the length-normalized tf factor alone — any positive idf form
+    // yields the IDENTICAL order (structural, not empirical)
+    for (term <- Seq("merge", "sort", "window", "hash", "filter")) {
+      val (ln, rat) = (ranking(Seq(term), true), ranking(Seq(term), false))
+      assert(ln == rat, s"single-term ranking diverged for '$term'")
+    }
+    // multi-term: the two forms weight terms in different RATIOS, so they
+    // are genuinely different ranking functions — positions swap where
+    // per-doc scores are close (measured on these fixtures: top-2 stable,
+    // 18-20 of 20 retrieved docs shared). The contract worth pinning is
+    // strong similarity, not identity: the best hit agrees and the
+    // retrieved sets overlap at >= 15/20
+    for (terms <- Seq(Seq("merge", "sort", "window"), Seq("hash", "scan"))) {
+      val (ln, rat) = (ranking(terms, true), ranking(terms, false))
+      assert(ln.head == rat.head,
+        s"top hit diverged for $terms:\n ln=$ln\n rat=$rat")
+      val overlap = ln.toSet.intersect(rat.toSet).size
+      assert(overlap >= 15,
+        s"retrieved sets overlap only $overlap/20 for $terms:\n ln=$ln\n rat=$rat")
+    }
   }
 }
