@@ -53,6 +53,20 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Wide-row view over the same multi-version injection as
+    * [[cellLatestQuery]]: one row per customer with the qualifier→value
+    * map under latest-version visibility — closes SURVEY §1.4's optional
+    * `Result`/family-map shape. */
+  private def wideRowQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
+    CellTable.wideRows(versioned)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("family"), col("columns"), col("n_cols"), col("ts"))
+  }
+
   /** Delete-marker visibility: versions injected as in [[cellLatestQuery]],
     * then a DeleteColumn marker at BaseTs+1500 on every custkey%7==0
     * coordinate. %7∧%10 rows keep their v2 Put (ts 2000 > marker); %7-only
@@ -598,6 +612,7 @@ object SparkEntry {
     // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
+    "q_wide_row"       -> (wideRowQuery _),
     "q_cell_visible"   -> (cellVisibleQuery _),
     "q_cell_acl"       -> (cellAclQuery _),
     "q_cell_composite" -> (cellCompositeQuery _),
@@ -1693,6 +1708,25 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // Wide-row map: same injection as q_cell_latest, entries sorted by
+    // qualifier on BOTH sides before map_from_entries, so the map's entry
+    // order (the only engine freedom in a MAP value) is pinned.
+    "q_wide_row" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk,
+                   CASE WHEN c_custkey % 10 = 0 THEN 1700000002000 ELSE 1700000000000 END AS vts,
+                   CASE WHEN c_custkey % 10 = 0 THEN '#v2' ELSE '' END AS sfx
+            FROM customer),
+          cells AS (
+            SELECT rk, 'c_name' AS q, vts AS ts, c_name || sfx AS v FROM c
+            UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
+            UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
+            UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c)
+          SELECT rk AS row_key, 'customer' AS family,
+                 map_from_entries(list_sort(list(struct_pack(key := q, value := v)))) AS columns,
+                 CAST(count(*) AS BIGINT) AS n_cols,
+                 CAST(max(ts) AS BIGINT) AS ts
+          FROM cells GROUP BY rk""",
     // Per-family compaction: txt keeps newest of all ages, num's TTL
     // (BaseTs+1500) kills base cells and v1 so only %5 keys' v2 survive.
     "q_family_compact" ->

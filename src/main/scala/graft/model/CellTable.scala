@@ -202,6 +202,37 @@ object CellTable {
    * before the groupBy ([[graft.operators.StoreCounters]] does) to get a
    * map-side-combining HashAggregate.
    */
+  /**
+   * Wide-row view — SURVEY §1.4's optional `Result` mapping: one row per
+   * (rowKey, family) with a qualifier→value MAP under delete-masked
+   * latest-version visibility ([[visibleLatestValue]]), plus the column
+   * count and the newest cell ts. The HBase client's
+   * `Result.getFamilyMap` shape for consumers that want whole logical
+   * rows instead of the long/narrow cell frame.
+   *
+   * Determinism: map entries are sorted by qualifier BEFORE
+   * `map_from_entries`, so the map's entry order never depends on
+   * aggregation order — byte-identical output on any engine (and the
+   * oracle replays `list_sort` + `map_from_entries` in DuckDB).
+   *
+   * Shuffle shape: the input is pre-partitioned on (rowKey, family);
+   * hash partitioning on a PREFIX of the visibility aggregation's
+   * (rowKey, family, qualifier) grouping satisfies its clustering, so
+   * both aggregations run in that one partitioning — ONE exchange total
+   * (asserted in CellModelSpec), and wide rows never ship twice.
+   */
+  def wideRows(cells: DataFrame): DataFrame = {
+    val parted = cells.repartition(col("rowKey"), col("family"))
+    visibleLatestValue(parted)
+      .groupBy(col("rowKey"), col("family"))
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(
+          col("qualifier").cast("string").as("key"),
+          col("value").cast("string").as("value"))))).as("columns"),
+        count(lit(1)).as("n_cols"),
+        max(col("ts")).as("ts"))
+  }
+
   def visibleLatestValue(cells: DataFrame): DataFrame = {
     val put = col("cellType") =!= "Delete"
     cells

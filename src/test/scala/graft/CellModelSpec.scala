@@ -106,6 +106,30 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
       .isEmpty)
   }
 
+  test("wide rows: family map with latest-version + delete visibility, one exchange") {
+    val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
+    val marked = CellTable.withDeleteMarkers(versioned,
+      pmod(CellTable.keyToLong(col("rowKey")), lit(7)) === 0,
+      lit(CellTable.BaseTs + 10000L))
+    val wide = CellTable.wideRows(marked)
+    val rows = wide.collect()
+    // masked rows (every version at/before the marker) vanish whole
+    val nRows = cells.select("rowKey").distinct().count()
+    val nMasked = cells
+      .filter(pmod(CellTable.keyToLong(col("rowKey")), lit(7)) === 0)
+      .select("rowKey").distinct().count()
+    assert(rows.length == nRows - nMasked)
+    // surviving rows carry all 4 columns at the newest version
+    assert(rows.forall(_.getAs[Long]("n_cols") == 4L))
+    val m = rows.head.getAs[Map[String, String]]("columns")
+    assert(m.keySet == Set("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    assert(m.values.forall(_.endsWith("#v2")), s"latest version must win: $m")
+    // both aggregations share the pre-partitioning: exactly one exchange
+    val plan = CellTable.wideRows(versioned).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges:\n$plan")
+  }
+
   test("column pagination counts a qualifier once on a multi-version frame") {
     // HBase ColumnPaginationFilter counting unit: a COLUMN, not a cell —
     // extra versions must change neither the page membership nor its size,
