@@ -548,15 +548,7 @@ object Dedup {
       .join(broadcast(sizes.toDF("source_a", "_na")), Seq("source_a"))
       .join(broadcast(sizes.toDF("source_b", "_nb")), Seq("source_b"))
       .withColumn("n_union", col("_na") + col("_nb") - col("n_inter"))
-    val perDoc = docs.select(col("source"),
-      graft.functions.MinHashFunctions.minhash(
-        shingleHashes(col("text"), shingleN), numHashes).as("_mh"))
-    val laneMins = (0 until numHashes).map(i =>
-      min(element_at(col("_mh"), i + 1)).as(s"_m$i"))
-    val sig = perDoc.groupBy("source")
-      .agg(laneMins.head, laneMins.tail: _*)
-      .select(col("source"),
-        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
+    val sig = sourceSignatures(docs, shingleN, numHashes)
     val exactJ = col("n_inter").cast("double") / col("n_union").cast("double")
     withSizes
       .join(broadcast(sig.toDF("source_a", "_siga")), Seq("source_a"))
@@ -570,6 +562,71 @@ object Dedup {
         col("source_a"), col("source_b"), col("n_inter"), col("n_union"),
         floor(exactJ * lit(1000000.0) + lit(0.5)).as("jaccard_micro"),
         (abs(col("_est") - exactJ) <= lit(bound)).as("mh_within_bound"))
+  }
+
+  /** Per-source MinHash signature of the UNION of the source's documents'
+    * shingle sets (elementwise min across docs of the per-doc minhash IS
+    * the union's minhash — every lane applies the same permutation). One
+    * map-side-combining aggregation, k longs of state per source. */
+  private def sourceSignatures(docs: DataFrame, shingleN: Int,
+      numHashes: Int): DataFrame = {
+    val perDoc = docs.select(col("source"),
+      graft.functions.MinHashFunctions.minhash(
+        shingleHashes(col("text"), shingleN), numHashes).as("_mh"))
+    val laneMins = (0 until numHashes).map(i =>
+      min(element_at(col("_mh"), i + 1)).as(s"_m$i"))
+    perDoc.groupBy("source")
+      .agg(laneMins.head, laneMins.tail: _*)
+      .select(col("source"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
+  }
+
+  /**
+   * Signature-only overlap report — [[sourceOverlap]] without the exact
+   * gram-pair join, for HIGH source cardinality: the exact side's
+   * per-gram pair fanout is Σ k² over sources-per-gram, fine at tens of
+   * sources but quadratic in the worst case at thousands; this path's
+   * cost is one corpus scan (the signature aggregation) plus an S²
+   * broadcast join over k-long signatures — no gram ever pairs with
+   * another. `est_jaccard_micro` = matching lanes / k in micro-units
+   * (exact integer arithmetic over the lane count, so the quantization
+   * carries no float tie). With k = 128 lanes the estimate's standard
+   * error is ≤ 1/√k ≈ 0.088 — a corpus-curation signal, not a measure.
+   */
+  def sourceOverlapEstimate(docs: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 128): DataFrame = {
+    val sig = sourceSignatures(docs, shingleN, numHashes)
+    sig.toDF("source_a", "_siga")
+      .join(broadcast(sig.toDF("source_b", "_sigb")),
+        col("source_a") < col("source_b"))
+      .select(
+        col("source_a"), col("source_b"),
+        aggregate(
+          zip_with(col("_siga"), col("_sigb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("_lanes"))
+      .select(col("source_a"), col("source_b"),
+        col("_lanes").as("n_lanes_equal"),
+        expr(s"n_lanes_equal * 1000000 div $numHashes")
+          .as("est_jaccard_micro"))
+  }
+
+  /** Mode selector: the exact+checked report while the source count is
+    * small enough for the gram-pair join ([[sourceOverlap]]), the
+    * signature-only estimate beyond it ([[sourceOverlapEstimate]]). The
+    * source count is one cheap distinct-aggregate; the threshold bounds
+    * the exact side's worst-case pair fanout (≤ maxExactSources² per
+    * gram). Schemas differ by mode — exact rows carry (n_inter, n_union,
+    * jaccard_micro, mh_within_bound), estimate rows carry
+    * (n_lanes_equal, est_jaccard_micro) — because pretending an estimate
+    * is an exact count invites silent misuse. */
+  def sourceOverlapAuto(docs: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 128, bound: Double = 0.25,
+      maxExactSources: Int = 64): DataFrame = {
+    val nSources = docs.select(col("source")).distinct().count()
+    if (nSources <= maxExactSources)
+      sourceOverlap(docs, shingleN, numHashes, bound)
+    else sourceOverlapEstimate(docs, shingleN, numHashes)
   }
 
   // Query-pack adapters --------------------------------------------------

@@ -38,6 +38,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ok, "minhash estimate must sit within the bound")
   }
 
+  test("source overlap auto: exact below the source threshold, " +
+      "signature-only above, estimate tracks exact") {
+    val bysrc = Seq(
+      ("srcA", doc), ("srcA", "alpha beta gamma delta"),
+      ("srcB", doc), ("srcB", other),
+      ("srcC", "zeta eta theta iota kappa")
+    ).toDF("source", "text")
+    // small S → the exact+checked report (schema carries n_inter)
+    val exactMode = Dedup.sourceOverlapAuto(bysrc, maxExactSources = 64)
+    assert(exactMode.columns.contains("n_inter"))
+    // force the high-cardinality path → signature-only schema, and the
+    // (srcA, srcB) estimate sits within the 128-lane MinHash error of the
+    // hand-counted exact Jaccard 12/22; disjoint pairs estimate near 0
+    val est = Dedup.sourceOverlapAuto(bysrc, maxExactSources = 1)
+    assert(!est.columns.contains("n_inter") &&
+      est.columns.contains("est_jaccard_micro"))
+    val rows = est.collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        x.getAs[Long]("est_jaccard_micro")).toMap
+    // signature mode emits EVERY pair (no intersection join to drop empties)
+    assert(rows.keySet ==
+      Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    val exactJ = 12.0 / 22.0
+    assert(math.abs(rows(("srcA", "srcB")) / 1e6 - exactJ) <= 0.25,
+      s"estimate drifted: ${rows(("srcA", "srcB"))} vs $exactJ")
+    assert(rows(("srcA", "srcC")) / 1e6 <= 0.25)
+    assert(rows(("srcB", "srcC")) / 1e6 <= 0.25)
+  }
+
   test("novelty: duplicated docs score 0, unique docs score 1, in micro-units") {
     val r = Dedup.novelty(docs).collect()
       .map(x => x.getAs[Long]("doc_id") ->
