@@ -30,20 +30,46 @@ object StreamIntervalJoin {
   /** The shared (batch == stream) join: events × same-user error windows.
     * `events` may be a streaming or a batch frame.
     *
-    * `joinType` extends to `left_outer`: events matching no error window
-    * emit once with a NULL `error_id` — but only after the watermark
-    * passes their last possible match (the state store must PROVE no
-    * future error can still claim them), so on a drained finite input the
-    * trailing horizon's unmatched rows stay buffered. Specs therefore
-    * assert the stable contract: the non-null slice equals the inner
-    * join, and every null row is a true batch non-match — not that every
-    * non-match has surfaced. */
-  def transform(events: DataFrame, joinType: String = "inner"): DataFrame = {
+    * `joinType` extends to the watermarked outer forms:
+    *  - `left_outer`: events matching no error window emit once with a
+    *    NULL `error_id` — but only after the watermark passes their last
+    *    possible match (the state store must PROVE no future error can
+    *    still claim them), so on a drained finite input the trailing
+    *    horizon's unmatched rows stay buffered. Specs therefore assert
+    *    the stable contract: the non-null slice equals the inner join,
+    *    and every null row is a true batch non-match — not that every
+    *    non-match has surfaced.
+    *  - `full_outer`: additionally, error windows that no event landed in
+    *    emit once with NULL event columns under the same
+    *    watermark-proven rule. On THIS query's self-feeding shape every
+    *    error event is also a left-side event that lands in its own
+    *    window, so fixture runs produce an empty right-null slice — the
+    *    spec pins that property and exercises real right-padding through
+    *    [[transformStreams]] over two independent synthetic streams.
+    *
+    * `user_id` is coalesced across sides so right-padded rows keep the
+    * error's user (for matched and left-padded rows the coalesce is the
+    * left value, unchanged). */
+  def transform(events: DataFrame, joinType: String = "inner"): DataFrame =
+    transformStreams(events, events.filter(col("event_type") === "error"),
+      joinType)
+
+  /** The two-stream general form: `events` and `errors` may be ANY two
+    * (streaming or batch) frames with (event_id, user_id, ts) — the
+    * self-feeding [[transform]] is the special case `errors = events
+    * WHERE event_type = 'error'`. Note that on the self-feeding shape a
+    * right-padded row is IMPOSSIBLE even under drops: the join condition
+    * gives both sides the same state watermark (watermark − 30 min), so
+    * an error's left twin survives exactly as long as the error itself
+    * and always self-matches — right-padding only arises when the two
+    * sides are genuinely independent streams, which is what the spec
+    * feeds. */
+  def transformStreams(events: DataFrame, errors: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val l = events
       .select(col("event_id"), col("user_id"), col("ts"))
       .withWatermark("ts", "1 hour")
-    val r = events
-      .filter(col("event_type") === "error")
+    val r = errors
       .select(col("event_id").as("error_id"), col("user_id").as("_ruid"),
         col("ts").as("err_ts"))
       .withWatermark("err_ts", "1 hour")
@@ -53,7 +79,8 @@ object StreamIntervalJoin {
           col("ts") < col("err_ts") + expr("INTERVAL 30 MINUTES"),
         joinType)
       .select(
-        col("event_id"), col("user_id"),
+        col("event_id"),
+        coalesce(col("user_id"), col("_ruid")).as("user_id"),
         expr("unix_micros(ts) div 1000").as("ts_ms"),
         col("error_id"))
   }
