@@ -36,6 +36,69 @@ class SkewStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("hot-key corpus: the LSH star guard engages and reports via lsh_skew") {
+    // 20% of the corpus is ONE text (the hot-key regime the uniform
+    // fixtures never exercise); the rest is unique. The hot bucket
+    // exceeds maxBucket -> star pairing, and the observe metric counts
+    // the star-routed rows — the audit a production run would alert on.
+    val hot = spark.range(2000).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta").as("text"))
+    val uniq = spark.range(2000, 10000).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("u"), col("id").cast("string"),
+        (col("id") * 7).cast("string"), (col("id") * 13).cast("string"),
+        (col("id") * 29).cast("string")).as("text"))
+    val pairs = graft.operators.Dedup
+      .minhashLsh(hot.unionByName(uniq), maxBucket = 256)
+    val collected = pairs.collect()
+    // hot docs: exactly the 1999 star edges, all centered on doc 0
+    val hotPairs = collected.filter(r => r.getAs[Long]("doc_b") < 2000L)
+    assert(hotPairs.length == 1999, s"star edges: ${hotPairs.length}")
+    assert(hotPairs.forall(_.getAs[Long]("doc_a") == 0L))
+    // the skew metric reports the routed rows (> 0 proves the guard ran)
+    val star = pairs.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith("lsh_skew") =>
+        row.getAs[Long]("star_routed_rows")
+    }
+    assert(star.exists(_ > 0L), s"lsh_skew metric missing or zero: $star")
+  }
+
+  test("AQE splits the skewed partition in a joinAgg-shaped sort-merge join") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // force a sort-merge join and lower the skew thresholds into test
+      // range (defaults are 256 MB — sized for clusters, not specs)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // 80% of rows on key 0 with a fat payload -> its partition dwarfs
+      // the median; the rest spread over 1000 keys
+      val left = spark.range(300000).select(
+        when(col("id") % 5 === 0, (col("id") % 1000) + 1).otherwise(0L).as("k"),
+        concat(lit("payload-"), col("id").cast("string"),
+          lpad(lit("x"), 64, "x")).as("payload"))
+      val right = spark.range(0, 1001).select(
+        col("id").as("k"), concat(lit("n"), col("id").cast("string")).as("name"))
+      val agg = left.join(right, "k").groupBy("name")
+        .agg(count(lit(1)).as("n"))
+      val rows = agg.collect()
+      // correctness first: every left row joins exactly once
+      assert(rows.map(_.getAs[Long]("n")).sum == 300000L)
+      assert(rows.find(_.getAs[String]("name") == "n0")
+        .exists(_.getAs[Long]("n") == 240000L))
+      // the adaptive plan must have split the hot partition
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not engage:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("watermark drops events later than the lateness bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
