@@ -77,6 +77,9 @@ object GraftFunctionRegistry {
     ("zvalue", classOf[InterleaveBits],
       "zvalue(a, b) - Morton code of two BIGINT dimensions (Z-order clustering key)",
       es => { checkArity("zvalue", es, 2); InterleaveBits(es.head, es(1)) }),
+    ("hvalue", classOf[HilbertIndex],
+      "hvalue(a, b) - Hilbert index of two BIGINT dimensions (continuous clustering key)",
+      es => { checkArity("hvalue", es, 2); HilbertIndex(es.head, es(1)) }),
     ("rep_stats", classOf[RepStats],
       "rep_stats(text, n) - (nw, nd, top) repetition counts of n-token windows",
       es => { checkArity("rep_stats", es, 2)

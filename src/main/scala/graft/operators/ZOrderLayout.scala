@@ -19,17 +19,32 @@ import org.apache.spark.sql.functions._
  */
 object ZOrderLayout {
 
-  /** Cluster `df` on the Morton code of (a, b) into `numFiles` files. */
-  def cluster(df: DataFrame, a: String, b: String, numFiles: Int): DataFrame =
-    df.withColumn("_z",
-        ZOrderFunctions.zvalue(col(a).cast("long"), col(b).cast("long")))
+  /** Space-filling curve choices for [[cluster]]: Morton (bit interleave,
+    * cheapest to compute, discontinuous at quadrant seams) or Hilbert
+    * (continuous — every contiguous index range is one connected blob, so
+    * per-file bounding boxes are tighter; ZOrderSpec measures the
+    * difference). */
+  val Curves: Set[String] = Set("morton", "hilbert")
+
+  /** Cluster `df` on the space-filling-curve index of (a, b) into
+    * `numFiles` files. */
+  def cluster(df: DataFrame, a: String, b: String, numFiles: Int,
+      curve: String = "morton"): DataFrame = {
+    require(Curves.contains(curve), s"unknown curve '$curve' (${Curves.mkString("|")})")
+    val idx =
+      if (curve == "hilbert")
+        ZOrderFunctions.hvalue(col(a).cast("long"), col(b).cast("long"))
+      else ZOrderFunctions.zvalue(col(a).cast("long"), col(b).cast("long"))
+    df.withColumn("_z", idx)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+  }
 
-  /** Write a z-ordered parquet layout. */
-  def write(df: DataFrame, a: String, b: String, path: String, numFiles: Int): Unit =
-    cluster(df, a, b, numFiles).write.mode("overwrite").parquet(path)
+  /** Write a curve-clustered parquet layout. */
+  def write(df: DataFrame, a: String, b: String, path: String, numFiles: Int,
+      curve: String = "morton"): Unit =
+    cluster(df, a, b, numFiles, curve).write.mode("overwrite").parquet(path)
 
   /** Per-file [min, max] of `colName` — the pruning-tightness evidence:
     * the narrower the per-file range, the more files a point/range filter

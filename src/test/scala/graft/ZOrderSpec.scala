@@ -54,6 +54,48 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hilbert index is a bijection and CONTINUOUS on a grid") {
+    val n = 32
+    val byCode = (for (a <- 0L until n; b <- 0L until n)
+      yield ZOrderImpl.hilbert(a, b) -> ((a, b))).toMap
+    assert(byCode.size == n * n, "Hilbert index must be injective")
+    // the defining property Morton lacks: consecutive indexes are
+    // spatially ADJACENT cells (Manhattan distance exactly 1)
+    val ordered = byCode.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach { case Seq((ax, ay), (bx, by)) =>
+      val dist = math.abs(ax - bx) + math.abs(ay - by)
+      assert(dist == 1, s"curve jumped from ($ax,$ay) to ($bx,$by)")
+    }
+  }
+
+  test("hilbert layout: mean per-file bounding-box area at most Morton's") {
+    val n = 128
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+    val shuffled = new scala.util.Random(42).shuffle(grid)
+    val df = shuffled.toDF("x", "y").repartition(8)
+
+    def meanBoxArea(curve: String): Double = {
+      val dir = Files.createTempDirectory(s"graft_curve_$curve").toString
+      ZOrderLayout.write(df, "x", "y", dir, numFiles = 16, curve = curve)
+      val xs = ZOrderLayout.fileRanges(spark, dir, "x").collect()
+        .map(r => r.getAs[String]("file") ->
+          (r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1)).toMap
+      val ys = ZOrderLayout.fileRanges(spark, dir, "y").collect()
+        .map(r => r.getAs[String]("file") ->
+          (r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1)).toMap
+      val areas = xs.keys.map(f => xs(f).toDouble * ys(f).toDouble)
+      areas.sum / areas.size
+    }
+    val morton = meanBoxArea("morton")
+    val hilbert = meanBoxArea("hilbert")
+    // continuity ⇒ a contiguous index range never straddles a diagonal
+    // seam, so Hilbert files box at most as much area as Morton's
+    assert(hilbert <= morton,
+      s"hilbert mean box area $hilbert should not exceed morton's $morton")
+    // and both stay far below a linear layout's n * n/16 worst case
+    assert(hilbert <= 3000, s"hilbert boxes unexpectedly loose: $hilbert")
+  }
+
   test("z-order layout keeps BOTH dimensions tight per file; linear sort only one") {
     val n = 128
     val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
