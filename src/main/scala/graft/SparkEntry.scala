@@ -647,6 +647,8 @@ object SparkEntry {
     "q_source_overlap" -> (Dedup.sourceOverlapQuery _),
     "q_dup_clusters"   -> (Dedup.clustersQuery _),
     "q_rep_windows"    -> (Dedup.repeatedWindowsQuery _),
+    "q_span_dedup"     -> (Dedup.spanDedupQuery _),
+    "q_cluster_survivors" -> (Dedup.clusterSurvivorsQuery _),
     "q_novelty"        -> (Dedup.noveltyQuery _),
     "q_split_assign"   -> (CorpusPipeline.splitAssignQuery _),
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
@@ -681,6 +683,8 @@ object SparkEntry {
     "q_mix_sample"     -> (CorpusPipeline.mixSampleQuery _),
     "q_temp_sample"    -> (CorpusPipeline.tempSampleQuery _),
     "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
+    "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
+    "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
@@ -1254,6 +1258,96 @@ object SparkEntry {
                     min(doc_id) AS min_doc, max(doc_id) AS max_doc
                   FROM w GROUP BY g)
           SELECT n_docs, min_doc, max_doc FROM grp WHERE n_docs >= 2""",
+    // Exact substring-span removal (Lee et al. 2021 shape): 4-token
+    // windows in >= 2 distinct docs are boilerplate; covered token
+    // positions are excised everywhere and the cleaned text re-joined.
+    // String grams stand in for the engine's 64-bit window hashes.
+    "q_span_dedup" ->
+      s"""WITH tk AS (SELECT doc_id,
+                 regexp_split_to_array(text, '\\s+') AS t,
+                 regexp_split_to_array(lower(text), '\\s+') AS lt
+               FROM documents),
+          wx AS (SELECT doc_id, lt,
+                   unnest(generate_series(1, len(lt) - 3)) AS i
+                 FROM tk WHERE len(lt) >= 4),
+          wins AS (SELECT doc_id, i,
+                     array_to_string(list_slice(lt, i, i + 3), ' ') AS g
+                   FROM wx),
+          dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                                 FROM wins GROUP BY g) WHERE nd >= 2),
+          cov AS (SELECT DISTINCT w.doc_id, w.i + off.o AS ti
+                  FROM wins w JOIN dup USING (g)
+                  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) off),
+          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+                  FROM tk),
+          tok AS (SELECT doc_id, p, t[p] AS tokn FROM pos),
+          kept AS (SELECT tok.doc_id, tok.p, tok.tokn
+                   FROM tok LEFT JOIN cov
+                     ON tok.doc_id = cov.doc_id AND tok.p = cov.ti
+                   WHERE cov.ti IS NULL),
+          agg AS (SELECT doc_id,
+                    string_agg(tokn, ' ' ORDER BY p) AS cleaned
+                  FROM kept GROUP BY doc_id),
+          rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rem
+                  FROM cov GROUP BY doc_id)
+          SELECT tk.doc_id,
+                 CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                 coalesce(rem.n_rem, 0) AS n_removed,
+                 coalesce(agg.cleaned, '') AS cleaned_text
+          FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+                  LEFT JOIN rem ON tk.doc_id = rem.doc_id""",
+    // Quality-aware survivor per near-dup cluster: ground-truth >= 0.5
+    // clusters (as q_dup_clusters), singletons = own doc id, keep =
+    // argmax (quality_micro, -doc_id) within cluster.
+    "q_cluster_survivors" ->
+      s"""WITH RECURSIVE ${jaccardPairsSql("documents")},
+          edges AS (SELECT doc_a, doc_b FROM pairs
+                    WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5),
+          sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                  UNION SELECT doc_b, doc_a FROM edges
+                  UNION SELECT doc_a, doc_a FROM edges
+                  UNION SELECT doc_b, doc_b FROM edges),
+          reach AS (SELECT a, b FROM sym
+                    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+          q AS (SELECT d.doc_id,
+                  coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                  CAST(floor($QualitySql * 1000000.0 + 0.5) AS BIGINT) AS quality_micro
+                FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+          SELECT doc_id, cluster_id, quality_micro,
+                 (row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY quality_micro DESC, doc_id ASC) = 1) AS keep
+          FROM q""",
+    // Efraimidis-Spirakis weighted sample: md5-48 uniform, nano-quantized
+    // ln(u)/w key, top-100 by (key desc, doc_id).
+    "q_weighted_sample" ->
+      s"""WITH k AS (SELECT doc_id, source,
+                 CAST(n_chars AS BIGINT) AS weight,
+                 CAST(floor(
+                   ln((CAST(${md5Hash48Sql("concat(CAST(doc_id AS VARCHAR), 'graft-wrs')")} AS DOUBLE) + 0.5)
+                      / 281474976710656.0)
+                   / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1e9 + 0.5)
+                   AS BIGINT) AS key_nano
+               FROM documents),
+          r AS (SELECT *, row_number() OVER
+                  (ORDER BY key_nano DESC, doc_id ASC) AS rn FROM k)
+          SELECT doc_id, source, weight, key_nano,
+                 CAST(rn AS BIGINT) AS sample_rank
+          FROM r WHERE rn <= 100""",
+    // Mergeable HLL vocab sketches: the oracle recomputes the exact
+    // per-source and union distinct counts and asserts every bound TRUE
+    // (sketch-twin pattern, as q_vocab_approx).
+    "q_sketch_union" ->
+      """WITH toks AS (SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             FROM documents)
+          SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+                 CAST(count(*) AS BIGINT) AS n_tokens, TRUE AS within_bound
+          FROM toks GROUP BY source
+          UNION ALL
+          SELECT '(all)', CAST(count(DISTINCT tok) AS BIGINT),
+                 CAST(count(*) AS BIGINT), TRUE
+          FROM toks""",
     // Per-doc novelty: fraction of the doc's distinct 4-gram windows seen
     // in no other doc, micro-unit quantized (string grams stand in for
     // the engine's 64-bit window hashes, as in q_rep_windows).

@@ -289,6 +289,50 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("sample_rank"))
 
   /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+   * "Weighted random sampling with a reservoir"): each doc draws key
+   * u^(1/w) for a uniform u and weight w; the k largest keys are an
+   * exact weighted-without-replacement sample. Ranking by u^(1/w) is
+   * equivalent to ranking by ln(u)/w (monotone for u in (0,1)), which is
+   * what's computed; u is the deterministic 48-bit md5 uniform
+   * (u = (h48 + 0.5) / 2^48 — never 0 or 1), so membership is rerun- and
+   * partitioning-stable, same argument as [[assignSplits]].
+   *
+   * Keys are quantized to NANO units (floor(ln(u)/w * 1e9 + 0.5), a
+   * BIGINT) with doc_id as the total-order tiebreak — the engine's
+   * tie-rule-free convention, so an oracle recomputing the same ln on a
+   * different libm cannot flip the selection except on a float that
+   * lands within an ulp of a nano boundary.
+   *
+   * 100 TB shape: the key is a narrow per-row expression; global top-k
+   * is TakeOrderedAndProject (per-partition heads, never a full sort).
+   */
+  def weightedSample(
+      docs: DataFrame,
+      k: Int,
+      weightCol: String = "n_chars",
+      salt: String = "graft-wrs"): DataFrame = {
+    require(k > 0)
+    val h48 = conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
+      .cast("binary")), 1, 12), 16, 10).cast("bigint")
+    val u = (h48.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val w = greatest(col(weightCol).cast("double"), lit(1.0))
+    val keyNano = floor(log(u) / w * lit(1e9) + lit(0.5)).cast("bigint")
+    val keyed = docs.select(col("doc_id"), col("source"),
+      col(weightCol).cast("long").as("weight"), keyNano.as("key_nano"))
+    val top = keyed.orderBy(col("key_nano").desc, col("doc_id").asc).limit(k)
+    // rank over the k selected rows only — bounded single-partition window
+    import org.apache.spark.sql.expressions.Window
+    top.withColumn("sample_rank",
+      row_number().over(Window.orderBy(col("key_nano").desc, col("doc_id").asc))
+        .cast("bigint"))
+  }
+
+  /** Query-pack adapter: 100 docs weighted by length. */
+  def weightedSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    weightedSample(Tables.load(spark, sfDir, "documents"), k = 100)
+
+  /**
    * Sequence packing — group documents into training sequences of at most
    * `budget` tokens (greedy next-fit in doc-id order; an over-budget doc
    * gets its own bin). The packing is DETERMINISTIC and fully distributed:

@@ -203,6 +203,80 @@ object Dedup {
           * lit(1000000.0) + lit(0.5)).as("novelty_micro"))
   }
 
+  /**
+   * Exact substring-span REMOVAL — the action step on top of
+   * [[repeatedWindows]]'s detection (the "dedup the substrings, not the
+   * documents" cut of training-data cleaning, per Lee et al. 2021,
+   * "Deduplicating Training Data Makes Language Models Better"): every
+   * n-token window that occurs in at least `minDocs` distinct documents
+   * is treated as boilerplate, all token positions covered by any such
+   * window are excised from every document, and the cleaned text is
+   * re-emitted (token-normalized: single-space joined, original case).
+   * Documents shorter than n tokens have no windows and pass through
+   * unchanged.
+   *
+   * Duplicate detection hashes LOWERCASED windows (consistent with the
+   * rest of the dedup family); reconstruction keeps original-case tokens.
+   *
+   * 100 TB shape: window occurrences shuffle ONCE on their 64-bit hash
+   * (map-side combined count of distinct docs per window — a boilerplate
+   * window in millions of docs is one hot key with partial aggregation);
+   * covered starts ride a second hash join back and collapse to one
+   * per-doc array bounded by doc length. Reconstruction is entirely
+   * array-side higher-order expressions — no UDFs, no token-level
+   * shuffle of the corpus text.
+   */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 4, minDocs: Long = 2L): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), "\\s+").as("tk"),
+      split(lower(col("text")), "\\s+").as("lt"))
+
+    // Every window OCCURRENCE with its 0-based start position (unlike
+    // shingleHashes, occurrences are not per-doc deduplicated — a window
+    // repeated inside one doc covers both sites once it's boilerplate).
+    val wins = base.select(col("doc_id"),
+      posexplode(
+        when(size(col("lt")) >= n,
+          transform(sequence(lit(0), size(col("lt")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("lt"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "w")))
+
+    // Windows present in >= minDocs distinct docs. Per-doc distinct first,
+    // so the count aggregate is a doc count (same trick repeatedWindows
+    // documents), both steps map-side combined on the same hash key.
+    val dupW = wins.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("w")
+
+    // Covered window starts, collapsed to one sorted array per doc.
+    val starts = wins.join(dupW, "w")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+
+    val covered = when(col("starts").isNull, array().cast("array<int>"))
+      .otherwise(array_distinct(flatten(
+        transform(col("starts"), p => sequence(p, p + n - 1)))).cast("array<int>"))
+
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("_cov", covered)
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("_cov")).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(
+            filter(sequence(lit(0), size(col("tk")) - 1),
+              i => !array_contains(col("_cov"), i.cast("int"))),
+            i => element_at(col("tk"), i + 1))).as("cleaned_text"))
+  }
+
+  /** Query-pack adapter: scrub 4-token boilerplate windows shared by >= 2
+    * docs from the documents table. */
+  def spanDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
+    removeRepeatedSpans(Tables.load(spark, sfDir, "documents"), n = 4)
+
   /** SimHash fingerprints: doc_id → 64-bit fingerprint. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(
@@ -675,6 +749,42 @@ object Dedup {
     * the same build-once contract as the IVF/PQ model caches and the
     * cell-store `buildOnce`: in production the assignment is a persisted
     * artifact the dedup pass joins against, not a per-query recompute. */
+  /**
+   * Quality-aware survivor selection — the KEEP/DROP decision a fuzzy-dedup
+   * pipeline actually executes: one survivor per near-dup cluster, chosen
+   * as the highest-quality member (ties broken by least doc id); documents
+   * in no cluster survive as their own singleton. Composes
+   * [[nearDupClusters]] (LSH + bounded-star CC) with the corpus quality
+   * score, so "keep the best copy, not an arbitrary one" costs one extra
+   * cluster-keyed window over the cluster assignment — never a second
+   * pass over the text.
+   *
+   * Quality is quantized to micro units (the engine's tie-rule-free
+   * convention) before ranking, so an oracle recomputing the same score
+   * can never disagree on the argmax.
+   */
+  def clusterSurvivors(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(docs, shingleN = shingleN, threshold = threshold)
+    val scored = docs.select(col("doc_id"),
+      floor(TextAnalysis.qualityColumn(col("text")) * lit(1000000.0) + lit(0.5))
+        .cast("bigint").as("quality_micro"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_micro").desc, col("doc_id").asc)
+    scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "quality_micro", "keep")
+  }
+
+  /** Query-pack adapter: survivor decision over the documents corpus at
+    * the q_dup_clusters parameters. */
+  def clusterSurvivorsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    clusterSurvivors(Tables.load(spark, sfDir, "documents"))
+
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 

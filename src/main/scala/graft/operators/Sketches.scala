@@ -77,6 +77,60 @@ object Sketches {
           lit(0.05) * col("n_distinct_tokens").cast("double"))
           .as("within_bound"))
 
+  /**
+   * Per-source vocabulary sketches as MERGEABLE STATE (Apache DataSketches
+   * HLL via Spark's `hll_sketch_agg`): one fixed-size binary sketch per
+   * source that can be persisted, shipped, and re-merged later with
+   * `hll_union_agg` — the global-distinct answer over N sources costs a
+   * union of N sketches, never a rescan of the corpus. This is the
+   * 100 TB form of cross-source vocabulary accounting: each ingest job
+   * emits its source's sketch; any later job unions whichever subset it
+   * needs.
+   */
+  def vocabSketches(docs: DataFrame, lgK: Int = 14): DataFrame =
+    docs.select(col("source"),
+        explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("tok"))
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("tok"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Union of previously-built [[vocabSketches]]: sketches in, one global
+    * distinct estimate out — no corpus access. */
+  def unionSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("n_distinct_approx"))
+
+  /** Driver-checkable form of the sketch-union path (the
+    * [[vocabApproxCheckQuery]] pattern): per-source sketch estimates AND
+    * the cross-source UNION estimate are each bound-checked against the
+    * exact distinct counts Spark also computes; the oracle recomputes the
+    * exact side and asserts every boolean TRUE. lgK=14 gives ~0.8%
+    * relative standard error; the 5% gate leaves >5 sigma of headroom.
+    * (The exact twins are verification scaffolding — at 100 TB only the
+    * sketch side runs; that's [[vocabSketches]] + [[unionSketches]].) */
+  def sketchUnionCheckQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("tok"))
+    val per = toks.groupBy("source")
+      .agg(hll_sketch_agg(col("tok"), lit(14)).as("sk"),
+        countDistinct(col("tok")).as("n_distinct"),
+        count(lit(1)).as("n_tokens"))
+    val perOut = per.select(col("source"), col("n_distinct"), col("n_tokens"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_distinct")).cast("double") <=
+        lit(0.05) * col("n_distinct").cast("double")).as("within_bound"))
+    val unionEst = per.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("_est"))
+    val exactAll = toks.agg(countDistinct(col("tok")).as("n_distinct"),
+      count(lit(1)).as("n_tokens"))
+    val unionOut = unionEst.crossJoin(exactAll)
+      .select(lit("(all)").as("source"), col("n_distinct"), col("n_tokens"),
+        (abs(col("_est") - col("n_distinct")).cast("double") <=
+          lit(0.05) * col("n_distinct").cast("double")).as("within_bound"))
+    perOut.unionByName(unionOut)
+  }
+
   /** Driver-checkable form of [[percentilesApproxQuery]]: KLL-style
     * `percentile_approx(accuracy = 10000)` returns an ELEMENT of the
     * group whose rank is within ε·n of q·n (ε = 1e-4), so the sound

@@ -15,6 +15,63 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     (1L, doc), (2L, doc), (3L, nearDoc), (4L, other), (5L, "short text")
   ).toDF("doc_id", "text")
 
+  test("span removal: cross-doc windows excised everywhere, singletons untouched") {
+    val corpus = Seq(
+      // docs 1 and 2 share the 4-token window "one two three four" (doc 2
+      // carries it in different case — detection is case-insensitive,
+      // reconstruction keeps original case)
+      (1L, "keep one two three four tail"),
+      (2L, "head ONE Two THREE FOUR also kept"),
+      // doc 3 repeats a window INTRA-doc only — not boilerplate (minDocs=2
+      // counts distinct docs), so nothing is removed
+      (3L, "aa bb cc dd aa bb cc dd"),
+      // doc 4 shares nothing; doc 5 is shorter than the window
+      (4L, "totally unrelated words in this document"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSpans(corpus, n = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_removed"),
+          x.getAs[String]("cleaned_text")))).toMap
+    assert(r(1L) == ((6L, 4L, "keep tail")))
+    assert(r(2L) == ((7L, 4L, "head also kept")))
+    assert(r(3L) == ((8L, 0L, "aa bb cc dd aa bb cc dd")))
+    assert(r(4L) == ((6L, 0L, "totally unrelated words in this document")))
+    assert(r(5L) == ((2L, 0L, "too short")))
+  }
+
+  test("span removal: overlapping duplicate windows merge into one covered span") {
+    // docs share a 6-token run → three overlapping 4-windows; covered
+    // positions union to the whole run, not 3×4 double-counting
+    val corpus = Seq(
+      (1L, "p q a b c d e f r"),
+      (2L, "x a b c d e f y z")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSpans(corpus, n = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_removed"), x.getAs[String]("cleaned_text")))).toMap
+    assert(r(1L) == ((6L, "p q r")))
+    assert(r(2L) == ((6L, "x y z")))
+  }
+
+  test("cluster survivors: one keep per cluster, highest quality wins, singletons kept") {
+    val corpus = Seq(
+      (1L, doc), (2L, doc), (3L, nearDoc), (4L, other)
+    ).toDF("doc_id", "text")
+    val r = Dedup.clusterSurvivors(corpus).collect()
+      .map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("cluster_id"), x.getAs[Boolean]("keep")))
+    val byCluster = r.groupBy(_._2)
+    // 1,2,3 are one near-dup cluster rooted at 1; 4 is a singleton
+    assert(byCluster.keySet == Set(1L, 4L))
+    byCluster.foreach { case (_, members) =>
+      assert(members.count(_._3) == 1, s"exactly one survivor: $members")
+    }
+    // identical docs tie on quality → least doc id survives
+    assert(byCluster(1L).filter(_._3).map(_._1).toSeq == Seq(1L))
+    assert(r.find(_._1 == 4L).exists(_._3), "singleton survives")
+  }
+
   test("source overlap: exact Jaccard from hand-counted shingle sets, estimate in bound") {
     // srcA and srcB share one full doc → known shingle overlap; srcC is
     // disjoint from both (no emitted pair — the join IS the intersection)

@@ -311,4 +311,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val small = CorpusPipeline.stratifiedSample(docs.limit(3), perStratum = 7)
     assert(small.count() == 3)
   }
+
+  test("weighted sample: exact size, weight-biased, deterministic, rank total order") {
+    val docs = graft.sources.Tables.load(spark, sf01, "documents")
+    val k = 100
+    val s = CorpusPipeline.weightedSample(docs, k = k).collect()
+    assert(s.length == k)
+    val ranks = s.map(_.getAs[Long]("sample_rank")).sorted
+    assert(ranks.toSeq == (1L to k.toLong))
+    // rank order follows (key_nano desc, doc_id asc)
+    val byRank = s.sortBy(_.getAs[Long]("sample_rank"))
+      .map(r => (r.getAs[Long]("key_nano"), r.getAs[Long]("doc_id")))
+    assert(byRank.sliding(2).forall { case Array((ka, ia), (kb, ib)) =>
+      ka > kb || (ka == kb && ia < ib) })
+    // repartition-stable membership (a pure function of ids)
+    val again = CorpusPipeline.weightedSample(docs.repartition(13), k = k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == s.map(_.getAs[Long]("doc_id")).toSet)
+    // the selection is genuinely weight-biased: the sample's mean weight
+    // must exceed the corpus mean (n_chars spread is wide enough that an
+    // unweighted draw of 100/500 sits below this with overwhelming margin)
+    val meanAll = docs.agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .head.getDouble(0)
+    val meanSample = s.map(_.getAs[Long]("weight").toDouble).sum / k
+    assert(meanSample > meanAll,
+      s"weighted sample mean $meanSample should exceed corpus mean $meanAll")
+  }
 }

@@ -102,4 +102,26 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(grand.head.getLong(2) == leaves.map(_.getLong(2)).sum)
     assert(flagSubtotals.map(_.getLong(2)).sum == grand.head.getLong(2))
   }
+
+  test("HLL sketch union: mergeable across independent builds, estimates in bound") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sf01, "documents")
+    // split the corpus in two, sketch each half INDEPENDENTLY (as two
+    // ingest jobs would), then union the persisted sketches — the global
+    // estimate must track the exact distinct of the whole corpus without
+    // any rescan of the union'd data
+    val a = Sketches.vocabSketches(docs.filter(col("doc_id") % 2 === 0))
+    val b = Sketches.vocabSketches(docs.filter(col("doc_id") % 2 === 1))
+    val est = Sketches.unionSketches(a.unionByName(b))
+      .head.getLong(0).toDouble
+    val exact = docs
+      .select(explode(graft.operators.TextAnalysis
+        .whitespaceTokens(lower(col("text")))).as("tok"))
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    assert(math.abs(est - exact) <= 0.05 * exact,
+      s"union estimate $est vs exact $exact")
+    // the check query asserts its own bounds — every boolean must be TRUE
+    val chk = Sketches.sketchUnionCheckQuery(spark, sf01).collect()
+    assert(chk.length > 1 && chk.forall(_.getAs[Boolean]("within_bound")))
+  }
 }
