@@ -685,6 +685,7 @@ object SparkEntry {
     "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
     "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
+    "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
@@ -1348,6 +1349,30 @@ object SparkEntry {
           SELECT '(all)', CAST(count(DISTINCT tok) AS BIGINT),
                  CAST(count(*) AS BIGINT), TRUE
           FROM toks""",
+    // Theta-sketch cross-source vocab overlap: the oracle recomputes the
+    // exact pairwise intersection/difference/union and asserts the
+    // sketch bounds TRUE (sketch-twin pattern).
+    "q_theta_overlap" ->
+      """WITH st AS (SELECT DISTINCT source,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             FROM documents),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                 FROM st GROUP BY source),
+          pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_inter
+                 FROM st a JOIN st b
+                   ON a.tok = b.tok AND a.source < b.source
+                 GROUP BY 1, 2),
+          allp AS (SELECT x.source AS source_a, y.source AS source_b,
+                     x.n AS n_a, y.n AS n_b
+                   FROM sz x JOIN sz y ON x.source < y.source)
+          SELECT allp.source_a, allp.source_b, allp.n_a, allp.n_b,
+                 coalesce(pr.n_inter, 0) AS n_inter,
+                 CAST(allp.n_a + allp.n_b - coalesce(pr.n_inter, 0) AS BIGINT)
+                   AS n_union,
+                 TRUE AS inter_within_bound, TRUE AS diff_within_bound
+          FROM allp LEFT JOIN pr
+            ON allp.source_a = pr.source_a AND allp.source_b = pr.source_b""",
     // Per-doc novelty: fraction of the doc's distinct 4-gram windows seen
     // in no other doc, micro-unit quantized (string grams stand in for
     // the engine's 64-bit window hashes, as in q_rep_windows).

@@ -131,6 +131,72 @@ object Sketches {
     perOut.unionByName(unionOut)
   }
 
+  /**
+   * Cross-source vocabulary OVERLAP from theta sketches — the set
+   * operation HLL cannot do, on Spark 4's BUILT-IN datasketches surface
+   * (`theta_sketch_agg` / `theta_intersection` / `theta_difference` /
+   * `theta_sketch_estimate` — built-ins beat a custom aggregate both for
+   * codegen integration and for sketch-format compatibility with other
+   * datasketches consumers). One theta sketch per source (single pass,
+   * map-side combined), then every pair's intersection and difference
+   * cardinality is post-aggregation arithmetic on fixed-size state —
+   * never a token-level pairwise join. At 100 TB this is the only
+   * tractable shape for "how much vocabulary do these N sources share":
+   * the corpus is read once, and all O(S²) pairings cost nothing.
+   */
+  def thetaVocabOverlap(docs: DataFrame, lgK: Int = 12): DataFrame = {
+    val st = docs.select(col("source"),
+      explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("tok"))
+    val per = st.groupBy("source")
+      .agg(theta_sketch_agg(col("tok"), lgK).as("sk"))
+    per.alias("x").join(per.alias("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        theta_sketch_estimate(theta_intersection(col("x.sk"), col("y.sk")))
+          .as("n_inter_approx"),
+        theta_sketch_estimate(theta_difference(col("x.sk"), col("y.sk")))
+          .as("n_only_a_approx"))
+  }
+
+  /** Driver-checkable form of [[thetaVocabOverlap]] (sketch-twin
+    * pattern): the exact per-pair intersection/difference/union are
+    * computed alongside, and the sketch answers are gated at 5% of the
+    * UNION size (the scale the theta set-op error is relative to; in the
+    * sketches' exact regime — under 2^lgK retained hashes — the
+    * estimates are exact and the margin is 0). The oracle recomputes the
+    * exact side and asserts every boolean TRUE. */
+  def thetaOverlapCheckQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("tok"))
+      .distinct()
+    val per = st.groupBy("source")
+      .agg(theta_sketch_agg(col("tok")).as("sk"),
+        count(lit(1)).as("nd"))
+    val ex = st.alias("a")
+      .join(st.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    per.alias("x").join(per.alias("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.nd").as("n_a"), col("y.nd").as("n_b"),
+        theta_sketch_estimate(theta_intersection(col("x.sk"), col("y.sk")))
+          .cast("double").as("_ie"),
+        theta_sketch_estimate(theta_difference(col("x.sk"), col("y.sk")))
+          .cast("double").as("_de"))
+      .join(ex, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        (abs(col("_ie") - col("n_inter").cast("double")) <=
+          lit(0.05) * (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .as("inter_within_bound"),
+        (abs(col("_de") - (col("n_a") - col("n_inter")).cast("double")) <=
+          lit(0.05) * (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .as("diff_within_bound"))
+  }
+
   /** Driver-checkable form of [[percentilesApproxQuery]]: KLL-style
     * `percentile_approx(accuracy = 10000)` returns an ELEMENT of the
     * group whose rank is within ε·n of q·n (ε = 1e-4), so the sound
