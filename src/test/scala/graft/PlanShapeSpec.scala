@@ -174,4 +174,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
       s"model side should scan the checkpointed bigram table:\n$plan")
   }
+
+  test("weighted sample: global top-k is TakeOrderedAndProject, never a full sort") {
+    val df = graft.operators.CorpusPipeline.weightedSampleQuery(spark, sf001)
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan per-partition heads:\n$plan")
+    // the only Sort allowed is the bounded k-row window's
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global range-partitioned sort:\n$plan")
+  }
+
+  test("span dedup: window-hash aggregations are two-phase (map-side partials)") {
+    val df = graft.operators.Dedup.spanDedupQuery(spark, sf001)
+    val plan = executedPlan(df)
+    // the per-doc-distinct + doc-count aggregation over window hashes must
+    // show a partial HashAggregate feeding each Exchange — a boilerplate
+    // window in millions of docs is a combined hot key, not a skew blowup
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 4, s"expected partial+final pairs, got $hashAggs in:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"window-hash aggs must stay hash-based:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no all-pairs anywhere:\n$plan")
+  }
 }
