@@ -686,6 +686,7 @@ object SparkEntry {
     "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
+    "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
@@ -753,6 +754,45 @@ object SparkEntry {
                    generate_series(1, len(regexp_split_to_array(lower(text), '\\s+')) - ${n - 1}),
                    i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + ${n - 1}), ' ')))
             ELSE [array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')] END"""
+
+  /** Staged-SQL twin of `BpeTrainer.trainMerges(numMerges = n)`: the
+    * oracle RE-DERIVES every merge from scratch — stage k counts adjacent
+    * symbol pairs over the stage-(k−1) word table, takes the same total-
+    * order argmax, and applies the merge with a list fold — so a single
+    * diverging merge decision anywhere in the engine's training loop
+    * flips the hash. CTEs are MATERIALIZED: each stage is referenced
+    * twice (argmax chain + next word table), and inlining would double
+    * the subtree per stage. */
+  private def bpeOracleSql(n: Int): String = {
+    val stages = (1 to n).map { k =>
+      s"""px$k AS MATERIALIZED (SELECT cnt, syms,
+             unnest(generate_series(CAST(1 AS BIGINT), CAST(len(syms) AS BIGINT) - 1)) AS i
+           FROM w${k - 1} WHERE len(syms) >= 2),
+          p$k AS (SELECT syms[CAST(i AS INTEGER)] AS l, syms[CAST(i + 1 AS INTEGER)] AS r,
+                    CAST(sum(cnt) AS BIGINT) AS c
+                  FROM px$k GROUP BY 1, 2),
+          m$k AS MATERIALIZED (SELECT l, r, c FROM p$k
+                  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+          w$k AS MATERIALIZED (SELECT cnt, list_reduce(
+                    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, _bs -> [_bs])),
+                    (_ba, _be) -> CASE WHEN len(_ba) > 0 AND _ba[-1] = m$k.l AND _be[1] = m$k.r
+                                  THEN list_append(list_slice(_ba, 1, len(_ba) - 1), m$k.l || m$k.r)
+                                  ELSE list_append(_ba, _be[1]) END) AS syms
+                  FROM w${k - 1}, m$k)"""
+    }.mkString(",\n")
+    val sel = (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH wt AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                FROM documents) t
+          WHERE w <> '' GROUP BY w),
+        w0 AS MATERIALIZED (SELECT cnt,
+            list_transform(generate_series(CAST(1 AS BIGINT), CAST(length(w) AS BIGINT)),
+              _ci -> substr(w, CAST(_ci AS INTEGER), 1)) AS syms FROM wt),
+        $stages
+        $sel"""
+  }
 
   /** First-24-bits-of-md5 fixed-point bucket (the `assignSplits` /
     * `sampleMixture` hash), over a hex-string column `m`, mod `mod` —
@@ -1349,6 +1389,9 @@ object SparkEntry {
           SELECT '(all)', CAST(count(DISTINCT tok) AS BIGINT),
                  CAST(count(*) AS BIGINT), TRUE
           FROM toks""",
+    // Distributed BPE training: the oracle re-derives all 6 merges from
+    // scratch, stage by stage (see bpeOracleSql).
+    "q_bpe_merges" -> bpeOracleSql(6),
     // Theta-sketch cross-source vocab overlap: the oracle recomputes the
     // exact pairwise intersection/difference/union and asserts the
     // sketch bounds TRUE (sketch-twin pattern).

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE merge learning — tokenizer TRAINING as a Spark job
+ * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+ * Subword Units"): learn the first N byte-pair-encoding merges from the
+ * corpus word frequencies.
+ *
+ * 100 TB shape: the corpus is read ONCE into the word-frequency table
+ * (one token shuffle with map-side combine); every training round after
+ * that runs over the WORD table — vocabulary-sized, not corpus-sized —
+ * exploding each word's adjacent symbol pairs into one weighted count
+ * aggregate, taking the argmax (a 1-row driver collect per round — the
+ * merge decision IS driver state, like any training loop), and applying
+ * the merge with an array-fold expression (codegen, no UDF). Rounds are
+ * `localCheckpoint`ed so lineage stays flat, the same discipline as the
+ * connected-components star rounds.
+ *
+ * Deterministic by construction: counts are integers and the argmax
+ * tiebreak is total ((count desc, left asc, right asc)), so an
+ * independent reimplementation (the DuckDB oracle re-derives every merge
+ * from scratch, stage by stage) lands on the identical merge sequence.
+ *
+ * Simplifications vs production BPE (documented, not hidden): words are
+ * lowercased whitespace tokens, no end-of-word marker, character (not
+ * byte) alphabet.
+ */
+object BpeTrainer {
+
+  case class Merge(rank: Int, lhs: String, rhs: String, count: Long)
+
+  /** Word frequency table with each word as its character-symbol array. */
+  def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+
+  /** Adjacent-pair explosion of a symbol array (per-position, overlapping —
+    * the classic get_stats counting). */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(0), size(syms) - 2),
+        i => struct(element_at(syms, i + 1).as("l"),
+          element_at(syms, i + 2).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** Leftmost-greedy application of one merge as an array fold: walk the
+    * symbols once, gluing every (lhs, rhs) adjacency — "aaa" under (a,a)
+    * becomes [aa, a], the standard greedy semantics. */
+  private def applyMerge(syms: Column, lhs: String, rhs: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(lhs) && s === lit(rhs),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn the first `numMerges` merges. Returns the merge sequence and
+    * the final word table (symbols after all merges) for downstream
+    * encoding. */
+  def trainMerges(docs: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1)
+    var words = wordTable(docs).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var exhausted = false
+    var k = 1
+    while (k <= numMerges && !exhausted) {
+      val top = words
+        .select(col("cnt"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect() // ONE row per round — the training decision, bounded
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += Merge(k, l, r, c)
+        words = words
+          .select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Query-pack adapter: first 6 merges learned from the documents
+    * corpus — (merge_rank, lhs, rhs, pair_count), re-derivable from
+    * scratch by the oracle's staged SQL. */
+  def bpeMergesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (merges, _) =
+      trainMerges(Tables.load(spark, sfDir, "documents"), numMerges = 6)
+    import spark.implicits._
+    merges.toDF()
+      .select(col("rank").cast("bigint").as("merge_rank"),
+        col("lhs"), col("rhs"), col("count").as("pair_count"))
+  }
+}
