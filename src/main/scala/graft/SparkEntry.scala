@@ -662,6 +662,7 @@ object SparkEntry {
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
     "q_embed_stats"    -> (EmbeddingStats.dimStatsQuery _),
+    "q_pca_check"      -> (EmbeddingPca.pcaCheckQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
@@ -1392,6 +1393,14 @@ object SparkEntry {
     // Distributed BPE training: the oracle re-derives all 6 merges from
     // scratch, stage by stage (see bpeOracleSql).
     "q_bpe_merges" -> bpeOracleSql(6),
+    // PCA gate (bound-boolean pattern): engine asserts projected variance
+    // == eigenvalue, monotone spectrum, orthonormal components, trace
+    // preservation; oracle contributes the keys and TRUE literals.
+    "q_pca_check" ->
+      """SELECT CAST(k AS BIGINT) AS component,
+                TRUE AS var_matches_lambda, TRUE AS monotone,
+                TRUE AS orthonormal, TRUE AS trace_preserved
+          FROM generate_series(1, 8) AS t(k)""",
     // Theta-sketch cross-source vocab overlap: the oracle recomputes the
     // exact pairwise intersection/difference/union and asserts the
     // sketch bounds TRUE (sketch-twin pattern).
