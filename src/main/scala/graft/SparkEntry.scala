@@ -663,6 +663,7 @@ object SparkEntry {
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
     "q_embed_stats"    -> (EmbeddingStats.dimStatsQuery _),
     "q_pca_check"      -> (EmbeddingPca.pcaCheckQuery _),
+    "q_ann_pca"        -> (EmbeddingPca.annPcaQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
@@ -1270,9 +1271,45 @@ object SparkEntry {
     else base
   }
 
+  /** Generated from the session's fitted PCA model (the ivfOracle
+    * contract): projections replay through `list_dot_product` over the
+    * same float-rounded component literals, the 8-term distance sums in
+    * the same left-assoc order, both scores q9-round. */
+  private def pcaAnnOracle: Map[String, String] =
+    operators.EmbeddingPca.cachedModel.map { m =>
+      val comps = (0 until 8).map(c => m.components(c).map(_.toFloat).toSeq)
+      val coordList = comps.map(w =>
+        s"list_dot_product(cv, ${doubleArrSql(w)})").mkString(",\n                ")
+      val qcoordList = comps.map(w =>
+        s"list_dot_product(qv, ${doubleArrSql(w)})").mkString(",\n                ")
+      val dist = (1 to 8).map(i =>
+        s"(pc[$i] - qpc[$i]) * (pc[$i] - qpc[$i])").mkString(" + ")
+      Map("q_ann_pca" ->
+        s"""WITH q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id < 5),
+             c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             q AS (SELECT query_id, qv, [$qcoordList] AS qpc FROM q0),
+             c AS (SELECT vec_id, cv, [$coordList] AS pc FROM c0),
+             pre AS (SELECT q.query_id, c.vec_id, c.cv, q.qv,
+                       round($dist, 9) AS pca_dist
+                     FROM c JOIN q ON c.vec_id != q.query_id),
+             cand AS (SELECT query_id, vec_id, cv, qv, pca_dist FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY pca_dist ASC, vec_id ASC) AS pr
+               FROM pre) t WHERE pr <= 100),
+             rer AS (SELECT query_id, vec_id, pca_dist,
+                            ${cosineSql("cv", "qv")} AS cosine
+                     FROM cand)
+            SELECT query_id, vec_id, pca_dist, cosine, rank FROM (
+              SELECT query_id, vec_id, pca_dist, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM rer) t WHERE rank <= 20""")
+    }.getOrElse(Map.empty)
+
   private def oracleSqlBase: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
-      sqOracle ++ embedOracle ++ Map(
+      sqOracle ++ embedOracle ++ pcaAnnOracle ++ Map(
     "zz_probe_duckdb_version" ->
       """SELECT version() AS duckdb_version,
                 CAST(round(CAST(0.1234565 AS DOUBLE), 6) AS DECIMAL(18,6)) AS canary_r6_cast,

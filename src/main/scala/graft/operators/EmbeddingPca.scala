@@ -157,6 +157,87 @@ object EmbeddingPca {
 
   private val NComponents = 8
 
+  /** One fitted model per (JVM, corpus dir) — fit once, consume from the
+    * check query, the ANN tier, and the generated oracle SQL (the
+    * IvfIndex.cachedModel contract: Verify dumps oracle_sql.json after
+    * the queries run, so the model the oracle embeds is the one that
+    * produced the results). Deterministic fitting makes the cache purely
+    * an optimization. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  def fitCached(spark: SparkSession, sfDir: String): Model =
+    modelCache.computeIfAbsent(sfDir, { _ =>
+      val corpus = Tables.load(spark, sfDir, "embeddings")
+      val d = corpus.select(size(col("embedding"))).head.getInt(0)
+      fit(corpus, d)
+    })
+
+  /** The most recently fitted model, for oracle-SQL generation. */
+  def cachedModel: Option[Model] =
+    modelCache.values().stream().findFirst()
+      .map[Option[Model]](Some(_)).orElse(None)
+
+  /** Uncentered projection onto one float-rounded component — a left
+    * fold in ascending dimension order, the exact double sequence the
+    * oracle's `list_reduce(list_prepend(0.0, …))` replays. Centering is
+    * deliberately dropped: the first-pass score is a DIFFERENCE of
+    * projections, so the mean shift cancels. */
+  private[graft] def rawCoord(e: Column, w: Array[Float]): Column =
+    aggregate(
+      zip_with(e, lit(w), (x, v) => x.cast("double") * v.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /**
+   * PCA-compressed two-stage ANN (the learned-subspace sibling of the
+   * Matryoshka tier): first pass ranks on squared L2 distance between
+   * 8-d PCA projections — for unit-norm embeddings, full-space L2 (hence
+   * cosine) is approximated by its projection onto the top-variance
+   * subspace — keeping `r` candidates; the rerank scores those with the
+   * exact full-dimension cosine. First pass touches 8 doubles per
+   * vector (precomputable as a stored column at ingest); the rerank
+   * touches r full vectors per query. Same broadcast-queries,
+   * no-corpus-shuffle shape as `Similarity.bruteForceTopK`; both scores
+   * are q9-quantized with (score, vec_id) tiebreaks, so the output is
+   * oracle-replayable from the emitted model literals.
+   */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, model: Model,
+      nComp: Int = NComponents, r: Int = 100, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = (0 until nComp).map(c => model.components(c).map(_.toFloat))
+    def coords(e: Column): Column =
+      array(comps.map(w => rawCoord(e, w)): _*)
+    val cor = corpus.select(col("vec_id"), col("embedding"),
+      coords(col("embedding")).as("pc"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"), coords(col("embedding")).as("qpc"))
+    val dist = (0 until nComp).map { c =>
+      val d = element_at(col("pc"), c + 1) - element_at(col("qpc"), c + 1)
+      d * d
+    }.reduce(_ + _) // left-assoc — the oracle sums in the same order
+    val scored = cor.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("query_vec"), Similarity.q9(dist).as("pca_dist"))
+    val wPre = Window.partitionBy("query_id")
+      .orderBy(col("pca_dist").asc, col("vec_id").asc)
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("_pr", row_number().over(wPre))
+      .filter(col("_pr") <= r)
+      .select(col("query_id"), col("vec_id"), col("pca_dist"),
+        Similarity.q9(graft.functions.VectorFunctions.cosine_sim(
+          col("embedding"), col("query_vec"))).as("cosine"))
+      .withColumn("rank", row_number().over(wFull).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Query-pack adapter: 8-of-64-dim PCA first pass, 100-candidate
+    * rerank, top-20 — same query set as the other ANN tiers. */
+  def annPcaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    pcaTopK(emb, emb.filter(col("vec_id") < 5), fitCached(spark, sfDir))
+  }
+
   /** Driver-checkable PCA gate (the bound-boolean pattern of
     * `vocabApproxCheckQuery`/`AnnRecall`): for each of the top 8
     * components, the DISTRIBUTED variance of the corpus projected onto
@@ -168,8 +249,7 @@ object EmbeddingPca {
     * hash. */
   def pcaCheckQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Tables.load(spark, sfDir, "embeddings")
-    val d = corpus.select(size(col("embedding"))).head.getInt(0)
-    val model = fit(corpus, d)
+    val model = fitCached(spark, sfDir)
 
     // distributed projected variance per component, one corpus pass
     val proj = project(corpus, model, NComponents)

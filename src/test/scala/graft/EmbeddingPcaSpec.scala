@@ -48,6 +48,27 @@ class EmbeddingPcaSpec extends AnyFunSuite with SparkTestBase {
     assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
   }
 
+  test("PCA ANN: full-candidate rerank equals brute force; pruned recall beats random") {
+    val emb = graft.sources.Tables.load(spark, sf01, "embeddings")
+    val m = EmbeddingPca.fitCached(spark, sf01)
+    val q = emb.filter(col("vec_id") < 5)
+    def keySet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = keySet(graft.operators.Similarity.bruteForceTopK(emb, q, k = 20))
+    // r >= corpus size: the first pass prunes nothing, so the rerank IS
+    // brute force (same q9 cosine, same tiebreak)
+    val full = keySet(EmbeddingPca.pcaTopK(emb, q, m, r = 1000000, k = 20))
+    assert(full == brute)
+    // r = 100 of 5000: an 8-of-64-dim subspace must beat random pruning
+    // (random 100-candidate recall ~= 2%)
+    val pruned = keySet(EmbeddingPca.pcaTopK(emb, q, m, r = 100, k = 20))
+      .map(t => (t._1, t._2))
+    val hits = pruned.intersect(brute.map(t => (t._1, t._2))).size
+    assert(hits >= 0.10 * brute.size,
+      s"pca recall ${hits.toDouble / brute.size} not above the random floor")
+  }
+
   test("PCA check query: every gate true on the fixtures; projection is narrow") {
     val r = EmbeddingPca.pcaCheckQuery(spark, sf01).collect()
     assert(r.length == 8)
