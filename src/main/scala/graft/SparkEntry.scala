@@ -651,6 +651,7 @@ object SparkEntry {
     "q_cluster_survivors" -> (Dedup.clusterSurvivorsQuery _),
     "q_novelty"        -> (Dedup.noveltyQuery _),
     "q_split_assign"   -> (CorpusPipeline.splitAssignQuery _),
+    "q_cluster_split"  -> (CorpusPipeline.clusterSplitQuery _),
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
     "q_embed_clusters" -> (Dedup.embeddingClustersQuery _),
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
@@ -1397,6 +1398,30 @@ object SparkEntry {
                  (row_number() OVER (PARTITION BY cluster_id
                     ORDER BY quality_micro DESC, doc_id ASC) = 1) AS keep
           FROM q""",
+    // Cluster-aware leakage-safe split: the bucket hashes the near-dup
+    // cluster id (ground-truth >= 0.5 clusters, as q_dup_clusters), so
+    // near-duplicates never straddle a split boundary.
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE ${jaccardPairsSql("documents")},
+          edges AS (SELECT doc_a, doc_b FROM pairs
+                    WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5),
+          sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                  UNION SELECT doc_b, doc_a FROM edges
+                  UNION SELECT doc_a, doc_a FROM edges
+                  UNION SELECT doc_b, doc_b FROM edges),
+          reach AS (SELECT a, b FROM sym
+                    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+          wc AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+          h AS (SELECT doc_id, cluster_id,
+                  md5(concat(CAST(cluster_id AS VARCHAR), 'graft-split')) AS m
+                FROM wc)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN ${md5BucketSql("m", 100L)} < 80 THEN 'train'
+                      WHEN ${md5BucketSql("m", 100L)} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM h""",
     // Efraimidis-Spirakis weighted sample: md5-48 uniform, nano-quantized
     // ln(u)/w key, top-100 by (key desc, doc_id).
     "q_weighted_sample" ->

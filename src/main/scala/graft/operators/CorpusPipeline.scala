@@ -158,6 +158,42 @@ object CorpusPipeline {
     assignSplits(Tables.load(spark, sfDir, "documents"))
 
   /**
+   * Cluster-aware split assignment — the leakage guard [[assignSplits]]
+   * cannot give: the split bucket hashes the near-dup CLUSTER id, not the
+   * doc id, so two near-duplicate documents can never land on opposite
+   * sides of a train/test boundary (the classic eval-contamination bug
+   * that per-doc hashing leaves open whenever dedup keeps more than one
+   * cluster member — deliberately, via caps, or because a later re-crawl
+   * re-introduces a variant: same cluster ⇒ same bucket, always).
+   * Composes [[Dedup.nearDupClusters]] (LSH + bounded-star CC) with the
+   * md5 split hash; singletons hash their own id, so for a fully-deduped
+   * corpus this degrades to exactly [[assignSplits]].
+   */
+  def assignSplitsByCluster(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      salt: String = "graft-split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val clusters = Dedup.nearDupClusters(docs)
+    val withCluster = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = pmod(
+      conv(substring(md5(concat(col("cluster_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
+      lit(100L))
+    withCluster.select(col("doc_id"), col("cluster_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Query-pack adapter: cluster-aware 80/10/10 split. */
+  def clusterSplitQuery(spark: SparkSession, sfDir: String): DataFrame =
+    assignSplitsByCluster(Tables.load(spark, sfDir, "documents"))
+
+  /**
    * Deterministic weighted mixture sampling — the "mixing weights" step of
    * training-data preparation: keep each document with its source's rate,
    * decided by a pure hash of (doc id, salt) against a fixed-point

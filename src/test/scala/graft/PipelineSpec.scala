@@ -312,6 +312,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(small.count() == 3)
   }
 
+  test("cluster-aware split: near-dups never straddle a boundary; degrades to per-doc for singletons") {
+    val doc = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val near = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val corpus = Seq(
+      (1L, doc), (2L, doc), (3L, near),
+      (4L, "completely different content about spark engines and shuffles here")
+    ).toDF("doc_id", "text")
+    val s = CorpusPipeline.assignSplitsByCluster(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    // the whole near-dup cluster shares one bucket
+    assert(Set(s(1L), s(2L), s(3L)).size == 1, s"cluster split apart: $s")
+    // a singleton's bucket equals the per-doc assignment
+    val solo = CorpusPipeline.assignSplits(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s(4L)._2 == solo(4L))
+    // fixtures: every cluster maps to exactly one split
+    val fix = CorpusPipeline.clusterSplitQuery(spark, sf001)
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(fix == 0L)
+  }
+
   test("weighted sample: exact size, weight-biased, deterministic, rank total order") {
     val docs = graft.sources.Tables.load(spark, sf01, "documents")
     val k = 100
