@@ -688,6 +688,7 @@ object SparkEntry {
     "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
     "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
+    "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
@@ -1463,6 +1464,20 @@ object SparkEntry {
                 TRUE AS var_matches_lambda, TRUE AS monotone,
                 TRUE AS orthonormal, TRUE AS trace_preserved
           FROM generate_series(1, 8) AS t(k)""",
+    // ANALYZE-style column stats: exact twins recomputed, sketch bound
+    // asserted TRUE (vocab_approx pattern).
+    "q_table_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+                   TRUE AS ndv_within_bound,
+                   CAST(min($c) AS VARCHAR) AS min_value,
+                   CAST(max($c) AS VARCHAR) AS max_value
+            FROM orders"""
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+        .map(one).mkString("\nUNION ALL ")
+    },
     // Theta-sketch cross-source vocab overlap: the oracle recomputes the
     // exact pairwise intersection/difference/union and asserts the
     // sketch bounds TRUE (sketch-twin pattern).

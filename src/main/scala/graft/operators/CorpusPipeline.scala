@@ -189,9 +189,21 @@ object CorpusPipeline {
         .otherwise("test").as("split"))
   }
 
-  /** Query-pack adapter: cluster-aware 80/10/10 split. */
-  def clusterSplitQuery(spark: SparkSession, sfDir: String): DataFrame =
-    assignSplitsByCluster(Tables.load(spark, sfDir, "documents"))
+  /** Query-pack adapter: cluster-aware 80/10/10 split, consuming the
+    * memoized cluster assignment (Dedup.docClustersCached). */
+  def clusterSplitQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val withCluster = docs.select(col("doc_id"))
+      .join(Dedup.docClustersCached(spark, sfDir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = pmod(
+      conv(substring(md5(concat(col("cluster_id").cast("string"), lit("graft-split"))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
+      lit(100L))
+    withCluster.select(col("doc_id"), col("cluster_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
 
   /**
    * Deterministic weighted mixture sampling — the "mixing weights" step of

@@ -724,7 +724,7 @@ object Dedup {
     ngramJaccard(Tables.load(spark, sfDir, "documents"))
 
   def clustersQuery(spark: SparkSession, sfDir: String): DataFrame =
-    nearDupClusters(Tables.load(spark, sfDir, "documents"))
+    docClustersCached(spark, sfDir)
 
   /** Query adapter: repeated 4-token windows across the corpus. The window
     * id is the engine's 64-bit hash (not SQL-reproducible as a value), so
@@ -781,9 +781,43 @@ object Dedup {
   }
 
   /** Query-pack adapter: survivor decision over the documents corpus at
-    * the q_dup_clusters parameters. */
-  def clusterSurvivorsQuery(spark: SparkSession, sfDir: String): DataFrame =
-    clusterSurvivors(Tables.load(spark, sfDir, "documents"))
+    * the q_dup_clusters parameters, consuming the memoized cluster
+    * assignment (see [[docClustersCached]]). */
+  def clusterSurvivorsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val clusters = docClustersCached(spark, sfDir)
+    val scored = docs.select(col("doc_id"),
+      floor(TextAnalysis.qualityColumn(col("text")) * lit(1000000.0) + lit(0.5))
+        .cast("bigint").as("quality_micro"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_micro").desc, col("doc_id").asc)
+    scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "quality_micro", "keep")
+  }
+
+  /** Documents-corpus cluster assignment memoized per (JVM, corpus dir) —
+    * the [[embeddingClustersCached]] contract applied to the text side:
+    * in production the LSH+CC assignment is a persisted artifact that
+    * every consumer (the cluster report, survivor selection, the
+    * cluster-aware split) joins against, not a per-query recompute. The
+    * checkpoint blocks die with their context, so entries revalidate. */
+  private val docClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def docClustersCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = s"$sfDir#docclusters"
+    val cached = docClusterCache.get(k)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      val fresh = nearDupClusters(Tables.load(spark, sfDir, "documents"))
+        .localCheckpoint(true)
+      docClusterCache.put(k, fresh)
+      fresh
+    }
+  }
 
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
