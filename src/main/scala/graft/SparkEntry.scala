@@ -631,6 +631,7 @@ object SparkEntry {
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
     "q_keyword_search" -> (keywordSearchQuery _),
     "q_bm25_search"    -> (bm25SearchQuery _),
+    "q_search_ndcg"    -> (RankMetrics.searchNdcgQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
     "q_region_splits"  -> (regionSplitsQuery _),
@@ -796,6 +797,76 @@ object SparkEntry {
               _ci -> substr(w, CAST(_ci AS INTEGER), 1)) AS syms FROM wt),
         $stages
         $sel"""
+  }
+
+  /** BM25 ranking replay (rational idf twin, micro-quantized per-term
+    * scores) — shared by q_bm25_search and the q_search_ndcg metric. */
+  private def bm25OracleSql: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH p AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+                        FROM documents)
+                  GROUP BY 1, 2),
+        d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+        ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+        s AS (SELECT p.doc_id,
+                     CAST(sum(CAST(floor(
+                       (((n.n + 1.0) / (d.df + 1)) *
+                        ((CAST(p.tf AS DOUBLE) * ${k1 + 1}) /
+                         (CAST(p.tf AS DOUBLE) + $k1 *
+                          (${1 - b} + $b * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))))
+                       * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS score
+              FROM p JOIN d USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN n CROSS JOIN ad
+              WHERE p.term IN ('merge', 'sort', 'window')
+              GROUP BY 1),
+        r AS (SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                          AS BIGINT) AS rank
+              FROM s)
+        SELECT doc_id, score, rank FROM r WHERE rank <= 20"""
+  }
+
+  /** nDCG@10 + MRR@10 of the BM25 ranking against term-presence gains.
+    * The discount weights 1/log2(r+1) are DRIVER literals emitted into
+    * both engines (RankMetrics.dcgWeights — no libm call on either
+    * side), per-rank terms micro-quantize before the long sum, and the
+    * final ratios divide the resulting integers — nothing float-ordered
+    * anywhere. */
+  private def searchNdcgOracleSql: String = {
+    val w = operators.RankMetrics.dcgWeights(10)
+    val wList = w.map(_.toString).mkString("[", ", ", "]")
+    s"""WITH ranked AS ($bm25OracleSql),
+        g AS (SELECT doc_id, CAST(count(DISTINCT w) AS BIGINT) AS gain
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+                    FROM documents) t
+              WHERE w IN ('merge', 'sort', 'window') GROUP BY doc_id),
+        wl AS (SELECT CAST($wList AS DOUBLE[]) AS ws),
+        dcg AS (SELECT
+                  CAST(sum(CAST(floor(CAST(coalesce(g.gain, 0) AS DOUBLE)
+                    * ws[CAST(r.rank AS INTEGER)] * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS dcg_micro,
+                  min(CASE WHEN coalesce(g.gain, 0) > 0 THEN r.rank END) AS fr
+                FROM ranked r LEFT JOIN g USING (doc_id) CROSS JOIN wl
+                WHERE r.rank <= 10),
+        ig AS (SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id ASC) AS rk
+               FROM g),
+        idcg AS (SELECT
+                   CAST(sum(CAST(floor(CAST(gain AS DOUBLE)
+                     * ws[CAST(rk AS INTEGER)] * 1000000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS idcg_micro
+                 FROM ig CROSS JOIN wl WHERE rk <= 10)
+        SELECT CAST(10 AS BIGINT) AS k, dcg.dcg_micro, idcg.idcg_micro,
+               CAST(floor(CAST(dcg.dcg_micro AS DOUBLE)
+                 / CAST(idcg.idcg_micro AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                 AS ndcg_micro,
+               CAST(CASE WHEN dcg.fr IS NULL THEN 0
+                    ELSE floor(1000000.0 / CAST(dcg.fr AS DOUBLE) + 0.5) END
+                 AS BIGINT) AS mrr_micro
+        FROM dcg CROSS JOIN idcg"""
   }
 
   /** First-24-bits-of-md5 fixed-point bucket (the `assignSplits` /
@@ -2130,34 +2201,8 @@ object SparkEntry {
     // plan uses (a hand-written "2.2" could sit 1 ulp from the computed
     // k1+1), and avgdl = Σdl/N divides the same integers on both sides.
     // Micro-unit quantization as in q_keyword_search (tie-rule-free).
-    "q_bm25_search" -> {
-      val k1 = 1.2; val b = 0.75
-      s"""WITH p AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
-                    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
-                          FROM documents)
-                    GROUP BY 1, 2),
-          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
-          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
-          ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
-          s AS (SELECT p.doc_id,
-                       CAST(sum(CAST(floor(
-                         (((n.n + 1.0) / (d.df + 1)) *
-                          ((CAST(p.tf AS DOUBLE) * ${k1 + 1}) /
-                           (CAST(p.tf AS DOUBLE) + $k1 *
-                            (${1 - b} + $b * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))))
-                         * 1000000.0 + 0.5)
-                         AS BIGINT)) AS BIGINT) AS score
-                FROM p JOIN d USING (term) JOIN dl USING (doc_id)
-                     CROSS JOIN n CROSS JOIN ad
-                WHERE p.term IN ('merge', 'sort', 'window')
-                GROUP BY 1),
-          r AS (SELECT doc_id, score,
-                       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
-                            AS BIGINT) AS rank
-                FROM s)
-          SELECT doc_id, score, rank FROM r WHERE rank <= 20"""
-    },
+    "q_bm25_search" -> bm25OracleSql,
+    "q_search_ndcg" -> searchNdcgOracleSql,
     // ColumnPaginationFilter: the page [1, 3) of the byte-ordered
     // qualifiers is (c_mktsegment, c_name) for every customer row.
     "q_col_paginate" ->
