@@ -692,6 +692,7 @@ object SparkEntry {
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
+    "q_bpe_encode"     -> (BpeTrainer.bpeEncodeQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
@@ -768,7 +769,7 @@ object SparkEntry {
     * flips the hash. CTEs are MATERIALIZED: each stage is referenced
     * twice (argmax chain + next word table), and inlining would double
     * the subtree per stage. */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeStagesSql(n: Int): String = {
     val stages = (1 to n).map { k =>
       s"""px$k AS MATERIALIZED (SELECT cnt, syms,
              unnest(generate_series(CAST(1 AS BIGINT), CAST(len(syms) AS BIGINT) - 1)) AS i
@@ -785,19 +786,32 @@ object SparkEntry {
                                   ELSE list_append(_ba, _be[1]) END) AS syms
                   FROM w${k - 1}, m$k)"""
     }.mkString(",\n")
-    val sel = (1 to n).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM m$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH wt AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+    s"""wt AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
           FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
                 FROM documents) t
           WHERE w <> '' GROUP BY w),
         w0 AS MATERIALIZED (SELECT cnt,
             list_transform(generate_series(CAST(1 AS BIGINT), CAST(length(w) AS BIGINT)),
               _ci -> substr(w, CAST(_ci AS INTEGER), 1)) AS syms FROM wt),
-        $stages
+        $stages"""
+  }
+
+  private def bpeOracleSql(n: Int): String = {
+    val sel = (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeStagesSql(n)}
         $sel"""
   }
+
+  /** Encode twin: the subword vocabulary the trained merges induce over
+    * the corpus — re-derived from scratch through the same stages. */
+  private def bpeEncodeOracleSql(n: Int): String =
+    s"""WITH ${bpeStagesSql(n)}
+        SELECT s AS symbol, CAST(count(*) AS BIGINT) AS n_positions,
+               CAST(sum(cnt) AS BIGINT) AS total_count
+        FROM (SELECT cnt, unnest(syms) AS s FROM w$n) t
+        GROUP BY s"""
 
   /** BM25 ranking replay (rational idf twin, micro-quantized per-term
     * scores) — shared by q_bm25_search and the q_search_ndcg metric. */
@@ -1527,6 +1541,7 @@ object SparkEntry {
     // Distributed BPE training: the oracle re-derives all 6 merges from
     // scratch, stage by stage (see bpeOracleSql).
     "q_bpe_merges" -> bpeOracleSql(6),
+    "q_bpe_encode" -> bpeEncodeOracleSql(6),
     // PCA gate (bound-boolean pattern): engine asserts projected variance
     // == eigenvalue, monotone spectrum, orthonormal components, trace
     // preservation; oracle contributes the keys and TRUE literals.

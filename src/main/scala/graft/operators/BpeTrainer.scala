@@ -92,15 +92,42 @@ object BpeTrainer {
     (merges.result(), words)
   }
 
+  /** Training memoized per (JVM, corpus dir) — train once, consume from
+    * the merges query, the encode query, and any downstream tokenizer
+    * user (the docClustersCached / IVF model-cache contract; training is
+    * deterministic, so the cache is purely an optimization). */
+  private val trainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Merge], DataFrame)]()
+
+  private[graft] def trainCached(spark: SparkSession, sfDir: String): (Seq[Merge], DataFrame) = {
+    val cached = trainCache.get(sfDir)
+    if (cached != null && !cached._2.sparkSession.sparkContext.isStopped) cached
+    else {
+      val fresh = trainMerges(Tables.load(spark, sfDir, "documents"), numMerges = 6)
+      trainCache.put(sfDir, fresh)
+      fresh
+    }
+  }
+
   /** Query-pack adapter: first 6 merges learned from the documents
     * corpus — (merge_rank, lhs, rhs, pair_count), re-derivable from
     * scratch by the oracle's staged SQL. */
   def bpeMergesQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val (merges, _) =
-      trainMerges(Tables.load(spark, sfDir, "documents"), numMerges = 6)
+    val (merges, _) = trainCached(spark, sfDir)
     import spark.implicits._
     merges.toDF()
       .select(col("rank").cast("bigint").as("merge_rank"),
         col("lhs"), col("rhs"), col("count").as("pair_count"))
+  }
+
+  /** Query-pack adapter: ENCODE with the learned tokenizer — the subword
+    * vocabulary the trained merges induce over the corpus, with position
+    * and frequency-weighted counts. (symbol, n_positions, total_count);
+    * the oracle re-derives training AND encoding from scratch. */
+  def bpeEncodeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, words) = trainCached(spark, sfDir)
+    words.select(col("cnt"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_positions"), sum(col("cnt")).as("total_count"))
   }
 }

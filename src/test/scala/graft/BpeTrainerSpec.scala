@@ -46,6 +46,17 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(merges.isEmpty, "single-char words have no adjacent pairs")
   }
 
+  test("BPE encode: subword vocabulary counts are frequency-consistent") {
+    val r = BpeTrainer.bpeEncodeQuery(spark, sf001).collect()
+    assert(r.nonEmpty)
+    // every subword position count is positive and weighted counts are
+    // at least the position counts (word frequencies >= 1)
+    assert(r.forall(x => x.getAs[Long]("n_positions") >= 1 &&
+      x.getAs[Long]("total_count") >= x.getAs[Long]("n_positions")))
+    // at least one multi-character symbol exists after 6 merges
+    assert(r.exists(_.getAs[String]("symbol").length > 1))
+  }
+
   test("BPE: merge decisions are partitioning-stable") {
     val docs = graft.sources.Tables.load(spark, sf001, "documents")
     val (a, _) = BpeTrainer.trainMerges(docs, numMerges = 3)
