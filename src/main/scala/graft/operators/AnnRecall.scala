@@ -49,6 +49,11 @@ object AnnRecall {
     ("lsh", 20, 0L),
     ("multiprobe", 20, 10000L),
     ("mrl", 20, 250000L),
+    // pca measures 0.51/0.62/0.24 at sf0.001/0.01/0.1 — an 8-of-64-dim
+    // learned subspace over near-isotropic synthetic vectors; the floor
+    // documents "far above random pruning" (random r=100 recall ~2% at
+    // sf0.1), not production-embedding quality
+    ("pca", 20, 100000L),
     ("ivf", 20, 500000L),
     ("pq", 10, 400000L),
     ("ivfpq", 10, 400000L),
@@ -69,6 +74,7 @@ object AnnRecall {
       "lsh"        -> Similarity.lshQuery(spark, sfDir),
       "multiprobe" -> Similarity.multiProbeQuery(spark, sfDir),
       "mrl"        -> Similarity.mrlQuery(spark, sfDir),
+      "pca"        -> EmbeddingPca.annPcaQuery(spark, sfDir),
       "ivf"        -> IvfIndex.ivfQuery(spark, sfDir),
       "pq"         -> PqIndex.pqQuery(spark, sfDir),
       "ivfpq"      -> IvfPqIndex.ivfpqQuery(spark, sfDir),
@@ -98,7 +104,8 @@ object AnnRecall {
     val truthSql = tierSql("q_ann_topk")
     val tierKeys = Map(
       "lsh" -> "q_ann_lsh", "multiprobe" -> "q_ann_multiprobe",
-      "mrl" -> "q_ann_mrl", "ivf" -> "q_ann_ivf", "pq" -> "q_ann_pq",
+      "mrl" -> "q_ann_mrl", "pca" -> "q_ann_pca",
+      "ivf" -> "q_ann_ivf", "pq" -> "q_ann_pq",
       "ivfpq" -> "q_ann_ivfpq", "ivfpq_res" -> "q_ann_ivfpq_res",
       "sq8" -> "q_ann_sq")
     val rows = Tiers.map { case (tier, k, _) =>

@@ -28,7 +28,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
       assert(r("multiprobe") >= r("lsh"),
         s"multi-probe must dominate single-bucket LSH: $r")
       val bucketMax = math.max(r("lsh"), r("multiprobe"))
-      for (t <- Seq("mrl", "ivf", "pq", "ivfpq", "ivfpq_res", "sq8"))
+      for (t <- Seq("mrl", "pca", "ivf", "pq", "ivfpq", "ivfpq_res", "sq8"))
         assert(r(t) > bucketMax, s"$t should beat bucketing tiers: $r")
       // SQ8 keeps full-dim scores (just quantized), reranked exactly —
       // it must sit at the top of the quantizer tiers
