@@ -690,6 +690,7 @@ object SparkEntry {
     "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
+    "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
     "q_bpe_encode"     -> (BpeTrainer.bpeEncodeQuery _),
@@ -1550,6 +1551,29 @@ object SparkEntry {
                 TRUE AS var_matches_lambda, TRUE AS monotone,
                 TRUE AS orthonormal, TRUE AS trace_preserved
           FROM generate_series(1, 8) AS t(k)""",
+    // Snapshot drift: chi-square-style per-band divergence (no logarithm
+    // => bit-for-bit oracle-matchable micro terms).
+    "q_corpus_drift" ->
+      """WITH d AS (SELECT doc_id,
+               least(floor(CAST(n_chars AS DOUBLE) / 100), 19) AS band
+             FROM documents),
+          ca AS (SELECT band, CAST(count(*) AS BIGINT) AS n_a
+                 FROM d WHERE doc_id % 2 = 0 GROUP BY band),
+          cb AS (SELECT band, CAST(count(*) AS BIGINT) AS n_b
+                 FROM d WHERE doc_id % 2 = 1 GROUP BY band),
+          j AS (SELECT coalesce(ca.band, cb.band) AS band,
+                  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                FROM ca FULL OUTER JOIN cb ON ca.band = cb.band),
+          t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+                       CAST(sum(n_b) AS DOUBLE) AS tb FROM j)
+          SELECT CAST(band AS BIGINT) AS band, n_a, n_b,
+                 CASE WHEN n_a + n_b = 0 THEN 0
+                      ELSE CAST(floor(
+                        (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                        * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                        / (CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb)
+                        * 1000000.0 + 0.5) AS BIGINT) END AS term_micro
+          FROM j, t""",
     // ANALYZE-style column stats: exact twins recomputed, sketch bound
     // asserted TRUE (vocab_approx pattern).
     "q_table_stats" -> {

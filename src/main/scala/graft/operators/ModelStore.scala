@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Persistence for the engine's learned artifacts — BPE merge tables and
+ * PCA models — as plain parquet under a model directory: train once on
+ * the cluster, ship the artifact, load it anywhere (including a job that
+ * never sees the training corpus). The IVF/PQ index stores already
+ * persist themselves through the cell-store writer; this covers the two
+ * driver-resident models the same way, with the schemas kept trivially
+ * inspectable (`merges`: rank/lhs/rhs/count rows; `pca`: tagged
+ * (kind, component, dim, value) rows).
+ *
+ * Writes go through a temp-dir rename via the normal parquet committer
+ * (job-level atomicity on a local/HDFS-like FS, same guarantee every
+ * other store in the engine relies on).
+ */
+object ModelStore {
+
+  def saveBpeMerges(spark: SparkSession, merges: Seq[BpeTrainer.Merge],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.toDF().write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[BpeTrainer.Merge] = {
+    spark.read.parquet(s"$path/merges")
+      .orderBy("rank").collect()
+      .map(r => BpeTrainer.Merge(r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("count")))
+      .toSeq
+  }
+
+  def savePcaModel(spark: SparkSession, m: EmbeddingPca.Model, path: String): Unit = {
+    import spark.implicits._
+    val d = m.mean.length
+    val rows =
+      m.mean.zipWithIndex.map { case (v, i) => ("mean", -1, i, v) } ++
+      m.eigenvalues.zipWithIndex.map { case (v, k) => ("eigenvalue", k, -1, v) } ++
+      (for (k <- m.components.indices; i <- 0 until d)
+        yield ("component", k, i, m.components(k)(i))) ++
+      Seq(("trace", -1, -1, m.covTrace))
+    rows.toSeq.toDF("kind", "component", "dim", "value")
+      .write.mode("overwrite").parquet(s"$path/pca")
+  }
+
+  def loadPcaModel(spark: SparkSession, path: String): EmbeddingPca.Model = {
+    val rows = spark.read.parquet(s"$path/pca").collect()
+    def of(kind: String) = rows.filter(_.getAs[String]("kind") == kind)
+    val mean = of("mean").sortBy(_.getAs[Int]("dim"))
+      .map(_.getAs[Double]("value"))
+    val evals = of("eigenvalue").sortBy(_.getAs[Int]("component"))
+      .map(_.getAs[Double]("value"))
+    val d = mean.length
+    val comps = of("component")
+      .groupBy(_.getAs[Int]("component")).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        val arr = new Array[Double](d)
+        rs.foreach(r => arr(r.getAs[Int]("dim")) = r.getAs[Double]("value"))
+        arr
+      }.toArray
+    val trace = of("trace").head.getAs[Double]("value")
+    EmbeddingPca.Model(mean, evals, comps, trace)
+  }
+}

@@ -21,27 +21,33 @@ object TableStats {
 
   def analyze(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty)
-    val aggs = columns.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"cnt_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        approx_count_distinct(col(c), 0.01).as(s"andv_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
-    } :+ count(lit(1)).as("n_rows")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(columns.map { c =>
-        struct(
+    // One PRUNED pass per column, unioned — a multi-column agg mixing
+    // several countDistincts forces an Expand + SortAggregate cascade
+    // (measured 60x slower at sf0.1). Within a column, the HLL sketch
+    // aggregates SEPARATELY from the exact stats: Spark's distinct
+    // rewrite re-keys the first aggregate by the column's VALUES, and
+    // any imperative buffer sharing that aggregate (the rsd=0.01 HLL is
+    // ~16 KB) is then allocated once PER DISTINCT VALUE — measured 6 s
+    // on a 150k-distinct key vs ~0.3 s split. Cross-joining the two
+    // 1-row results costs nothing.
+    columns.map { c =>
+      val exact = df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("_cnt"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+      val approx = df.agg(approx_count_distinct(col(c), 0.01).as("_andv"))
+      exact.crossJoin(approx)
+        .select(
           lit(c).as("col_name"),
           col("n_rows"),
-          (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
-          col(s"ndv_$c").as("ndv"),
-          (abs(col(s"andv_$c") - col(s"ndv_$c")).cast("double") <=
-            lit(0.05) * col(s"ndv_$c").cast("double")).as("ndv_within_bound"),
-          col(s"min_$c").as("min_value"),
-          col(s"max_$c").as("max_value"))
-      }: _*)).as("s"))
-      .select("s.*")
+          (col("n_rows") - col("_cnt")).as("n_nulls"),
+          col("ndv"),
+          (abs(col("_andv") - col("ndv")).cast("double") <=
+            lit(0.05) * col("ndv").cast("double")).as("ndv_within_bound"),
+          col("min_value"), col("max_value"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Query-pack adapter: stats over four engine-portable orders columns. */
