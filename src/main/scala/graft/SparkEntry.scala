@@ -691,6 +691,8 @@ object SparkEntry {
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
+    "q_join_estimate"  -> (TableStats.joinEstimateQuery _),
+    "q_purge_audit"    -> (Governance.purgeAuditQuery _),
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
     "q_bpe_encode"     -> (BpeTrainer.bpeEncodeQuery _),
@@ -1574,6 +1576,33 @@ object SparkEntry {
                         / (CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb)
                         * 1000000.0 + 0.5) AS BIGINT) END AS term_micro
           FROM j, t""",
+    // Stats-based join-cardinality estimate vs the actual count — pure
+    // integer arithmetic, every column (incl. the gate) recomputed.
+    "q_join_estimate" ->
+      """WITH ls AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_left FROM orders),
+          rs AS (SELECT CAST(count(*) AS BIGINT) AS n_right,
+                 CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv_right FROM customer),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+          SELECT n_left, n_right, ndv_left, ndv_right,
+                 CAST((n_left * n_right) // greatest(ndv_left, ndv_right) AS BIGINT)
+                   AS est_rows,
+                 actual_rows,
+                 ((n_left * n_right) // greatest(ndv_left, ndv_right) <= actual_rows * 3
+                  AND (n_left * n_right) // greatest(ndv_left, ndv_right) * 3 >= actual_rows)
+                   AS within_3x
+          FROM ls, rs, a""",
+    // Subject-deletion audit: anti-join purge counts + recomputed proof
+    // that no in-scope row remains.
+    "q_purge_audit" ->
+      """WITH k AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+          b AS (SELECT CAST(count(*) AS BIGINT) AS n_before FROM orders),
+          p AS (SELECT CAST(count(*) AS BIGINT) AS n_after FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM k))
+          SELECT n_before, CAST(n_before - n_after AS BIGINT) AS n_purged,
+                 n_after, TRUE AS none_left
+          FROM b, p""",
     // ANALYZE-style column stats: exact twins recomputed, sketch bound
     // asserted TRUE (vocab_approx pattern).
     "q_table_stats" -> {

@@ -54,4 +54,36 @@ object TableStats {
   def tableStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     analyze(Tables.load(spark, sfDir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+
+  /**
+   * The textbook equi-join cardinality estimate from column statistics —
+   * |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) — next to the ACTUAL join
+   * count, with a 3x accuracy gate. This is what the collected stats are
+   * FOR: sizing a join (broadcast or not, how many shuffle partitions)
+   * before paying for it. All-integer arithmetic end to end, so the
+   * oracle recomputes every column including the boolean exactly.
+   */
+  def joinEstimate(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val ls = left.agg(count(lit(1)).as("n_left"),
+      countDistinct(col(leftKey)).as("ndv_left"))
+    val rs = right.agg(count(lit(1)).as("n_right"),
+      countDistinct(col(rightKey)).as("ndv_right"))
+    val actual = left.join(right, col(leftKey) === col(rightKey))
+      .agg(count(lit(1)).as("actual_rows"))
+    // integer `div` (not `/`, which is double division in Spark SQL) so
+    // every emitted value is exact integer arithmetic on both engines
+    ls.crossJoin(rs).crossJoin(actual)
+      .withColumn("est_rows",
+        expr("(n_left * n_right) div greatest(ndv_left, ndv_right)"))
+      .select(col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+        col("est_rows"), col("actual_rows"),
+        (col("est_rows") <= col("actual_rows") * 3 &&
+          col("est_rows") * 3 >= col("actual_rows")).as("within_3x"))
+  }
+
+  /** Query-pack adapter: estimate vs actual for orders ⋈ customer. */
+  def joinEstimateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    joinEstimate(Tables.load(spark, sfDir, "orders"),
+      Tables.load(spark, sfDir, "customer"), "o_custkey", "c_custkey")
 }
