@@ -707,6 +707,7 @@ object SparkEntry {
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
     "q_salted_distinct"-> (Skew.saltedDistinctQuery _),
     "q_redact"         -> (TextAnalysis.redactQuery _),
+    "q_normalize_text" -> (TextAnalysis.normalizeQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
     "q_media_ann"      -> (Multimodal.mediaAnnQuery _))
@@ -1553,6 +1554,20 @@ object SparkEntry {
                 TRUE AS var_matches_lambda, TRUE AS monotone,
                 TRUE AS orthonormal, TRUE AS trace_preserved
           FROM generate_series(1, 8) AS t(k)""",
+    // Unicode normalization twin: DuckDB nfc_normalize + the SAME
+    // enumerated control/whitespace classes (see NormalizeImpl).
+    "q_normalize_text" -> {
+      val ctrl = """[\x00-\x08\x0E-\x1F\x7F-\x9F]"""
+      val ws = """[ \t\n\r\x0B\x0C\xA0\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"""
+      s"""SELECT doc_id,
+            trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                   '$ctrl', '', 'g'),
+                 '$ws', ' ', 'g'), ' ') AS norm_text,
+            CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                   '$ctrl', '', 'g'),
+                 '$ws', ' ', 'g'), ' ')) AS BIGINT) AS n_chars_norm
+          FROM documents"""
+    },
     // Snapshot drift: chi-square-style per-band divergence (no logarithm
     // => bit-for-bit oracle-matchable micro terms).
     "q_corpus_drift" ->

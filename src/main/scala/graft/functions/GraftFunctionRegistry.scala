@@ -84,6 +84,9 @@ object GraftFunctionRegistry {
       "rep_stats(text, n) - (nw, nd, top) repetition counts of n-token windows",
       es => { checkArity("rep_stats", es, 2)
               RepStats(es.head, intArg("rep_stats", es(1), 2)) }),
+    ("normalize_text", classOf[NormalizeText],
+      "normalize_text(s) - NFC + control strip + whitespace collapse",
+      es => { checkArity("normalize_text", es, 1); NormalizeText(es.head) }),
     ("hlc_margin", classOf[HashedLinearMargin],
       "hlc_margin(text, dim) - hashed-linear classifier margin over dim buckets",
       es => { checkArity("hlc_margin", es, 2)

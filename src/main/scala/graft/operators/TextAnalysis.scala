@@ -410,6 +410,17 @@ object TextAnalysis {
   def repStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     repetitionStats(Tables.load(spark, sfDir, "documents"), n = 2)
 
+  /** Unicode normalization pass over the corpus (NFC + control strip +
+    * whitespace collapse — `graft.functions.NormalizeText`): the
+    * canonical first stage before any hashing/dedup, since NFC-unequal
+    * encodings of the same text otherwise defeat every digest. */
+  def normalizeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = graft.functions.NormalizeFunctions.normalize_text(col("text"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), n.as("norm_text"),
+        length(n).cast("bigint").as("n_chars_norm"))
+  }
+
   def redactQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val planted = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),

@@ -1,5 +1,36 @@
 package graft
 
+import org.scalatest.funsuite.{AnyFunSuite => NormalizeSuiteBase}
+
+class NormalizeTextSpec extends NormalizeSuiteBase with SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  private def norm(s: String): String =
+    Seq(Tuple1(s)).toDF("t")
+      .select(graft.functions.NormalizeFunctions.normalize_text(col("t")))
+      .head.getString(0)
+
+  test("normalize_text: NFC composes combining marks") {
+    assert(norm("café") == "café") // e + ´ -> é
+    assert(norm("café") == "café")       // already composed
+  }
+
+  test("normalize_text: controls dropped, unicode spaces collapsed, ends trimmed") {
+    assert(norm("ab") == "ab")
+    assert(norm("  a  b\tc  ") == "a b c")
+    assert(norm("a  b") == "a b") // control inside a space run
+    assert(norm("​") == "​") // ZWSP is NOT whitespace — content
+    assert(norm(" \t\n ") == "")
+  }
+
+  test("normalize_text: SQL surface via the registry") {
+    graft.functions.GraftFunctionRegistry.registerAll(spark)
+    Seq(Tuple1("x  y")).toDF("t").createOrReplaceTempView("norm_in")
+    assert(spark.sql("SELECT normalize_text(t) FROM norm_in")
+      .head.getString(0) == "x y")
+  }
+}
+
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
