@@ -27,10 +27,16 @@ object DriftMonitor {
    * Emits (band, n_a, n_b, term_micro) — Σ term_micro is the corpus
    * drift statistic in micro-units.
    */
-  def snapshotDrift(a: DataFrame, b: DataFrame): DataFrame = {
+  def snapshotDrift(a: DataFrame, b: DataFrame): DataFrame =
+    driftFromCounts(
+      a.groupBy("band").agg(count(lit(1)).as("n_a")),
+      b.groupBy("band").agg(count(lit(1)).as("n_b")))
+
+  /** Histogram-level entry point — (band, n_a) vs (band, n_b) counts,
+    * for callers that already hold the histograms (the streaming monitor's
+    * cumulative aggregation state). */
+  def driftFromCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ca = a.groupBy("band").agg(count(lit(1)).as("n_a"))
-    val cb = b.groupBy("band").agg(count(lit(1)).as("n_b"))
     val joined = ca.join(cb, Seq("band"), "full_outer")
       .na.fill(0L, Seq("n_a", "n_b"))
     // totals over the BOUNDED band set — a windowless frame is fine here
