@@ -694,6 +694,7 @@ object SparkEntry {
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
     "q_join_estimate"  -> (TableStats.joinEstimateQuery _),
     "q_purge_audit"    -> (Governance.purgeAuditQuery _),
+    "q_export_audit"   -> (DatasetExport.exportAuditQuery _),
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
     "q_bpe_encode"     -> (BpeTrainer.bpeEncodeQuery _),
@@ -1572,6 +1573,20 @@ object SparkEntry {
                 TRUE AS var_matches_lambda, TRUE AS monotone,
                 TRUE AS orthonormal, TRUE AS trace_preserved
           FROM generate_series(1, 8) AS t(k)""",
+    // Dataset-export audit: per-shard manifest stats recomputed (shard
+    // assignment replayed via the md5 bucket); the hash match is the
+    // engine's file-level integrity check, asserted TRUE.
+    "q_export_audit" ->
+      s"""WITH h AS (SELECT doc_id, text,
+                 md5(concat(CAST(doc_id AS VARCHAR), 'graft-shard')) AS m
+               FROM documents),
+          s AS (SELECT doc_id, text, ${md5BucketSql("m", 8L)} AS shard FROM h)
+          SELECT CAST(shard AS BIGINT) AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+                   AS n_tokens,
+                 TRUE AS manifest_ok
+          FROM s GROUP BY shard""",
     // Unicode normalization twin: DuckDB nfc_normalize + the SAME
     // enumerated control/whitespace classes (see NormalizeImpl).
     "q_normalize_text" -> {

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-dataset export with an integrity manifest — the hand-off step
+ * between the curation pipeline and the training dataloader: the corpus
+ * is written as deterministic shards (the rerun-stable
+ * [[CorpusPipeline.shardCorpus]] assignment), and a MANIFEST records per
+ * shard what the dataloader should find: document count, token count,
+ * and a content digest.
+ *
+ * The digest is `bit_xor(xxhash64(doc_id, text))` — order-free (xor
+ * commutes, so the partitioning that wrote the shard cannot change it),
+ * overflow-free, and cheap to recompute. [[verifyExport]] re-reads the
+ * SHARD FILES (not the source) and recomputes every manifest column —
+ * a truncated, corrupted, or double-written shard surfaces as a
+ * mismatch row, which is the audit a 100 TB hand-off actually needs
+ * (re-reading is one pruned scan per shard partition).
+ */
+object DatasetExport {
+
+  private def digest = bit_xor(xxhash64(col("doc_id"), col("text")))
+
+  private def tokenCount =
+    size(TextAnalysis.whitespaceTokens(col("text"))).cast("long")
+
+  /** Write `docs` as `numShards` deterministic shard partitions under
+    * `outDir` and the manifest next to them. Returns the manifest. */
+  def exportShards(docs: DataFrame, outDir: String, numShards: Int): DataFrame = {
+    val assigned = docs
+      .join(CorpusPipeline.shardCorpus(docs, numShards)
+        .select("doc_id", "shard"), Seq("doc_id"))
+    assigned.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards")
+    val manifest = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount).as("n_tokens"),
+        digest.as("content_hash"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    manifest
+  }
+
+  /** Recompute every manifest column from the exported shard files and
+    * compare: one row per shard with the recomputed stats and a match
+    * flag per column family. */
+  def verifyExport(spark: SparkSession, outDir: String): DataFrame = {
+    val manifest = spark.read.parquet(s"$outDir/manifest")
+      .withColumnRenamed("n_docs", "m_docs")
+      .withColumnRenamed("n_tokens", "m_tokens")
+      .withColumnRenamed("content_hash", "m_hash")
+    val actual = spark.read.parquet(s"$outDir/shards")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount).as("n_tokens"),
+        digest.as("content_hash"))
+    actual.join(manifest, Seq("shard"), "full_outer")
+      .select(col("shard").cast("bigint").as("shard"),
+        col("n_docs"), col("n_tokens"),
+        (col("n_docs") <=> col("m_docs") &&
+          col("n_tokens") <=> col("m_tokens") &&
+          col("content_hash") <=> col("m_hash")).as("manifest_ok"))
+  }
+
+  /** Query-pack adapter: export the documents corpus as 8 shards into
+    * the per-JVM scratch root (build-once) and emit the verification. */
+  def exportAuditQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = graft.WorkDirs.dir(
+      s"export_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    exportOnce.computeIfAbsent(out, { _ =>
+      exportShards(Tables.load(spark, sfDir, "documents"), out, 8)
+      java.lang.Boolean.TRUE
+    })
+    verifyExport(spark, out)
+  }
+
+  private val exportOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+}
