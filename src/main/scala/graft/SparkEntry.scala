@@ -601,6 +601,7 @@ object SparkEntry {
     "q_session_window" -> (Relational.sessionWindowQuery _),
     "q_asof_join"      -> (AsofJoin.asofQuery _),
     "q_interval_join"  -> (IntervalJoin.intervalQuery _),
+    "q_interval_left"  -> (IntervalJoin.intervalLeftQuery _),
     "q_rollup"         -> (Relational.rollupAgg _),
     "q_window"         -> (Relational.runningTotals _),
     "q_pivot"          -> (Relational.pivotCounts _),
@@ -2028,6 +2029,17 @@ object SparkEntry {
                 r.event_id AS error_id
          FROM events e
          JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') r
+           ON e.user_id = r.user_id
+          AND epoch_us(e.ts) >= epoch_us(r.ts)
+          AND epoch_us(e.ts) < epoch_us(r.ts) + 1800000000""",
+    // Left-outer interval join: unmatched events carry a null error_id.
+    "q_interval_left" ->
+      """SELECT e.event_id, e.user_id,
+                CAST(epoch_us(e.ts) // 1000 AS BIGINT) AS ts_ms,
+                r.event_id AS error_id
+         FROM events e
+         LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'error') r
            ON e.user_id = r.user_id
           AND epoch_us(e.ts) >= epoch_us(r.ts)
           AND epoch_us(e.ts) < epoch_us(r.ts) + 1800000000""",

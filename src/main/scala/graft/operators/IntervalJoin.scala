@@ -63,6 +63,32 @@ object IntervalJoin {
       .drop("_k", "_g", "_s", "_e")
   }
 
+  /**
+   * Left-outer interval join: every left row survives; rows matching no
+   * interval carry null payload. The bucketed inner join stays the work
+   * horse (same granule fanout, same exact re-check); unmatched rows come
+   * from one anti-join against the matched left-row ids — a per-row tag
+   * that never reaches the output, so the result set is deterministic
+   * regardless of the tag values.
+   */
+  def intervalJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String,
+      rightStart: String, rightEnd: String,
+      rightPayload: Seq[String],
+      granuleSeconds: Long): DataFrame = {
+    require(!left.columns.contains("_lid"),
+      "intervalJoinLeft: left column _lid is reserved")
+    val tagged = left.withColumn("_lid", monotonically_increasing_id())
+    val matched = intervalJoin(tagged, right, leftKey, rightKey, leftTime,
+      rightStart, rightEnd, rightPayload, granuleSeconds)
+    val unmatched = tagged
+      .join(matched.select("_lid").distinct(), Seq("_lid"), "left_anti")
+    matched.unionByName(unmatched, allowMissingColumns = true).drop("_lid")
+  }
+
   // Query-pack adapter ---------------------------------------------------
 
   /** Events inside the 30-minute window after an error event of the same
@@ -80,6 +106,29 @@ object IntervalJoin {
         col("ts").as("win_start"),
         (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
     intervalJoin(ev, err,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightStart = "win_start", rightEnd = "win_end",
+        rightPayload = Seq("error_id"),
+        granuleSeconds = 30L * 60)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
+        col("error_id"))
+  }
+
+  /** Left-outer twin of [[intervalQuery]]: every event appears; events in
+    * no error window carry a null error_id. */
+  def intervalLeftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val err = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+    intervalJoinLeft(ev, err,
         leftKey = "user_id", rightKey = "user_id",
         leftTime = "ts", rightStart = "win_start", rightEnd = "win_end",
         rightPayload = Seq("error_id"),

@@ -1,5 +1,30 @@
 package graft
 
+import org.scalatest.funsuite.{AnyFunSuite => IjLeftBase}
+
+class IntervalJoinLeftSpec extends IjLeftBase with SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("left-outer: matched rows identical to inner, unmatched get null payload once") {
+    val inner = graft.operators.IntervalJoin.intervalQuery(spark, sf001)
+    val left = graft.operators.IntervalJoin.intervalLeftQuery(spark, sf001)
+    val innerSet = inner.collect().map(_.toSeq).toSet
+    val leftMatched = left.filter(col("error_id").isNotNull)
+      .collect().map(_.toSeq).toSet
+    assert(leftMatched == innerSet, "matched rows must equal the inner join")
+    // unmatched: exactly once per event with no window, null payload
+    val unmatched = left.filter(col("error_id").isNull)
+    val events = graft.sources.Tables.load(spark, sf001, "events")
+    val matchedIds = inner.select("event_id").distinct().count()
+    assert(unmatched.select("event_id").distinct().count() ==
+      events.count() - matchedIds)
+    assert(unmatched.count() == unmatched.select("event_id").distinct().count())
+    // total coverage: every event id appears
+    assert(left.select("event_id").distinct().count() == events.count())
+  }
+}
+
 import graft.operators.IntervalJoin
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
