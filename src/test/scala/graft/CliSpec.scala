@@ -204,4 +204,24 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       "--input", tsv.toString, "--output", s"$base/s2",
       "--columns", "c_name,c_score", "--family", "f")))
   }
+
+  test("Export CLI: shard + manifest, re-verify mode, validation exits") {
+    import graft.cli.ExportMain
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_exp_cli").toString
+    (0 until 30).map(i => (i.toLong, s"cli doc $i body"))
+      .toDF("doc_id", "text").write.parquet(s"$base/corpus")
+    val rows = ExportMain.run(spark, Array(
+      "--outDir", s"$base/out", "--corpus", s"$base/corpus", "--shards", "4"))
+    assert(rows.length == 4 && rows.forall(_.ok))
+    assert(rows.map(_.nDocs).sum == 30L)
+    // verify-only mode re-reads the export
+    val again = ExportMain.run(spark, Array(
+      "--outDir", s"$base/out", "--verify", "true"))
+    assert(again == rows)
+    intercept[Args.CliExit](ExportMain.run(spark, Array("--outDir", s"$base/out")))
+    intercept[Args.CliExit](ExportMain.run(spark, Array(
+      "--outDir", s"$base/out", "--corpus", s"$base/corpus", "--shards", "0")))
+    intercept[Args.CliExit](ExportMain.run(spark, Array("--bogus", "x")))
+  }
 }
