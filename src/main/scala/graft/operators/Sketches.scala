@@ -147,8 +147,12 @@ object Sketches {
   def thetaVocabOverlap(docs: DataFrame, lgK: Int = 12): DataFrame = {
     val st = docs.select(col("source"),
       explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("tok"))
+    // materialize the S-row sketch table: an unmaterialized self-join
+    // would re-derive the aggregation — TWO corpus scans for one — and
+    // the sketches are the persistable artifact anyway
     val per = st.groupBy("source")
       .agg(theta_sketch_agg(col("tok"), lgK).as("sk"))
+      .localCheckpoint(true)
     per.alias("x").join(per.alias("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
         theta_sketch_estimate(theta_intersection(col("x.sk"), col("y.sk")))

@@ -185,6 +185,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"no global range-partitioned sort:\n$plan")
   }
 
+  test("normalize_text evaluates inside whole-stage codegen, narrow") {
+    val df = graft.operators.TextAnalysis.normalizeQuery(spark, sf001)
+    val plan = executedPlan(df)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(") && l.contains("normalize_text")),
+      s"normalize_text not inside a codegen stage:\n$plan")
+    assert(!plan.contains("Exchange"), s"normalization must not shuffle:\n$plan")
+  }
+
+  test("theta overlap (production form): serving plan reads only the sketch artifact") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val plan = executedPlan(graft.operators.Sketches.thetaVocabOverlap(docs))
+    // the single corpus read happens once, at sketch materialization;
+    // the pairwise serving plan touches ONLY the S-row checkpointed
+    // sketches — zero parquet scans here
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"serving plan must not rescan the corpus:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"pairing must read the materialized sketches:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"S-row sketch pairing must not be a cartesian over data:\n$plan")
+  }
+
   test("span dedup: window-hash aggregations are two-phase (map-side partials)") {
     val df = graft.operators.Dedup.spanDedupQuery(spark, sf001)
     val plan = executedPlan(df)
