@@ -1515,15 +1515,15 @@ object SparkEntry {
                       WHEN ${md5BucketSql("m", 100L)} < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM h""",
-    // Dedup recall gate over the 30% md5 sample: the oracle recomputes
-    // the exact truth count; LSH attains full recall on the fixtures
-    // (the invariant the pair oracles assume), so found == truth.
+    // Dedup recall gate over the fixed 1500-doc md5 panel: the oracle
+    // recomputes the exact truth count; LSH attains full recall on the
+    // fixtures (the invariant the pair oracles assume), so found == truth.
     "q_dedup_recall" -> {
       val sampled =
-        s"""(SELECT doc_id, text FROM documents
-             WHERE ${md5BucketSql(
-               "md5(concat(CAST(doc_id AS VARCHAR), 'graft-dr'))", 1000000L)}
-                   < 300000) sdocs"""
+        s"""(SELECT doc_id, text FROM
+              (SELECT doc_id, text,
+                 md5(concat(CAST(doc_id AS VARCHAR), 'graft-dr')) AS _m
+               FROM documents ORDER BY _m ASC, doc_id ASC LIMIT 1500) t) sdocs"""
       s"""WITH ${jaccardPairsSql(sampled)},
           tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM pairs
                  WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5)

