@@ -52,19 +52,26 @@ object Bench {
         System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
       }
     }
-    val timed = selected.map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+    // passes are ROUND-ROBINED across queries (all pass-1s, then all
+    // pass-2s, …) rather than back-to-back per query: a localized host
+    // stall lands on ONE pass of many queries instead of EVERY pass of
+    // one query, so min-of-n actually excises it (driver round 9 recorded
+    // both passes of q_line_dedup at 23-25 s on a host stall vs 0.85 s
+    // measured idle — back-to-back passes gave min-of-n nothing to cut)
+    val passTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to runs).foreach { _ =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          passTimes(name) = passTimes(name) :+ (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
         }
       }
-      (name, times)
     }
+    val timed = selected.map { case (name, _) => (name, passTimes(name)) }
     // 3-decimal rounding keeps the stdout JSON line well under the driver's
     // tail-capture buffer (full-precision doubles + per-run arrays overflowed
     // it in round 3 and the line went unparsed)
@@ -84,13 +91,18 @@ object Bench {
     val runsJson = timed.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query max/min pass ratio: a contended run self-identifies (a
+    // ratio ≫ 1 marks environmental noise a reader should re-measure)
+    val ratioJson = timed.collect { case (k, ts) if ts.nonEmpty && ts.min > 0 =>
+      "\"" + k + "\":" + f(ts.max / ts.min)
+    }.mkString("{", ",", "}")
     // sidecar path is env-anchorable so it doesn't land in whatever CWD the
     // driver happens to use; default stays "bench_runs.json" for the
     // existing driver contract
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_FILE", "bench_runs.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sidecar),
-      s"""{"sf":"$sfDir","runs":$runsJson}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","runs":$runsJson,"max_min_ratio":$ratioJson}""".getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] sidecar write failed: $e") }
     // a query whose every pass failed reports -1.0 per-query but is EXCLUDED
     // from the total (a negative contribution would make failures look fast);

@@ -173,10 +173,14 @@ object EmbeddingPca {
       fit(corpus, d)
     })
 
-  /** The most recently fitted model, for oracle-SQL generation. */
-  def cachedModel: Option[Model] =
-    modelCache.values().stream().findFirst()
-      .map[Option[Model]](Some(_)).orElse(None)
+  /** The one fitted model of this session, for oracle-SQL generation —
+    * the IvfIndex.cachedModel contract: Some only when exactly one corpus
+    * has been fitted in this JVM, so a session touching two sfDirs can
+    * never embed the wrong corpus's component literals into the oracle. */
+  def cachedModel: Option[Model] = {
+    val vs = modelCache.values()
+    if (vs.size() == 1) Some(vs.iterator().next()) else None
+  }
 
   /** Uncentered projection onto one float-rounded component — a left
     * fold in ascending dimension order, the exact double sequence the

@@ -28,16 +28,19 @@ object IntervalJoin {
    *                       `⌈len/granule⌉+1` rows, each left row exactly one
    * @param rightPayload   right columns to attach (inner-join semantics)
    */
-  def intervalJoin(
-      left: DataFrame,
-      right: DataFrame,
-      leftKey: String, rightKey: String,
-      leftTime: String,
+  /** Shared granule preparation: left gains (_k, _g); right is projected
+    * to (_rk, _s, _e, payload) and exploded to one row per overlapped
+    * granule (_rg). Right meta names are disjoint from left's so the
+    * outer-join form can state its condition without ambiguity even when
+    * both sides derive from the same source table. */
+  private def prepared(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String,
       rightStart: String, rightEnd: String,
       rightPayload: Seq[String],
-      granuleSeconds: Long): DataFrame = {
+      granuleSeconds: Long): (DataFrame, DataFrame) = {
     // fail fast on inputs that would yield ambiguous/clobbered columns
-    val meta0 = Set("_k", "_g", "_s", "_e")
+    val meta0 = Set("_k", "_g", "_rk", "_rg", "_s", "_e")
     val payloadClash = rightPayload.toSet.intersect(left.columns.toSet)
     require(payloadClash.isEmpty,
       s"intervalJoin: rightPayload collides with left columns: ${payloadClash.mkString(", ")}")
@@ -53,23 +56,40 @@ object IntervalJoin {
       .withColumn("_g", granuleOf(col(leftTime)))
       .withColumn("_k", col(leftKey))
     val r = right.select(
-        (Seq(col(rightKey).as("_k"), col(rightStart).as("_s"), col(rightEnd).as("_e")) ++
+        (Seq(col(rightKey).as("_rk"), col(rightStart).as("_s"), col(rightEnd).as("_e")) ++
           rightPayload.map(col)): _*)
       // one row per granule the interval [start, end) overlaps
-      .withColumn("_g", explode(sequence(granuleOf(col("_s")), granuleOf(col("_e")))))
+      .withColumn("_rg", explode(sequence(granuleOf(col("_s")), granuleOf(col("_e")))))
+    (l, r)
+  }
 
-    l.join(r, Seq("_k", "_g"))
+  private val MetaCols = Seq("_k", "_g", "_rk", "_rg", "_s", "_e")
+
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String,
+      rightStart: String, rightEnd: String,
+      rightPayload: Seq[String],
+      granuleSeconds: Long): DataFrame = {
+    val (l, r) = prepared(left, right, leftKey, rightKey, leftTime,
+      rightStart, rightEnd, rightPayload, granuleSeconds)
+    l.join(r, col("_k") === col("_rk") && col("_g") === col("_rg"))
       .filter(col(leftTime) >= col("_s") && col(leftTime) < col("_e"))
-      .drop("_k", "_g", "_s", "_e")
+      .drop(MetaCols: _*)
   }
 
   /**
    * Left-outer interval join: every left row survives; rows matching no
-   * interval carry null payload. The bucketed inner join stays the work
-   * horse (same granule fanout, same exact re-check); unmatched rows come
-   * from one anti-join against the matched left-row ids — a per-row tag
-   * that never reaches the output, so the result set is deterministic
-   * regardless of the tag values.
+   * interval carry null payload. Same granule equi-join shuffle as the
+   * inner form, planned as ONE left-outer join with the exact
+   * `[start, end)` predicate inside the join condition — a non-matching
+   * left row falls out of the join itself with null payload. No row
+   * tagging, no anti-join, no second evaluation of the left subtree: the
+   * result is deterministic even when the left input's row order is not
+   * recompute-stable (anything downstream of a shuffle), which the
+   * previous monotonically_increasing_id + anti-join form was not.
    */
   def intervalJoinLeft(
       left: DataFrame,
@@ -79,14 +99,13 @@ object IntervalJoin {
       rightStart: String, rightEnd: String,
       rightPayload: Seq[String],
       granuleSeconds: Long): DataFrame = {
-    require(!left.columns.contains("_lid"),
-      "intervalJoinLeft: left column _lid is reserved")
-    val tagged = left.withColumn("_lid", monotonically_increasing_id())
-    val matched = intervalJoin(tagged, right, leftKey, rightKey, leftTime,
+    val (l, r) = prepared(left, right, leftKey, rightKey, leftTime,
       rightStart, rightEnd, rightPayload, granuleSeconds)
-    val unmatched = tagged
-      .join(matched.select("_lid").distinct(), Seq("_lid"), "left_anti")
-    matched.unionByName(unmatched, allowMissingColumns = true).drop("_lid")
+    l.join(r,
+        col("_k") === col("_rk") && col("_g") === col("_rg") &&
+          col(leftTime) >= col("_s") && col(leftTime) < col("_e"),
+        "left")
+      .drop(MetaCols: _*)
   }
 
   // Query-pack adapter ---------------------------------------------------

@@ -20,6 +20,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # replicate the DRIVER's canonicalizer, which sorts RAW values before
+    # stringifying: a map/array/struct column throws here exactly as it
+    # does driver-side (round 9's q_wide_row shipped red because this
+    # local stand-in stringified first and hid the failure)
+    df.sort_values(by=list(df.columns))
     # normalize every value to a comparable string
     out = pd.DataFrame()
     for c in df.columns:
