@@ -56,7 +56,15 @@ object SparkEntry {
   /** Wide-row view over the same multi-version injection as
     * [[cellLatestQuery]]: one row per customer with the qualifier→value
     * map under latest-version visibility — closes SURVEY §1.4's optional
-    * `Result`/family-map shape. */
+    * `Result`/family-map shape.
+    *
+    * Contract packaging: `CellTable.wideRows` keeps its MapType API for
+    * programmatic consumers, but the DECLARED query renders the map as a
+    * scalar string — unit-separator-joined `q=v` entries in the map's
+    * (qualifier-sorted) order — because the driver's oracle harness
+    * canonicalizes by sorting raw column values in pandas, which throws
+    * on map/array cells (the round-9 red row). Every declared query's
+    * output schema is atomic-only; DeclaredSchemaSpec enforces this. */
   private def wideRowQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val base = CellTable.fromTable(spark, sfDir, "customer")
     val versioned = CellTable.withExtraVersions(
@@ -64,7 +72,35 @@ object SparkEntry {
     CellTable.wideRows(versioned)
       .select(
         graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
-        col("family"), col("columns"), col("n_cols"), col("ts"))
+        col("family"),
+        array_join(
+          transform(map_entries(col("columns")),
+            e => concat(e("key"), lit("="), e("value"))),
+          "\u001f").as("columns"),
+        col("n_cols"), col("ts"))
+  }
+
+  /** Wide-row CONSUMER: filter + project THROUGH the map view
+    * (`element_at(columns, 'c_mktsegment')`), proving the wide shape
+    * composes as an input to further relational work rather than being a
+    * terminal rendering. The map never reaches the output (atomic-only
+    * contract): the query keeps machinery-segment customers with negative
+    * balance and emits scalar fields pulled out of the map. */
+  private def wideFilterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
+    CellTable.wideRows(versioned)
+      // predicates stay on the rendered strings (suffix-tolerant prefix
+      // tests) so both engines evaluate the identical derivation — a
+      // numeric cast would trip ANSI on the '#v2'-suffixed versions
+      .filter(element_at(col("columns"), "c_mktsegment").startsWith("MACHINERY") &&
+        element_at(col("columns"), "c_acctbal").startsWith("-"))
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        element_at(col("columns"), "c_name").as("name"),
+        element_at(col("columns"), "c_acctbal").as("acctbal"),
+        col("n_cols"), col("ts"))
   }
 
   /** Delete-marker visibility: versions injected as in [[cellLatestQuery]],
@@ -592,6 +628,7 @@ object SparkEntry {
     "q_families"       -> (Relational.families _),
     "q1_agg"           -> (Relational.q1Agg _),
     "q_join_agg"       -> (Relational.joinAgg _),
+    "q_stats_join"     -> (StatsPlanner.statsJoinQuery _),
     "q_topk"           -> (Relational.topK _),
     "q_anti_join"      -> (Relational.antiJoin _),
     "q_semi_join"      -> (Relational.semiJoin _),
@@ -614,6 +651,7 @@ object SparkEntry {
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
     "q_wide_row"       -> (wideRowQuery _),
+    "q_wide_filter"    -> (wideFilterQuery _),
     "q_cell_visible"   -> (cellVisibleQuery _),
     "q_cell_acl"       -> (cellAclQuery _),
     "q_cell_composite" -> (cellCompositeQuery _),
@@ -650,6 +688,7 @@ object SparkEntry {
     "q_dup_clusters"   -> (Dedup.clustersQuery _),
     "q_rep_windows"    -> (Dedup.repeatedWindowsQuery _),
     "q_span_dedup"     -> (Dedup.spanDedupQuery _),
+    "q_suffix_dedup"   -> (Dedup.suffixDedupQuery _),
     "q_cluster_survivors" -> (Dedup.clusterSurvivorsQuery _),
     "q_dedup_recall"   -> (Dedup.dedupRecallQuery _),
     "q_novelty"        -> (Dedup.noveltyQuery _),
@@ -1469,6 +1508,49 @@ object SparkEntry {
                  coalesce(agg.cleaned, '') AS cleaned_text
           FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
                   LEFT JOIN rem ON tk.doc_id = rem.doc_id""",
+    // Keep-first ALL-length exact substring dedup (Lee et al. suffix
+    // semantics via k-gram anchors): windows with >= 2 OCCURRENCES
+    // (within-doc repeats count), every occurrence except the global
+    // (doc_id, pos)-first is excised. String grams stand in for the
+    // engine's 64-bit window hashes; 1-based i orders identically to the
+    // engine's 0-based pos.
+    "q_suffix_dedup" ->
+      s"""WITH tk AS (SELECT doc_id,
+                 regexp_split_to_array(text, '\\s+') AS t,
+                 regexp_split_to_array(lower(text), '\\s+') AS lt
+               FROM documents),
+          wx AS (SELECT doc_id, lt,
+                   unnest(generate_series(1, len(lt) - 3)) AS i
+                 FROM tk WHERE len(lt) >= 4),
+          wins AS (SELECT doc_id, i,
+                     array_to_string(list_slice(lt, i, i + 3), ' ') AS g
+                   FROM wx),
+          rk AS (SELECT doc_id, i,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+                   count(*) OVER (PARTITION BY g) AS cnt
+                 FROM wins),
+          cov AS (SELECT DISTINCT r.doc_id, r.i + off.o AS ti
+                  FROM rk r
+                  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) off
+                  WHERE r.cnt >= 2 AND r.rn > 1),
+          pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+                  FROM tk),
+          tok AS (SELECT doc_id, p, t[p] AS tokn FROM pos),
+          kept AS (SELECT tok.doc_id, tok.p, tok.tokn
+                   FROM tok LEFT JOIN cov
+                     ON tok.doc_id = cov.doc_id AND tok.p = cov.ti
+                   WHERE cov.ti IS NULL),
+          agg AS (SELECT doc_id,
+                    string_agg(tokn, ' ' ORDER BY p) AS cleaned
+                  FROM kept GROUP BY doc_id),
+          rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rem
+                  FROM cov GROUP BY doc_id)
+          SELECT tk.doc_id,
+                 CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                 coalesce(rem.n_rem, 0) AS n_removed,
+                 coalesce(agg.cleaned, '') AS cleaned_text
+          FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+                  LEFT JOIN rem ON tk.doc_id = rem.doc_id""",
     // Quality-aware survivor per near-dup cluster: ground-truth >= 0.5
     // clusters (as q_dup_clusters), singletons = own doc id, keep =
     // argmax (quality_micro, -doc_id) within cluster.
@@ -1534,6 +1616,13 @@ object SparkEntry {
     },
     // Efraimidis-Spirakis weighted sample: md5-48 uniform, nano-quantized
     // ln(u)/w key, top-100 by (key desc, doc_id).
+    // ACCEPTED FLAKE RISK (documented, not yet observed): ln() is Spark's
+    // libm here and DuckDB's libm in this SQL — a 1-ulp divergence on a
+    // float landing within an ulp of a .5 nano boundary would flip
+    // key_nano and the differential hash. P(flip) per row ≈ 2^-52/1e-9
+    // quantum ≈ 4e-7 across the fixture; the nano quantization + doc_id
+    // tiebreak exists precisely to shrink this window. If it ever fires,
+    // the fix is an integer-arithmetic key on h48 (no libm on either side).
     "q_weighted_sample" ->
       s"""WITH k AS (SELECT doc_id, source,
                  CAST(n_chars AS BIGINT) AS weight,
@@ -1851,6 +1940,17 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+    // Stats-planned join pipeline: the broadcast-vs-shuffle choice is
+    // physical only (StatsPlannerSpec asserts the plan shape); the
+    // result set is strategy-independent, so the oracle is a plain join.
+    "q_stats_join" ->
+      """SELECT n_name,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
@@ -2155,9 +2255,12 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
-    // Wide-row map: same injection as q_cell_latest, entries sorted by
-    // qualifier on BOTH sides before map_from_entries, so the map's entry
-    // order (the only engine freedom in a MAP value) is pinned.
+    // Wide-row view, scalar-rendered: entries sorted by (qualifier, value)
+    // struct order on BOTH sides (Spark array_sort of struct ≡ DuckDB
+    // list_sort of struct_pack), then joined `q=v` with the 0x1f unit
+    // separator — the same derivation the engine applies to the MapType
+    // view, but atomic-typed so the driver's pandas canonicalizer can
+    // sort it (a raw MAP column was round 9's one red row).
     "q_wide_row" ->
       s"""WITH c AS (
             SELECT *, ${rowKeySql("c_custkey")} AS rk,
@@ -2170,10 +2273,30 @@ object SparkEntry {
             UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
             UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c)
           SELECT rk AS row_key, 'customer' AS family,
-                 map_from_entries(list_sort(list(struct_pack(key := q, value := v)))) AS columns,
+                 array_to_string(
+                   list_transform(
+                     list_sort(list(struct_pack(key := q, value := v))),
+                     e -> e.key || '=' || e.value),
+                   chr(31)) AS columns,
                  CAST(count(*) AS BIGINT) AS n_cols,
                  CAST(max(ts) AS BIGINT) AS ts
           FROM cells GROUP BY rk""",
+    // Wide-row consumer: predicates and projections THROUGH the map view,
+    // on the rendered value strings so both engines share the derivation.
+    "q_wide_filter" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk,
+                   CASE WHEN c_custkey % 10 = 0 THEN 1700000002000 ELSE 1700000000000 END AS vts,
+                   CASE WHEN c_custkey % 10 = 0 THEN '#v2' ELSE '' END AS sfx
+            FROM customer)
+          SELECT rk AS row_key,
+                 c_name || sfx AS name,
+                 CAST(c_acctbal AS VARCHAR) || sfx AS acctbal,
+                 CAST(4 AS BIGINT) AS n_cols,
+                 CAST(vts AS BIGINT) AS ts
+          FROM c
+          WHERE starts_with(c_mktsegment, 'MACHINERY')
+            AND starts_with(CAST(c_acctbal AS VARCHAR), '-')""",
     // Per-family compaction: txt keeps newest of all ages, num's TTL
     // (BaseTs+1500) kills base cells and v1 so only %5 keys' v2 survive.
     "q_family_compact" ->

@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** The driver's oracle harness canonicalizes by sorting raw column
+    * values in pandas before hashing; MAP/ARRAY/STRUCT cells are
+    * unhashable there (round 9's one red row, q_wide_row). Every
+    * DECLARED query output column must therefore be atomic — enforced
+    * here at dump time and by OperatorSpec at test time. */
+  def isOracleSortable(dt: DataType): Boolean = dt match {
+    case _: MapType | _: ArrayType | _: StructType => false
+    case _ => true
+  }
   def main(args: Array[String]): Unit = {
     // D1-style arg validation (reference CopyRow.java:45-98): usage + exit(1)
     if (args.length < 2 || args.length > 3) {
@@ -26,9 +37,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (wanted(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          val complex = df.schema.fields.filterNot(f => isOracleSortable(f.dataType))
+          if (complex.nonEmpty)
+            throw new IllegalStateException(
+              s"non-atomic output columns (oracle cannot canonicalize): " +
+                complex.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

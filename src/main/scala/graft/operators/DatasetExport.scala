@@ -64,6 +64,64 @@ object DatasetExport {
           col("content_hash") <=> col("m_hash")).as("manifest_ok"))
   }
 
+  // Incremental (streaming) export --------------------------------------
+
+  /**
+   * Append one micro-batch to an incremental export. Layout:
+   * `outDir/shards/batch=<id>/shard=<s>/…` for the documents and
+   * `outDir/manifest/batch=<id>/…` for that batch's per-shard manifest
+   * DELTA rows. Shard assignment is the same deterministic per-doc rule
+   * as [[exportShards]] (hash of doc_id — batch-independent), and the
+   * xor digest is MERGEABLE: xor of per-batch digests == digest of the
+   * union, so the global manifest is an aggregation of deltas, never a
+   * re-read of history.
+   *
+   * Crash/replay discipline (the CellStoreIngest contract): both writes
+   * go to batch-ID-addressed directories in OVERWRITE mode, so a
+   * replayed foreachBatch (the checkpoint's at-least-once window)
+   * rewrites its own two directories and nothing else — the replay is
+   * idempotent, and a crash between the two writes is healed by the
+   * replay that follows. Shard data commits via the parquet job
+   * protocol's rename-in, so readers never see a half-written batch.
+   */
+  def appendBatch(batch: DataFrame, outDir: String, numShards: Int,
+      batchId: Long): Unit = {
+    val assigned = batch
+      .join(CorpusPipeline.shardCorpus(batch, numShards)
+        .select("doc_id", "shard"), Seq("doc_id"))
+    assigned.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards/batch=$batchId")
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount).as("n_tokens"),
+        digest.as("content_hash"))
+      .write.mode("overwrite").parquet(s"$outDir/manifest/batch=$batchId")
+  }
+
+  /** Verify an incremental export: per-shard manifest TOTALS (sum counts,
+    * xor digests across batch deltas) against a recompute from the shard
+    * files themselves. Same audit semantics as [[verifyExport]] — a
+    * truncated, orphaned, or double-written batch directory surfaces as
+    * a mismatch row on every shard it touched. */
+  def verifyIncremental(spark: SparkSession, outDir: String): DataFrame = {
+    val manifest = spark.read.parquet(s"$outDir/manifest")
+      .groupBy("shard")
+      .agg(sum(col("n_docs")).as("m_docs"),
+        sum(col("n_tokens")).as("m_tokens"),
+        bit_xor(col("content_hash")).as("m_hash"))
+    val actual = spark.read.parquet(s"$outDir/shards")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount).as("n_tokens"),
+        digest.as("content_hash"))
+    actual.join(manifest, Seq("shard"), "full_outer")
+      .select(col("shard").cast("bigint").as("shard"),
+        col("n_docs"), col("n_tokens"),
+        (col("n_docs") <=> col("m_docs") &&
+          col("n_tokens") <=> col("m_tokens") &&
+          col("content_hash") <=> col("m_hash")).as("manifest_ok"))
+  }
+
   /** Query-pack adapter: export the documents corpus as 8 shards into
     * the per-JVM scratch root (build-once) and emit the verification. */
   def exportAuditQuery(spark: SparkSession, sfDir: String): DataFrame = {

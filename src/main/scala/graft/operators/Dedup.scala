@@ -228,19 +228,8 @@ object Dedup {
    */
   def removeRepeatedSpans(docs: DataFrame, n: Int = 4, minDocs: Long = 2L): DataFrame = {
     require(n >= 1 && minDocs >= 2)
-    val base = docs.select(col("doc_id"), col("text"),
-      split(col("text"), "\\s+").as("tk"),
-      split(lower(col("text")), "\\s+").as("lt"))
-
-    // Every window OCCURRENCE with its 0-based start position (unlike
-    // shingleHashes, occurrences are not per-doc deduplicated — a window
-    // repeated inside one doc covers both sites once it's boilerplate).
-    val wins = base.select(col("doc_id"),
-      posexplode(
-        when(size(col("lt")) >= n,
-          transform(sequence(lit(0), size(col("lt")) - n),
-            i => xxhash64(concat_ws(" ", slice(col("lt"), i + 1, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "w")))
+    val base = tokenizedDocs(docs)
+    val wins = windowOccurrences(base, n)
 
     // Windows present in >= minDocs distinct docs. Per-doc distinct first,
     // so the count aggregate is a doc count (same trick repeatedWindows
@@ -250,15 +239,39 @@ object Dedup {
       .filter(col("nd") >= minDocs)
       .select("w")
 
-    // Covered window starts, collapsed to one sorted array per doc.
-    val starts = wins.join(dupW, "w")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    exciseWindowStarts(base, wins.join(dupW, "w"), n)
+  }
 
+  /** Tokenized view shared by the span/substring removers: original-case
+    * tokens for reconstruction, lowercased tokens for detection. */
+  private def tokenizedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      split(col("text"), "\\s+").as("tk"),
+      split(lower(col("text")), "\\s+").as("lt"))
+
+  /** Every n-token window OCCURRENCE with its 0-based start position
+    * (unlike shingleHashes, occurrences are not per-doc deduplicated — a
+    * window repeated inside one doc covers both sites once it's flagged). */
+  private def windowOccurrences(base: DataFrame, n: Int): DataFrame =
+    base.select(col("doc_id"),
+      posexplode(
+        when(size(col("lt")) >= n,
+          transform(sequence(lit(0), size(col("lt")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("lt"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "w")))
+
+  /** Excision + reconstruction tail shared by the span/substring removers:
+    * collapse flagged window starts to one sorted per-doc array, excise
+    * positions `p..p+n-1` for every start, re-join the surviving tokens.
+    * Entirely array-side higher-order expressions — no UDFs, no
+    * token-level shuffle of the corpus text. */
+  private def exciseWindowStarts(
+      base: DataFrame, flagged: DataFrame, n: Int): DataFrame = {
+    val starts = flagged.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
     val covered = when(col("starts").isNull, array().cast("array<int>"))
       .otherwise(array_distinct(flatten(
         transform(col("starts"), p => sequence(p, p + n - 1)))).cast("array<int>"))
-
     base.join(starts, Seq("doc_id"), "left")
       .withColumn("_cov", covered)
       .select(
@@ -272,10 +285,66 @@ object Dedup {
             i => element_at(col("tk"), i + 1))).as("cleaned_text"))
   }
 
+  /**
+   * ALL-length exact substring dedup with keep-first semantics — the
+   * suffix-array pass of Lee et al. 2021 ("Deduplicating Training Data
+   * Makes Language Models Better") re-expressed as distributed anchor
+   * grouping. Postcondition: no k-token substring occurs more than once
+   * in the cleaned corpus (up to excision-glue adjacencies, the same
+   * artifact the suffix-array form has), and the globally FIRST
+   * occurrence of each repeat survives.
+   *
+   * Why no suffix array is needed for this semantics: a position lies
+   * inside some repeated substring of length >= k iff it lies inside a
+   * repeated k-token window (any >= k repeat contains its k-windows at
+   * every occurrence; a repeated k-window IS a >= k repeat), so k-gram
+   * anchor coverage is EXACT, not an approximation — the suffix array in
+   * the paper is a single-machine efficiency device, not a semantic one.
+   * What [[removeRepeatedSpans]] (the fixed-n window form) genuinely
+   * lacks and this adds:
+   *   - keep-one: the canonical (min (doc_id, pos)) occurrence of every
+   *     repeated window survives — boilerplate keeps exactly one copy
+   *     instead of being destroyed everywhere;
+   *   - within-document repeats count: detection is by occurrence count,
+   *     not distinct-doc count, so a phrase pasted twice in ONE doc is
+   *     deduplicated (the window form misses it entirely).
+   * Overlapping distinct repeats can still nibble a canonical copy whose
+   * neighbours are other repeats' non-canonical sites — removal is
+   * conservative, the postcondition always holds.
+   *
+   * 100 TB shape: identical to the span form — one shuffle of window
+   * occurrences on their 64-bit anchor hash (count + min-struct both
+   * map-side combined; a boilerplate window in millions of docs is one
+   * hot key with partial aggregation), one hash join back, one per-doc
+   * collapse bounded by doc length. The canonical site needs no global
+   * sort: min of a (doc_id, pos) struct is an ordinary aggregate.
+   */
+  def removeRepeatedSubstrings(docs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1)
+    val base = tokenizedDocs(docs)
+    val occ = windowOccurrences(base, k)
+    // repeated anchors with their canonical (first) occurrence
+    val dup = occ.groupBy("w")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("cnt") >= 2)
+      .select(col("w"), col("canon"))
+    // every NON-canonical occurrence of a repeated anchor is excised
+    val bad = occ.join(dup, "w")
+      .filter(col("doc_id") =!= col("canon.doc_id") ||
+        col("pos") =!= col("canon.pos"))
+    exciseWindowStarts(base, bad, k)
+  }
+
   /** Query-pack adapter: scrub 4-token boilerplate windows shared by >= 2
     * docs from the documents table. */
   def spanDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
     removeRepeatedSpans(Tables.load(spark, sfDir, "documents"), n = 4)
+
+  /** Query-pack adapter: keep-first exact substring dedup at k=4 over the
+    * documents table. */
+  def suffixDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
+    removeRepeatedSubstrings(Tables.load(spark, sfDir, "documents"), k = 4)
 
   /**
    * Driver-verified dedup recall gate (the AnnRecall pattern for the

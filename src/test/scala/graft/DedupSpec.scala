@@ -54,6 +54,61 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r(2L) == ((6L, "x y z")))
   }
 
+  test("suffix dedup: keep-first — canonical copy survives intact, later copies excised") {
+    // 8-token boilerplate repeated across 3 docs: the window form
+    // (removeRepeatedSpans) destroys every copy; keep-first retains the
+    // globally (doc_id, pos)-first copy verbatim
+    val bp = "the quick brown fox jumps over lazy dogs"
+    val corpus = Seq(
+      (1L, s"intro $bp outro"),
+      (2L, s"$bp trailing words here"),
+      (3L, s"alpha beta $bp")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSubstrings(corpus, k = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_removed"), x.getAs[String]("cleaned_text")))).toMap
+    assert(r(1L) == ((0L, s"intro $bp outro")))
+    assert(r(2L) == ((8L, "trailing words here")))
+    assert(r(3L) == ((8L, "alpha beta")))
+    // contrast: the fixed-n window form removes the doc-1 copy too
+    val w = Dedup.removeRepeatedSpans(corpus, n = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("cleaned_text")).toMap
+    assert(w(1L) == "intro outro")
+  }
+
+  test("suffix dedup: within-document repeat is caught where the window form misses it") {
+    // a 5-token phrase pasted twice in ONE doc (>n-token repeat): the
+    // distinct-doc window form leaves both copies; occurrence-count
+    // keep-first excises exactly the second
+    val corpus = Seq(
+      (1L, "one two three four five STOP one two three four five"),
+      (2L, "completely different vocabulary in this other document")
+    ).toDF("doc_id", "text")
+    val s = Dedup.removeRepeatedSubstrings(corpus, k = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_removed"), x.getAs[String]("cleaned_text")))).toMap
+    assert(s(1L) == ((5L, "one two three four five STOP")))
+    val w = Dedup.removeRepeatedSpans(corpus, n = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_removed")).toMap
+    assert(w(1L) == 0L, "window form is blind to within-doc repeats")
+  }
+
+  test("suffix dedup postcondition: no k-gram occurs twice in the cleaned corpus") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z c d e f g h z q a b c d x"),
+      (3L, "c d e f q r s t u v w"),
+      (4L, "q r s t u v w only here q r s t u v w")
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.removeRepeatedSubstrings(corpus, k = 3)
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+    // re-run detection over the cleaned text: a second pass must excise
+    // nothing (no 3-gram occurs twice anywhere in the cleaned corpus)
+    val again = Dedup.removeRepeatedSubstrings(cleaned, k = 3)
+    assert(again.agg(sum(col("n_removed"))).head.getLong(0) == 0L,
+      "cleaned corpus must be a fixed point of the k-gram dedup")
+  }
+
   test("cluster survivors: one keep per cluster, highest quality wins, singletons kept") {
     val corpus = Seq(
       (1L, doc), (2L, doc), (3L, nearDoc), (4L, other)

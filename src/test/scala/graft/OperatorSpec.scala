@@ -20,6 +20,18 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("every declared query output schema is atomic-typed (oracle-canonicalizable)") {
+    // the driver's oracle harness sorts raw column values in pandas before
+    // hashing; a MAP/ARRAY/STRUCT top-level column is unhashable there
+    // (round 9's q_wide_row failure mode) — structurally forbidden here
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf001).schema.fields
+        .filterNot(f => Verify.isOracleSortable(f.dataType))
+      assert(bad.isEmpty, s"$name emits non-atomic columns: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     // zz_probe_* entries are deliberate oracle-side diagnostics (e.g. the
     // DuckDB version/cast-rule probe): SQL the driver MAY run, with no
