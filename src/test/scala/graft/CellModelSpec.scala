@@ -130,6 +130,21 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges == 1, s"expected 1 exchange, saw $exchanges:\n$plan")
   }
 
+  test("wide-row consumer: filtering through the map view keeps the one-exchange shape") {
+    // q_wide_filter's contract: element_at predicates + projections over
+    // the map COMPOSE with the wide-row plan — the filter rides on top of
+    // the shared pre-partitioned aggregation (still exactly one exchange),
+    // proving the wide view is an input shape, not a terminal rendering
+    val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
+    val consumer = CellTable.wideRows(versioned)
+      .filter(element_at(col("columns"), "c_mktsegment").startsWith("MACHINERY"))
+      .select(col("rowKey"), element_at(col("columns"), "c_name").as("name"))
+    assert(consumer.count() > 0)
+    val plan = consumer.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges:\n$plan")
+  }
+
   test("column pagination counts a qualifier once on a multi-version frame") {
     // HBase ColumnPaginationFilter counting unit: a COLUMN, not a cell —
     // extra versions must change neither the page membership nor its size,
