@@ -51,11 +51,21 @@ object StatsPlanner {
   def rowBytes(df: DataFrame): Long =
     math.max(8L, df.schema.map(_.dataType.defaultSize.toLong).sum)
 
-  /** One bounded stats pass per side: (rows, ndv-sketch). */
-  private def sideStats(df: DataFrame, key: String): (Long, Long) = {
-    val r = df.agg(count(lit(1)), approx_count_distinct(col(key), 0.05)).head
-    (r.getLong(0), math.max(1L, r.getLong(1)))
-  }
+  /** One bounded stats pass per side: (rows, ndv-sketch), memoized per
+    * (plan, key) for the JVM's lifetime — the ANALYZE-once discipline: at
+    * 100 TB the stats pass is a corpus scan, and the same (table, key)
+    * pair is consulted by every join that touches it. Cache key is the
+    * canonicalized analyzed plan (same source + projection ⇒ same stats),
+    * so two `Tables.load` calls of the same fixture table share one pass. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+
+  private def sideStats(df: DataFrame, key: String): (Long, Long) =
+    statsCache.computeIfAbsent(
+      (df.queryExecution.analyzed.canonicalized.toString, key), { _ =>
+        val r = df.agg(count(lit(1)), approx_count_distinct(col(key), 0.05)).head
+        (r.getLong(0), math.max(1L, r.getLong(1)))
+      })
 
   def decide(
       left: DataFrame, right: DataFrame,
