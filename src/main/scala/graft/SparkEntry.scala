@@ -726,6 +726,7 @@ object SparkEntry {
     "q_clean_corpus"   -> (CorpusPipeline.cleanQuery _),
     "q_source_cap"     -> (CorpusPipeline.sourceCapQuery _),
     "q_mix_sample"     -> (CorpusPipeline.mixSampleQuery _),
+    "q_mix_schedule"   -> (CorpusPipeline.mixScheduleQuery _),
     "q_temp_sample"    -> (CorpusPipeline.tempSampleQuery _),
     "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
     "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
@@ -1716,6 +1717,21 @@ object SparkEntry {
           FROM j, t""",
     // Stats-based join-cardinality estimate vs the actual count — pure
     // integer arithmetic, every column (incl. the gate) recomputed.
+    // Epoch-aware mixing schedule: integer div/% arithmetic on BIGINTs,
+    // weight derived from the source's numeric suffix on both sides.
+    "q_mix_schedule" ->
+      """WITH per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens,
+                   CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT) AS weight
+            FROM documents GROUP BY source),
+          tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM per)
+          SELECT source, n_docs, n_tokens, weight,
+                 CAST((1000000 * weight) // wsum AS BIGINT) AS target_tokens,
+                 CAST(((1000000 * weight) // wsum) // n_tokens AS BIGINT) AS epochs_full,
+                 CAST((((1000000 * weight) // wsum) % n_tokens) * 1000000 // n_tokens AS BIGINT)
+                   AS residual_rate_micro
+          FROM per, tot""",
     "q_join_estimate" ->
       """WITH ls AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_left FROM orders),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -234,6 +234,55 @@ object CorpusPipeline {
     sampleMixture(Tables.load(spark, sfDir, "documents"),
         rates = Map("src0" -> 0.25, "src1" -> 0.5))
       .select("doc_id", "source")
+
+  /**
+   * Epoch-aware mixing SCHEDULE — the planning step [[sampleMixture]]
+   * executes: given per-source mixture weights and a total token budget,
+   * compute what each source contributes — its target token count, how
+   * many FULL EPOCHS (complete repeats) of the source that implies, and
+   * the micro-rate at which to sample the final partial epoch. This is
+   * the table a training-data team actually reviews before a run: a
+   * weight that demands 3.4 epochs of a small source is a repetition
+   * red flag (Muennighoff et al. 2023's diminishing returns past ~4
+   * epochs), and the schedule makes it visible BEFORE any data moves.
+   *
+   * All arithmetic is integer (`div`/`%` on BIGINT) so the oracle
+   * replays every column exactly; the weight is supplied as a COLUMN
+   * over `source` so both engines derive it from the data.
+   *
+   * 100 TB shape: one map-side-combined groupBy(source) over the corpus
+   * (the token counting is the scan cost), then S-row arithmetic with a
+   * 1-row weight-total cross join — the [[TableStats.analyze]] pattern.
+   */
+  def mixSchedule(
+      docs: DataFrame,
+      weightOf: Column => Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0)
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.whitespaceTokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+      .withColumn("weight", weightOf(col("source")).cast("long"))
+    val tot = per.agg(sum(col("weight")).as("_wsum"))
+    per.crossJoin(tot)
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * weight) div _wsum"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"),
+        expr("target_tokens div n_tokens").as("epochs_full"),
+        expr("((target_tokens % n_tokens) * 1000000L) div n_tokens")
+          .as("residual_rate_micro"))
+  }
+
+  /** Query-pack adapter: 1M-token budget over weights derived from the
+    * source's numeric suffix (`(idx % 4) + 1` — spans under- and
+    * over-subscribed sources at every fixture sf). */
+  def mixScheduleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mixSchedule(Tables.load(spark, sfDir, "documents"),
+      weightOf = s => pmod(substring(s, 4, 10).cast("int"), lit(4)) + lit(1),
+      budgetTokens = 1000000L)
 
   /**
    * Temperature-flattened mixture (the multilingual "temperature sampling"

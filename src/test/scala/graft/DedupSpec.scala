@@ -109,6 +109,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "cleaned corpus must be a fixed point of the k-gram dedup")
   }
 
+  test("property: suffix dedup conserves tokens and converges on random small-vocabulary corpora") {
+    // small vocabulary + random lengths maximize accidental repeats —
+    // the adversarial regime for the keep-first excision, including the
+    // glue artifact (excision can create NEW adjacent repeats, so one
+    // pass is not always a fixed point — same as the suffix-array form).
+    // Per seed: (a) conservation — kept tokens == n_tokens - n_removed
+    // on every row; (b) bounded convergence — iterating reaches the
+    // no-repeats fixed point (each pass strictly shrinks the corpus, so
+    // it must terminate; 10 passes is generous for these sizes).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, docGen))
+    (1 to 6).foreach { i =>
+      var corpus = corpusGen.pureApply(Gen.Parameters.default, Seed(7000L + i))
+        .zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val first = Dedup.removeRepeatedSubstrings(corpus, k = 3)
+      val bad = first.filter(
+        size(filter(split(col("cleaned_text"), "\\s+"), t => length(t) > 0))
+          =!= col("n_tokens") - col("n_removed")).count()
+      assert(bad == 0L, s"seed $i: token conservation violated")
+      var removed = first.agg(sum(col("n_removed"))).head.getLong(0)
+      var iters = 0
+      var frame = first
+      while (removed > 0 && iters < 10) {
+        corpus = frame.select(col("doc_id"), col("cleaned_text").as("text"))
+        frame = Dedup.removeRepeatedSubstrings(corpus, k = 3)
+        removed = frame.agg(sum(col("n_removed"))).head.getLong(0)
+        iters += 1
+      }
+      assert(removed == 0L, s"seed $i: no fixed point within 10 passes")
+    }
+  }
+
   test("cluster survivors: one keep per cluster, highest quality wins, singletons kept") {
     val corpus = Seq(
       (1L, doc), (2L, doc), (3L, nearDoc), (4L, other)

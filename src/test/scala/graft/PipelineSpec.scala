@@ -8,6 +8,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("mix schedule: integer budget split, epoch counts, residual rates") {
+    // s0: 10 tokens at weight 3, s1: 10 tokens at weight 1, budget 100
+    // -> targets 75/25, epochs 7/2, residual 5/10 = 500000 micro each
+    val docs = Seq(
+      (1L, "a b c d e", "s0"),
+      (2L, "f g h i j", "s0"),
+      (3L, "k l m n o p q r s t", "s1")
+    ).toDF("doc_id", "text", "source")
+    val r = CorpusPipeline.mixSchedule(docs,
+        weightOf = s => when(s === "s0", 3).otherwise(1),
+        budgetTokens = 100L)
+      .collect().map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("weight"),
+          x.getAs[Long]("target_tokens"), x.getAs[Long]("epochs_full"),
+          x.getAs[Long]("residual_rate_micro")))).toMap
+    assert(r("s0") == ((10L, 3L, 75L, 7L, 500000L)))
+    assert(r("s1") == ((10L, 1L, 25L, 2L, 500000L)))
+    // the split never over-spends: sum of targets <= budget (div truncation)
+    assert(r.values.map(_._3).sum <= 100L)
+  }
+
   test("corpus pipeline: dedups exactly, drops near-dups, keeps min ids") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val docs = Seq(
