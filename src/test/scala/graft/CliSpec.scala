@@ -224,4 +224,27 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       "--outDir", s"$base/out", "--corpus", s"$base/corpus", "--shards", "0")))
     intercept[Args.CliExit](ExportMain.run(spark, Array("--bogus", "x")))
   }
+
+  test("AnalyzeMain: column stats TSV, stats-driven join explain, validation exits") {
+    import graft.cli.AnalyzeMain
+    val (stats, noJoin) = AnalyzeMain.run(spark, Array(
+      "--table", s"$sf001/nation.parquet", "--columns", "n_nationkey,n_name"))
+    assert(noJoin.isEmpty)
+    val byCol = stats.map(s => s.col -> s).toMap
+    assert(byCol("n_nationkey").nRows == 25L && byCol("n_nationkey").ndv == 25L)
+    assert(byCol("n_name").nNulls == 0L)
+    // join explain: 1500-customer table joined to the 25-row nation —
+    // the stats must choose the broadcast and say so
+    val (_, explained) = AnalyzeMain.run(spark, Array(
+      "--table", s"$sf001/customer.parquet", "--columns", "c_custkey",
+      "--joinTable", s"$sf001/nation.parquet",
+      "--joinKeys", "c_nationkey,n_nationkey"))
+    assert(explained.exists(_.contains("BROADCAST right")), explained)
+    intercept[Args.CliExit](AnalyzeMain.run(spark, Array(
+      "--table", s"$sf001/nation.parquet", "--columns", "not_a_column")))
+    intercept[Args.CliExit](AnalyzeMain.run(spark, Array(
+      "--table", s"$sf001/nation.parquet", "--columns", "n_name",
+      "--joinTable", s"$sf001/region.parquet", "--joinKeys", "onlyone")))
+    intercept[Args.CliExit](AnalyzeMain.run(spark, Array("--columns", "x")))
+  }
 }
