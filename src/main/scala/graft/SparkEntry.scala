@@ -103,6 +103,44 @@ object SparkEntry {
         col("n_cols"), col("ts"))
   }
 
+  /** TimeRange (as-of) read: versions as in [[cellLatestQuery]] plus
+    * delete markers at BaseTs+1500 on every %7 key — but read AS OF
+    * BaseTs+1200: v2 (ts+2000) does not exist yet, the markers (ts+1500)
+    * do not mask yet, so %10 keys surface v1 and everything else the
+    * base version. Time-travel resurrects pre-delete data (HBase
+    * `setTimeRange`); CellModelSpec asserts the contrast with the
+    * present-time read, where %7 rows vanish. */
+  private def cellAsOfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
+    val marked = CellTable.withDeleteMarkers(
+      versioned, pmod(CellTable.keyToLong(col("rowKey")), lit(7)) === 0,
+      lit(CellTable.BaseTs + 1500L))
+    CellTable.visibleAsOf(marked, CellTable.BaseTs + 1200L)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
+  /** VERSIONS=2 read over the same multi-version injection: %10 keys
+    * surface v2 then v1 (ranks 1, 2), everything else its single base
+    * version at rank 1 — HBase's scan-with-VERSIONS shape. */
+  private def cellVersionsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
+    CellTable.visibleVersions(versioned, n = 2)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"),
+        col("version_rank"))
+  }
+
   /** Delete-marker visibility: versions injected as in [[cellLatestQuery]],
     * then a DeleteColumn marker at BaseTs+1500 on every custkey%7==0
     * coordinate. %7∧%10 rows keep their v2 Put (ts 2000 > marker); %7-only
@@ -650,6 +688,8 @@ object SparkEntry {
     // Cell-model pack (HBase semantics; custom codec ⇒ rows-only checks)
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
+    "q_cell_asof"      -> (cellAsOfQuery _),
+    "q_cell_versions"  -> (cellVersionsQuery _),
     "q_wide_row"       -> (wideRowQuery _),
     "q_wide_filter"    -> (wideFilterQuery _),
     "q_cell_visible"   -> (cellVisibleQuery _),
@@ -2271,6 +2311,40 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
           UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // TimeRange read as of BaseTs+1200: v2 (+2000) not yet written, the
+    // %7 markers (+1500) not yet masking -> %10 keys read v1, the rest
+    // their base version. Markers never appear in the oracle because the
+    // as-of filter excludes them by construction.
+    "q_cell_asof" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk,
+                   CASE WHEN c_custkey % 10 = 0 THEN 1700000001000 ELSE 1700000000000 END AS vts,
+                   CASE WHEN c_custkey % 10 = 0 THEN '#v1' ELSE '' END AS sfx
+            FROM customer)
+          SELECT rk AS row_key, 'c_name' AS qualifier, CAST(vts AS BIGINT) AS ts,
+                 c_name || sfx AS value FROM c
+          UNION ALL SELECT rk, 'c_nationkey', vts, CAST(c_nationkey AS VARCHAR) || sfx FROM c
+          UNION ALL SELECT rk, 'c_acctbal', vts, CAST(c_acctbal AS VARCHAR) || sfx FROM c
+          UNION ALL SELECT rk, 'c_mktsegment', vts, c_mktsegment || sfx FROM c""",
+    // VERSIONS=2 read: every version enumerated, newest-first rank per
+    // (key, qualifier), kept while rank <= 2.
+    "q_cell_versions" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk, c_custkey AS ck FROM customer),
+          q AS (
+            SELECT rk, ck, 'c_name' AS q, c_name AS bv FROM c
+            UNION ALL SELECT rk, ck, 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM c
+            UNION ALL SELECT rk, ck, 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM c
+            UNION ALL SELECT rk, ck, 'c_mktsegment', c_mktsegment FROM c),
+          cells AS (
+            SELECT rk, q, CAST(1700000000000 AS BIGINT) AS ts, bv AS v FROM q
+            UNION ALL SELECT rk, q, 1700000001000, bv || '#v1' FROM q WHERE ck % 10 = 0
+            UNION ALL SELECT rk, q, 1700000002000, bv || '#v2' FROM q WHERE ck % 10 = 0),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY rk, q ORDER BY ts DESC) AS rn FROM cells)
+          SELECT rk AS row_key, q AS qualifier, ts, v AS value,
+                 CAST(rn AS BIGINT) AS version_rank
+          FROM r WHERE rn <= 2""",
     // Wide-row view, scalar-rendered: entries sorted by (qualifier, value)
     // struct order on BOTH sides (Spark array_sort of struct ≡ DuckDB
     // list_sort of struct_pack), then joined `q=v` with the 0x1f unit

@@ -186,6 +186,35 @@ object CellTable {
       .drop("_delTs", "_rn")
   }
 
+  /** HBase TimeRange read — the table AS OF `asOfTs`: only cells written
+    * at or before that instant exist, and visibility (delete masks,
+    * latest-wins) is evaluated among them. A marker written AFTER the
+    * as-of instant does not mask — time-travel resurrects pre-delete
+    * data, exactly HBase's `Get.setTimeRange` semantics. The time filter
+    * is a narrow predicate pushed below the visibility window, so an
+    * as-of read costs the same as a latest read. */
+  def visibleAsOf(cells: DataFrame, asOfTs: Long): DataFrame =
+    visibleLatest(cells.filter(col("ts") <= asOfTs))
+
+  /** HBase VERSIONS=n read — the newest `n` delete-visible Put versions
+    * per (row, family, qualifier), tagged `version_rank` (1 = newest).
+    * Same single (coordinate-partitioned) shuffle as [[visibleLatest]];
+    * the rank filter caps output at n rows per coordinate. */
+  def visibleVersions(cells: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1)
+    val w = Window.partitionBy("rowKey", "family", "qualifier")
+    cells
+      .withColumn("_delTs",
+        max(when(col("cellType") === "Delete", col("ts"))).over(w))
+      .filter(col("cellType") =!= "Delete" &&
+        (col("_delTs").isNull || col("ts") > col("_delTs")))
+      .withColumn("version_rank",
+        row_number().over(w.orderBy(col("ts").desc)).cast("long"))
+      .filter(col("version_rank") <= n)
+      .drop("_delTs")
+  }
+
   /**
    * [[visibleLatest]] as ONE hash aggregation instead of two window
    * passes — the read shape the read-modify-write operators

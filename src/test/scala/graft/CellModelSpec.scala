@@ -106,6 +106,30 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
       .isEmpty)
   }
 
+  test("as-of read resurrects pre-delete data; VERSIONS=2 ranks newest-first") {
+    val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
+    val marked = CellTable.withDeleteMarkers(versioned, lit(true),
+      lit(CellTable.BaseTs + 10000L))
+    // present time: the marker out-timestamps every put -> all masked
+    assert(CellTable.visibleLatest(marked).isEmpty)
+    // as of BaseTs+1000: the marker does not exist yet and v2 (+2000) is
+    // in the future -> every coordinate reads exactly its v1
+    val asOf = CellTable.visibleAsOf(marked, CellTable.BaseTs + 1000L)
+    assert(asOf.count() == cells.count())
+    assert(asOf.select(col("value").cast("string")).collect()
+      .forall(_.getString(0).endsWith("#v1")))
+    // VERSIONS=2: rank 1 is v2, rank 2 is v1, two rows per coordinate
+    val v = CellTable.visibleVersions(versioned, n = 2)
+    assert(v.count() == 2 * cells.count())
+    val byRank = v.groupBy("version_rank")
+      .agg(count(when(col("value").cast("string").endsWith("#v2"), 1)).as("v2s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("version_rank") ->
+        ((r.getAs[Long]("v2s"), r.getAs[Long]("n")))).toMap
+    assert(byRank(1L) == ((cells.count(), cells.count())), "rank 1 must be all v2")
+    assert(byRank(2L)._1 == 0L, "rank 2 must hold no v2")
+  }
+
   test("wide rows: family map with latest-version + delete visibility, one exchange") {
     val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
     val marked = CellTable.withDeleteMarkers(versioned,
