@@ -767,6 +767,7 @@ object SparkEntry {
     "q_source_cap"     -> (CorpusPipeline.sourceCapQuery _),
     "q_mix_sample"     -> (CorpusPipeline.mixSampleQuery _),
     "q_mix_schedule"   -> (CorpusPipeline.mixScheduleQuery _),
+    "q_corpus_diff"    -> (CorpusDiff.diffQuery _),
     "q_temp_sample"    -> (CorpusPipeline.tempSampleQuery _),
     "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
     "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
@@ -1757,6 +1758,28 @@ object SparkEntry {
           FROM j, t""",
     // Stats-based join-cardinality estimate vs the actual count — pure
     // integer arithmetic, every column (incl. the gate) recomputed.
+    // Corpus snapshot diff: the oracle compares texts directly where the
+    // engine compares xxhash64 digests — equal up to hash collisions,
+    // the same accepted equivalence as every digest-based oracle here.
+    "q_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, text, source FROM documents),
+          kept AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'EDIT ' || text ELSE text END AS text,
+                     source
+                   FROM documents WHERE doc_id % 13 <> 0),
+          nw AS (SELECT * FROM kept
+                 UNION ALL SELECT doc_id + 10000000, text, source
+                 FROM documents WHERE doc_id % 11 = 0),
+          j AS (SELECT coalesce(n.source, o.source) AS source,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text <> n.text THEN 'changed'
+                            ELSE 'unchanged' END AS change_class,
+                       len(regexp_split_to_array(coalesce(n.text, o.text), '\s+')) AS tokens
+                FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+          SELECT source, change_class, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(tokens) AS BIGINT) AS n_tokens
+          FROM j GROUP BY source, change_class""",
     // Epoch-aware mixing schedule: integer div/% arithmetic on BIGINTs,
     // weight derived from the source's numeric suffix on both sides.
     "q_mix_schedule" ->

@@ -8,6 +8,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("corpus diff: added/removed/changed/unchanged classified with token deltas") {
+    import graft.operators.CorpusDiff
+    val old = Seq(
+      (1L, "alpha beta gamma", "s0"),
+      (2L, "delta epsilon", "s0"),
+      (3L, "zeta eta theta iota", "s1")
+    ).toDF("doc_id", "text", "source")
+    val nw = Seq(
+      (1L, "alpha beta gamma", "s0"),      // unchanged
+      (2L, "delta epsilon REVISED", "s0"), // changed (3 tokens now)
+      (4L, "kappa lambda", "s1")           // added; doc 3 removed
+    ).toDF("doc_id", "text", "source")
+    val r = CorpusDiff.diff(old, nw).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("change_class")) ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens")))).toMap
+    assert(r(("s0", "unchanged")) == ((1L, 3L)))
+    assert(r(("s0", "changed")) == ((1L, 3L)))    // new-side tokens
+    assert(r(("s1", "removed")) == ((1L, 4L)))    // old-side tokens
+    assert(r(("s1", "added")) == ((1L, 2L)))
+    assert(r.size == 4)
+  }
+
   test("mix schedule: integer budget split, epoch counts, residual rates") {
     // s0: 10 tokens at weight 3, s1: 10 tokens at weight 1, budget 100
     // -> targets 75/25, epochs 7/2, residual 5/10 = 500000 micro each
