@@ -780,6 +780,7 @@ object SparkEntry {
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
     "q_bpe_encode"     -> (BpeTrainer.bpeEncodeQuery _),
+    "q_bpe_fertility"  -> (BpeTrainer.bpeFertilityQuery _),
     "q_decontam"       -> (CorpusPipeline.decontamQuery _),
     "q_sem_decontam"   -> (CorpusPipeline.semDecontamQuery _),
     "q_line_dedup"     -> (CorpusPipeline.lineDedupQuery _),
@@ -1697,6 +1698,23 @@ object SparkEntry {
     // scratch, stage by stage (see bpeOracleSql).
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql(6),
+    // Tokenizer fertility per source: the oracle re-derives training AND
+    // encoding from scratch (the staged CTEs), reconstructs each word
+    // from its symbols, and replays the integer micro-fertility.
+    "q_bpe_fertility" ->
+      s"""WITH ${bpeStagesSql(6)},
+          ws AS (SELECT array_to_string(syms, '') AS w,
+                   CAST(len(syms) AS BIGINT) AS n_syms FROM w6),
+          src AS (SELECT source, w FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                    FROM documents) t WHERE w <> '')
+          SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+                 (CAST(sum(n_syms) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+                   AS fertility_micro
+          FROM src JOIN ws USING (w)
+          GROUP BY source""",
     // PCA gate (bound-boolean pattern): engine asserts projected variance
     // == eigenvalue, monotone spectrum, orthonormal components, trace
     // preservation; oracle contributes the keys and TRUE literals.

@@ -130,4 +130,29 @@ object BpeTrainer {
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_positions"), sum(col("cnt")).as("total_count"))
   }
+
+  /** Query-pack adapter: tokenizer FERTILITY per source — BPE symbols
+    * per whitespace word under the trained merges, in micro-units. The
+    * number a tokenizer team actually tracks per domain: high fertility
+    * on a source means the vocabulary serves it poorly (more symbols →
+    * more sequence length → more compute per document). The encoded
+    * word table is vocabulary-sized, so the corpus joins against it by
+    * word (broadcastable at any corpus scale); the corpus itself is
+    * touched once to count word occurrences per source. */
+  def bpeFertilityQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, words) = trainCached(spark, sfDir)
+    // the symbol arrays concatenate back to the exact word — the join key
+    val wordSyms = words.select(
+      concat_ws("", col("syms")).as("w"),
+      size(col("syms")).cast("long").as("n_syms"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .join(wordSyms, "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        expr("(n_bpe_tokens * 1000000L) div n_words").as("fertility_micro"))
+  }
 }
