@@ -771,6 +771,8 @@ object SparkEntry {
     "q_temp_sample"    -> (CorpusPipeline.tempSampleQuery _),
     "q_shard_assign"   -> (CorpusPipeline.shardQuery _),
     "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
+    "q_dsir_weights"   -> (Dsir.dsirWeightsQuery _),
+    "q_dsir_select"    -> (Dsir.dsirSelectQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -1483,9 +1485,41 @@ object SparkEntry {
               FROM rer) t WHERE rank <= 20""")
     }.getOrElse(Map.empty)
 
+  /** Positional (non-distinct) width-`n` gram list with the whole-doc
+    * fallback — the DuckDB twin of `Dsir.bigrams` (ngramSql minus its
+    * `list_distinct`: DSIR counts occurrences, not membership). */
+  private def posGramSql(n: Int): String =
+    s"""CASE WHEN len(regexp_split_to_array(lower(text), '\\s+')) >= $n
+            THEN list_transform(
+                   generate_series(1, len(regexp_split_to_array(lower(text), '\\s+')) - ${n - 1}),
+                   i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + ${n - 1}), ' '))
+            ELSE [array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')] END"""
+
+  /** Model-dependent DSIR oracle (the pcaAnnOracle contract): present
+    * only when exactly one corpus's model is cached, so the λ literals
+    * the oracle replays are the ones that produced the dumped result.
+    * The data-dependent half (bucket counts) is recomputed from scratch
+    * by the static `q_dsir_weights` oracle; this one re-scores every
+    * document with the SAME micro-integer λ the engine folded. */
+  private def dsirOracle: Map[String, String] =
+    operators.Dsir.cachedModel.map { m =>
+      val lamList = m.lambdaMicro.mkString("[", ", ", "]")
+      Map("q_dsir_select" ->
+        s"""WITH lam AS (SELECT CAST($lamList AS BIGINT[]) AS lv),
+             g AS (SELECT doc_id, source, ${posGramSql(2)} AS gs FROM documents),
+             s AS (SELECT doc_id, source,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(gs, _dg ->
+                         lv[CAST(${md5Hash48Sql("_dg")} % ${m.nBuckets} + 1 AS INTEGER)])),
+                       (_da, _db) -> _da + _db) AS dsir_micro
+                   FROM g CROSS JOIN lam)
+            SELECT doc_id, source, dsir_micro FROM s
+            ORDER BY dsir_micro DESC, doc_id ASC LIMIT 100""")
+    }.getOrElse(Map.empty)
+
   private def oracleSqlBase: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
-      sqOracle ++ embedOracle ++ pcaAnnOracle ++ Map(
+      sqOracle ++ embedOracle ++ pcaAnnOracle ++ dsirOracle ++ Map(
     "zz_probe_duckdb_version" ->
       """SELECT version() AS duckdb_version,
                 CAST(round(CAST(0.1234565 AS DOUBLE), 6) AS DECIMAL(18,6)) AS canary_r6_cast,
@@ -1666,6 +1700,18 @@ object SparkEntry {
     // quantum ≈ 4e-7 across the fixture; the nano quantization + doc_id
     // tiebreak exists precisely to shrink this window. If it ever fires,
     // the fix is an integer-arithmetic key on h48 (no libm on either side).
+    // DSIR fit, recomputed from scratch: per-bucket bigram occurrence
+    // counts target ('src0') vs raw — the data-dependent half of the
+    // importance model; counts → λ is driver arithmetic (DsirSpec).
+    "q_dsir_weights" ->
+      s"""WITH g AS (SELECT CASE WHEN source = '${operators.Dsir.TargetSource}'
+                            THEN 1 ELSE 0 END AS is_t,
+                 unnest(${posGramSql(2)}) AS _dg
+               FROM documents)
+          SELECT ${md5Hash48Sql("_dg")} % ${operators.Dsir.DefaultBuckets} AS bucket,
+                 CAST(sum(is_t) AS BIGINT) AS tgt_n,
+                 CAST(sum(1 - is_t) AS BIGINT) AS raw_n
+          FROM g GROUP BY 1""",
     "q_weighted_sample" ->
       s"""WITH k AS (SELECT doc_id, source,
                  CAST(n_chars AS BIGINT) AS weight,
