@@ -773,6 +773,7 @@ object SparkEntry {
     "q_weighted_sample" -> (CorpusPipeline.weightedSampleQuery _),
     "q_dsir_weights"   -> (Dsir.dsirWeightsQuery _),
     "q_dsir_select"    -> (Dsir.dsirSelectQuery _),
+    "q_rollup_served"  -> (MaterializedRollup.rollupServedQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -1700,6 +1701,17 @@ object SparkEntry {
     // quantum ≈ 4e-7 across the fixture; the nano quantization + doc_id
     // tiebreak exists precisely to shrink this window. If it ever fires,
     // the fix is an integer-arithmetic key on h48 (no libm on either side).
+    // Served by the RollupRewrite optimizer rule from the materialized
+    // (l_returnflag, l_linestatus) rollup — the oracle recomputes from
+    // the RAW lineitem rows, so the hash match proves the rewritten
+    // plan is semantically identical to the base aggregation.
+    "q_rollup_served" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                count(*) AS n_rows,
+                min(l_discount) AS min_disc
+         FROM lineitem GROUP BY 1""",
     // DSIR fit, recomputed from scratch: per-bucket bigram occurrence
     // counts target ('src0') vs raw — the data-dependent half of the
     // importance model; counts → λ is driver arithmetic (DsirSpec).
