@@ -774,6 +774,7 @@ object SparkEntry {
     "q_dsir_weights"   -> (Dsir.dsirWeightsQuery _),
     "q_dsir_select"    -> (Dsir.dsirSelectQuery _),
     "q_rollup_served"  -> (MaterializedRollup.rollupServedQuery _),
+    "q_ppl_buckets"    -> (TextAnalysis.pplBucketsQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -2001,6 +2002,26 @@ object SparkEntry {
                  round(avg((c12 + 1.0) / (c1 + v)), 6) AS avg_prob
           FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
           GROUP BY doc_id""",
+    // CCNet head/middle/tail: per-language ntile(3) over the (already
+    // oracle-matched) bigram-LM fluency ranking, doc_id tiebreak
+    "q_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+                      FROM documents),
+          bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                 FROM tok, LATERAL unnest(generate_series(1, len(tk) - 1)) AS t(i)
+                 WHERE len(tk) >= 2),
+          bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+          uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+          v AS (SELECT count(DISTINCT t) AS v
+                FROM (SELECT unnest(tk) AS t FROM tok)),
+          s AS (SELECT doc_id, round(avg((c12 + 1.0) / (c1 + v)), 6) AS avg_prob
+                FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+                GROUP BY doc_id)
+          SELECT d.doc_id, d.lang,
+                 CAST(ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_prob DESC, d.doc_id ASC) AS BIGINT)
+                   AS ppl_bucket
+          FROM documents d JOIN s ON d.doc_id = s.doc_id""",
     "q_rep_stats" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
                       FROM documents),

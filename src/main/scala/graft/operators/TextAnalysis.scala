@@ -406,6 +406,57 @@ object TextAnalysis {
   def lmScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
     ngramLmScore(Tables.load(spark, sfDir, "documents"))
 
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+   * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+   * per language, rank documents by LM fluency and cut the ranking into
+   * `nBuckets` equal tertiles — head/middle/tail is the standard
+   * quality stratification a crawl pipeline feeds into sampling. The
+   * fluency signal is [[ngramLmScore]]'s rational avg-probability (its
+   * monotone ranking equals the perplexity ranking, with no libm call),
+   * and ties break on doc_id so the assignment is deterministic.
+   *
+   * Exactness vs scale: exact tertiles are DEFINED by a per-language
+   * rank — one shuffle on `lang` plus a per-language sort, CCNet's own
+   * computation. When a language is corpus-sized, use
+   * [[pplBucketsApprox]]: two narrow passes (per-language approximate
+   * thresholds, then a broadcast-join comparison) that avoid the sort
+   * at the cost of boundary wobble — PipelineSpec measures agreement.
+   */
+  def pplBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_prob").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"))
+      .join(ngramLmScore(docs), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        ntile(nBuckets).over(w).cast("bigint").as("ppl_bucket"))
+  }
+
+  /** The sort-free sibling: per-language bucket thresholds from
+    * `approx_percentile` (one map-side-combined aggregation, |langs|
+    * rows broadcast back), assignment by comparison — the 100 TB path
+    * when exact tertile boundaries are not worth a per-language sort. */
+  def pplBucketsApprox(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(ngramLmScore(docs), Seq("doc_id"))
+    val cuts = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val th = scored.groupBy("lang")
+      .agg(percentile_approx(col("avg_prob"), lit(cuts.toArray),
+        lit(10000)).as("_th"))
+    // bucket 1 = most fluent (score above the highest threshold), so
+    // thresholds compare descending: score >= th[k] → bucket ≤ n-1-k
+    scored.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (lit(nBuckets.toLong) - aggregate(col("_th"), lit(0L),
+          (acc, t) => acc + when(col("avg_prob") >= t, 1L).otherwise(0L)))
+          .as("ppl_bucket"))
+  }
+
+  /** Query-pack adapter: exact per-language head/middle/tail buckets. */
+  def pplBucketsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pplBuckets(Tables.load(spark, sfDir, "documents"))
+
   /** Query-pack adapter: bigram repetition over the fixture corpus. */
   def repStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     repetitionStats(Tables.load(spark, sfDir, "documents"), n = 2)

@@ -198,4 +198,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val kept = corpus.filter(col("keep")).count()
     assert(kept > 0 && kept < corpus.count())
   }
+
+  test("ppl buckets: per-language tertiles are balanced and rank by fluency") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val b = TextAnalysis.pplBuckets(docs)
+    val sizes = b.groupBy("lang", "ppl_bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every language has all 3 buckets, sizes within 1 of each other
+    sizes.keys.map(_._1).toSet.foreach { l: String =>
+      val s = (1L to 3L).map(k => sizes.getOrElse((l, k), 0L))
+      assert(s.forall(_ > 0), s"lang $l missing a bucket: $s")
+      assert(s.max - s.min <= 1, s"lang $l unbalanced: $s")
+    }
+    // bucket 1 (head) is more fluent than bucket 3 (tail) per language
+    val withScore = b.join(TextAnalysis.ngramLmScore(docs), Seq("doc_id"))
+    val mean = withScore.groupBy("lang", "ppl_bucket")
+      .agg(avg(col("avg_prob")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    mean.keys.map(_._1).toSet.foreach { l: String =>
+      assert(mean((l, 1L)) > mean((l, 3L)), s"head must beat tail for $l")
+    }
+  }
+
+  test("ppl buckets: approx thresholds agree with exact tertiles on most docs") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val exact = TextAnalysis.pplBuckets(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = TextAnalysis.pplBucketsApprox(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    assert(approx.values.forall(b => b >= 1L && b <= 3L))
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"approx agreement too low: $agree/${exact.size}")
+  }
 }
