@@ -81,6 +81,10 @@ object RollupRewrite {
 
   def clear(): Unit = registry.clear()
 
+  /** Drop one base table's registration (tests, rollup retirement). */
+  def unregister(paths: Set[String]): Unit =
+    paths.foreach(registry.remove)
+
   /** Idempotently append the rule to the session's user optimizations. */
   def ensureInjected(spark: SparkSession): Unit = synchronized {
     val existing = spark.experimental.extraOptimizations
