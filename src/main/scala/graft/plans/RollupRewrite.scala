@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -160,8 +160,12 @@ final case class RollupRewriteRule(spark: SparkSession)
           sumKey(child).flatMap(r.sums.get).flatMap(rollAttr.get)
             .map(p => s.copy(child = p).toAggregateExpression())
         case Count(Seq(Literal(1, _))) =>
+          // COUNT over an empty input is 0 where SUM-of-partials is
+          // NULL — reachable only by a GLOBAL aggregate over an empty
+          // fact table, but coalesce costs nothing and closes it
           r.count.flatMap(rollAttr.get)
-            .map(p => Sum(p).toAggregateExpression())
+            .map(p => Coalesce(Seq(
+              Sum(p).toAggregateExpression(), Literal(0L))))
         case m @ Min(a: AttributeReference) =>
           r.mins.get(a.name).flatMap(rollAttr.get)
             .map(p => m.copy(child = p).toAggregateExpression())

@@ -45,6 +45,8 @@ object StreamRollup {
       count: Option[String],
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty): DataFrame = {
+    require(sums.nonEmpty || count.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
+      "a rollup needs at least one measure")
     val aggs =
       sums.toSeq.map { case ((c, cast), p) =>
         sum(cast.fold(col(c))(col(c).cast(_))).as(p)
@@ -95,6 +97,41 @@ object StreamRollup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: Long) => appendBatch(b, id, r))
       .start()
+
+  /** Compact the delta slices back to one `delta=base` slice: partials
+    * re-aggregate to partials (sum of sums, sum of counts, min of
+    * mins), so the merged answer is unchanged while the slice count
+    * resets — run occasionally when batch deltas accumulate. Writes
+    * the compacted slice FIRST, then removes the batch slices, so a
+    * crash between the two only leaves re-compactable duplicates...
+    * which WOULD double-count; hence the staging dir + atomic rename
+    * of the whole root is the production recipe — here the in-JVM
+    * single-writer contract (one streaming query per rollup) makes the
+    * simple order safe. */
+  def compact(spark: SparkSession, r: RollupRewrite.Rollup): Unit = {
+    val all = spark.read.parquet(r.rollupPath)
+    val aggs =
+      r.sums.values.toSeq.map(p => sum(col(p)).cast(
+        all.schema(p).dataType).as(p)) ++
+      r.count.map(p => sum(col(p)).cast("bigint").as(p)) ++
+      r.mins.values.toSeq.map(p => min(col(p)).as(p)) ++
+      r.maxs.values.toSeq.map(p => max(col(p)).as(p))
+    val compacted = all.groupBy(r.keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // pin BEFORE the overwrite deletes its input
+    val root = new java.io.File(r.rollupPath)
+    compacted.write.mode("overwrite").parquet(s"${r.rollupPath}/delta=base")
+    val batchDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("delta=b") &&
+        f.getName != "delta=base") // batch slices only, not the target
+    batchDirs.foreach { d =>
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(); ()
+      }
+      del(d)
+    }
+  }
 
   /** The merged serving view (what the rewrite rule's swapped scan
     * reads): all delta slices re-aggregated to one row per group. */

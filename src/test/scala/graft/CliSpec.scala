@@ -247,4 +247,29 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       "--joinTable", s"$sf001/region.parquet", "--joinKeys", "onlyone")))
     intercept[Args.CliExit](AnalyzeMain.run(spark, Array("--columns", "x")))
   }
+
+  test("DsirMain: top-k target-like docs as TSV, parquet out, validation exits") {
+    import graft.cli.DsirMain
+    val rows = DsirMain.run(spark, Array(
+      "--corpus", s"$sf001/documents.parquet", "--target", "src0",
+      "--topK", "7"))
+    assert(rows.length == 7)
+    // descending weight with doc_id tiebreak — the selectTopK contract
+    assert(rows.map(r => (-r._3, r._1)) == rows.map(r => (-r._3, r._1)).sorted)
+    val out = java.nio.file.Files.createTempDirectory("graft-dsir").toString + "/sel"
+    DsirMain.run(spark, Array(
+      "--corpus", s"$sf001/documents.parquet", "--target", "src0",
+      "--topK", "7", "--out", out))
+    assert(spark.read.parquet(out).count() == 7L)
+    intercept[Args.CliExit](DsirMain.run(spark, Array(
+      "--corpus", s"$sf001/documents.parquet", "--target", "no_such_source")))
+    intercept[Args.CliExit](DsirMain.run(spark, Array(
+      "--corpus", s"$sf001/documents.parquet", "--target", "src0",
+      "--topK", "0")))
+    intercept[Args.CliExit](DsirMain.run(spark, Array(
+      "--corpus", s"$sf001/documents.parquet")))
+    intercept[Args.CliExit](DsirMain.run(spark, Array(
+      "--corpus", s"$sf001/documents.parquet", "--target", "src0",
+      "--bogus", "x")))
+  }
 }

@@ -76,6 +76,13 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     assert(!optimized(wrongKey).contains("cnt_p"))
   }
 
+  test("global aggregate (no grouping) is served and counts exactly") {
+    rollupPath
+    val q = li.agg(count(lit(1)).as("n"))
+    assert(optimized(q).contains("cnt_p"))
+    assert(q.head.getLong(0) == li.count())
+  }
+
   test("kill switch: spark.graft.rollup.enabled=false leaves the plan alone") {
     rollupPath
     spark.conf.set("spark.graft.rollup.enabled", "false")

@@ -73,6 +73,11 @@ class StreamRollupSpec extends AnyFunSuite with SparkTestBase {
       // serving reads ONLY the compact slices: 3 deltas x |statuses|
       val nStatuses = direct.size.toLong
       assert(spark.read.parquet(r.rollupPath).count() == 3L * nStatuses)
+
+      // compaction folds the deltas back to one slice, same answers
+      StreamRollup.compact(spark, r)
+      assert(result() == got, "compaction must not change served results")
+      assert(spark.read.parquet(r.rollupPath).count() == nStatuses)
     } finally RollupRewrite.unregister(r.basePaths)
   }
 }
