@@ -775,6 +775,7 @@ object SparkEntry {
     "q_dsir_select"    -> (Dsir.dsirSelectQuery _),
     "q_rollup_served"  -> (MaterializedRollup.rollupServedQuery _),
     "q_ppl_buckets"    -> (TextAnalysis.pplBucketsQuery _),
+    "q_rare_ngrams"    -> (Dedup.rareGramsQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -2002,6 +2003,24 @@ object SparkEntry {
                  round(avg((c12 + 1.0) / (c1 + v)), 6) AS avg_prob
           FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
           GROUP BY doc_id""",
+    // Memorization-risk scan: per-source fraction of corpus-unique
+    // positional 8-grams; a unique gram's owner is min(source) inside
+    // the per-gram aggregation (count==1 → exactly one owner)
+    "q_rare_ngrams" ->
+      s"""WITH g AS (SELECT source, unnest(${posGramSql(8)}) AS _g FROM documents),
+          h AS (SELECT source, ${md5Hash48Sql("_g")} AS h FROM g),
+          t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+                FROM h GROUP BY 1),
+          u0 AS (SELECT h, count(*) AS c, min(source) AS source
+                 FROM h GROUP BY 1),
+          u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+                FROM u0 WHERE c = 1 GROUP BY 1)
+          SELECT t.source, t.n_grams,
+                 CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+                 CAST(floor(CAST(coalesce(u.n_unique, 0) AS DOUBLE)
+                   / CAST(t.n_grams AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS uniq_frac_micro
+          FROM t LEFT JOIN u USING (source)""",
     // CCNet head/middle/tail: per-language ntile(3) over the (already
     // oracle-matched) bigram-LM fluency ranking, doc_id tiebreak
     "q_ppl_buckets" ->

@@ -204,6 +204,54 @@ object Dedup {
   }
 
   /**
+   * Memorization-risk scan: per SOURCE, the fraction of positional
+   * n-token grams that are CORPUS-UNIQUE (occur exactly once anywhere).
+   * Long unique sequences are the memorizable surface of a training
+   * set (the complement of the Lee-et-al repeated-substring signal):
+   * a post-dedup corpus should be high-uniqueness, and a source whose
+   * uniqueness sags below its peers is carrying residual boilerplate
+   * the pairwise dedup tier missed.
+   *
+   * 100 TB shape — deliberately JOIN-FREE (contrast [[novelty]]'s
+   * per-doc join): a corpus-unique gram has exactly one owner, so
+   * `min(source)` inside the per-gram count aggregation IS the owning
+   * source when the count is 1. Two aggregations — per-source totals
+   * (map-side combined, |sources| keys) and per-gram (count, min
+   * source) filtered to count==1 then regrouped — and a |sources|-row
+   * join of the two summaries. No corpus-sized join back.
+   *
+   * Grams hash through the 48-bit md5 prefix the oracle replays
+   * digit-by-digit; a hash collision merges the same two grams in both
+   * engines. Whole-doc fallback for sub-n-token texts (the corpus-wide
+   * shingle convention).
+   */
+  def rareGramStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("source"), tokens(col("text")).as("_tk"))
+      .select(col("source"),
+        explode(when(size(col("_tk")) >= n,
+          transform(sequence(lit(0), size(col("_tk")) - n),
+            i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", col("_tk"))))).as("_g"))
+      .select(col("source"),
+        conv(substring(md5(col("_g")), 1, 12), 16, 10).cast("long").as("_h"))
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val uniq = grams.groupBy("_h")
+      .agg(count(lit(1)).as("_c"), min(col("source")).as("source"))
+      .filter(col("_c") === 1)
+      .groupBy("source").agg(count(lit(1)).as("n_unique"))
+    totals.join(uniq, Seq("source"), "left")
+      .na.fill(0L, Seq("n_unique"))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        floor(col("n_unique").cast("double") / col("n_grams").cast("double")
+          * lit(1000000.0) + lit(0.5)).cast("bigint").as("uniq_frac_micro"))
+  }
+
+  /** Query-pack adapter: 8-gram memorization scan over the corpus. */
+  def rareGramsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    rareGramStats(graft.sources.Tables.load(spark, sfDir, "documents"))
+
+  /**
    * Exact substring-span REMOVAL — the action step on top of
    * [[repeatedWindows]]'s detection (the "dedup the substrings, not the
    * documents" cut of training-data cleaning, per Lee et al. 2021,

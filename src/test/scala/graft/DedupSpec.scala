@@ -250,6 +250,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r(3L)._3 > 0L && r(3L)._3 < 1000000L)
   }
 
+  test("rare-gram scan: duplicated source scores 0, unique source scores 1, totals conserve") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "dup", "alpha beta gamma delta"),   // verbatim twin of doc 2
+      (2L, "dup", "alpha beta gamma delta"),
+      (3L, "solo", "epsilon zeta eta theta"),  // nothing shared
+      (4L, "short", "x")                       // whole-doc fallback gram
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.rareGramStats(corpus, n = 3).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // 4-token docs at n=3 → 2 grams each; twins share both grams → 0 unique
+    assert(r("dup") == ((4L, 0L, 0L)))
+    assert(r("solo") == ((2L, 2L, 1000000L)))
+    assert(r("short") == ((1L, 1L, 1000000L)))
+    assert(r.values.map(_._1).sum == 7L)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs).collect()
       .map(x => (x.getAs[Long]("n_docs"), x.getAs[Long]("keep_id")))
