@@ -384,6 +384,14 @@ object SparkEntry {
     InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
       Seq("merge", "sort", "window"), k = 20, lnIdf = false)
 
+  /** Exact phrase query through the index's positional layer — probes
+    * only the two terms' `pos` cells; the oracle re-derives matches by
+    * scanning adjacent token pairs in the raw text, so a green row
+    * proves the positional index is lossless. */
+  private def phraseSearchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.searchPhrase(spark, invIndexDir(spark, sfDir),
+      Seq("sort", "merge"), k = 20)
+
   /** ColumnPaginationFilter page: per customer row, qualifiers at
     * positions [1, 3) in byte order — of (c_acctbal, c_mktsegment,
     * c_name, c_nationkey) that is c_mktsegment and c_name. */
@@ -776,6 +784,7 @@ object SparkEntry {
     "q_rollup_served"  -> (MaterializedRollup.rollupServedQuery _),
     "q_ppl_buckets"    -> (TextAnalysis.pplBucketsQuery _),
     "q_rare_ngrams"    -> (Dedup.rareGramsQuery _),
+    "q_phrase_search"  -> (phraseSearchQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -2003,6 +2012,23 @@ object SparkEntry {
                  round(avg((c12 + 1.0) / (c1 + v)), 6) AS avg_prob
           FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
           GROUP BY doc_id""",
+    // Phrase search: matches recomputed from the RAW text (adjacent
+    // token pairs), proving the positional index layer is lossless
+    "q_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+                     FROM documents),
+          m AS (SELECT doc_id,
+                  CAST(len(list_filter(
+                    generate_series(CAST(1 AS BIGINT), CAST(len(t) AS BIGINT) - 1),
+                    i -> t[CAST(i AS INTEGER)] = 'sort'
+                         AND t[CAST(i + 1 AS INTEGER)] = 'merge')) AS BIGINT)
+                    AS n_matches
+                FROM tk WHERE len(t) >= 2)
+          SELECT doc_id, n_matches,
+                 CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+          FROM m WHERE n_matches > 0
+          ORDER BY n_matches DESC, doc_id ASC LIMIT 20""",
     // Memorization-risk scan: per-source fraction of corpus-unique
     // positional 8-grams; a unique gram's owner is min(source) inside
     // the per-gram aggregation (count==1 → exactly one owner)

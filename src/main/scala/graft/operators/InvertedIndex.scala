@@ -107,6 +107,16 @@ object InvertedIndex {
   private def termKey(term: org.apache.spark.sql.Column) =
     CellTable.bigEndianKey(xxhash64(term))
 
+  /** (term, doc_id, positions) — 1-based token positions per posting,
+    * ascending. The positional layer a phrase query needs; one
+    * posexplode + hash aggregation, same shuffle key as [[postings]]. */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+
   /** Index cells for a corpus — append them through the DSv2 writer. */
   def indexCells(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -137,7 +147,19 @@ object InvertedIndex {
       lit(CellTable.BaseTs).as("ts"),
       lit("Put").as("cellType"),
       CellTable.bigEndianKey(col("v")).as("value"))
-    postCells.unionByName(dfCells)
+    // positional layer: comma-joined ascending 1-based positions — the
+    // value a phrase query decodes; same row key, its own family so
+    // ranked search never reads it
+    val posCells = positionalPostings(docs, idCol, textCol).select(
+      termKey(col("term")).as("rowKey"),
+      lit("pos").as("family"),
+      concat(col("term"), lit(Sep), col("doc_id").cast("string"))
+        .cast("binary").as("qualifier"),
+      lit(CellTable.BaseTs).as("ts"),
+      lit("Put").as("cellType"),
+      concat_ws(",", transform(col("positions"), _.cast("string")))
+        .cast("binary").as("value"))
+    postCells.unionByName(dfCells).unionByName(posCells)
       .unionByName(metaCell(
         docs.select(col(idCol)).agg(count(lit(1)).as("v")), "n_docs"))
       .unionByName(metaCell(
@@ -256,5 +278,54 @@ object InvertedIndex {
       .groupBy(col("doc_id"))
       .agg(sum(col("_c")).as("score"))
     topK(scored, k)
+  }
+
+  /**
+   * Exact phrase search through the positional layer: probe the phrase
+   * terms' `pos` cells (pushed `In(rowKey)` GETs — cost ∝ the terms'
+   * posting lists, never a corpus scan), regroup per document, and
+   * count alignment starts — a position p of the first term matches
+   * when every later term i sits at p+i. Docs ranked by match count
+   * with the doc_id tiebreak, top-k via TakeOrdered.
+   *
+   * The alignment check is an array HOF over the (bounded, per-doc)
+   * position lists — no token-level shuffle, no re-read of the text.
+   * A one-term "phrase" degenerates to n_matches = tf.
+   */
+  def searchPhrase(spark: SparkSession, dir: String, phrase: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val uniq = phrase.distinct
+    val keys = spark.range(1).select(
+      array(uniq.map(t => termKey(lit(t))): _*).as("ks"))
+      .head().getSeq[Array[Byte]](0)
+    val store = spark.read.format("cellstore").load(dir)
+    val pos = store
+      .filter(col("rowKey").isInCollection(keys) && col("family") === "pos")
+      .select(split(col("qualifier").cast("string"), Sep).as("_q"),
+        transform(split(col("value").cast("string"), ","),
+          _.cast("int")).as("ps"))
+      .select(col("_q").getItem(0).as("term"),
+        col("_q").getItem(1).cast("bigint").as("doc_id"), col("ps"))
+      .filter(col("term").isin(uniq: _*)) // exact re-check past hash collisions
+    val perDoc = pos.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("term"), col("ps")))).as("_m"))
+      .filter(size(col("_m")) === uniq.size)
+    val starts = filter(
+      element_at(col("_m"), lit(phrase.head)),
+      p => phrase.zipWithIndex.drop(1).map { case (t, i) =>
+        array_contains(element_at(col("_m"), lit(t)), p + i)
+      }.foldLeft(lit(true))(_ && _))
+    val matched = perDoc
+      .select(col("doc_id"), size(starts).cast("bigint").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id").asc).limit(k)
+    // rank over the k collected rows only — bounded input, safe window
+    matched.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("n_matches").desc, col("doc_id").asc))
+        .cast("bigint"))
   }
 }

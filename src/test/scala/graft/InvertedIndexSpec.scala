@@ -148,4 +148,30 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
         s"retrieved sets overlap only $overlap/20 for $terms:\n ln=$ln\n rat=$rat")
     }
   }
+
+  test("phrase search: exact adjacency through the positional layer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_ph").toString
+    val docs = Seq(
+      (1L, "a b c a b c"),     // "a b c" twice
+      (2L, "a c b a b"),       // "a b" once (tail), no "a b c"
+      (3L, "b c a"),           // terms present, never the phrase
+      (4L, "a a b c")          // "a b c" once, extra leading a
+    ).toDF("doc_id", "text")
+    InvertedIndex.buildIndex(spark, docs, dir, buckets = 2)
+    def hits(phrase: Seq[String]) =
+      InvertedIndex.searchPhrase(spark, dir, phrase, k = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(Seq("a", "b", "c")) == Map(1L -> 2L, 4L -> 1L))
+    assert(hits(Seq("a", "b")) == Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+    // one-term phrase degenerates to tf
+    assert(hits(Seq("a")) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+    // repeated-term phrase uses the same position list twice
+    assert(hits(Seq("a", "a")) == Map(4L -> 1L))
+    assert(hits(Seq("c", "c")).isEmpty)
+    // rank: count desc, doc_id asc
+    val ranked = InvertedIndex.searchPhrase(spark, dir, Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ranked.sortBy(_._2).map(_._1).toSeq == Seq(1L, 2L, 4L))
+  }
 }
