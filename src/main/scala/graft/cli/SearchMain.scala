@@ -17,8 +17,10 @@ object SearchMain {
 
   val Usage: String =
     """usage: graft.cli.SearchMain --indexDir <dir> --terms <t1,t2,...>
-      |         [--mode tfidf|bm25] [--k <n>]
-      |         [--build <corpus parquet> [--idCol doc_id] [--textCol text]]""".stripMargin
+      |         [--mode tfidf|bm25|phrase] [--k <n>]
+      |         [--build <corpus parquet> [--idCol doc_id] [--textCol text]]
+      |       (--mode phrase treats --terms as the exact token sequence;
+      |        score column = match count)""".stripMargin
 
   val Known = Set("indexDir", "terms", "mode", "k", "build", "idCol", "textCol")
 
@@ -30,8 +32,8 @@ object SearchMain {
     val terms = p.required("terms", Usage).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (terms.isEmpty) Args.die("--terms must name at least one term", Usage)
     val mode = p.get("mode").getOrElse("tfidf")
-    if (mode != "tfidf" && mode != "bm25")
-      Args.die(s"unknown --mode '$mode' (tfidf|bm25)", Usage)
+    if (mode != "tfidf" && mode != "bm25" && mode != "phrase")
+      Args.die(s"unknown --mode '$mode' (tfidf|bm25|phrase)", Usage)
     val k = p.long("k", default = 10L).toInt
 
     p.get("build").foreach { corpus =>
@@ -40,9 +42,12 @@ object SearchMain {
         textCol = p.get("textCol").getOrElse("text"))
     }
 
-    val ranked =
-      if (mode == "bm25") InvertedIndex.searchBm25(spark, indexDir, terms, k)
-      else InvertedIndex.search(spark, indexDir, terms, k)
+    val ranked = mode match {
+      case "bm25" => InvertedIndex.searchBm25(spark, indexDir, terms, k)
+      case "phrase" => InvertedIndex.searchPhrase(spark, indexDir, terms, k)
+        .withColumnRenamed("n_matches", "score")
+      case _ => InvertedIndex.search(spark, indexDir, terms, k)
+    }
     val hits = ranked.collect().map(r => Hit(
       r.getAs[Long]("doc_id"), r.getAs[Long]("score"), r.getAs[Long]("rank"))).toSeq
     // rank \t doc_id \t score (micro-units) — TSV like the reference's sinks

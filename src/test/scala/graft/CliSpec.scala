@@ -137,6 +137,11 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     val bm = SearchMain.run(spark, Array(
       "--indexDir", dir, "--terms", "cherry", "--mode", "bm25", "--k", "3"))
     assert(bm.nonEmpty && bm.head.doc_id == 2L) // tf=2, shorter of none — top hit
+    // phrase mode: --terms is the exact sequence; only doc0 has
+    // "apple banana" adjacent in order
+    val ph = SearchMain.run(spark, Array(
+      "--indexDir", dir, "--terms", "apple,banana", "--mode", "phrase"))
+    assert(ph.map(h => h.doc_id -> h.score) == Seq(0L -> 1L))
     // D1 validation: unknown mode and empty terms die with usage
     intercept[graft.cli.Args.CliExit](
       SearchMain.run(spark, Array("--indexDir", dir, "--terms", "x", "--mode", "zz")))
