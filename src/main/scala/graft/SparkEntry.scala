@@ -392,6 +392,12 @@ object SparkEntry {
     InvertedIndex.searchPhrase(spark, invIndexDir(spark, sfDir),
       Seq("sort", "merge"), k = 20)
 
+  /** Proximity query (NEAR/5) through the same positional layer —
+    * 'merge' anchors with a 'window' occurrence within 4 tokens. */
+  private def nearSearchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.searchNear(spark, invIndexDir(spark, sfDir),
+      Seq("merge", "window"), window = 5, k = 20)
+
   /** ColumnPaginationFilter page: per customer row, qualifiers at
     * positions [1, 3) in byte order — of (c_acctbal, c_mktsegment,
     * c_name, c_nationkey) that is c_mktsegment and c_name. */
@@ -785,6 +791,7 @@ object SparkEntry {
     "q_ppl_buckets"    -> (TextAnalysis.pplBucketsQuery _),
     "q_rare_ngrams"    -> (Dedup.rareGramsQuery _),
     "q_phrase_search"  -> (phraseSearchQuery _),
+    "q_near_search"    -> (nearSearchQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -2029,6 +2036,28 @@ object SparkEntry {
                    AS BIGINT) AS rank
           FROM m WHERE n_matches > 0
           ORDER BY n_matches DESC, doc_id ASC LIMIT 20""",
+    // Proximity search: anchors of the first term with the second term
+    // within the window, recomputed from raw token positions
+    "q_near_search" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+                     FROM documents),
+          pa AS (SELECT doc_id, i AS p FROM tk,
+                   LATERAL unnest(generate_series(CAST(1 AS BIGINT),
+                     CAST(len(t) AS BIGINT))) AS u(i)
+                 WHERE t[CAST(i AS INTEGER)] = 'merge'),
+          pb AS (SELECT doc_id, i AS p FROM tk,
+                   LATERAL unnest(generate_series(CAST(1 AS BIGINT),
+                     CAST(len(t) AS BIGINT))) AS u(i)
+                 WHERE t[CAST(i AS INTEGER)] = 'window'),
+          m AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_matches
+                FROM (SELECT pa.doc_id, pa.p
+                      FROM pa JOIN pb USING (doc_id)
+                      WHERE abs(pb.p - pa.p) < 5) s
+                GROUP BY 1)
+          SELECT doc_id, n_matches,
+                 CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+          FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 20""",
     // Memorization-risk scan: per-source fraction of corpus-unique
     // positional 8-grams; a unique gram's owner is min(source) inside
     // the per-gram aggregation (count==1 → exactly one owner)

@@ -328,4 +328,53 @@ object InvertedIndex {
         Window.orderBy(col("n_matches").desc, col("doc_id").asc))
         .cast("bigint"))
   }
+
+  /**
+   * Proximity (NEAR/w) search: documents where EVERY query term occurs
+   * inside some `window`-token span, in any order — the relaxation
+   * between bag-of-words ranking and exact [[searchPhrase]] adjacency.
+   * Match count = number of positions of the rarest-in-doc term that
+   * anchor such a span (each term's nearest occurrence within
+   * [p−window+1, p+window−1]). Same pushed-GET probe, same per-doc
+   * array-HOF shape, same top-k tail.
+   */
+  def searchNear(spark: SparkSession, dir: String, terms: Seq[String],
+      window: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "need at least one term")
+    require(window >= 1, "window must be >= 1")
+    val uniq = terms.distinct
+    val keys = spark.range(1).select(
+      array(uniq.map(t => termKey(lit(t))): _*).as("ks"))
+      .head().getSeq[Array[Byte]](0)
+    val store = spark.read.format("cellstore").load(dir)
+    val pos = store
+      .filter(col("rowKey").isInCollection(keys) && col("family") === "pos")
+      .select(split(col("qualifier").cast("string"), Sep).as("_q"),
+        transform(split(col("value").cast("string"), ","),
+          _.cast("int")).as("ps"))
+      .select(col("_q").getItem(0).as("term"),
+        col("_q").getItem(1).cast("bigint").as("doc_id"), col("ps"))
+      .filter(col("term").isin(uniq: _*))
+    val perDoc = pos.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("term"), col("ps")))).as("_m"))
+      .filter(size(col("_m")) === uniq.size)
+    // anchor on the first term's positions; a position p matches when
+    // every other term has an occurrence within window-1 tokens
+    val anchors = filter(
+      element_at(col("_m"), lit(uniq.head)),
+      p => uniq.drop(1).map { t =>
+        exists(element_at(col("_m"), lit(t)),
+          q => abs(q - p) < window)
+      }.foldLeft(lit(true))(_ && _))
+    val matched = perDoc
+      .select(col("doc_id"), size(anchors).cast("bigint").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id").asc).limit(k)
+    matched.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("n_matches").desc, col("doc_id").asc))
+        .cast("bigint"))
+  }
 }

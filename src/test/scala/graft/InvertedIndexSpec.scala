@@ -173,5 +173,14 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     val ranked = InvertedIndex.searchPhrase(spark, dir, Seq("a", "b"), k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(ranked.sortBy(_._2).map(_._1).toSeq == Seq(1L, 2L, 4L))
+    // proximity: NEAR/2 = adjacency in either order; doc3 "b c a" has
+    // a and b two apart — matched by NEAR/3, not NEAR/2
+    def near(w: Int) =
+      InvertedIndex.searchNear(spark, dir, Seq("a", "b"), w, k = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(near(2).keySet == Set(1L, 2L, 4L))
+    assert(near(3).keySet == Set(1L, 2L, 3L, 4L))
+    // NEAR/1 means |q-p|<1 → never matches distinct terms
+    assert(near(1).isEmpty)
   }
 }
