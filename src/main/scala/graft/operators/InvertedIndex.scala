@@ -221,10 +221,10 @@ object InvertedIndex {
         .cast("bigint"))
   }
 
-  def search(spark: SparkSession, dir: String, terms: Seq[String],
-      k: Int): DataFrame = {
-    val uniq = terms.distinct
-    val (post, dfs, nDocs, _) = probe(spark, dir, uniq)
+  /** tf·idf scoring over an already-probed (postings, dfs, n_docs)
+    * triple — shared by the single-store and delta-union paths. */
+  private[graft] def scoreTfidf(post: DataFrame, dfs: DataFrame,
+      nDocs: Long, k: Int): DataFrame = {
     val scored = post.join(dfs, Seq("term"))
       .select(col("doc_id"),
         microUnits(col("tf").cast("double") * idf(nDocs)).as("_c"))
@@ -232,6 +232,19 @@ object InvertedIndex {
       .agg(sum(col("_c")).as("score"))
     topK(scored, k)
   }
+
+  def search(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val uniq = terms.distinct
+    val (post, dfs, nDocs, _) = probe(spark, dir, uniq)
+    scoreTfidf(post, dfs, nDocs, k)
+  }
+
+  /** The probed triple, visible to [[graft.streaming.StreamIndex]]'s
+    * delta-union search. */
+  private[graft] def probeStore(spark: SparkSession, dir: String,
+      uniq: Seq[String]): (DataFrame, DataFrame, Long, Long) =
+    probe(spark, dir, uniq)
 
   /**
    * BM25-ranked search (Robertson–Spärck Jones, the Okapi weighting):
