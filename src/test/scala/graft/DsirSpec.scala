@@ -72,6 +72,28 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"scoring must be narrow:\n$plan")
   }
 
+  test("scoring is stateless: a streamed corpus scores identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val model = Dsir.fit(hand, targetSource = "tgt")
+    val batch = Dsir.score(hand, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val q = Dsir.score(
+      input.toDF().toDF("doc_id", "source", "text"), model)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(hand.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("selection is TakeOrdered (no global sort) with the full tiebreak") {
     val model = Dsir.fit(hand, targetSource = "tgt")
     val plan = Dsir.selectTopK(hand, model, 3)
