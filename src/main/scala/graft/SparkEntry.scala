@@ -392,6 +392,14 @@ object SparkEntry {
     InvertedIndex.searchPhrase(spark, invIndexDir(spark, sfDir),
       Seq("sort", "merge"), k = 20)
 
+  /** Keyword-in-context snippets for the top phrase hits: ±3 tokens
+    * around the first "sort merge" occurrence, hit text fetched via a
+    * broadcast semi-join of the 20-row hit list. */
+  private def searchSnippetsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.phraseSnippets(spark, invIndexDir(spark, sfDir),
+      graft.sources.Tables.load(spark, sfDir, "documents"),
+      Seq("sort", "merge"), k = 20, context = 3)
+
   /** Proximity query (NEAR/5) through the same positional layer —
     * 'merge' anchors with a 'window' occurrence within 4 tokens. */
   private def nearSearchQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -792,6 +800,7 @@ object SparkEntry {
     "q_rare_ngrams"    -> (Dedup.rareGramsQuery _),
     "q_phrase_search"  -> (phraseSearchQuery _),
     "q_near_search"    -> (nearSearchQuery _),
+    "q_search_snippets" -> (searchSnippetsQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -2036,6 +2045,29 @@ object SparkEntry {
                    AS BIGINT) AS rank
           FROM m WHERE n_matches > 0
           ORDER BY n_matches DESC, doc_id ASC LIMIT 20""",
+    // KWIC snippets: the phrase CTE plus a ±3-token cut around the
+    // first match, everything re-derived from the raw text
+    "q_search_snippets" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+                     FROM documents),
+          st AS (SELECT doc_id, t,
+                   list_filter(
+                     generate_series(CAST(1 AS BIGINT), CAST(len(t) AS BIGINT) - 1),
+                     i -> t[CAST(i AS INTEGER)] = 'sort'
+                          AND t[CAST(i + 1 AS INTEGER)] = 'merge') AS ss
+                 FROM tk WHERE len(t) >= 2),
+          f AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_matches,
+                  CAST(greatest(list_min(ss) - 3, 1) AS INTEGER) AS s,
+                  CAST(least(CAST(len(t) AS BIGINT), list_min(ss) + 1 + 3)
+                    AS INTEGER) AS e, t
+                FROM st WHERE len(ss) > 0),
+          r AS (SELECT doc_id, n_matches,
+                  CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id ASC)
+                    AS BIGINT) AS rank,
+                  array_to_string(list_slice(t, s, e), ' ') AS snippet
+                FROM f)
+          SELECT doc_id, n_matches, rank, snippet FROM r
+          ORDER BY rank LIMIT 20""",
     // Proximity search: anchors of the first term with the second term
     // within the window, recomputed from raw token positions
     "q_near_search" ->

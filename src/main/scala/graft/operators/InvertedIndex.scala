@@ -343,6 +343,33 @@ object InvertedIndex {
   }
 
   /**
+   * Keyword-in-context snippets for the top-k phrase hits: the ranked
+   * hits come from the positional index ([[searchPhrase]]); the snippet
+   * (±`context` tokens around the FIRST match) is cut from the raw
+   * text of ONLY those k documents — the k-row hit list broadcasts
+   * into a semi-join against the corpus, so the text of non-hits is
+   * never materialized past the scan.
+   */
+  def phraseSnippets(spark: SparkSession, dir: String, docs: DataFrame,
+      phrase: Seq[String], k: Int, context: Int = 3): DataFrame = {
+    require(context >= 0, "context must be >= 0")
+    val n = phrase.length
+    val hits = searchPhrase(spark, dir, phrase, k)
+    val withTk = docs.select(col("doc_id"), split(col("text"), " ").as("_tk"))
+    val starts = filter(
+      when(size(col("_tk")) >= n,
+        sequence(lit(1), size(col("_tk")) - (n - 1))).otherwise(array()),
+      p => phrase.zipWithIndex.map { case (t, i) =>
+        element_at(col("_tk"), p + i) === t
+      }.reduce(_ && _))
+    val s = greatest(array_min(starts) - context, lit(1))
+    val e = least(size(col("_tk")), array_min(starts) + (n - 1) + context)
+    broadcast(hits).join(withTk, Seq("doc_id"))
+      .select(col("doc_id"), col("n_matches"), col("rank"),
+        concat_ws(" ", slice(col("_tk"), s, e - s + lit(1))).as("snippet"))
+  }
+
+  /**
    * Proximity (NEAR/w) search: documents where EVERY query term occurs
    * inside some `window`-token span, in any order — the relaxation
    * between bag-of-words ranking and exact [[searchPhrase]] adjacency.

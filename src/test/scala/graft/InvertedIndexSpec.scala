@@ -182,5 +182,10 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(near(3).keySet == Set(1L, 2L, 3L, 4L))
     // NEAR/1 means |q-p|<1 → never matches distinct terms
     assert(near(1).isEmpty)
+    // KWIC snippets: ±1 token around the FIRST "a b" occurrence
+    val sn = InvertedIndex.phraseSnippets(spark, dir, docs,
+        Seq("a", "b"), k = 10, context = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sn == Map(1L -> "a b c", 2L -> "b a b", 4L -> "a a b c"))
   }
 }
