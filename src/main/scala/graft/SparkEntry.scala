@@ -125,6 +125,26 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** Column-family TTL read: at now = base+2500 with ttl = 2000, every
+    * base-timestamp cell has aged out — only the %10 keys' fresher
+    * versions survive, and a %7 marker at base+2200 masks even the
+    * newest version (HBase TTL + delete-mask interaction). */
+  private def cellTtlQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = CellTable.fromTable(spark, sfDir, "customer")
+    val versioned = CellTable.withExtraVersions(
+      base, pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 0, n = 2)
+    val marked = CellTable.withDeleteMarkers(
+      versioned, pmod(CellTable.keyToLong(col("rowKey")), lit(7)) === 0,
+      lit(CellTable.BaseTs + 2200L))
+    CellTable.visibleWithTtl(marked,
+      nowTs = CellTable.BaseTs + 2500L, ttlMillis = 2000L)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** VERSIONS=2 read over the same multi-version injection: %10 keys
     * surface v2 then v1 (ranks 1, 2), everything else its single base
     * version at rank 1 — HBase's scan-with-VERSIONS shape. */
@@ -711,6 +731,7 @@ object SparkEntry {
     "q_copy_row"       -> (copyRowQuery _),
     "q_cell_latest"    -> (cellLatestQuery _),
     "q_cell_asof"      -> (cellAsOfQuery _),
+    "q_cell_ttl"       -> (cellTtlQuery _),
     "q_cell_versions"  -> (cellVersionsQuery _),
     "q_wide_row"       -> (wideRowQuery _),
     "q_wide_filter"    -> (wideFilterQuery _),
@@ -2541,6 +2562,22 @@ object SparkEntry {
     // %7 markers (+1500) not yet masking -> %10 keys read v1, the rest
     // their base version. Markers never appear in the oracle because the
     // as-of filter excludes them by construction.
+    // TTL read at now=base+2500, ttl=2000: base-ts cells expired
+    // everywhere; %10 keys keep v2 (base+2000) unless a %7 marker at
+    // base+2200 masks it — so survivors are %10 minus %70 keys, at v2
+    "q_cell_ttl" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk
+            FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 7 <> 0)
+          SELECT rk AS row_key, 'c_name' AS qualifier,
+                 CAST(1700000002000 AS BIGINT) AS ts,
+                 c_name || '#v2' AS value FROM c
+          UNION ALL SELECT rk, 'c_nationkey', 1700000002000,
+                 CAST(c_nationkey AS VARCHAR) || '#v2' FROM c
+          UNION ALL SELECT rk, 'c_acctbal', 1700000002000,
+                 CAST(c_acctbal AS VARCHAR) || '#v2' FROM c
+          UNION ALL SELECT rk, 'c_mktsegment', 1700000002000,
+                 c_mktsegment || '#v2' FROM c""",
     "q_cell_asof" ->
       s"""WITH c AS (
             SELECT *, ${rowKeySql("c_custkey")} AS rk,

@@ -196,6 +196,17 @@ object CellTable {
   def visibleAsOf(cells: DataFrame, asOfTs: Long): DataFrame =
     visibleLatest(cells.filter(col("ts") <= asOfTs))
 
+  /** HBase column-family TTL read — a cell (Put OR Delete marker)
+    * whose age at `nowTs` is ≥ `ttlMillis` is EXPIRED: removed before
+    * visibility evaluation, exactly as an HBase read treats cells past
+    * the family TTL (and as [[graft.operators.Compaction.survivors]]'
+    * `ttlWatermark` purges them physically). An expired marker stops
+    * masking — but whatever it masked has, by construction, expired
+    * first. Same narrow pre-filter shape as [[visibleAsOf]]: a TTL
+    * read costs the same as a latest read. */
+  def visibleWithTtl(cells: DataFrame, nowTs: Long, ttlMillis: Long): DataFrame =
+    visibleLatest(cells.filter(col("ts") > nowTs - ttlMillis))
+
   /** HBase VERSIONS=n read — the newest `n` delete-visible Put versions
     * per (row, family, qualifier), tagged `version_rank` (1 = newest).
     * Same single (coordinate-partitioned) shuffle as [[visibleLatest]];

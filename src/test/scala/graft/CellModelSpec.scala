@@ -130,6 +130,42 @@ class CellModelSpec extends AnyFunSuite with SparkTestBase {
     assert(byRank(2L)._1 == 0L, "rank 2 must hold no v2")
   }
 
+  test("TTL read: aged cells expire, expired markers stop masking, fresh markers still mask") {
+    val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
+    // ttl window (nowTs-ttl, nowTs]: at now=+2500/ttl=2000 the base (age
+    // 2500) expires, v1 (+1000) and v2 (+2000) survive -> v2 wins
+    val t = CellTable.visibleWithTtl(versioned,
+      CellTable.BaseTs + 2500L, ttlMillis = 2000L)
+    assert(t.count() == cells.count())
+    assert(t.select(col("value").cast("string")).collect()
+      .forall(_.getString(0).endsWith("#v2")))
+    // tighter ttl: only v2 survives the cut, same answer
+    assert(CellTable.visibleWithTtl(versioned,
+      CellTable.BaseTs + 2500L, ttlMillis = 600L).count() == cells.count())
+    // everything aged out -> empty read
+    assert(CellTable.visibleWithTtl(versioned,
+      CellTable.BaseTs + 9000L, ttlMillis = 2000L).isEmpty)
+    // a marker inside the window masks everything at-or-before it; and
+    // because a marker is always newer than what it masks, marker
+    // expiry can never resurrect data — the masked puts expired first
+    val marked = CellTable.withDeleteMarkers(versioned, lit(true),
+      lit(CellTable.BaseTs + 2200L))
+    assert(CellTable.visibleWithTtl(marked,
+      CellTable.BaseTs + 2500L, ttlMillis = 2000L).isEmpty,
+      "fresh marker at +2200 must mask v2 at +2000")
+    assert(CellTable.visibleWithTtl(marked,
+      CellTable.BaseTs + 9000L, ttlMillis = 6850L).isEmpty,
+      "cut at +2150 expires the marker AND everything it masked")
+    // a put NEWER than the marker out-lives both the mask and the cut
+    val resurrect = CellTable.withDeleteMarkers(versioned, lit(true),
+      lit(CellTable.BaseTs + 1500L))
+    val fresh = CellTable.visibleWithTtl(resurrect,
+      CellTable.BaseTs + 2500L, ttlMillis = 2000L)
+    assert(fresh.count() == cells.count() &&
+      fresh.select(col("value").cast("string")).collect()
+        .forall(_.getString(0).endsWith("#v2")))
+  }
+
   test("wide rows: family map with latest-version + delete visibility, one exchange") {
     val versioned = CellTable.withExtraVersions(cells, lit(true), n = 2)
     val marked = CellTable.withDeleteMarkers(versioned,
