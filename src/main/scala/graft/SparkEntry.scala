@@ -426,6 +426,24 @@ object SparkEntry {
     InvertedIndex.searchNear(spark, invIndexDir(spark, sfDir),
       Seq("merge", "window"), window = 5, k = 20)
 
+  /** Hybrid retrieval: RRF fusion of the BM25 lexical leg (the
+    * q_bm25_search ranking — terms merge/sort/window, rational idf) with
+    * a semantic embedding-cosine leg (corpus vectors against the vec_id-0
+    * probe, the more-like-this shape; the fixture's vec ids share the
+    * documents' key space). Both legs are top-20 lists, so the fusion
+    * join is constant work at any corpus size — the legs themselves are
+    * the measured index-probe / ANN plans. */
+  private def hybridSearchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
+        Seq("merge", "sort", "window"), k = 20, lnIdf = false)
+      .select(col("doc_id"), col("rank"))
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val sem = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 20)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    HybridSearch.fuseTopK(lex, sem, k = 20)
+  }
+
   /** ColumnPaginationFilter page: per customer row, qualifiers at
     * positions [1, 3) in byte order — of (c_acctbal, c_mktsegment,
     * c_name, c_nationkey) that is c_mktsegment and c_name. */
@@ -822,6 +840,7 @@ object SparkEntry {
     "q_phrase_search"  -> (phraseSearchQuery _),
     "q_near_search"    -> (nearSearchQuery _),
     "q_search_snippets" -> (searchSnippetsQuery _),
+    "q_hybrid_search"  -> (hybridSearchQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -2111,6 +2130,39 @@ object SparkEntry {
                  CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id ASC)
                    AS BIGINT) AS rank
           FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 20""",
+    // Hybrid retrieval: RRF fusion of the replayed BM25 ranking with a
+    // replayed cosine top-20 (probe = vec_id 0) on integer RRF points —
+    // floor of ONE correctly-rounded division per rank, so the fused
+    // order is bit-identical cross-engine
+    "q_hybrid_search" ->
+      s"""WITH lex AS ($bm25OracleSql),
+          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0),
+          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id != 0),
+          scored AS (SELECT c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
+                     FROM c CROSS JOIN q),
+          sem AS (SELECT vec_id AS doc_id, rank FROM (
+                    SELECT vec_id,
+                           CAST(row_number() OVER (ORDER BY cosine DESC,
+                             vec_id ASC) AS BIGINT) AS rank
+                    FROM scored) t WHERE rank <= 20),
+          u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                       CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
+                       CAST(coalesce(s.rank, 0) AS BIGINT) AS sem_rank
+                FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+          f AS (SELECT doc_id, lex_rank, sem_rank,
+                       CAST(CASE WHEN lex_rank > 0
+                              THEN floor(1000000000000.0 / (60.0 + lex_rank))
+                              ELSE 0 END
+                          + CASE WHEN sem_rank > 0
+                              THEN floor(1000000000000.0 / (60.0 + sem_rank))
+                              ELSE 0 END AS BIGINT) AS rrf_score
+                FROM u)
+          SELECT doc_id, lex_rank, sem_rank, rrf_score,
+                 CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+          FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
     // Memorization-risk scan: per-source fraction of corpus-unique
     // positional 8-grams; a unique gram's owner is min(source) inside
     // the per-gram aggregation (count==1 → exactly one owner)
