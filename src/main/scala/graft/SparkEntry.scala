@@ -444,6 +444,31 @@ object SparkEntry {
     HybridSearch.fuseTopK(lex, sem, k = 20)
   }
 
+  /** A twin index store purged of the subject's documents (doc_id
+    * divisible by 7 — ranks 1/4/8/11/20 of the unpurged BM25 top-20, so
+    * the purge is observable in the ranking, and df/n_docs corrections
+    * shift every surviving score): built once, then
+    * [[InvertedIndex.purgeIndex]] masks the subject via tombstones +
+    * corrected stats cells. The shared [[invIndexDir]] store stays
+    * untouched. */
+  private def purgedIndexDir(spark: SparkSession, sfDir: String): String = {
+    val dir = WorkDirs.dir(s"invidx_purged_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    buildOnce(dir) {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      InvertedIndex.buildIndex(spark, docs, dir)
+      InvertedIndex.purgeIndex(spark, dir, docs.filter(col("doc_id") % 7 === 0))
+    }
+    dir
+  }
+
+  /** BM25 ranking through the PURGED index — must equal (and the oracle
+    * recomputes) the ranking of an index that never contained the
+    * subject's documents: purge propagation to derived artifacts,
+    * driver-verified. */
+  private def indexPurgeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.searchBm25(spark, purgedIndexDir(spark, sfDir),
+      Seq("merge", "sort", "window"), k = 20, lnIdf = false)
+
   /** ColumnPaginationFilter page: per customer row, qualifiers at
     * positions [1, 3) in byte order — of (c_acctbal, c_mktsegment,
     * c_name, c_nationkey) that is c_mktsegment and c_name. */
@@ -841,6 +866,7 @@ object SparkEntry {
     "q_near_search"    -> (nearSearchQuery _),
     "q_search_snippets" -> (searchSnippetsQuery _),
     "q_hybrid_search"  -> (hybridSearchQuery _),
+    "q_index_purge"    -> (indexPurgeQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -974,14 +1000,19 @@ object SparkEntry {
 
   /** BM25 ranking replay (rational idf twin, micro-quantized per-term
     * scores) — shared by q_bm25_search and the q_search_ndcg metric. */
-  private def bm25OracleSql: String = {
+  private def bm25OracleSql: String = bm25OracleSqlOver("documents")
+
+  /** The same replay over an arbitrary document relation — q_index_purge
+    * passes the corpus MINUS the purged subject, recomputing the ranking
+    * the purged index must reproduce. */
+  private def bm25OracleSqlOver(rel: String): String = {
     val k1 = 1.2; val b = 0.75
     s"""WITH p AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
                   FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
-                        FROM documents)
+                        FROM $rel)
                   GROUP BY 1, 2),
         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
-        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $rel),
         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
         ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
         s AS (SELECT p.doc_id,
@@ -2163,6 +2194,11 @@ object SparkEntry {
                  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
                    AS BIGINT) AS rank
           FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
+    // Purged-index BM25: the ranking of an index that never contained
+    // the subject (doc_id % 7 == 0) — the engine side serves it from
+    // tombstones + corrected df/meta cells without a rebuild
+    "q_index_purge" ->
+      bm25OracleSqlOver("(SELECT * FROM documents WHERE doc_id % 7 != 0)"),
     // Memorization-risk scan: per-source fraction of corpus-unique
     // positional 8-grams; a unique gram's owner is min(source) inside
     // the per-gram aggregation (count==1 → exactly one owner)

@@ -107,6 +107,11 @@ object InvertedIndex {
   private def termKey(term: org.apache.spark.sql.Column) =
     CellTable.bigEndianKey(xxhash64(term))
 
+  /** Meta qualifier [[purgeIndex]] sets once tombstones exist in the
+    * store: its presence routes probes onto the delete-visible path,
+    * while never-purged stores keep the raw pushed-GET fast path. */
+  private val TombstonedMeta = "tombstoned"
+
   /** (term, doc_id, positions) — 1-based token positions per posting,
     * ascending. The positional layer a phrase query needs; one
     * posexplode + hash aggregation, same shuffle key as [[postings]]. */
@@ -175,22 +180,133 @@ object InvertedIndex {
       .mode("overwrite").save(dir)
 
   /**
+   * Subject purge PROPAGATED to the derived search artifact: masks the
+   * purged documents' postings with cell-model tombstones and appends
+   * corrected df / meta cells, so every subsequent search ranks exactly
+   * as an index that never contained them — governance's
+   * right-to-be-forgotten reaching past the source table into the
+   * index, without a rebuild (the HBase shape: deletes are markers
+   * until a compaction folds them away).
+   *
+   * Mechanics, all bounded by the PURGE SET, never the corpus:
+   *  - the subject docs' own text yields the affected (term, doc)
+   *    coordinates; the store probe hands the scan that rowKey set at
+   *    runtime (broadcast join → runtime `In(rowKey)` filtering);
+   *  - only STILL-VISIBLE victim postings count, so re-purging the same
+   *    subject is a no-op (df is never double-decremented);
+   *  - `post` and `pos` cells get DeleteColumn markers at `purgeTs`;
+   *    df cells get a corrected Put — or a tombstone when the term's
+   *    last posting dies; meta n_docs/sum_dl get corrected Puts;
+   *  - every probe applies GET visibility (see [[visibleSlice]]), so
+   *    the purge is live the moment the append commits.
+   *
+   * Distinct purge batches must use distinct `purgeTs` values (two
+   * same-coordinate writes at one ts are last-write-wins-ambiguous,
+   * exactly as in HBase). Targets a single base store — streaming
+   * delta roots compact through [[graft.streaming.StreamIndex]].
+   */
+  def purgeIndex(spark: SparkSession, dir: String, purgedDocs: DataFrame,
+      purgeTs: Long = CellTable.BaseTs + 1, buckets: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val store = spark.read.format("cellstore").load(dir)
+    val coords = postings(purgedDocs, idCol, textCol)
+      .select(termKey(col("term")).as("rowKey"), col("term"),
+        col("doc_id").cast("string").as("_doc"))
+    val probed = visibleSlice(store.join(
+      broadcast(coords.select(col("rowKey")).distinct()), Seq("rowKey")))
+    // still-visible victim postings: (rowKey, qualifier, term, _doc, dl)
+    val victims = probed.filter(col("family") === "post")
+      .select(col("rowKey"), col("qualifier"),
+        split(col("qualifier").cast("string"), Sep).as("_q"),
+        CellTable.keyToLong(substring(col("value"), 9, 8)).as("dl"))
+      .select(col("rowKey"), col("qualifier"),
+        col("_q").getItem(0).as("term"), col("_q").getItem(1).as("_doc"),
+        col("dl"))
+      .join(coords.select(col("term"), col("_doc")).distinct(),
+        Seq("term", "_doc"))
+      .localCheckpoint() // one probe feeds markers, df and meta corrections
+    def markers(family: String) = victims
+      .select(col("rowKey"), lit(family).as("family"), col("qualifier"),
+        lit(purgeTs).as("ts"), lit("Delete").as("cellType"),
+        lit(Array.empty[Byte]).as("value"))
+    val removed = victims.groupBy(col("rowKey"), col("term"))
+      .agg(count(lit(1)).as("_rm"))
+    val dfCorrections = probed.filter(col("family") === "df")
+      .select(col("rowKey"), col("qualifier").cast("string").as("term"),
+        CellTable.keyToLong(col("value")).as("df"))
+      .join(removed, Seq("rowKey", "term"))
+      .select(col("rowKey"), lit("df").as("family"),
+        col("term").cast("binary").as("qualifier"),
+        lit(purgeTs).as("ts"),
+        when(col("df") > col("_rm"), lit("Put"))
+          .otherwise(lit("Delete")).as("cellType"),
+        when(col("df") > col("_rm"),
+            CellTable.bigEndianKey(col("df") - col("_rm")))
+          .otherwise(lit(Array.empty[Byte])).as("value"))
+    // bounded collects: one row per purged doc (dl rides in each of its
+    // postings — max is the per-doc constant), then two meta scalars
+    val goneAgg = victims.select(col("_doc"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .head()
+    val metas = readMeta(store)
+    val metaCells = Seq(
+      ("n_docs", metas("n_docs") - goneAgg.getLong(0)),
+      ("sum_dl", metas("sum_dl") - goneAgg.getLong(1)),
+      (TombstonedMeta, 1L))
+    val metaCorrections = metaCells.map { case (q, v) =>
+      spark.range(1).select(
+        CellTable.bigEndianKey(lit(0L)).as("rowKey"),
+        lit("meta").as("family"), lit(q).cast("binary").as("qualifier"),
+        lit(purgeTs).as("ts"), lit("Put").as("cellType"),
+        CellTable.bigEndianKey(lit(v)).as("value"))
+    }.reduce(_ unionByName _)
+    markers("post").unionByName(markers("pos"))
+      .unionByName(dfCorrections).unionByName(metaCorrections)
+      .write.format("cellstore").option("buckets", buckets.toString)
+      .mode("append").save(dir)
+  }
+
+  /**
    * Ranked keyword search through the index store. Touches only the
    * query terms' buckets (pushed `In(rowKey)` GETs on both the postings
    * and df families); score = Σ_t tf·idf in micro-units (BIGINT, see
    * [[microUnits]]); top-k by (score desc, doc_id asc) via orderBy+limit
    * (TakeOrderedAndProject — no global single-partition window).
    */
+  /** The probe keys for a term list, hashed exactly as the index writer
+    * hashed them. */
+  private def probeKeys(spark: SparkSession, uniq: Seq[String]): Seq[Array[Byte]] =
+    spark.range(1).select(
+      array(uniq.map(t => termKey(lit(t))): _*).as("ks"))
+      .head().getSeq[Array[Byte]](0)
+
+  /** Delete-visible read of a probed slice. The index store is a mutable
+    * cell-model citizen — [[purgeIndex]] writes tombstones and corrected
+    * stats cells at later timestamps — so every probe applies standard
+    * GET visibility ([[CellTable.visibleLatest]]). The input is already
+    * narrowed to the probed keys, so the visibility window is bounded by
+    * the probed terms' cells: a delete-visible probe costs the same as
+    * the raw read at any corpus size. */
+  private def visibleSlice(slice: DataFrame): DataFrame =
+    CellTable.visibleLatest(slice)
+
   /** The probed postings/df frames + meta scalars shared by both ranking
     * functions: (postings with tf and dl, dfs, n_docs, sum_dl). */
   private def probe(spark: SparkSession, dir: String, uniq: Seq[String])
       : (DataFrame, DataFrame, Long, Long) = {
-    // the probe keys, hashed exactly as the index writer hashed them
-    val keys = spark.range(1).select(
-      array(uniq.map(t => termKey(lit(t))): _*).as("ks"))
-      .head().getSeq[Array[Byte]](0)
+    val keys = probeKeys(spark, uniq)
     val store = spark.read.format("cellstore").load(dir)
-    val probed = store.filter(col("rowKey").isInCollection(keys))
+    val metas = readMeta(store)
+    val raw = store.filter(
+      col("rowKey").isInCollection(keys) &&
+        (col("family") === "post" || col("family") === "df"))
+    // pristine stores (no tombstones ever written) keep the raw pushed-GET
+    // fast path; a purged store pays the bounded visibility pass,
+    // materialized ONCE — the post and df branches join below, and
+    // without the checkpoint each side would re-run scan + visibility
+    val probed =
+      if (metas.contains(TombstonedMeta)) visibleSlice(raw).localCheckpoint()
+      else raw
     val post = probed.filter(col("family") === "post")
       .select(split(col("qualifier").cast("string"), Sep).as("_q"),
         CellTable.keyToLong(substring(col("value"), 1, 8)).as("tf"),
@@ -203,13 +319,16 @@ object InvertedIndex {
       .select(col("qualifier").cast("string").as("term"),
         CellTable.keyToLong(col("value")).as("df"))
       .filter(col("term").isin(uniq: _*))
-    val metas = store
-      .filter(col("rowKey") === CellTable.bigEndianKey(lit(0L)) &&
-        col("family") === "meta")
-      .select(col("qualifier").cast("string"), CellTable.keyToLong(col("value")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (post, dfs, metas("n_docs"), metas("sum_dl"))
   }
+
+  /** Delete-visible meta scalars (n_docs, sum_dl) of a loaded store. */
+  private def readMeta(store: DataFrame): Map[String, Long] =
+    visibleSlice(store
+      .filter(col("rowKey") === CellTable.bigEndianKey(lit(0L)) &&
+        col("family") === "meta"))
+      .select(col("qualifier").cast("string"), CellTable.keyToLong(col("value")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Bounded-input rank + top-k tail shared by both ranking functions. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
@@ -310,12 +429,10 @@ object InvertedIndex {
     import org.apache.spark.sql.expressions.Window
     require(phrase.nonEmpty, "phrase needs at least one term")
     val uniq = phrase.distinct
-    val keys = spark.range(1).select(
-      array(uniq.map(t => termKey(lit(t))): _*).as("ks"))
-      .head().getSeq[Array[Byte]](0)
+    val keys = probeKeys(spark, uniq)
     val store = spark.read.format("cellstore").load(dir)
-    val pos = store
-      .filter(col("rowKey").isInCollection(keys) && col("family") === "pos")
+    val pos = visibleSlice(store
+        .filter(col("rowKey").isInCollection(keys) && col("family") === "pos"))
       .select(split(col("qualifier").cast("string"), Sep).as("_q"),
         transform(split(col("value").cast("string"), ","),
           _.cast("int")).as("ps"))
@@ -384,12 +501,10 @@ object InvertedIndex {
     require(terms.nonEmpty, "need at least one term")
     require(window >= 1, "window must be >= 1")
     val uniq = terms.distinct
-    val keys = spark.range(1).select(
-      array(uniq.map(t => termKey(lit(t))): _*).as("ks"))
-      .head().getSeq[Array[Byte]](0)
+    val keys = probeKeys(spark, uniq)
     val store = spark.read.format("cellstore").load(dir)
-    val pos = store
-      .filter(col("rowKey").isInCollection(keys) && col("family") === "pos")
+    val pos = visibleSlice(store
+        .filter(col("rowKey").isInCollection(keys) && col("family") === "pos"))
       .select(split(col("qualifier").cast("string"), Sep).as("_q"),
         transform(split(col("value").cast("string"), ","),
           _.cast("int")).as("ps"))
