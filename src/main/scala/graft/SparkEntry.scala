@@ -469,6 +469,27 @@ object SparkEntry {
     InvertedIndex.searchBm25(spark, purgedIndexDir(spark, sfDir),
       Seq("merge", "sort", "window"), k = 20, lnIdf = false)
 
+  /** The purged index MAJOR-COMPACTED: tombstones and superseded stats
+    * cells folded into the files, fast-path probing restored. */
+  private def compactedIndexDir(spark: SparkSession, sfDir: String): String = {
+    val dir = WorkDirs.dir(
+      s"invidx_compacted_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    buildOnce(dir) {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      InvertedIndex.buildIndex(spark, docs, dir)
+      InvertedIndex.purgeIndex(spark, dir, docs.filter(col("doc_id") % 7 === 0))
+      InvertedIndex.compactIndex(spark, dir)
+    }
+    dir
+  }
+
+  /** The SAME ground truth as q_index_purge, served from the compacted
+    * store through the raw fast-path probe (no visibility pass left to
+    * apply) — the delete-fold is only correct if this still matches. */
+  private def indexCompactQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.searchBm25(spark, compactedIndexDir(spark, sfDir),
+      Seq("merge", "sort", "window"), k = 20, lnIdf = false)
+
   /** ColumnPaginationFilter page: per customer row, qualifiers at
     * positions [1, 3) in byte order — of (c_acctbal, c_mktsegment,
     * c_name, c_nationkey) that is c_mktsegment and c_name. */
@@ -867,6 +888,7 @@ object SparkEntry {
     "q_search_snippets" -> (searchSnippetsQuery _),
     "q_hybrid_search"  -> (hybridSearchQuery _),
     "q_index_purge"    -> (indexPurgeQuery _),
+    "q_index_compact"  -> (indexCompactQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
     "q_table_stats"    -> (TableStats.tableStatsQuery _),
     "q_corpus_drift"   -> (DriftMonitor.corpusDriftQuery _),
@@ -2198,6 +2220,11 @@ object SparkEntry {
     // the subject (doc_id % 7 == 0) — the engine side serves it from
     // tombstones + corrected df/meta cells without a rebuild
     "q_index_purge" ->
+      bm25OracleSqlOver("(SELECT * FROM documents WHERE doc_id % 7 != 0)"),
+    // Same ground truth, served from the purged-then-MAJOR-COMPACTED
+    // store via the raw fast-path probe: proves the delete-fold rewrote
+    // the files to exactly what a rebuild without the subject writes
+    "q_index_compact" ->
       bm25OracleSqlOver("(SELECT * FROM documents WHERE doc_id % 7 != 0)"),
     // Memorization-risk scan: per-source fraction of corpus-unique
     // positional 8-grams; a unique gram's owner is min(source) inside

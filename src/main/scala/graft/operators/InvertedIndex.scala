@@ -267,6 +267,31 @@ object InvertedIndex {
   }
 
   /**
+   * Major-compact the index store: folds the purge tombstones and the
+   * superseded df/meta versions away ([[Compaction.survivors]] with
+   * maxVersions=1) and clears the [[TombstonedMeta]] flag — after which
+   * the store is cell-for-cell what [[buildIndex]] over the surviving
+   * corpus writes (modulo file layout), and probes return to the raw
+   * pushed-GET fast path. The HBase lifecycle: deletes are markers
+   * until a major compaction folds them into the files.
+   *
+   * Full-store overwrite (exclusive access, as
+   * [[Compaction.compactStore]]); the salted layout is preserved via
+   * the store manifest's bucket count.
+   */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val buckets = graft.sources.CellStoreSource.readBuckets(
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.conf.Configuration()).getOrElse(8)
+    Compaction.survivors(spark.read.format("cellstore").load(dir),
+        maxVersions = 1, ttlWatermark = Long.MinValue)
+      .filter(!(col("family") === "meta" &&
+        col("qualifier").cast("string") === TombstonedMeta))
+      .write.format("cellstore").mode("overwrite")
+      .option("buckets", buckets.toString).save(dir)
+  }
+
+  /**
    * Ranked keyword search through the index store. Touches only the
    * query terms' buckets (pushed `In(rowKey)` GETs on both the postings
    * and df families); score = Σ_t tf·idf in micro-units (BIGINT, see

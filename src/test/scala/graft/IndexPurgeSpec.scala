@@ -59,6 +59,31 @@ class IndexPurgeSpec extends AnyFunSuite with SparkTestBase {
     assert(ranking(dir, Seq("merge", "sort", "window")) == before)
   }
 
+  test("major compaction folds the purge away and restores the fast path") {
+    val dir = tmp("e"); val rebuilt = tmp("f")
+    InvertedIndex.buildIndex(spark, corpus, dir)
+    InvertedIndex.purgeIndex(spark, dir, corpus.filter($"doc_id" isin (2L, 3L)))
+    InvertedIndex.compactIndex(spark, dir)
+    InvertedIndex.buildIndex(spark, corpus.filter(!($"doc_id" isin (2L, 3L))), rebuilt)
+    // ranking identical to a rebuild, through every search path
+    val terms = Seq("merge", "sort", "window")
+    assert(ranking(dir, terms) == ranking(rebuilt, terms))
+    assert(
+      InvertedIndex.searchPhrase(spark, dir, Seq("sort", "merge"), 10)
+        .collect().toSeq ==
+      InvertedIndex.searchPhrase(spark, rebuilt, Seq("sort", "merge"), 10)
+        .collect().toSeq)
+    // the store is physically pristine again: no markers, no tombstoned
+    // flag, one surviving version per coordinate
+    val cells = spark.read.format("cellstore").load(dir)
+    assert(cells.filter($"cellType" === "Delete").isEmpty)
+    assert(cells.filter($"family" === "meta" &&
+      $"qualifier".cast("string") === "tombstoned").isEmpty)
+    import org.apache.spark.sql.functions.{count => cnt, lit}
+    assert(cells.groupBy($"rowKey", $"family", $"qualifier")
+      .agg(cnt(lit(1)).as("n")).filter($"n" > 1).isEmpty)
+  }
+
   test("non-purged postings and an untouched store are unaffected") {
     val dir = tmp("d")
     InvertedIndex.buildIndex(spark, corpus, dir)
