@@ -602,6 +602,34 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** FuzzyRowFilter scan (two pairs, OR semantics) over the region store:
+    * pair A fixes key bytes 0-3 to zero and byte 7 to 0x2A with bytes 4-6
+    * wildcarded (custkey % 256 == 42 for any custkey < 2^32 — the
+    * "bucket byte fixed, id wildcarded" shape the HBase filter exists
+    * for); pair B fixes bytes 0-6 with byte 6 = 0x03 and wildcards byte 7
+    * (the degenerate prefix form, custkey in [768, 1024)). The derived
+    * prefix-range disjunction is pushed and prunes regions/row groups
+    * (FuzzyScanSpec asserts the pushed bounds); the byte-position match
+    * runs as a codegen'd residual. */
+  private def fuzzyScanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = WorkDirs.dir(s"cellstore_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    buildOnce(dir) {
+      CellTable.writeRegionLayout(
+        CellTable.fromTable(spark, sfDir, "customer"), dir, numRegions = 8)
+    }
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val pairs = Seq(
+      (b(0, 0, 0, 0, 0, 0, 0, 0x2A), b(0, 0, 0, 0, 1, 1, 1, 0)),
+      (b(0, 0, 0, 0, 0, 0, 0x03, 0), b(0, 0, 0, 0, 0, 0, 0, 1)))
+    operators.FuzzyScan
+      .fuzzyRowScan(spark.read.format("cellstore").load(dir), pairs)
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        col("qualifier").cast("string").as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
     * key is `l_orderkey‖l_linenumber`, each 8-byte big-endian, so a range
     * on the LEADING component is a plain prefix byte-range scan — pushed
@@ -812,6 +840,7 @@ object SparkEntry {
     "q_cell_counts"    -> (cellCountsQuery _),
     "q_col_paginate"   -> (columnPaginateQuery _),
     "q_multi_range"    -> (multiRangeQuery _),
+    "q_fuzzy_scan"     -> (fuzzyScanQuery _),
     "q_tfidf"          -> (tfidfQuery _),
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
@@ -3131,6 +3160,20 @@ object SparkEntry {
             FROM customer
             WHERE (c_custkey >= 20 AND c_custkey < 60)
                OR (c_custkey >= 100 AND c_custkey < 140))
+          SELECT rk AS row_key, 'c_name' AS qualifier,
+                 CAST(1700000000000 AS BIGINT) AS ts, c_name AS value FROM c
+          UNION ALL SELECT rk, 'c_nationkey', 1700000000000, CAST(c_nationkey AS VARCHAR) FROM c
+          UNION ALL SELECT rk, 'c_acctbal', 1700000000000, CAST(c_acctbal AS VARCHAR) FROM c
+          UNION ALL SELECT rk, 'c_mktsegment', 1700000000000, c_mktsegment FROM c""",
+    // FuzzyRowFilter: pair A = low byte 0x2A with bytes 0-3 fixed zero
+    // (custkey % 256 = 42; custkey < 2^32 holds at every SF), pair B =
+    // full 7-byte prefix with byte 6 = 0x03 (custkey in [768, 1024))
+    "q_fuzzy_scan" ->
+      s"""WITH c AS (
+            SELECT *, ${rowKeySql("c_custkey")} AS rk
+            FROM customer
+            WHERE (c_custkey % 256 = 42)
+               OR (c_custkey >= 768 AND c_custkey < 1024))
           SELECT rk AS row_key, 'c_name' AS qualifier,
                  CAST(1700000000000 AS BIGINT) AS ts, c_name AS value FROM c
           UNION ALL SELECT rk, 'c_nationkey', 1700000000000, CAST(c_nationkey AS VARCHAR) FROM c

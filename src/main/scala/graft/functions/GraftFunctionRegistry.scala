@@ -45,6 +45,17 @@ object GraftFunctionRegistry {
       s"$fn: argument $pos must be a foldable integer literal")
   }
 
+  /** Evaluate a foldable BINARY argument (e.g. `fuzzy_key_match(k, unhex(..), unhex(..))`). */
+  private def binArg(fn: String, e: Expression, pos: Int): Array[Byte] =
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.BinaryType)
+      e.eval() match {
+        case b: Array[Byte] => b
+        case _ => throw new IllegalArgumentException(
+          s"$fn: argument $pos must be a non-null BINARY literal")
+      }
+    else throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a foldable BINARY literal")
+
   /** (name, implementing class, usage, builder) — one row per SQL function. */
   val all: Seq[(String, Class[_], String, Seq[Expression] => Expression)] = Seq(
     ("to_string_binary", classOf[ToStringBinary],
@@ -90,7 +101,13 @@ object GraftFunctionRegistry {
     ("hlc_margin", classOf[HashedLinearMargin],
       "hlc_margin(text, dim) - hashed-linear classifier margin over dim buckets",
       es => { checkArity("hlc_margin", es, 2)
-              HashedLinearMargin(es.head, intArg("hlc_margin", es(1), 2)) }))
+              HashedLinearMargin(es.head, intArg("hlc_margin", es(1), 2)) }),
+    ("fuzzy_key_match", classOf[FuzzyKeyMatch],
+      "fuzzy_key_match(key, pattern, mask) - HBase FuzzyRowFilter byte match (mask 0 = fixed)",
+      es => { checkArity("fuzzy_key_match", es, 3)
+              FuzzyKeyMatch(es.head,
+                binArg("fuzzy_key_match", es(1), 2),
+                binArg("fuzzy_key_match", es(2), 3)) }))
 
   /** Register every function as a session-scoped temp function. */
   def registerAll(spark: SparkSession): Unit =
