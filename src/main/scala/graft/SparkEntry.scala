@@ -630,6 +630,27 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** MOB storage round trip: document text cells at or above 300 bytes
+    * live in the content-addressed side table ([[operators.MobStore]]),
+    * the main store keeps small ref cells; the resolved read must hand
+    * back the exact original bytes. Emitted as (key, byte length, md5,
+    * is_mob) so the oracle recomputes the digests from the raw corpus —
+    * any byte lost or duplicated in the split/resolve path flips a hash. */
+  private def mobRoundtripQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = WorkDirs.dir(s"mob_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    buildOnce(dir) {
+      operators.MobStore.writeMob(
+        CellTable.fromTable(spark, sfDir, "documents"), dir, threshold = 300)
+    }
+    operators.MobStore.readResolved(spark, dir)
+      .filter(col("qualifier").cast("string") === "text")
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        length(col("value")).cast("bigint").as("n_bytes"),
+        md5(col("value")).as("value_md5"),
+        (length(col("value")) >= 300).as("is_mob"))
+  }
+
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
     * key is `l_orderkey‖l_linenumber`, each 8-byte big-endian, so a range
     * on the LEADING component is a plain prefix byte-range scan — pushed
@@ -841,6 +862,7 @@ object SparkEntry {
     "q_col_paginate"   -> (columnPaginateQuery _),
     "q_multi_range"    -> (multiRangeQuery _),
     "q_fuzzy_scan"     -> (fuzzyScanQuery _),
+    "q_mob_roundtrip"  -> (mobRoundtripQuery _),
     "q_tfidf"          -> (tfidfQuery _),
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
@@ -3179,6 +3201,14 @@ object SparkEntry {
           UNION ALL SELECT rk, 'c_nationkey', 1700000000000, CAST(c_nationkey AS VARCHAR) FROM c
           UNION ALL SELECT rk, 'c_acctbal', 1700000000000, CAST(c_acctbal AS VARCHAR) FROM c
           UNION ALL SELECT rk, 'c_mktsegment', 1700000000000, c_mktsegment FROM c""",
+    // MOB round trip: digests recomputed from the raw corpus — resolution
+    // must reproduce the exact original bytes for every document
+    "q_mob_roundtrip" ->
+      s"""SELECT ${rowKeySql("doc_id")} AS row_key,
+                 octet_length(encode(text)) AS n_bytes,
+                 md5(text) AS value_md5,
+                 octet_length(encode(text)) >= 300 AS is_mob
+          FROM documents""",
     // composite rowKey rendered as the two concatenated big-endian halves
     "q_cell_composite" ->
       s"""WITH l AS (

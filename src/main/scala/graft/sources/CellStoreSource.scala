@@ -881,8 +881,14 @@ class CellStoreScan(path: String, buckets: Option[Int],
   // (re-)invoked by Spark; the residual filter still re-checks membership,
   // so this is purely IO elision.
   @volatile private var runtime: Array[Filter] = Array.empty
+  /** Only advertise `rowKey` while it survives column pruning: Spark's
+    * PartitionPruning rule resolves these refs against the PRUNED scan
+    * output, and a join not keyed on rowKey (e.g. the MOB content-key
+    * join) prunes rowKey away — an unconditional ref then crashes the
+    * rule with "Unable to resolve rowKey" instead of skipping DPP. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("rowKey"))
+    if (required.fieldNames.contains("rowKey")) Array(Expressions.column("rowKey"))
+    else Array.empty
   override def filter(filters: Array[Filter]): Unit = {
     runtime = filters.filter(CellStoreSource.prunable)
     cached = null
