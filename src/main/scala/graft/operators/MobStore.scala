@@ -43,25 +43,34 @@ object MobStore {
     lit("mob:"), hex(xxhash64(col("value"))), lit(":"),
     length(col("value")).cast("string")).cast("binary")
 
-  /** Split `cells` at `threshold` value bytes and persist both sides. */
-  def writeMob(cells: DataFrame, dir: String, threshold: Int,
-      numRegions: Int = 8): Unit = {
-    require(threshold > 0, "mob threshold must be positive")
-    val isBlob = col("cellType") === "Put" && length(col("value")) >= threshold
-    val blobs = cells.filter(isBlob)
-    // content-addressed side table, one row per distinct blob
+  /** The blob predicate for a threshold. */
+  def isBlob(threshold: Int): org.apache.spark.sql.Column =
+    col("cellType") === "Put" && length(col("value")) >= threshold
+
+  /** Blob cells → their small MobRef twins. */
+  private[graft] def refCells(blobs: DataFrame): DataFrame =
+    blobs.select(
+      col("rowKey"), col("family"), col("qualifier"), col("ts"),
+      lit(RefType).as("cellType"),
+      refValue.as("value"))
+
+  /** Blob cells → deduplicated content-addressed side-table rows. */
+  private[graft] def blobEntries(blobs: DataFrame): DataFrame =
     blobs.select(
         xxhash64(col("value")).as("mob_key"),
         length(col("value")).cast("long").as("mob_len"),
         col("value"))
       .dropDuplicates("mob_key", "mob_len")
+
+  /** Split `cells` at `threshold` value bytes and persist both sides. */
+  def writeMob(cells: DataFrame, dir: String, threshold: Int,
+      numRegions: Int = 8): Unit = {
+    require(threshold > 0, "mob threshold must be positive")
+    val blobs = cells.filter(isBlob(threshold))
+    blobEntries(blobs)
       .repartition(numRegions, col("mob_key"))
       .write.mode("overwrite").parquet(s"$dir/mob")
-    val main = cells.filter(!isBlob).unionByName(
-      blobs.select(
-        col("rowKey"), col("family"), col("qualifier"), col("ts"),
-        lit(RefType).as("cellType"),
-        refValue.as("value")))
+    val main = cells.filter(!isBlob(threshold)).unionByName(refCells(blobs))
     CellTable.writeRegionLayout(main, s"$dir/main", numRegions)
   }
 
