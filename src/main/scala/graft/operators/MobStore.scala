@@ -105,6 +105,45 @@ object MobStore {
       ttlWatermark: Long = Long.MinValue, numRegions: Int = 8): Unit =
     Compaction.compactStore(spark, s"$dir/main", maxVersions, ttlWatermark, numRegions)
 
+  /** Drop side-table blobs no main-store ref can reach — the MOB garbage
+    * collection HBase runs as mob compaction, and the step that makes a
+    * subject purge REAL for blob bytes: after the purged rows' ref cells
+    * are masked and compacted away ([[Governance]] → [[compactMain]]),
+    * their blobs are orphans, and this pass physically removes them.
+    *
+    * Liveness = the content keys referenced by any VISIBLE ref cell
+    * (delete-masked latest read, so a ref masked by a purge marker is
+    * already dead even before the main compaction). The live-key set is
+    * ref-count-sized (two BIGINTs per distinct blob) — the blob bytes are
+    * only read to be rewritten, once, into the surviving side table.
+    *
+    * Returns (blobs kept, blobs dropped). */
+  def reclaimMob(spark: SparkSession, dir: String, numRegions: Int = 8): (Long, Long) = {
+    val parts = split(col("value").cast("string"), ":")
+    // visibility folds over ALL cells (markers must mask their refs), the
+    // ref filter applies to the surviving latest versions
+    val live = CellTable.visibleLatest(readMain(spark, dir))
+      .filter(col("cellType") === RefType)
+      .select(
+        CellTable.keyToLong(unhex(lpad(element_at(parts, 2), 16, "0"))).as("mob_key"),
+        element_at(parts, 3).cast("long").as("mob_len"))
+      .distinct()
+    val mob = spark.read.parquet(s"$dir/mob")
+    val total = mob.count()
+    val survivors = mob.join(live, Seq("mob_key", "mob_len"), "left_semi")
+    // stage-then-swap: never read and overwrite the same files in one job
+    val staged = s"$dir/mob_reclaim_staging"
+    survivors.repartition(numRegions, col("mob_key"))
+      .write.mode("overwrite").parquet(staged)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/mob"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(s"$dir/mob"))
+    val kept = spark.read.parquet(s"$dir/mob").count()
+    (kept, total - kept)
+  }
+
   /** Storage accounting: per family, ref cells vs distinct blobs vs plain
     * cells — the dedup and bytes-kept-out-of-the-main-store evidence. */
   def mobStats(spark: SparkSession, dir: String): DataFrame = {

@@ -82,6 +82,37 @@ class MobStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(resolved.exceptAll(expected).isEmpty && expected.exceptAll(resolved).isEmpty)
   }
 
+  test("reclaim drops exactly the blobs a purge orphaned") {
+    val dir = java.nio.file.Files.createTempDirectory("mob_gc").toString
+    val rows = Seq((1L, "P" * 400), (2L, "Q" * 400), (3L, "R" * 400), (4L, "tiny"))
+    import spark.implicits._
+    val cells = CellTable.toCells(rows.toDF("id", "payload"),
+      Seq("id"), "blobs", lit(CellTable.BaseTs))
+    MobStore.writeMob(cells, dir, Threshold)
+    assert(spark.read.parquet(s"$dir/mob").count() == 3)
+
+    // purge subject 1: a delete marker masks its payload cell
+    val markers = CellTable.withDeleteMarkers(
+        cells.filter(CellTable.keyToLong(col("rowKey")) === 1L),
+        lit(true), lit(CellTable.BaseTs + 10))
+      .filter(col("cellType") === "Delete")
+    markers.write.format("cellstore").mode("append")
+      .option("numRegions", "8").save(s"$dir/main")
+
+    val (kept, dropped) = MobStore.reclaimMob(spark, dir)
+    assert((kept, dropped) == (2L, 1L))
+    // the purged subject's bytes are PHYSICALLY gone from the side table
+    val remaining = spark.read.parquet(s"$dir/mob")
+      .select(col("value").cast("string")).collect().map(_.getString(0)).toSet
+    assert(remaining == Set("Q" * 400, "R" * 400))
+    // survivors still resolve through the delete-visible read
+    val visible = CellTable.visibleLatest(MobStore.readResolved(spark, dir))
+      .select(CellTable.keyToLong(col("rowKey")).as("id"),
+        col("value").cast("string").as("payload"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(visible == Map(2L -> "Q" * 400, 3L -> "R" * 400, 4L -> "tiny"))
+  }
+
   test("mob stats account for refs, plain cells, and dedup") {
     val dir = java.nio.file.Files.createTempDirectory("mob_stats").toString
     MobStore.writeMob(docCells, dir, Threshold)
