@@ -651,6 +651,40 @@ object SparkEntry {
         (length(col("value")) >= 300).as("is_mob"))
   }
 
+  /** The full MOB right-to-be-forgotten lifecycle, oracle-audited: purge
+    * one subject class (doc_id ≡ 3 mod 10) with delete markers, major-
+    * compact the main store (masked refs and markers fold away), then
+    * [[operators.MobStore.reclaimMob]] physically drops the blobs only
+    * that subject reached. The emitted accounting row (visible docs, big
+    * docs, surviving distinct blobs, surviving blob bytes) is recomputed
+    * by DuckDB from the raw corpus minus the subject — a blob leaked or
+    * over-deleted anywhere in the pipeline flips a count. */
+  private def mobReclaimQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = WorkDirs.dir(s"mob_gc_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    buildOnce(dir) {
+      val cells = CellTable.fromTable(spark, sfDir, "documents")
+      operators.MobStore.writeMob(cells, dir, threshold = 300)
+      val markers = CellTable.withDeleteMarkers(
+          cells.filter(pmod(CellTable.keyToLong(col("rowKey")), lit(10)) === 3),
+          lit(true), lit(CellTable.BaseTs + 10))
+        .filter(col("cellType") === "Delete")
+      markers.write.format("cellstore").mode("append")
+        .option("numRegions", "8").save(s"$dir/main")
+      operators.MobStore.compactMain(spark, dir, maxVersions = 1)
+      operators.MobStore.reclaimMob(spark, dir)
+    }
+    val visTexts = CellTable.visibleLatest(
+        operators.MobStore.readResolved(spark, dir))
+      .filter(col("qualifier").cast("string") === "text")
+    val docs = visTexts.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(length(col("value")) >= 300, 1)).as("n_big"))
+    val blobs = spark.read.parquet(s"$dir/mob").agg(
+      count(lit(1)).as("n_blobs"),
+      sum(col("mob_len")).as("blob_bytes"))
+    docs.crossJoin(blobs) // both sides are single aggregate rows
+  }
+
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
     * key is `l_orderkey‖l_linenumber`, each 8-byte big-endian, so a range
     * on the LEADING component is a plain prefix byte-range scan — pushed
@@ -863,6 +897,7 @@ object SparkEntry {
     "q_multi_range"    -> (multiRangeQuery _),
     "q_fuzzy_scan"     -> (fuzzyScanQuery _),
     "q_mob_roundtrip"  -> (mobRoundtripQuery _),
+    "q_mob_reclaim"    -> (mobReclaimQuery _),
     "q_tfidf"          -> (tfidfQuery _),
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
@@ -1895,6 +1930,9 @@ object SparkEntry {
                  CAST(sum(is_t) AS BIGINT) AS tgt_n,
                  CAST(sum(1 - is_t) AS BIGINT) AS raw_n
           FROM g GROUP BY 1""",
+    // accepted residual risk: ln() is libm on both engines; the nano
+    // quantization means only a value within ~1 ulp of a 1e-9 boundary
+    // could flip (none on the fixtures; see weightedSample's scaladoc)
     "q_weighted_sample" ->
       s"""WITH k AS (SELECT doc_id, source,
                  CAST(n_chars AS BIGINT) AS weight,
@@ -3209,6 +3247,20 @@ object SparkEntry {
                  md5(text) AS value_md5,
                  octet_length(encode(text)) >= 300 AS is_mob
           FROM documents""",
+    // MOB purge lifecycle: the oracle recomputes the surviving-store
+    // accounting from the raw corpus minus the purged subject class
+    "q_mob_reclaim" ->
+      s"""WITH kept AS (
+            SELECT * FROM documents WHERE doc_id % 10 != 3),
+          big AS (
+            SELECT DISTINCT md5(text) AS h,
+                   octet_length(encode(text)) AS len
+            FROM kept WHERE octet_length(encode(text)) >= 300)
+          SELECT (SELECT count(*) FROM kept) AS n_docs,
+                 (SELECT count(*) FROM kept
+                   WHERE octet_length(encode(text)) >= 300) AS n_big,
+                 (SELECT count(*) FROM big) AS n_blobs,
+                 (SELECT CAST(sum(len) AS BIGINT) FROM big) AS blob_bytes""",
     // composite rowKey rendered as the two concatenated big-endian halves
     "q_cell_composite" ->
       s"""WITH l AS (

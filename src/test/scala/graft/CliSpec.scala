@@ -277,4 +277,32 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       "--corpus", s"$sf001/documents.parquet", "--target", "src0",
       "--bogus", "x")))
   }
+  test("MobMain: compact + reclaim + stats over a purged mob store") {
+    import graft.cli.MobMain
+    import graft.model.CellTable
+    import graft.operators.MobStore
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mob_cli").toString
+    val rows = Seq((1L, "P" * 400), (2L, "Q" * 400), (3L, "tiny"))
+    val cells = CellTable.toCells(rows.toDF("id", "payload"),
+      Seq("id"), "blobs", lit(CellTable.BaseTs))
+    MobStore.writeMob(cells, dir, threshold = 300)
+    // purge subject 1, then drive the maintenance through the CLI
+    CellTable.withDeleteMarkers(
+        cells.filter(CellTable.keyToLong(col("rowKey")) === 1L),
+        lit(true), lit(CellTable.BaseTs + 10))
+      .filter(col("cellType") === "Delete")
+      .write.format("cellstore").mode("append")
+      .option("numRegions", "8").save(s"$dir/main")
+    MobMain.run(spark, Array("--dir", dir,
+      "--compact", "true", "--reclaim", "true", "--stats", "true"))
+    assert(spark.read.parquet(s"$dir/mob").count() == 1)
+    val s = MobStore.mobStats(spark, dir).collect().head
+    assert(s.getAs[Long]("n_blobs") == 1L && s.getAs[Long]("n_refs") == 1L)
+    intercept[Args.CliExit](MobMain.run(spark, Array("--dir", dir)))
+    intercept[Args.CliExit](MobMain.run(spark, Array(
+      "--dir", dir, "--stats", "true", "--maxVersions", "0")))
+    intercept[Args.CliExit](MobMain.run(spark, Array("--bogus", "x")))
+  }
 }
