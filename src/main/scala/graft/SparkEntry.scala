@@ -685,6 +685,37 @@ object SparkEntry {
     docs.crossJoin(blobs) // both sides are single aggregate rows
   }
 
+  /** ColumnRangeFilter scan over a WIDE-ROW store: events laid out one
+    * logical row per user with one CELL per event (qualifier = 8-byte
+    * big-endian event_id), so a qualifier byte range is pushed and prunes
+    * row groups whose column slice lies outside it — the shape HBase's
+    * ColumnRangeFilter serves on wide rows (QualifierPruningSpec measures
+    * the chunk pruning; this query pins the semantics to DuckDB). */
+  private def qualRangeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = WorkDirs.dir(s"widecells_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    buildOnce(dir) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      CellTable.writeRegionLayout(
+        ev.select(
+          CellTable.bigEndianKey(col("user_id")).as("rowKey"),
+          lit("events").as("family"),
+          CellTable.bigEndianKey(col("event_id")).as("qualifier"),
+          lit(CellTable.BaseTs).as("ts"),
+          lit("Put").as("cellType"),
+          col("event_type").cast("string").cast("binary").as("value")),
+        dir, numRegions = 8)
+    }
+    def k(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    spark.read.format("cellstore").load(dir)
+      .filter(col("qualifier") >= lit(k(1000L)) && col("qualifier") < lit(k(3000L)))
+      .select(
+        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+        graft.functions.GraftFunctions.to_string_binary(col("qualifier")).as("qualifier"),
+        col("ts"),
+        col("value").cast("string").as("value"))
+  }
+
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
     * key is `l_orderkey‖l_linenumber`, each 8-byte big-endian, so a range
     * on the LEADING component is a plain prefix byte-range scan — pushed
@@ -898,6 +929,7 @@ object SparkEntry {
     "q_fuzzy_scan"     -> (fuzzyScanQuery _),
     "q_mob_roundtrip"  -> (mobRoundtripQuery _),
     "q_mob_reclaim"    -> (mobReclaimQuery _),
+    "q_qual_range"     -> (qualRangeQuery _),
     "q_tfidf"          -> (tfidfQuery _),
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
@@ -3261,6 +3293,14 @@ object SparkEntry {
                    WHERE octet_length(encode(text)) >= 300) AS n_big,
                  (SELECT count(*) FROM big) AS n_blobs,
                  (SELECT CAST(sum(len) AS BIGINT) FROM big) AS blob_bytes""",
+    // ColumnRangeFilter over the wide-row events store: qualifier is the
+    // big-endian event_id, so the byte range is the id range
+    "q_qual_range" ->
+      s"""SELECT ${rowKeySql("user_id")} AS row_key,
+                 ${rowKeySql("event_id")} AS qualifier,
+                 CAST(1700000000000 AS BIGINT) AS ts,
+                 event_type AS value
+          FROM events WHERE event_id >= 1000 AND event_id < 3000""",
     // composite rowKey rendered as the two concatenated big-endian halves
     "q_cell_composite" ->
       s"""WITH l AS (

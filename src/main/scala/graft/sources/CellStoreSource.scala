@@ -155,6 +155,18 @@ object CellStoreSource {
     case EqualTo("family", _: String)                 => true
     case In("family", vs) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+    // qualifier bounds (HBase ColumnPrefixFilter/ColumnRangeFilter): pay
+    // off on WIDE-ROW stores, where a row group holds one row's many
+    // columns and its qualifier stats are tight; on tall stores the
+    // qualifier cycles per row and the stats span everything (kept = all,
+    // pruning a no-op — still correct, residuals re-check)
+    case EqualTo("qualifier", _: Array[Byte])            => true
+    case GreaterThan("qualifier", _: Array[Byte])        => true
+    case GreaterThanOrEqual("qualifier", _: Array[Byte]) => true
+    case LessThan("qualifier", _: Array[Byte])           => true
+    case LessThanOrEqual("qualifier", _: Array[Byte])    => true
+    case In("qualifier", vs) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]])
     // one prunable side is enough: the bound folds skip conjuncts they do
     // not understand, so a pushed And(rowKey bound, other predicate) still
     // yields its region/row-group pruning (residuals keep correctness)
@@ -169,6 +181,10 @@ object CellStoreSource {
   /** Fold pushed filters into one conjunctive key range. */
   private[sources] def rangeOf(filters: Seq[Filter]): KeyRange =
     filters.foldLeft(FullRange)(tighten)
+
+  /** Fold pushed filters into one conjunctive qualifier byte range. */
+  private[sources] def qualRangeOf(filters: Seq[Filter]): KeyRange =
+    filters.foldLeft(FullRange)(tightenCol("qualifier"))
 
   /** Fold pushed filters into one conjunctive ts interval. */
   private[sources] def tsRangeOf(filters: Seq[Filter]): TsRange =
@@ -225,7 +241,8 @@ object CellStoreSource {
     * row group's footer statistics. Missing stats on a dimension keep the
     * group (pruning is pure IO elision; residuals keep correctness). */
   private[graft] final case class ScanBounds(
-      key: KeyRange, ts: TsRange, families: Option[Set[String]]) {
+      key: KeyRange, ts: TsRange, families: Option[Set[String]],
+      qual: KeyRange = FullRange) {
     def keep(info: BlockInfo): Boolean = {
       val famHit = (families, info.famRange) match {
         case (Some(fs), Some((mn, mx))) =>
@@ -237,15 +254,17 @@ object CellStoreSource {
       }
       info.keyRange.forall { case (mn, mx) => key.overlaps(mn, mx) } &&
         info.tsRange.forall { case (mn, mx) => ts.overlaps(mn, mx) } &&
+        info.qualRange.forall { case (mn, mx) => qual.overlaps(mn, mx) } &&
         famHit
     }
     def keep(block: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
       keep(BlockInfo(0, 0L, 0L, rowGroupKeyRange(block),
-        rowGroupTsRange(block), rowGroupFamRange(block)))
+        rowGroupTsRange(block), rowGroupFamRange(block), rowGroupQualRange(block)))
   }
 
   private[graft] def boundsOf(filters: Seq[Filter]): ScanBounds =
-    ScanBounds(rangeOf(filters), tsRangeOf(filters), familiesOf(filters))
+    ScanBounds(rangeOf(filters), tsRangeOf(filters), familiesOf(filters),
+      qualRangeOf(filters))
 
   /** A DISJUNCTION of conjunctive scan bounds — the pruning shape of
     * HBase's MultiRowRangeFilter: a multi-range scan (several key ranges,
@@ -279,22 +298,26 @@ object CellStoreSource {
     ScanBoundsSet(branches.map(boundsOf))
   }
 
-  private def tighten(r: KeyRange, f: Filter): KeyRange = f match {
-    case EqualTo("rowKey", v: Array[Byte]) =>
-      tighten(tighten(r, GreaterThanOrEqual("rowKey", v)), LessThanOrEqual("rowKey", v))
-    case GreaterThan("rowKey", v: Array[Byte])        => KeyRange(maxLower(r.lower, v, incl = false), r.upper)
-    case GreaterThanOrEqual("rowKey", v: Array[Byte]) => KeyRange(maxLower(r.lower, v, incl = true), r.upper)
-    case LessThan("rowKey", v: Array[Byte])           => KeyRange(r.lower, minUpper(r.upper, v, incl = false))
-    case LessThanOrEqual("rowKey", v: Array[Byte])    => KeyRange(r.lower, minUpper(r.upper, v, incl = true))
+  private def tighten(r: KeyRange, f: Filter): KeyRange = tightenCol("rowKey")(r, f)
+
+  /** [[tighten]] parameterized by the BINARY column the bounds fold over
+    * (`rowKey` for region pruning, `qualifier` for the column-range form). */
+  private def tightenCol(name: String)(r: KeyRange, f: Filter): KeyRange = f match {
+    case EqualTo(`name`, v: Array[Byte]) =>
+      tightenCol(name)(tightenCol(name)(r, GreaterThanOrEqual(name, v)), LessThanOrEqual(name, v))
+    case GreaterThan(`name`, v: Array[Byte])        => KeyRange(maxLower(r.lower, v, incl = false), r.upper)
+    case GreaterThanOrEqual(`name`, v: Array[Byte]) => KeyRange(maxLower(r.lower, v, incl = true), r.upper)
+    case LessThan(`name`, v: Array[Byte])           => KeyRange(r.lower, minUpper(r.upper, v, incl = false))
+    case LessThanOrEqual(`name`, v: Array[Byte])    => KeyRange(r.lower, minUpper(r.upper, v, incl = true))
     // an IN tightens to its [min, max] envelope (a correct superset; exact
     // membership is re-checked by the residual filter)
-    case In("rowKey", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+    case In(`name`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
       val bs = vs.toSeq.map(_.asInstanceOf[Array[Byte]])
       val lo = bs.min(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0))
       val hi = bs.max(Ordering.fromLessThan[Array[Byte]](cmp(_, _) < 0))
-      tighten(tighten(r, GreaterThanOrEqual("rowKey", lo)), LessThanOrEqual("rowKey", hi))
-    case And(l, rr)                                   => tighten(tighten(r, l), rr)
-    case _                                            => r
+      tightenCol(name)(tightenCol(name)(r, GreaterThanOrEqual(name, lo)), LessThanOrEqual(name, hi))
+    case And(l, rr) => tightenCol(name)(tightenCol(name)(r, l), rr)
+    case _          => r
   }
 
   /** The exact key set a conjunction of filters pins `rowKey` to, if any:
@@ -339,14 +362,15 @@ object CellStoreSource {
       index: Int, rows: Long, compressedBytes: Long,
       keyRange: Option[(Array[Byte], Array[Byte])],
       tsRange: Option[(Long, Long)] = None,
-      famRange: Option[(Array[Byte], Array[Byte])] = None)
+      famRange: Option[(Array[Byte], Array[Byte])] = None,
+      qualRange: Option[(Array[Byte], Array[Byte])] = None)
 
   /** All row groups of a file, footer metadata only. */
   private[graft] def footerBlocks(file: Path, conf: Configuration): Seq[BlockInfo] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try reader.getRowGroups.asScala.toSeq.zipWithIndex.map { case (b, i) =>
       BlockInfo(i, b.getRowCount, b.getCompressedSize, rowGroupKeyRange(b),
-        rowGroupTsRange(b), rowGroupFamRange(b))
+        rowGroupTsRange(b), rowGroupFamRange(b), rowGroupQualRange(b))
     } finally reader.close()
   }
 
@@ -391,6 +415,16 @@ object CellStoreSource {
   private[sources] def rowGroupFamRange(
       block: org.apache.parquet.hadoop.metadata.BlockMetaData): Option[(Array[Byte], Array[Byte])] =
     colStats(block, "family").collect {
+      case st: org.apache.parquet.column.statistics.BinaryStatistics =>
+        (st.getMinBytes, st.getMaxBytes)
+    }
+
+  /** qualifier column [min,max] bytes of one row group — tight on
+    * wide-row stores (one row's columns per group), trivially wide on
+    * tall stores where every group cycles the full qualifier set. */
+  private[sources] def rowGroupQualRange(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData): Option[(Array[Byte], Array[Byte])] =
+    colStats(block, "qualifier").collect {
       case st: org.apache.parquet.column.statistics.BinaryStatistics =>
         (st.getMinBytes, st.getMaxBytes)
     }
