@@ -708,7 +708,7 @@ object SparkEntry {
     def k(v: Long): Array[Byte] =
       java.nio.ByteBuffer.allocate(8).putLong(v).array()
     spark.read.format("cellstore").load(dir)
-      .filter(col("qualifier") >= lit(k(1000L)) && col("qualifier") < lit(k(3000L)))
+      .filter(col("qualifier") >= lit(k(100L)) && col("qualifier") < lit(k(700L)))
       .select(
         graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
         graft.functions.GraftFunctions.to_string_binary(col("qualifier")).as("qualifier"),
@@ -3300,7 +3300,7 @@ object SparkEntry {
                  ${rowKeySql("event_id")} AS qualifier,
                  CAST(1700000000000 AS BIGINT) AS ts,
                  event_type AS value
-          FROM events WHERE event_id >= 1000 AND event_id < 3000""",
+          FROM events WHERE event_id >= 100 AND event_id < 700""",
     // composite rowKey rendered as the two concatenated big-endian halves
     "q_cell_composite" ->
       s"""WITH l AS (
