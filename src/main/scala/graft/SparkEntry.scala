@@ -642,13 +642,23 @@ object SparkEntry {
       operators.MobStore.writeMob(
         CellTable.fromTable(spark, sfDir, "documents"), dir, threshold = 300)
     }
-    operators.MobStore.readResolved(spark, dir)
+    val resolved = operators.MobStore.readResolved(spark, dir)
       .filter(col("qualifier").cast("string") === "text")
+      .select(col("rowKey"), col("value"))
+    // is_mob comes from the STORAGE truth (the main store's cellType),
+    // not from the resolved value's length — a regression that stored
+    // every cell inline would flip these booleans and fail the hash,
+    // where a length-derived flag would tautologically agree
+    val flags = operators.MobStore.readMain(spark, dir)
+      .filter(col("qualifier").cast("string") === "text")
+      .select(col("rowKey"),
+        (col("cellType") === operators.MobStore.RefType).as("is_mob"))
+    resolved.join(flags, "rowKey")
       .select(
         graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
         length(col("value")).cast("bigint").as("n_bytes"),
         md5(col("value")).as("value_md5"),
-        (length(col("value")) >= 300).as("is_mob"))
+        col("is_mob"))
   }
 
   /** The full MOB right-to-be-forgotten lifecycle, oracle-audited: purge

@@ -23,9 +23,9 @@ object MobMain {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val p = Args.parse(args, Known, Usage)
     val dir = p.required("dir", Usage)
-    val doStats = p.get("stats").exists(_.toBoolean)
-    val doCompact = p.get("compact").exists(_.toBoolean)
-    val doReclaim = p.get("reclaim").exists(_.toBoolean)
+    val doStats = p.bool("stats", default = false)
+    val doCompact = p.bool("compact", default = false)
+    val doReclaim = p.bool("reclaim", default = false)
     if (!doStats && !doCompact && !doReclaim)
       Args.die("one of --stats/--compact/--reclaim true is required", Usage)
     val maxVersions = p.long("maxVersions", default = 1L).toInt

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.immutable.ArraySeq
+
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -13,7 +15,11 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
  *
  * The pattern/mask pair parameterizes the expression (codegen reference
  * objects), it is not per-row data — mirroring how the HBase filter is
- * constructed once per scan with `Pair<byte[] fuzzyKey, byte[] mask>`.
+ * constructed once per scan with `Pair<byte[] fuzzyKey, byte[] mask>`. The
+ * pair is carried as `ArraySeq[Byte]`, not `Array[Byte]`: case-class
+ * equality on raw arrays is reference-based, which would break Catalyst
+ * semanticEquals/canonicalization (duplicate fuzzy predicates could not be
+ * deduplicated or simplified); the companion `apply` accepts arrays.
  * Reference semantics: symat-hbase-tools drives full scans with server-side
  * `Filter`s (`CorruptRowsMR.java` scan setup); this is the Spark-native form
  * of the one HBase filter whose power is key-shape matching rather than a
@@ -21,10 +27,13 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
  * derived separately in [[graft.operators.FuzzyScan]] so this expression is
  * only ever a residual re-check on scanned rows.
  */
-case class FuzzyKeyMatch(child: Expression, pattern: Array[Byte], mask: Array[Byte])
+case class FuzzyKeyMatch(child: Expression, pattern: ArraySeq[Byte], mask: ArraySeq[Byte])
     extends UnaryExpression {
   require(pattern.length == mask.length,
     s"fuzzy pattern (${pattern.length} bytes) and mask (${mask.length} bytes) must align")
+
+  @transient private lazy val patternArr: Array[Byte] = pattern.toArray
+  @transient private lazy val maskArr: Array[Byte] = mask.toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -34,11 +43,11 @@ case class FuzzyKeyMatch(child: Expression, pattern: Array[Byte], mask: Array[By
   override def prettyName: String = "fuzzy_key_match"
 
   override def nullSafeEval(input: Any): Any =
-    FuzzyKeyMatch.matches(input.asInstanceOf[Array[Byte]], pattern, mask)
+    FuzzyKeyMatch.matches(input.asInstanceOf[Array[Byte]], patternArr, maskArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val pat = ctx.addReferenceObj("fuzzyPattern", pattern, "byte[]")
-    val msk = ctx.addReferenceObj("fuzzyMask", mask, "byte[]")
+    val pat = ctx.addReferenceObj("fuzzyPattern", patternArr, "byte[]")
+    val msk = ctx.addReferenceObj("fuzzyMask", maskArr, "byte[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.FuzzyKeyMatch.matches($c, $pat, $msk)")
   }
@@ -48,6 +57,11 @@ case class FuzzyKeyMatch(child: Expression, pattern: Array[Byte], mask: Array[By
 }
 
 object FuzzyKeyMatch {
+  /** Array-taking constructor (the natural call-site type). */
+  def apply(child: Expression, pattern: Array[Byte], mask: Array[Byte]): FuzzyKeyMatch =
+    FuzzyKeyMatch(child,
+      ArraySeq.unsafeWrapArray(pattern), ArraySeq.unsafeWrapArray(mask))
+
   /** Shared by interpreted eval and generated code. */
   def matches(key: Array[Byte], pattern: Array[Byte], mask: Array[Byte]): Boolean = {
     if (key.length < pattern.length) return false

@@ -43,9 +43,13 @@ object MobStore {
     lit("mob:"), hex(xxhash64(col("value"))), lit(":"),
     length(col("value")).cast("string")).cast("binary")
 
-  /** The blob predicate for a threshold. */
+  /** The blob predicate for a threshold. NULL-value Puts are NOT blobs
+    * (coalesce, not raw three-valued logic: a bare `length(value) >= t`
+    * is NULL for a NULL value, and then BOTH `filter(isBlob)` and
+    * `filter(!isBlob)` drop the cell — it would vanish from the store). */
   def isBlob(threshold: Int): org.apache.spark.sql.Column =
-    col("cellType") === "Put" && length(col("value")) >= threshold
+    col("cellType") === "Put" &&
+      coalesce(length(col("value")) >= threshold, lit(false))
 
   /** Blob cells → their small MobRef twins. */
   private[graft] def refCells(blobs: DataFrame): DataFrame =
@@ -78,19 +82,26 @@ object MobStore {
   def readMain(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("cellstore").load(s"$dir/main")
 
+  /** Decode a `mob:<hex>:<len>` ref value into its (mob_key, mob_len)
+    * content address — the ONE definition shared by resolution and
+    * reclaim (a divergent copy would let reclaim compute an empty live
+    * set while reads still resolve). keyToLong, not conv(..,16,10):
+    * xxhash64 spans the full signed 64-bit range and a one-shot
+    * unsigned conv overflows BIGINT → NULL. */
+  private def refAddress(df: DataFrame): DataFrame = {
+    val parts = split(col("value").cast("string"), ":")
+    df.withColumn("mob_key",
+        CellTable.keyToLong(unhex(lpad(element_at(parts, 2), 16, "0"))))
+      .withColumn("mob_len", element_at(parts, 3).cast("long"))
+  }
+
   /** The store with every ref resolved back to its blob bytes — the
     * transparent-read view. Only ref cells join the side table; plain
     * cells pass through untouched. */
   def readResolved(spark: SparkSession, dir: String): DataFrame = {
     val main = readMain(spark, dir)
     val plain = main.filter(col("cellType") =!= RefType)
-    val parts = split(col("value").cast("string"), ":")
-    val refs = main.filter(col("cellType") === RefType)
-      // keyToLong, not conv(..,16,10): xxhash64 spans the full signed
-      // 64-bit range and a one-shot unsigned conv overflows BIGINT → NULL
-      .withColumn("mob_key",
-        CellTable.keyToLong(unhex(lpad(element_at(parts, 2), 16, "0"))))
-      .withColumn("mob_len", element_at(parts, 3).cast("long"))
+    val refs = refAddress(main.filter(col("cellType") === RefType))
     val mob = spark.read.parquet(s"$dir/mob")
       .withColumnRenamed("value", "_blob")
     refs.join(mob, Seq("mob_key", "mob_len"))
@@ -111,35 +122,45 @@ object MobStore {
     * are masked and compacted away ([[Governance]] → [[compactMain]]),
     * their blobs are orphans, and this pass physically removes them.
     *
-    * Liveness = the content keys referenced by any VISIBLE ref cell
-    * (delete-masked latest read, so a ref masked by a purge marker is
-    * already dead even before the main compaction). The live-key set is
-    * ref-count-sized (two BIGINTs per distinct blob) — the blob bytes are
-    * only read to be rewritten, once, into the surviving side table.
+    * Liveness = the content keys referenced by any PHYSICALLY PRESENT
+    * ref cell, visible or not — HBase's mob-GC discipline (live mob
+    * files are the ones store files reference). A visibility-based
+    * definition would be wrong: a delete-masked or version-superseded
+    * ref is still reachable by as-of ([[CellTable.visibleAsOf]]) and
+    * VERSIONS ([[CellTable.visibleVersions]]) reads, and dropping its
+    * blob would make those reads silently lose cells. Run a major
+    * compaction first ([[compactMain]]) — THAT is what physically
+    * removes purged/superseded refs and orphans their blobs. The
+    * live-key set is two BIGINTs per distinct blob; blob bytes are read
+    * only to be rewritten, once, into the surviving side table.
     *
     * Returns (blobs kept, blobs dropped). */
   def reclaimMob(spark: SparkSession, dir: String, numRegions: Int = 8): (Long, Long) = {
-    val parts = split(col("value").cast("string"), ":")
-    // visibility folds over ALL cells (markers must mask their refs), the
-    // ref filter applies to the surviving latest versions
-    val live = CellTable.visibleLatest(readMain(spark, dir))
-      .filter(col("cellType") === RefType)
-      .select(
-        CellTable.keyToLong(unhex(lpad(element_at(parts, 2), 16, "0"))).as("mob_key"),
-        element_at(parts, 3).cast("long").as("mob_len"))
-      .distinct()
+    val live = refAddress(readMain(spark, dir).filter(col("cellType") === RefType))
+      .select("mob_key", "mob_len").distinct()
     val mob = spark.read.parquet(s"$dir/mob")
     val total = mob.count()
     val survivors = mob.join(live, Seq("mob_key", "mob_len"), "left_semi")
-    // stage-then-swap: never read and overwrite the same files in one job
+    // stage, then swap with CHECKED renames: mob → old, staging → mob,
+    // drop old. Hadoop FileSystem reports most rename failures by
+    // returning false, not throwing — an unchecked false would delete
+    // the only copy of the side table. On a failed second hop the first
+    // is rolled back, so every failure leaves a readable dir/mob.
     val staged = s"$dir/mob_reclaim_staging"
     survivors.repartition(numRegions, col("mob_key"))
       .write.mode("overwrite").parquet(staged)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/mob"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged),
-      new org.apache.hadoop.fs.Path(s"$dir/mob"))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = s"$dir/mob_reclaim_old"
+    fs.delete(p(old), true) // leftover from a crashed earlier pass
+    if (!fs.rename(p(s"$dir/mob"), p(old)))
+      throw new IllegalStateException(s"reclaim: cannot move $dir/mob aside")
+    if (!fs.rename(p(staged), p(s"$dir/mob"))) {
+      fs.rename(p(old), p(s"$dir/mob"))
+      throw new IllegalStateException(s"reclaim: cannot install $staged")
+    }
+    fs.delete(p(old), true)
     val kept = spark.read.parquet(s"$dir/mob").count()
     (kept, total - kept)
   }

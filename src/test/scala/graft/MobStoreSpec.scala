@@ -99,6 +99,13 @@ class MobStoreSpec extends AnyFunSuite with SparkTestBase {
     markers.write.format("cellstore").mode("append")
       .option("numRegions", "8").save(s"$dir/main")
 
+    // BEFORE compaction the masked ref is still physically present, and
+    // as-of reads can still reach it — reclaim must keep its blob
+    assert(MobStore.reclaimMob(spark, dir) == ((3L, 0L)))
+
+    // the major compaction physically removes the masked ref; now the
+    // blob is a true orphan
+    MobStore.compactMain(spark, dir, maxVersions = 1)
     val (kept, dropped) = MobStore.reclaimMob(spark, dir)
     assert((kept, dropped) == (2L, 1L))
     // the purged subject's bytes are PHYSICALLY gone from the side table
