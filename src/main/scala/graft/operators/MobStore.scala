@@ -48,8 +48,23 @@ object MobStore {
     * is NULL for a NULL value, and then BOTH `filter(isBlob)` and
     * `filter(!isBlob)` drop the cell — it would vanish from the store). */
   def isBlob(threshold: Int): org.apache.spark.sql.Column =
+    isBlobPerFamily(Map.empty, threshold)
+
+  /** [[isBlob]] with the threshold resolved per column family — HBase
+    * sets `MOB_THRESHOLD` on the family descriptor, so a store can keep
+    * e.g. image bytes MOB'd at 4 KB while text stays inline far longer
+    * (same schema-level CASE fold as [[Compaction.survivorsPerFamily]];
+    * families are driver-known metadata, the plan stays narrow). */
+  def isBlobPerFamily(thresholds: Map[String, Int], default: Int)
+      : org.apache.spark.sql.Column = {
+    require(default > 0 && thresholds.values.forall(_ > 0),
+      "mob thresholds must be positive")
+    val thr = thresholds.foldLeft(lit(default)) { case (acc, (f, t)) =>
+      when(col("family") === f, lit(t)).otherwise(acc)
+    }
     col("cellType") === "Put" &&
-      coalesce(length(col("value")) >= threshold, lit(false))
+      coalesce(length(col("value")) >= thr, lit(false))
+  }
 
   /** Blob cells → their small MobRef twins. */
   private[graft] def refCells(blobs: DataFrame): DataFrame =
@@ -68,13 +83,20 @@ object MobStore {
 
   /** Split `cells` at `threshold` value bytes and persist both sides. */
   def writeMob(cells: DataFrame, dir: String, threshold: Int,
+      numRegions: Int = 8): Unit =
+    writeMobPerFamily(cells, dir, Map.empty, threshold, numRegions)
+
+  /** [[writeMob]] with per-family thresholds (unlisted families use
+    * `default`). */
+  def writeMobPerFamily(cells: DataFrame, dir: String,
+      thresholds: Map[String, Int], default: Int,
       numRegions: Int = 8): Unit = {
-    require(threshold > 0, "mob threshold must be positive")
-    val blobs = cells.filter(isBlob(threshold))
+    val pred = isBlobPerFamily(thresholds, default)
+    val blobs = cells.filter(pred)
     blobEntries(blobs)
       .repartition(numRegions, col("mob_key"))
       .write.mode("overwrite").parquet(s"$dir/mob")
-    val main = cells.filter(!isBlob(threshold)).unionByName(refCells(blobs))
+    val main = cells.filter(!pred).unionByName(refCells(blobs))
     CellTable.writeRegionLayout(main, s"$dir/main", numRegions)
   }
 

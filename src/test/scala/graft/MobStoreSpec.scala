@@ -120,6 +120,37 @@ class MobStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(visible == Map(2L -> "Q" * 400, 3L -> "R" * 400, 4L -> "tiny"))
   }
 
+  test("per-family thresholds: same bytes MOB'd in one family, inline in another") {
+    val dir = java.nio.file.Files.createTempDirectory("mob_fam").toString
+    import spark.implicits._
+    val mk = (fam: String, id: Long) => CellTable.toCells(
+      Seq((id, "Z" * 400)).toDF("id", "payload"), Seq("id"), fam, lit(CellTable.BaseTs))
+    val cells = mk("images", 1L).unionByName(mk("text", 2L))
+    MobStore.writeMobPerFamily(cells, dir,
+      thresholds = Map("images" -> 300, "text" -> 1000), default = 300)
+    val main = MobStore.readMain(spark, dir)
+    // images: 400 >= 300 → MOB'd; text: 400 < 1000 → inline
+    assert(main.filter(col("family") === "images" &&
+      col("cellType") === MobStore.RefType).count() == 1)
+    assert(main.filter(col("family") === "text" &&
+      col("cellType") === "Put" && length(col("value")) === 400).count() == 1)
+    assert(spark.read.parquet(s"$dir/mob").count() == 1)
+    val resolved = MobStore.readResolved(spark, dir)
+    assert(resolved.exceptAll(cells).isEmpty && cells.exceptAll(resolved).isEmpty)
+  }
+
+  test("NULL-value Puts stay in the main store (never vanish from both branches)") {
+    val dir = java.nio.file.Files.createTempDirectory("mob_null").toString
+    import spark.implicits._
+    val cells = CellTable.toCells(
+      Seq((1L, "B" * 400), (2L, null.asInstanceOf[String])).toDF("id", "payload"),
+      Seq("id"), "blobs", lit(CellTable.BaseTs))
+    MobStore.writeMob(cells, dir, Threshold)
+    val resolved = MobStore.readResolved(spark, dir)
+    assert(resolved.count() == 2)
+    assert(resolved.exceptAll(cells).isEmpty && cells.exceptAll(resolved).isEmpty)
+  }
+
   test("mob stats account for refs, plain cells, and dedup") {
     val dir = java.nio.file.Files.createTempDirectory("mob_stats").toString
     MobStore.writeMob(docCells, dir, Threshold)
