@@ -84,6 +84,22 @@ class FuzzyScanSpec extends AnyFunSuite with SparkTestBase {
     assert(expectedKeys.nonEmpty)
   }
 
+  test("fuzzy scan over a SALTED store stays exact (salt never touches rowKey bytes)") {
+    val dir = java.nio.file.Files.createTempDirectory("fuzzysalt").toString + "/s"
+    CellTable.fromTable(spark, sf001, "customer")
+      .write.format("cellstore").option("buckets", "4").mode("overwrite").save(dir)
+    val salted = spark.read.format("cellstore").load(dir)
+    // two exact-prefix pairs, OR semantics — bucket files' footer key
+    // ranges still serve the pushed range disjunction
+    val pairs = Seq(
+      (key(20L), b(0, 0, 0, 0, 0, 0, 0, 0)),
+      (key(130L), b(0, 0, 0, 0, 0, 0, 0, 0)))
+    val got = FuzzyScan.fuzzyRowScan(salted, pairs)
+      .select("rowKey").distinct().collect().map(_.getAs[Array[Byte]](0))
+    assert(got.length == 2 &&
+      got.exists(_.sameElements(key(20L))) && got.exists(_.sameElements(key(130L))))
+  }
+
   test("SQL surface: fuzzy_key_match registered and callable") {
     graft.functions.GraftFunctionRegistry.registerAll(spark)
     store.createOrReplaceTempView("fuzzy_cells_v")
