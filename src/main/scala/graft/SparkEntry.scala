@@ -726,6 +726,32 @@ object SparkEntry {
         col("value").cast("string").as("value"))
   }
 
+  /** The multimodal tier riding MOB storage, end to end in the declared
+    * surface: media payload cells MOB at a 64-byte media-family
+    * threshold, resolve back through the content-key join, and decode
+    * through the stub codec — the ORACLE IS q_media_decode's (the same
+    * stub replay over the raw corpus), so a byte lost anywhere in the
+    * split/resolve path flips a fake dimension or digest. */
+  private def mediaMobQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = WorkDirs.dir(s"media_mob_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    buildOnce(dir) {
+      val cells = operators.Multimodal.deriveMedia(spark, sfDir).select(
+        CellTable.bigEndianKey(col("media_id")).as("rowKey"),
+        lit("media").as("family"),
+        concat(lit("content:"), col("kind")).cast("binary").as("qualifier"),
+        lit(CellTable.BaseTs).as("ts"),
+        lit("Put").as("cellType"),
+        col("content").as("value"))
+      operators.MobStore.writeMobPerFamily(cells, dir,
+        thresholds = Map("media" -> 64), default = 1 << 20)
+    }
+    val resolved = operators.MobStore.readResolved(spark, dir).select(
+      CellTable.keyToLong(col("rowKey")).as("media_id"),
+      regexp_extract(col("qualifier").cast("string"), "content:(.*)", 1).as("kind"),
+      col("value").as("content"))
+    operators.Multimodal.decodeMeta(resolved).toDF()
+  }
+
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
     * key is `l_orderkey‖l_linenumber`, each 8-byte big-endian, so a range
     * on the LEADING component is a plain prefix byte-range scan — pushed
@@ -940,6 +966,7 @@ object SparkEntry {
     "q_mob_roundtrip"  -> (mobRoundtripQuery _),
     "q_mob_reclaim"    -> (mobReclaimQuery _),
     "q_qual_range"     -> (qualRangeQuery _),
+    "q_media_mob"      -> (mediaMobQuery _),
     "q_tfidf"          -> (tfidfQuery _),
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
@@ -1686,6 +1713,29 @@ object SparkEntry {
     * record which DuckDB build evaluated the oracles — the missing piece
     * when a float-cast rule differs between builds. Harmless if ignored:
     * the correctness loop iterates `queries`, not this map. */
+  private lazy val mediaDecodeOracleSql: String =
+    s"""WITH m AS ($mediaSql),
+           d AS (SELECT media_id, kind, n_bytes, ${signedSql("hx")} AS h, hx FROM m)
+          SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+            CAST(CASE WHEN n_bytes = 0 THEN 0
+                      WHEN kind = 'image' THEN 64 + ${floorModSql("h", 1856L)}
+                      WHEN kind = 'audio' THEN 0
+                      ELSE 640 END AS INTEGER) AS width,
+            CAST(CASE WHEN n_bytes = 0 THEN 0
+                      WHEN kind = 'image' THEN 64 + ${ushiftSql("hx", 16)} % 1016
+                      WHEN kind = 'audio' THEN 0
+                      ELSE 360 END AS INTEGER) AS height,
+            CAST(CASE WHEN n_bytes = 0 THEN 0
+                      WHEN kind = 'audio' THEN ${floorModSql("h", 2L)} + 1
+                      ELSE 3 END AS INTEGER) AS channels,
+            CAST(CASE WHEN n_bytes = 0 THEN 0
+                      WHEN kind = 'image' THEN 0
+                      WHEN kind = 'audio' THEN 1000 + ${ushiftSql("hx", 8)} % 600000
+                      ELSE 1000 + ${ushiftSql("hx", 24)} % 7200000 END AS BIGINT) AS duration_ms,
+            n_bytes > 0 AS ok,
+            CASE WHEN n_bytes = 0 THEN 'IllegalArgumentException: empty payload' END AS error
+          FROM d"""
+
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // the recall gate's oracle composes the per-tier oracle statements, so
@@ -3496,28 +3546,10 @@ object SparkEntry {
     // Multimodal decode: the deterministic stub codec (fnv1a64 of the
     // payload driving the fake dimensions) reproduced exactly in SQL —
     // floorMod on the signed hash, unsigned shifts on the HUGEINT form.
-    "q_media_decode" ->
-      s"""WITH m AS ($mediaSql),
-           d AS (SELECT media_id, kind, n_bytes, ${signedSql("hx")} AS h, hx FROM m)
-          SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
-            CAST(CASE WHEN n_bytes = 0 THEN 0
-                      WHEN kind = 'image' THEN 64 + ${floorModSql("h", 1856L)}
-                      WHEN kind = 'audio' THEN 0
-                      ELSE 640 END AS INTEGER) AS width,
-            CAST(CASE WHEN n_bytes = 0 THEN 0
-                      WHEN kind = 'image' THEN 64 + ${ushiftSql("hx", 16)} % 1016
-                      WHEN kind = 'audio' THEN 0
-                      ELSE 360 END AS INTEGER) AS height,
-            CAST(CASE WHEN n_bytes = 0 THEN 0
-                      WHEN kind = 'audio' THEN ${floorModSql("h", 2L)} + 1
-                      ELSE 3 END AS INTEGER) AS channels,
-            CAST(CASE WHEN n_bytes = 0 THEN 0
-                      WHEN kind = 'image' THEN 0
-                      WHEN kind = 'audio' THEN 1000 + ${ushiftSql("hx", 8)} % 600000
-                      ELSE 1000 + ${ushiftSql("hx", 24)} % 7200000 END AS BIGINT) AS duration_ms,
-            n_bytes > 0 AS ok,
-            CASE WHEN n_bytes = 0 THEN 'IllegalArgumentException: empty payload' END AS error
-          FROM d""",
+    "q_media_decode" -> mediaDecodeOracleSql,
+    // MOB-backed decode: the same ground truth — a byte lost anywhere in
+    // the MOB split/resolve path flips a stub dimension or digest
+    "q_media_mob" -> mediaDecodeOracleSql,
     // Frame sampling: ok videos exploded to 60s-spaced frame descriptors
     // with the sha256 digest both engines compute identically.
     "q_frame_sample" ->
