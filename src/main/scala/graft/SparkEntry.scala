@@ -735,21 +735,16 @@ object SparkEntry {
   private def mediaMobQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = WorkDirs.dir(s"media_mob_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
     buildOnce(dir) {
-      val cells = operators.Multimodal.deriveMedia(spark, sfDir).select(
-        CellTable.bigEndianKey(col("media_id")).as("rowKey"),
-        lit("media").as("family"),
-        concat(lit("content:"), col("kind")).cast("binary").as("qualifier"),
-        lit(CellTable.BaseTs).as("ts"),
-        lit("Put").as("cellType"),
-        col("content").as("value"))
-      operators.MobStore.writeMobPerFamily(cells, dir,
-        thresholds = Map("media" -> 64), default = 1 << 20)
+      operators.MobStore.writeMobPerFamily(
+        operators.Multimodal.mediaCells(
+          operators.Multimodal.deriveMedia(spark, sfDir)),
+        dir,
+        thresholds = Map("media" -> operators.Multimodal.MediaMobThreshold),
+        default = 1 << 20)
     }
-    val resolved = operators.MobStore.readResolved(spark, dir).select(
-      CellTable.keyToLong(col("rowKey")).as("media_id"),
-      regexp_extract(col("qualifier").cast("string"), "content:(.*)", 1).as("kind"),
-      col("value").as("content"))
-    operators.Multimodal.decodeMeta(resolved).toDF()
+    operators.Multimodal.decodeMeta(
+      operators.Multimodal.mediaFromCells(
+        operators.MobStore.readResolved(spark, dir))).toDF()
   }
 
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
@@ -1706,13 +1701,10 @@ object SparkEntry {
           WHERE cl.cluster_id IS NULL OR d.doc_id IN (SELECT doc_id FROM reps)"""
     )}.toMap
 
-  /** DuckDB equivalents for every SQL-expressible query above.
-    *
-    * The extra `zz_probe_duckdb_version` entry is NOT a query: it is a
-    * diagnostic the driver (or a judge reproducing a failure) can run to
-    * record which DuckDB build evaluated the oracles — the missing piece
-    * when a float-cast rule differs between builds. Harmless if ignored:
-    * the correctness loop iterates `queries`, not this map. */
+  /** The q_media_decode / q_media_mob shared oracle: the stub codec
+    * replayed exactly in SQL (fnv1a64 of the payload driving the fake
+    * dimensions — floorMod on the signed hash, unsigned shifts on the
+    * HUGEINT form). One definition so the two entries cannot drift. */
   private lazy val mediaDecodeOracleSql: String =
     s"""WITH m AS ($mediaSql),
            d AS (SELECT media_id, kind, n_bytes, ${signedSql("hx")} AS h, hx FROM m)
@@ -1735,6 +1727,14 @@ object SparkEntry {
             n_bytes > 0 AS ok,
             CASE WHEN n_bytes = 0 THEN 'IllegalArgumentException: empty payload' END AS error
           FROM d"""
+
+  /** DuckDB equivalents for every SQL-expressible query above.
+    *
+    * The extra `zz_probe_duckdb_version` entry is NOT a query: it is a
+    * diagnostic the driver (or a judge reproducing a failure) can run to
+    * record which DuckDB build evaluated the oracles — the missing piece
+    * when a float-cast rule differs between builds. Harmless if ignored:
+    * the correctness loop iterates `queries`, not this map. */
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase

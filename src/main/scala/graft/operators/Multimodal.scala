@@ -52,6 +52,34 @@ object Multimodal {
       col("text").cast("binary").as("content"),
       col("source"))
 
+  /** MOB threshold for the media family: payloads at or above this ride
+    * the blob side table ([[MobStore]]); metadata-size cells stay inline. */
+  val MediaMobThreshold = 64
+
+  /** Media frame → MOB-ready cell frame (kind rides the qualifier) — the
+    * ONE ingest mapping shared by the declared `q_media_mob` query and
+    * MediaMobSpec, so the spec always guards the query's actual shape. */
+  def mediaCells(media: DataFrame): DataFrame = {
+    import graft.model.CellTable
+    media.select(
+      CellTable.bigEndianKey(col("media_id")).as("rowKey"),
+      lit("media").as("family"),
+      concat(lit("content:"), col("kind")).cast("binary").as("qualifier"),
+      lit(CellTable.BaseTs).as("ts"),
+      lit("Put").as("cellType"),
+      col("content").as("value"))
+  }
+
+  /** Inverse of [[mediaCells]]: a resolved cell frame back to the media
+    * shape [[decodeMeta]] consumes. */
+  def mediaFromCells(cells: DataFrame): DataFrame = {
+    import graft.model.CellTable
+    cells.select(
+      CellTable.keyToLong(col("rowKey")).as("media_id"),
+      regexp_extract(col("qualifier").cast("string"), "content:(.*)", 1).as("kind"),
+      col("value").as("content"))
+  }
+
   /**
    * STUB decode kernel — stands in for an image/audio codec. Deterministic
    * pure function of the payload so tests are stable. A real implementation

@@ -1,6 +1,5 @@
 package graft
 
-import graft.model.CellTable
 import graft.operators.{MobStore, Multimodal}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -16,24 +15,11 @@ class MediaMobSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("media_mob").toString
     val media = Multimodal.deriveMedia(spark, sf001)
 
-    // media frame → cell frame: one content cell per media row, kind in
-    // the qualifier (media metadata as typed columns is the ingest shape)
-    val cells = media.select(
-      CellTable.bigEndianKey(col("media_id")).as("rowKey"),
-      lit("media").as("family"),
-      concat(lit("content:"), col("kind")).cast("binary").as("qualifier"),
-      lit(CellTable.BaseTs).as("ts"),
-      lit("Put").as("cellType"),
-      col("content").as("value"))
-    // media family MOBs aggressively; other families would stay inline
-    MobStore.writeMobPerFamily(cells, dir,
-      thresholds = Map("media" -> 64), default = 1 << 20)
+    // the SAME ingest mapping and threshold the declared q_media_mob uses
+    MobStore.writeMobPerFamily(Multimodal.mediaCells(media), dir,
+      thresholds = Map("media" -> Multimodal.MediaMobThreshold), default = 1 << 20)
 
-    val resolved = MobStore.readResolved(spark, dir)
-      .select(
-        CellTable.keyToLong(col("rowKey")).as("media_id"),
-        regexp_extract(col("qualifier").cast("string"), "content:(.*)", 1).as("kind"),
-        col("value").as("content"))
+    val resolved = Multimodal.mediaFromCells(MobStore.readResolved(spark, dir))
 
     val viaMob = Multimodal.decodeMeta(resolved).collect()
       .map(m => m.media_id -> m).toMap
@@ -47,6 +33,7 @@ class MediaMobSpec extends AnyFunSuite with SparkTestBase {
     val main = MobStore.readMain(spark, dir)
     assert(main.filter(col("cellType") === MobStore.RefType).count() > 0)
     val maxMain = main.agg(max(length(col("value")))).collect().head.getInt(0)
-    assert(maxMain < 64 + 64, s"main store still carries $maxMain-byte media values")
+    assert(maxMain < Multimodal.MediaMobThreshold + 64,
+      s"main store still carries $maxMain-byte media values")
   }
 }
