@@ -157,9 +157,14 @@ object MobStore {
     * only to be rewritten, once, into the surviving side table.
     *
     * Returns (blobs kept, blobs dropped). */
-  def reclaimMob(spark: SparkSession, dir: String, numRegions: Int = 8): (Long, Long) = {
-    val live = refAddress(readMain(spark, dir).filter(col("cellType") === RefType))
+  /** Distinct content addresses of every PHYSICALLY PRESENT ref cell —
+    * the liveness set reclaim and the store doctor share. */
+  private[graft] def refAddresses(spark: SparkSession, dir: String): DataFrame =
+    refAddress(readMain(spark, dir).filter(col("cellType") === RefType))
       .select("mob_key", "mob_len").distinct()
+
+  def reclaimMob(spark: SparkSession, dir: String, numRegions: Int = 8): (Long, Long) = {
+    val live = refAddresses(spark, dir)
     val mob = spark.read.parquet(s"$dir/mob")
     val total = mob.count()
     val survivors = mob.join(live, Seq("mob_key", "mob_len"), "left_semi")
