@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object StoreDoctorMain {
 
   val Usage: String =
-    """usage: graft.cli.StoreDoctorMain (--store <cellstore dir> | --mobRoot <mob store dir>)""".stripMargin
+    "usage: graft.cli.StoreDoctorMain (--store <cellstore dir> | --mobRoot <mob store dir>)"
 
   val Known = Set("store", "mobRoot")
 

@@ -138,6 +138,12 @@ object MobStore {
       ttlWatermark: Long = Long.MinValue, numRegions: Int = 8): Unit =
     Compaction.compactStore(spark, s"$dir/main", maxVersions, ttlWatermark, numRegions)
 
+  /** Distinct content addresses of every PHYSICALLY PRESENT ref cell —
+    * the liveness set reclaim and the store doctor share. */
+  private[graft] def refAddresses(spark: SparkSession, dir: String): DataFrame =
+    refAddress(readMain(spark, dir).filter(col("cellType") === RefType))
+      .select("mob_key", "mob_len").distinct()
+
   /** Drop side-table blobs no main-store ref can reach — the MOB garbage
     * collection HBase runs as mob compaction, and the step that makes a
     * subject purge REAL for blob bytes: after the purged rows' ref cells
@@ -157,12 +163,6 @@ object MobStore {
     * only to be rewritten, once, into the surviving side table.
     *
     * Returns (blobs kept, blobs dropped). */
-  /** Distinct content addresses of every PHYSICALLY PRESENT ref cell —
-    * the liveness set reclaim and the store doctor share. */
-  private[graft] def refAddresses(spark: SparkSession, dir: String): DataFrame =
-    refAddress(readMain(spark, dir).filter(col("cellType") === RefType))
-      .select("mob_key", "mob_len").distinct()
-
   def reclaimMob(spark: SparkSession, dir: String, numRegions: Int = 8): (Long, Long) = {
     val live = refAddresses(spark, dir)
     val mob = spark.read.parquet(s"$dir/mob")

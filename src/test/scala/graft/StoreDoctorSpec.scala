@@ -103,6 +103,22 @@ class StoreDoctorSpec extends AnyFunSuite with SparkTestBase {
     assert(statusOf(broken, "mob_refs")._1 == "ERROR")
   }
 
+  test("corrupt footer is reported as an ERROR verdict, never thrown") {
+    val dir = java.nio.file.Files.createTempDirectory("doctor_corrupt").toString
+    CellTable.writeRegionLayout(
+      CellTable.fromTable(spark, sf001, "nation"), dir, numRegions = 2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "garbage.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val rows = StoreDoctor.diagnose(spark, dir).collect()
+    val (st, detail) = statusOf(rows, "footers")
+    assert(st == "ERROR" && detail.contains("garbage.parquet"))
+    // the remaining checks still render verdicts for the readable files
+    assert(statusOf(rows, "layout")._1 == "OK")
+    assert(statusOf(rows, "file_order")._1 == "OK")
+    assert(statusOf(rows, "region_overlap")._1 == "OK")
+  }
+
   test("CLI: TSV rows, error exit wiring, validation") {
     import graft.cli.{Args, StoreDoctorMain}
     val dir = java.nio.file.Files.createTempDirectory("doctor_cli").toString
