@@ -67,6 +67,23 @@ object StatsPlanner {
         (r.getLong(0), math.max(1L, r.getLong(1)))
       })
 
+  /** The size arithmetic, pure so the overflow regime is testable:
+    * |A join B| ~ |A|*|B| / max(ndv_A, ndv_B) (TableStats.joinEstimate)
+    * in BigInt, clamped — nl * nr overflows Long once both sides exceed
+    * ~3e9 rows, and a negative estimate would plan a 1-partition
+    * shuffle, wrong exactly at the 100 TB scale this planner exists
+    * for. Returns (estimated output rows, shuffle partition count). */
+  private[graft] def estimateOut(
+      nl: Long, dl: Long, nr: Long, dr: Long,
+      outRowBytes: Long, targetPartitionBytes: Long,
+      maxPartitions: Int): (Long, Int) = {
+    val estOutB = BigInt(nl) * BigInt(nr) / BigInt(math.max(1L, math.max(dl, dr)))
+    val outBytes = estOutB * BigInt(outRowBytes)
+    val parts = ((outBytes + targetPartitionBytes - 1) / targetPartitionBytes)
+      .max(BigInt(1)).min(BigInt(maxPartitions)).toInt
+    (estOutB.min(BigInt(Long.MaxValue)).toLong, parts)
+  }
+
   def decide(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -76,11 +93,8 @@ object StatsPlanner {
     val (nl, dl) = sideStats(left, leftKey)
     val (nr, dr) = sideStats(right, rightKey)
     val rightBytes = nr * rowBytes(right)
-    // |A join B| ~ |A|*|B| / max(ndv_A, ndv_B) — TableStats.joinEstimate
-    val estOut = (nl * nr) / math.max(dl, dr)
-    val outBytes = estOut * (rowBytes(left) + rowBytes(right))
-    val parts = math.min(maxPartitions.toLong,
-      math.max(1L, (outBytes + targetPartitionBytes - 1) / targetPartitionBytes)).toInt
+    val (estOut, parts) = estimateOut(nl, dl, nr, dr,
+      rowBytes(left) + rowBytes(right), targetPartitionBytes, maxPartitions)
     JoinDecision(nl, dl, nr, dr, rightBytes, estOut,
       broadcastRight = rightBytes <= broadcastBytes, shufflePartitions = parts)
   }

@@ -93,8 +93,14 @@ object RollupRewrite {
         existing :+ RollupRewriteRule(spark)
   }
 
+  /** The rollup is a partial of EXACTLY its registered base paths: a
+    * scan whose root-path set differs (e.g. `spark.read.parquet(base,
+    * other)`) must not be swapped, or the extra paths' rows silently
+    * vanish from the served aggregate — so require full-set equality,
+    * not a single-path hit. */
   private[plans] def lookup(paths: Set[String]): Option[Rollup] =
-    paths.iterator.map(registry.get).find(_ != null)
+    paths.iterator.map(registry.get)
+      .find(r => r != null && r.basePaths == paths)
 }
 
 final case class RollupRewriteRule(spark: SparkSession)

@@ -43,10 +43,21 @@ object MobIngest {
       val entries = MobStore.blobEntries(blobs)
       val hPath = new org.apache.hadoop.fs.Path(mobPath)
       val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
+      // Probe with an EXPLICIT schema: a crashed writer can leave the
+      // dir existing with no committed data files (only _temporary),
+      // where schema inference fails on every replay and permanently
+      // wedges the stream — a fixed schema reads that state as an
+      // empty side table instead.
+      val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("mob_key",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mob_len",
+          org.apache.spark.sql.types.LongType)))
       val fresh =
         if (exists)
           entries.join(
-            spark.read.parquet(mobPath).select("mob_key", "mob_len"),
+            spark.read.schema(probeSchema).parquet(mobPath)
+              .select("mob_key", "mob_len"),
             Seq("mob_key", "mob_len"), "left_anti")
         else entries
       fresh.write.mode("append").parquet(mobPath)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,8 +14,9 @@ import graft.operators.InvertedIndex
  * or rescanning history.
  *
  * Layout (the StreamRollup delta discipline): the index ROOT holds one
- * complete per-slice index store per delta — `root/delta=base` for the
- * initial corpus, `root/delta=b<batchId>` per micro-batch. Every index
+ * complete per-slice index store per delta — `root/delta=base` (or a
+ * compacted generation `root/delta=base@N`, see below) for the folded
+ * corpus, `root/delta=b<batchId>` per micro-batch. Every index
  * artifact is a per-slice PARTIAL that merges by union + sum, because
  * each document lives in exactly one slice:
  *
@@ -22,13 +24,26 @@ import graft.operators.InvertedIndex
  *  - df: #docs containing the term — sums across slices;
  *  - meta n_docs / sum_dl: corpus totals — sum across slices.
  *
- * [[searchAll]] probes each delta with the same pushed-GET path as the
- * single-store search and merges the probed triples before the
+ * [[searchAll]] probes each LIVE delta with the same pushed-GET path as
+ * the single-store search and merges the probed triples before the
  * identical scoring tail — so ranked results over base+stream EQUAL a
  * from-scratch index of the full corpus, exactly (spec-pinned).
- * Replayed batches overwrite their own delta dir (idempotent);
+ * Replayed batches overwrite their own delta dir (idempotent).
+ *
  * [[compact]] folds the delta stores into a new base by merging the
- * artifacts themselves — no access to the original documents needed.
+ * artifacts themselves — no access to the original documents needed —
+ * and commits the fold with ONE rename: the merged store is staged
+ * under a name the reader ignores (`compact.staging`), then renamed to
+ * `delta=base@<maxFoldedBatchId>`. [[deltaDirs]] selects the
+ * highest-generation base plus only the batch slices NEWER than its
+ * folded-through id, so the instant the rename lands, readers switch
+ * from (old base + folded batches) to (new base) atomically — there is
+ * no window where the corpus is partial or double-counted, and a crash
+ * at ANY point leaves a correct live set (stale dirs are garbage the
+ * next compact sweeps). All listing/renaming/deleting goes through
+ * Hadoop [[org.apache.hadoop.fs.FileSystem]] with CHECKED results
+ * (rename/delete report failure by returning false), so the root may
+ * be hdfs:// or s3a://, not just a local path.
  *
  * 100 TB shape: a micro-batch indexes only its own documents; search
  * cost grows by one bounded probe per delta (compaction bounds the
@@ -36,11 +51,41 @@ import graft.operators.InvertedIndex
  */
 object StreamIndex {
 
-  private def deltaDirs(root: String): Seq[String] = {
-    val fs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty)
-    fs.filter(f => f.isDirectory && f.getName.startsWith("delta="))
-      .map(_.getAbsolutePath).sorted.toSeq
+  private val BatchName = "delta=b(\\d+)".r
+
+  /** A base dir's folded-through batch id: the initial `delta=base`
+    * predates every batch (-1); `delta=base@N` has folded ids <= N. */
+  private def baseGen(name: String): Option[Long] = name match {
+    case "delta=base" => Some(-1L)
+    case s if s.startsWith("delta=base@") =>
+      scala.util.Try(s.stripPrefix("delta=base@").toLong).toOption
+    case _ => None
+  }
+
+  private def batchId(name: String): Option[Long] = name match {
+    case BatchName(id) => Some(id.toLong)
+    case _ => None
+  }
+
+  private def fileSystem(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The LIVE slice set: the newest base generation plus batch slices
+    * newer than what it folded — older bases and folded batches are
+    * crash garbage that [[compact]] sweeps. */
+  private[streaming] def deltaDirs(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = fileSystem(spark, root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
+    val bases = dirs.flatMap(p => baseGen(p.getName).map(_ -> p))
+    val live =
+      if (bases.isEmpty) dirs.filter(p => batchId(p.getName).isDefined)
+      else {
+        val (gen, basePath) = bases.maxBy(_._1)
+        basePath +: dirs.filter(p => batchId(p.getName).exists(_ > gen))
+      }
+    live.map(_.toString).sorted
   }
 
   /** Index the initial corpus into `root/delta=base`. */
@@ -67,7 +112,7 @@ object StreamIndex {
   def searchAll(spark: SparkSession, root: String, terms: Seq[String],
       k: Int): DataFrame = {
     val uniq = terms.distinct
-    val probes = deltaDirs(root).map(d =>
+    val probes = deltaDirs(spark, root).map(d =>
       InvertedIndex.probeStore(spark, d, uniq))
     require(probes.nonEmpty, s"no delta stores under $root")
     val post = probes.map(_._1).reduce(_ unionByName _)
@@ -77,38 +122,56 @@ object StreamIndex {
     InvertedIndex.scoreTfidf(post, dfs, nDocs, k)
   }
 
-  /** Fold all delta stores into a fresh base: postings cells are
-    * disjoint (concatenate), df cells sum per term, metas sum — every
-    * merge input is read from the stores, never from the documents.
+  /** Fold the live delta stores into a fresh base generation: postings
+    * cells are disjoint (concatenate), df cells sum per term, metas sum
+    * — every merge input is read from the stores, never from the
+    * documents. The fold COMMITS with the single `compact.staging` →
+    * `delta=base@<maxId>` rename (see the object doc for why that makes
+    * every crash point safe); the deletes after it are garbage
+    * collection of dirs [[deltaDirs]] already ignores, and a failed
+    * delete/rename throws rather than silently leaving state behind.
     * Single-writer contract (one streaming query per index root), as
     * [[StreamRollup.compact]]. */
   def compact(spark: SparkSession, root: String, buckets: Int = 8): Unit = {
-    val dirs = deltaDirs(root)
-    val cells = dirs.map(d =>
-      spark.read.format("cellstore").load(d)
+    val fs = fileSystem(spark, root)
+    val dirs = deltaDirs(spark, root)
+    val foldedThrough = dirs.flatMap(d => batchId(new Path(d).getName))
+      .reduceOption(_ max _)
+    foldedThrough.foreach { maxId =>
+      val cells = dirs.map(d =>
+        spark.read.format("cellstore").load(d)
+          .select(col("rowKey"), col("family"), col("qualifier"),
+            col("ts"), col("cellType"), col("value")))
+        .reduce(_ unionByName _)
+      val plain = cells.filter(col("family") === "post" || col("family") === "pos")
+      val summed = cells
+        .filter(col("family") === "df" || col("family") === "meta")
+        .groupBy(col("rowKey"), col("family"), col("qualifier"),
+          col("ts"), col("cellType"))
+        .agg(graft.model.CellTable.bigEndianKey(
+          sum(graft.model.CellTable.keyToLong(col("value")))).as("value"))
         .select(col("rowKey"), col("family"), col("qualifier"),
-          col("ts"), col("cellType"), col("value")))
-      .reduce(_ unionByName _)
-    val plain = cells.filter(col("family") === "post" || col("family") === "pos")
-    val summed = cells
-      .filter(col("family") === "df" || col("family") === "meta")
-      .groupBy(col("rowKey"), col("family"), col("qualifier"),
-        col("ts"), col("cellType"))
-      .agg(graft.model.CellTable.bigEndianKey(
-        sum(graft.model.CellTable.keyToLong(col("value")))).as("value"))
-      .select(col("rowKey"), col("family"), col("qualifier"),
-        col("ts"), col("cellType"), col("value"))
-    val merged = plain.unionByName(summed).localCheckpoint()
-    val staged = s"$root/delta=compacting"
-    merged.write.format("cellstore").option("buckets", buckets.toString)
-      .mode("overwrite").save(staged)
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-      f.delete(); ()
+          col("ts"), col("cellType"), col("value"))
+      val merged = plain.unionByName(summed).localCheckpoint()
+      val staged = s"$root/compact.staging" // ignored by deltaDirs; overwrite clears a crashed pass
+      merged.write.format("cellstore").option("buckets", buckets.toString)
+        .mode("overwrite").save(staged)
+      if (!fs.rename(new Path(staged), new Path(s"$root/delta=base@$maxId")))
+        throw new IllegalStateException(
+          s"index compact: cannot commit $staged as delta=base@$maxId")
     }
-    dirs.foreach(d => del(new java.io.File(d)))
-    val ok = new java.io.File(staged)
-      .renameTo(new java.io.File(s"$root/delta=base"))
-    require(ok, s"rename of compacted index failed under $root")
+    // GC: every base older than the newest generation and every batch
+    // slice it folded — including garbage a crashed earlier pass left.
+    val newestGen = fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .flatMap(s => baseGen(s.getPath.getName)).reduceOption(_ max _)
+    newestGen.foreach { gen =>
+      fs.listStatus(new Path(root)).filter(_.isDirectory).foreach { s =>
+        val n = s.getPath.getName
+        val stale = baseGen(n).exists(_ < gen) || batchId(n).exists(_ <= gen)
+        if (stale && !fs.delete(s.getPath, true))
+          throw new IllegalStateException(
+            s"index compact: cannot remove folded slice ${s.getPath}")
+      }
+    }
   }
 }

@@ -119,18 +119,24 @@ object StreamRollup {
     val compacted = all.groupBy(r.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .localCheckpoint() // pin BEFORE the overwrite deletes its input
-    val root = new java.io.File(r.rollupPath)
     compacted.write.mode("overwrite").parquet(s"${r.rollupPath}/delta=base")
-    val batchDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("delta=b") &&
-        f.getName != "delta=base") // batch slices only, not the target
-    batchDirs.foreach { d =>
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-        f.delete(); ()
+    // Remove the folded batch slices through Hadoop FileSystem (the
+    // slices are written by Hadoop-capable Spark writers, so the root
+    // may be hdfs://, s3a://, ... — java.io.File would list null there
+    // and silently leave the slices to double-count on the next read)
+    // and FAIL on a false delete: FileSystem reports most failures by
+    // return value, and an unremoved slice corrupts every merged() /
+    // rewrite-rule read from then on.
+    val root = new org.apache.hadoop.fs.Path(r.rollupPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta=b") &&
+        s.getPath.getName != "delta=base") // batch slices only, not the target
+      .foreach { s =>
+        if (!fs.delete(s.getPath, true))
+          throw new IllegalStateException(
+            s"rollup compact: cannot remove folded slice ${s.getPath}")
       }
-      del(d)
-    }
   }
 
   /** The merged serving view (what the rewrite rule's swapped scan

@@ -59,4 +59,33 @@ class MobIngestSpec extends AnyFunSuite with SparkTestBase {
         Seq("mob_key", "mob_len"), "left_anti")
     assert(again.count() == 0)
   }
+
+  test("a crashed writer's empty mob dir (only _temporary) does not wedge the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("mob_ingest_crash").toString
+    val dir = s"$base/store"
+    // simulate the crash artifact: dir/mob exists but holds no committed
+    // data file — bare-existence gating + schema inference would throw
+    // on every replay and permanently wedge the stream
+    assert(new java.io.File(s"$dir/mob/_temporary").mkdirs())
+
+    val big = "Z" * 500
+    val cells = CellTable.toCells(
+      input.toDF().toDF("id", "payload"),
+      keyCols = Seq("id"), family = "blobs", ts = lit(CellTable.BaseTs))
+    val q = MobIngest.start(cells, dir, threshold = 300, buckets = 4,
+      checkpoint = s"$base/ckpt")
+    try {
+      input.addData((1L, big), (2L, "small"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream wedged: ${q.exception}")
+    } finally q.stop()
+    assert(spark.read.parquet(s"$dir/mob").count() == 1)
+    val resolved = MobStore.readResolved(spark, dir)
+      .select(col("value").cast("string").as("payload"))
+      .collect().map(_.getString(0)).toSet
+    assert(resolved == Set(big, "small"))
+  }
 }

@@ -76,6 +76,18 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     assert(!optimized(wrongKey).contains("cnt_p"))
   }
 
+  test("no rewrite: a multi-path scan over base + another path keeps every path's rows") {
+    rollupPath
+    val extra = java.nio.file.Files.createTempDirectory("graft-rollup-extra").toString
+    li.limit(7).write.mode("overwrite").parquet(extra)
+    val multi = spark.read.parquet(s"$sf001/lineitem.parquet", extra)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(!optimized(multi).contains("cnt_p"),
+      "a scan whose root paths are a superset of the rollup's base must not be served")
+    assert(multi.agg(sum(col("n"))).head.getLong(0) == li.count() + 7,
+      "the extra path's rows must survive in the answer")
+  }
+
   test("global aggregate (no grouping) is served and counts exactly") {
     rollupPath
     val q = li.agg(count(lit(1)).as("n"))

@@ -12,6 +12,27 @@ class StatsPlannerSpec extends AnyFunSuite with SparkTestBase {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  test("estimate survives the 100 TB regime: no Long overflow, partitions stay pinned at max") {
+    // two 5e9-row sides: nl * nr = 2.5e19 > Long.MaxValue
+    val (est, parts) = StatsPlanner.estimateOut(
+      nl = 5_000_000_000L, dl = 1_000_000L,
+      nr = 5_000_000_000L, dr = 2_000_000L,
+      outRowBytes = 200L, targetPartitionBytes = 64L << 20,
+      maxPartitions = 2048)
+    assert(est == 12_500_000_000_000L, s"2.5e19/2e6 rows expected, got $est")
+    assert(parts == 2048, s"huge output must plan maxPartitions, got $parts")
+    // full clamp: even the row estimate itself saturates instead of wrapping
+    val (est2, parts2) = StatsPlanner.estimateOut(
+      nl = Long.MaxValue, dl = 1L, nr = Long.MaxValue, dr = 1L,
+      outRowBytes = 8L, targetPartitionBytes = 64L << 20, maxPartitions = 4096)
+    assert(est2 == Long.MaxValue && parts2 == 4096)
+    // degenerate ndv guards the division
+    val (est3, _) = StatsPlanner.estimateOut(
+      nl = 10L, dl = 0L, nr = 10L, dr = 0L,
+      outRowBytes = 8L, targetPartitionBytes = 64L << 20, maxPartitions = 16)
+    assert(est3 == 100L)
+  }
+
   test("decision: small-ndv dimension is broadcast, estimate uses joinEstimate arithmetic") {
     val customer = Tables.load(spark, sf001, "customer")
     val nation = Tables.load(spark, sf001, "nation")

@@ -49,11 +49,24 @@ class StreamIndexSpec extends AnyFunSuite with SparkTestBase {
     StreamIndex.appendBatch(slice(2), batchId = 1L, root, buckets = 4)
     assert(got() == expected)
 
-    // compaction merges the stores from their own artifacts
+    // compaction merges the stores from their own artifacts and commits
+    // atomically as the next base generation (folded through batch 1)
     StreamIndex.compact(spark, root, buckets = 4)
     assert(got() == expected, "compaction must not change the ranking")
-    val deltas = new java.io.File(root).listFiles()
+    def deltaNames() = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("delta="))
-    assert(deltas.map(_.getName).toSeq == Seq("delta=base"))
+      .map(_.getName).toSeq.sorted
+    assert(deltaNames() == Seq("delta=base@1"))
+
+    // crash replay: a pass that staged + renamed but died BEFORE the GC
+    // sweep leaves the pre-fold dirs behind — readers must ignore them
+    // (no double count) and the next compact must sweep them
+    StreamIndex.appendBatch(slice(1), batchId = 0L, root, buckets = 4)
+    StreamIndex.appendBatch(slice(2), batchId = 1L, root, buckets = 4)
+    assert(got() == expected,
+      "slices at or below the base generation's folded id must be ignored")
+    StreamIndex.compact(spark, root, buckets = 4) // nothing new to fold: GC only
+    assert(deltaNames() == Seq("delta=base@1"), "GC must sweep stale slices")
+    assert(got() == expected)
   }
 }
