@@ -952,6 +952,7 @@ object SparkEntry {
     "q_store_join"     -> (storeJoinQuery _),
     "q_store_groupby"  -> (storeGroupByQuery _),
     "q_value_lookup"   -> (ValueIndex.valueLookupQuery _),
+    "q_index_served"   -> (ValueIndex.indexServedQuery _),
     "q_store_diff"     -> (storeDiffQuery _),
     "q_sync_table"     -> (syncTableQuery _),
     "q_cell_counts"    -> (cellCountsQuery _),
@@ -3142,6 +3143,15 @@ object SparkEntry {
     // holding the value — for 'BUILDING' that is each matching customer's
     // c_mktsegment cell at the base timestamp.
     "q_value_lookup" ->
+      s"""SELECT ${rowKeySql("c_custkey")} AS row_key,
+               'c_mktsegment' AS qualifier,
+               CAST(1700000000000 AS BIGINT) AS ts,
+               c_mktsegment AS value
+          FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    // Index-served rewrite: the engine runs a PLAIN value-equality filter
+    // and the ValueIndexRewrite rule swaps in the index probe — the hash
+    // match against the same SQL proves the rewritten plan is equivalent.
+    "q_index_served" ->
       s"""SELECT ${rowKeySql("c_custkey")} AS row_key,
                'c_mktsegment' AS qualifier,
                CAST(1700000000000 AS BIGINT) AS ts,

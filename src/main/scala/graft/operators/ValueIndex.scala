@@ -53,6 +53,19 @@ object ValueIndex {
    * rowKey filter.
    */
   def lookup(spark: SparkSession, indexPath: String, basePath: String,
+      value: Array[Byte]): DataFrame =
+    candidateJoin(spark, indexPath, basePath, value)
+      .filter(col("value") === lit(value))
+
+  /** The index-probe join WITHOUT the final exact value re-check: base
+    * cells whose rowKey the index maps to `value`'s hash — a SUPERSET of
+    * the answer (hash collisions can only add rows). [[lookup]] layers
+    * the equality back on; [[graft.plans.ValueIndexRewrite]] splices this
+    * plan and re-applies the ORIGINAL filter condition on top, which both
+    * restores exactness and keeps the spliced subtree from re-matching
+    * the rewrite pattern (no value-equality filter sits directly over a
+    * cellstore scan inside it). */
+  def candidateJoin(spark: SparkSession, indexPath: String, basePath: String,
       value: Array[Byte]): DataFrame = {
     val keyExpr = CellTable.bigEndianKey(xxhash64(lit(value)))
     val candidates = spark.read.format("cellstore").load(indexPath)
@@ -60,30 +73,50 @@ object ValueIndex {
       .select(col("value").as("rowKey")).distinct()
     spark.read.format("cellstore").load(basePath)
       .join(candidates, "rowKey")
-      .filter(col("value") === lit(value))
   }
 
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Query-pack adapter: index the customer cell store by value, look up
-    * the cells holding mktsegment 'BUILDING' — index GET + base GETs,
-    * no base scan. */
-  def valueLookupQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = CellTable.fromTable(spark, sfDir, "customer")
+  /** Build-once base store + index for the query adapters. */
+  private def ensureStore(spark: SparkSession, sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = builtIndexes.computeIfAbsent(key, _ => {
+    builtIndexes.computeIfAbsent(key, _ => {
       val d = graft.WorkDirs.dir(s"vix_$key")
-      cells.write.format("cellstore").option("buckets", "4")
+      CellTable.fromTable(spark, sfDir, "customer")
+        .write.format("cellstore").option("buckets", "4")
         .mode("overwrite").save(s"$d/base")
       build(spark.read.format("cellstore").load(s"$d/base"), s"$d/index")
       d
     })
-    lookup(spark, s"$base/index", s"$base/base", "BUILDING".getBytes("UTF-8"))
-      .select(
-        graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
-        col("qualifier").cast("string").as("qualifier"),
-        col("ts"),
-        col("value").cast("string").as("value"))
+  }
+
+  private def renderCells(df: DataFrame): DataFrame =
+    df.select(
+      graft.functions.GraftFunctions.to_string_binary(col("rowKey")).as("row_key"),
+      col("qualifier").cast("string").as("qualifier"),
+      col("ts"),
+      col("value").cast("string").as("value"))
+
+  /** Query-pack adapter: index the customer cell store by value, look up
+    * the cells holding mktsegment 'BUILDING' — index GET + base GETs,
+    * no base scan. */
+  def valueLookupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ensureStore(spark, sfDir)
+    renderCells(
+      lookup(spark, s"$base/index", s"$base/base", "BUILDING".getBytes("UTF-8")))
+  }
+
+  /** Query-pack adapter for [[graft.plans.ValueIndexRewrite]]: the USER
+    * query is a plain full-table `value = 'BUILDING'` filter — no index
+    * API in sight — and the registered rule swaps in the index probe.
+    * Same answer as [[valueLookupQuery]]; the point is the plan. */
+  def indexServedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ensureStore(spark, sfDir)
+    graft.plans.ValueIndexRewrite.register(s"$base/base", s"$base/index")
+    graft.plans.ValueIndexRewrite.ensureInjected(spark)
+    renderCells(
+      spark.read.format("cellstore").load(s"$base/base")
+        .filter(col("value") === lit("BUILDING".getBytes("UTF-8"))))
   }
 }

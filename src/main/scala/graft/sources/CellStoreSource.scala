@@ -889,8 +889,8 @@ class CellStoreAggReaderFactory(cols: Seq[String]) extends PartitionReaderFactor
   }
 }
 
-class CellStoreScan(path: String, buckets: Option[Int],
-                    pushed: Array[Filter], required: StructType,
+class CellStoreScan(val path: String, buckets: Option[Int],
+                    val pushed: Array[Filter], required: StructType,
                     splitBytes: Long = 128L << 20,
                     limit: Option[Int] = None,
                     fileSubset: Option[Set[String]] = None)

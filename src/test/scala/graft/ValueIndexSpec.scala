@@ -58,4 +58,58 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(post.length == 1 &&
       CellTable.keyToLong(lit(post.head.getAs[Array[Byte]]("rowKey"))) != null)
   }
+
+  test("rewrite rule: a plain value filter is served by the index, exprIds intact") {
+    import graft.plans.ValueIndexRewrite
+    val base = java.nio.file.Files.createTempDirectory("graft_vix_rule").toString
+    val cells = CellTable.fromTable(spark, sf001, "customer")
+    cells.write.format("cellstore").option("buckets", "4")
+      .mode("overwrite").save(s"$base/base")
+    ValueIndex.build(spark.read.format("cellstore").load(s"$base/base"),
+      s"$base/index")
+    ValueIndexRewrite.register(s"$base/base", s"$base/index")
+    ValueIndexRewrite.ensureInjected(spark)
+    try {
+      def userQuery = spark.read.format("cellstore").load(s"$base/base")
+        .filter(col("value") === lit("BUILDING".getBytes("UTF-8")))
+        .select(col("qualifier").cast("string").as("q"),
+          col("value").cast("string").as("v"))
+
+      val served = userQuery
+      val opt = served.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Join"), s"expected the index-probe join in:\n$opt")
+      val phys = served.queryExecution.executedPlan.toString
+      assert(phys.contains(s"$base/index"), s"index store not scanned in:\n$phys")
+      assert(phys.contains("pushed=[EqualTo(rowKey"),
+        s"index GET not pushed in:\n$phys")
+
+      // answers equal the unrewritten plan exactly
+      spark.conf.set("spark.graft.valueindex.enabled", "false")
+      val plain = userQuery
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("Join"),
+        "kill switch must leave the plain scan alone")
+      val expected = plain.collect().map(r => (r.getString(0), r.getString(1))).sorted
+      spark.conf.set("spark.graft.valueindex.enabled", "true")
+      val got = served.collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(got.sameElements(expected) && got.nonEmpty)
+
+      // downstream composition: an aggregate over the rewritten output binds
+      val n = userQuery.groupBy(col("q")).count().collect()
+      assert(n.map(_.getLong(1)).sum == expected.length)
+
+      // conjunction: extra predicates stay applied on top of the probe
+      val conj = spark.read.format("cellstore").load(s"$base/base")
+        .filter(col("value") === lit("BUILDING".getBytes("UTF-8")) &&
+          col("family") === lit("customer"))
+      assert(conj.queryExecution.optimizedPlan.toString.contains("Join"))
+      assert(conj.count() == expected.length)
+      val conjMiss = spark.read.format("cellstore").load(s"$base/base")
+        .filter(col("value") === lit("BUILDING".getBytes("UTF-8")) &&
+          col("family") === lit("nope"))
+      assert(conjMiss.count() == 0)
+    } finally {
+      spark.conf.set("spark.graft.valueindex.enabled", "true")
+      ValueIndexRewrite.unregister(s"$base/base")
+    }
+  }
 }
