@@ -922,6 +922,7 @@ object SparkEntry {
     "q_anti_join"      -> (Relational.antiJoin _),
     "q_semi_join"      -> (Relational.semiJoin _),
     "q_json_extract"   -> (Relational.jsonExtract _),
+    "q_link_rank"      -> (LinkRank.linkRankQuery _),
     "q_event_windows"  -> (Relational.eventWindows _),
     "q_sliding_windows"-> (Relational.slidingWindows _),
     "q_session_window" -> (Relational.sessionWindowQuery _),
@@ -1817,6 +1818,43 @@ object SparkEntry {
             ORDER BY dsir_micro DESC, doc_id ASC LIMIT 100""")
     }.getOrElse(Map.empty)
 
+  /** Unrolled DuckDB twin of [[operators.LinkRank.pageRank]]: the same
+    * integer-unit damped power iterations as chained CTEs. Every division
+    * is BIGINT floor division on positive operands (`//` here, `div` in
+    * the engine — identical), every aggregate is cast back to BIGINT
+    * (DuckDB SUM of integers widens to HUGEINT), so the replay is
+    * bit-exact at any iteration count. */
+  private def linkRankOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+            FROM events),
+          sq AS (
+            SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+            FROM ev),
+          e0 AS (
+            SELECT src, k AS dst, CAST(count(*) AS BIGINT) AS w
+            FROM sq WHERE src IS NOT NULL AND src <> k GROUP BY 1, 2),
+          ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e0 GROUP BY 1),
+          e AS (SELECT e0.src, e0.dst, e0.w, ow.wout FROM e0 JOIN ow USING (src)),
+          nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          bb AS (SELECT CAST((15 * 1000000000000) // (100 * n) AS BIGINT) AS base,
+                        CAST(1000000000000 // n AS BIGINT) AS rk0 FROM nn),
+          r0 AS (SELECT node, bb.rk0 AS rk FROM nodes CROSS JOIN bb)"""
+    val its = (1 to iters).map { i =>
+      s""",
+          c$i AS (SELECT e.dst AS node,
+                         CAST(SUM((((r.rk * 85) // 100) * e.w) // e.wout) AS BIGINT) AS c
+                  FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
+          r$i AS (SELECT nodes.node, bb.base + COALESCE(c$i.c, 0) AS rk
+                  FROM nodes CROSS JOIN bb LEFT JOIN c$i ON c$i.node = nodes.node)"""
+    }.mkString
+    head + its + s"""
+          SELECT node AS k, CAST(rk AS BIGINT) AS rank_units FROM r$iters"""
+  }
+
   private def oracleSqlBase: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
       sqOracle ++ embedOracle ++ pcaAnnOracle ++ dsirOracle ++ Map(
@@ -2565,6 +2603,11 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
          FROM events WHERE event_id < 1000""",
+    // Link-rank: the same five integer-unit power iterations as LinkRank,
+    // unrolled as chained CTEs (recursive CTEs disallow aggregation in
+    // the recursive term) — floor division everywhere, so the hash match
+    // is bit-exact.
+    "q_link_rank" -> linkRankOracleSql(5),
     "q_event_windows" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n_events,

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph importance (weighted PageRank) over the event stream — the
+ * domain-rank signal production corpora use for importance-weighted data
+ * selection (Common Crawl releases page/host rank for exactly this use;
+ * CCNet/RefinedWeb-style pipelines filter and sample by it). The graph
+ * here is the navigation graph the fixture affords: per user, each
+ * consecutive pair of visited items (ordered by ts, event_id) is a
+ * directed transition, and edge weight = transition count.
+ *
+ * Arithmetic is INTEGER rank units (scale 1e12), floor division at every
+ * step, so the fixed iteration count yields bit-identical ranks in any
+ * engine — the oracle replays the same five iterations unrolled in SQL.
+ * The variant is the standard damped power iteration with dangling mass
+ * dropped (a node with no out-edges donates nothing; with this graph
+ * construction only terminal-only items are dangling):
+ *
+ *   r_0(v)    = scale // N
+ *   r_t+1(v)  = (15 * scale) // (100 * N)
+ *               + Σ_u ((((r_t(u) * 85) // 100) * w(u,v)) // W(u))
+ *
+ * The multiply order keeps every intermediate ≤ 0.85 · scale · max_w —
+ * within Long for edge weights up to ~1.2e7 at scale 1e12 (drop the
+ * scale a decade per decade of weight beyond that).
+ *
+ * 100 TB shape: the event log collapses ONCE to the aggregated edge
+ * table (map-side-combined groupBy — the only pass over raw events);
+ * each iteration is one join + one map-side-combined aggregation over
+ * EDGES, never events. Ranks live per node (domain-sized); the edge
+ * table is localCheckpointed so the loop re-reads a pinned artifact,
+ * and each iteration's rank table is checkpointed to cut the lineage
+ * (at cluster scale: reliable checkpoint + edges pre-partitioned by src
+ * so every iteration's join reuses one partitioning; AQE broadcasts the
+ * rank side when the node domain is small).
+ */
+object LinkRank {
+
+  /** 1e12 rank units ≙ total mass 1.0. */
+  val Scale = 1000000000000L
+
+  /** Aggregated transition edges (src, dst, w) from the raw event log:
+    * per user, consecutive distinct items ordered by (ts, event_id). */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .withColumn("src", lag(col("k"), 1).over(byUser))
+      .filter(col("src").isNotNull && col("src") =!= col("k"))
+      .groupBy(col("src"), col("k").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Damped integer power iteration; returns (node, rank) in rank units. */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = Scale): DataFrame = {
+    require(iters >= 0, "iteration count must be non-negative")
+    val outW = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    val linked = edges.join(outW, "src")
+      .select(col("src"), col("dst"), col("w"), col("wout"))
+      .localCheckpoint() // the loop invariant: pinned, re-read per iteration
+    val nodes = linked.select(col("src").as("node"))
+      .union(linked.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "empty link graph")
+    val base = (15L * scale) / (100L * n)
+    var r = nodes.select(col("node"), lit(scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = linked.join(r, linked("src") === r("node"))
+        .select(col("dst"),
+          expr("(((rank * 85) div 100) * w) div wout").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
+        .localCheckpoint() // cut the iteration lineage
+    }
+    r
+  }
+
+  /** Query-pack adapter: five iterations over the event transition
+    * graph, every node's rank in integer units. */
+  def linkRankQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pageRank(transitions(Tables.load(spark, sfDir, "events")), iters = 5)
+      .select(col("node").as("k"), col("rank").as("rank_units"))
+}
