@@ -923,6 +923,8 @@ object SparkEntry {
     "q_semi_join"      -> (Relational.semiJoin _),
     "q_json_extract"   -> (Relational.jsonExtract _),
     "q_link_rank"      -> (LinkRank.linkRankQuery _),
+    "q_ridge_fit"      -> (RidgeDistill.ridgeFitQuery _),
+    "q_ridge_score"    -> (RidgeDistill.ridgeScoreQuery _),
     "q_event_windows"  -> (Relational.eventWindows _),
     "q_sliding_windows"-> (Relational.slidingWindows _),
     "q_session_window" -> (Relational.sessionWindowQuery _),
@@ -1855,9 +1857,65 @@ object SparkEntry {
           SELECT node AS k, CAST(rk AS BIGINT) AS rank_units FROM r$iters"""
   }
 
+  /** Model-dependent ridge oracle (the dsirOracle contract): recompute
+    * the Gram matrix A and moment vector b from raw text, replay the
+    * engine's micro-quantized β literals, and evaluate the SAME
+    * residual/gate arithmetic — a hash match proves the distributed
+    * moment pass and the driver Cramer solve together. HUGEINT carries
+    * the A·β products (up to ~1e20, past BIGINT). */
+  private def ridgeOracle: Map[String, String] =
+    operators.RidgeDistill.cachedModel.map { m =>
+      val k = operators.RidgeDistill.K
+      val xs = Seq(
+        "CAST(1 AS BIGINT)",
+        """CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)""",
+        "CAST(length(text) AS BIGINT)",
+        """CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)""",
+        """CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS BIGINT)""")
+      val y =
+        """(CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
+            * 1000000)
+           // CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)"""
+      val feat = xs.zipWithIndex.map { case (e, i) => s"$e AS x$i" }.mkString(",\n            ")
+      val momentCells =
+        (for (i <- 0 until k; j <- i until k)
+          yield s"CAST(SUM(CAST(x$i * x$j AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a_${i}_$j") ++
+        (0 until k).map(i => s"CAST(SUM(CAST(x$i * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS b_$i")
+      def aCell(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
+      def ridged(i: Int, j: Int) =
+        if (i == j) s"(CAST(${aCell(i, j)} AS HUGEINT) + ${operators.RidgeDistill.Lambda})"
+        else s"CAST(${aCell(i, j)} AS HUGEINT)"
+      val rows = (0 until k).map { i =>
+        val dot = (0 until k).map(j =>
+          s"${ridged(i, j)} * CAST(${m.betaMicro(j)} AS HUGEINT)").mkString(" + ")
+        val rowsum = (0 until k).map(j => ridged(i, j)).mkString(" + ")
+        s"""SELECT CAST($i AS BIGINT) AS i, ${aCell(i, i)} AS a_diag, b_$i AS b,
+                   CAST(${m.betaMicro(i)} AS BIGINT) AS beta_micro,
+                   CAST($dot - 1000000 * CAST(b_$i AS HUGEINT) AS DECIMAL(38,0)) AS resid,
+                   ($dot - 1000000 * CAST(b_$i AS HUGEINT)) <= 0
+                     AND ($dot - 1000000 * CAST(b_$i AS HUGEINT)) + ($rowsum) > 0 AS ok
+            FROM m"""
+      }.mkString("\n          UNION ALL\n          ")
+      val score = (0 until k).map(j => s"${m.betaMicro(j)} * x$j").mkString(" + ")
+      Map(
+        "q_ridge_fit" ->
+          s"""WITH f AS (SELECT
+            $feat,
+            $y AS y
+           FROM documents),
+          m AS (SELECT ${momentCells.mkString(",\n                ")} FROM f)
+          $rows""",
+        "q_ridge_score" ->
+          s"""WITH f AS (SELECT doc_id,
+            $feat
+           FROM documents)
+          SELECT doc_id, CAST($score AS BIGINT) AS score_micro FROM f
+          ORDER BY score_micro DESC, doc_id ASC LIMIT 100""")
+    }.getOrElse(Map.empty)
+
   private def oracleSqlBase: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
-      sqOracle ++ embedOracle ++ pcaAnnOracle ++ dsirOracle ++ Map(
+      sqOracle ++ embedOracle ++ pcaAnnOracle ++ dsirOracle ++ ridgeOracle ++ Map(
     "zz_probe_duckdb_version" ->
       """SELECT version() AS duckdb_version,
                 CAST(round(CAST(0.1234565 AS DOUBLE), 6) AS DECIMAL(18,6)) AS canary_r6_cast,
