@@ -925,6 +925,7 @@ object SparkEntry {
     "q_link_rank"      -> (LinkRank.linkRankQuery _),
     "q_ridge_fit"      -> (RidgeDistill.ridgeFitQuery _),
     "q_ridge_score"    -> (RidgeDistill.ridgeScoreQuery _),
+    "q_epoch_shuffle"  -> (EpochShuffle.epochShuffleQuery _),
     "q_event_windows"  -> (Relational.eventWindows _),
     "q_sliding_windows"-> (Relational.slidingWindows _),
     "q_session_window" -> (Relational.sessionWindowQuery _),
@@ -2661,6 +2662,15 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
          FROM events WHERE event_id < 1000""",
+    // Epoch reshuffle: the same seeded affine-permutation keys — the
+    // (a_e, b_e) literals come from the identical Park–Miller iteration,
+    // and the modular arithmetic is exact BIGINT in both engines.
+    "q_epoch_shuffle" -> (0 until 3).map { e =>
+      val (a, b) = EpochShuffle.epochParams(20260815L, e)
+      s"""SELECT CAST($e AS BIGINT) AS epoch, doc_id,
+               CAST((doc_id * $a + $b) % ${EpochShuffle.P} AS BIGINT) AS shuffle_key
+          FROM documents"""
+    }.mkString("\n          UNION ALL\n          "),
     // Link-rank: the same five integer-unit power iterations as LinkRank,
     // unrolled as chained CTEs (recursive CTEs disallow aggregation in
     // the recursive term) — floor division everywhere, so the hash match

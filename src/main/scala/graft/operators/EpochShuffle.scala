@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic epoch reshuffling — the training-order problem at
+ * 100 TB: every epoch must visit the corpus in a different
+ * pseudo-random order, the order must be reproducible from a seed (job
+ * restarts, audits), and NOTHING may globally sort or materialize a
+ * permutation table per epoch. The classic answer is an algebraic
+ * permutation: for a prime p greater than every document id,
+ *
+ *   key_e(doc) = (a_e * doc_id + b_e) mod p
+ *
+ * is a bijection on [0, p) for any a_e ≠ 0, so ordering by `key_e` IS a
+ * shuffled total order; different epochs use different (a_e, b_e)
+ * drawn from a seeded LCG. Properties production cares about:
+ *
+ *  - O(1) metadata per epoch (two integers), no permutation table;
+ *  - narrow and zero-shuffle to COMPUTE (ordering is done by whatever
+ *    consumes the key — range-partitioned writes, per-shard sorts);
+ *  - algebraically invertible: doc = (key − b_e) · a_e⁻¹ mod p, so a
+ *    resume-from-position needs arithmetic, not a lookup join;
+ *  - p = 2³¹ − 1 keeps a_e · doc_id < 2⁶² — exact in 64-bit integers
+ *    in any engine, which is what makes the order bit-reproducible.
+ *
+ * Complements [[CorpusPipeline]]'s hash shard assignment (`md5` order
+ * within static shards): this one varies per epoch and inverts.
+ */
+object EpochShuffle {
+
+  /** 2³¹ − 1 (Mersenne prime): id headroom to 2.1e9 documents while
+    * a_e · doc_id stays far inside the exact-Long window. */
+  val P = 2147483647L
+
+  /** Seeded per-epoch multiplier/offset: iterates the MINSTD LCG
+    * (Park–Miller, multiplier 48271 — public standard) from the seed;
+    * a_e is forced nonzero so the map stays a bijection. */
+  def epochParams(seed: Long, epoch: Int): (Long, Long) = {
+    var s = java.lang.Math.floorMod(seed, P)
+    if (s == 0L) s = 1L
+    // two LCG draws per epoch: first is a, second is b
+    val steps = 2 * epoch
+    def next(x: Long): Long = (x * 48271L) % P
+    var x = s
+    (0 until steps).foreach(_ => x = next(x))
+    val a = { val v = next(x); if (v == 0L) 1L else v }
+    val b = next(next(x))
+    (a, b)
+  }
+
+  /** The shuffle key column for one epoch's parameters. */
+  def shuffleKey(docId: Column, a: Long, b: Long): Column =
+    pmod(docId * lit(a) + lit(b), lit(P))
+
+  /** (epoch, doc_id, shuffle_key) for `epochs` epochs — one narrow
+    * projection per epoch, unioned; no shuffle anywhere. */
+  def epochOrders(docs: DataFrame, seed: Long, epochs: Int): DataFrame = {
+    require(epochs > 0, "need at least one epoch")
+    (0 until epochs).map { e =>
+      val (a, b) = epochParams(seed, e)
+      docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
+        shuffleKey(col("doc_id"), a, b).as("shuffle_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Query-pack adapter: three epochs under the fixed audit seed. */
+  def epochShuffleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    epochOrders(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")), seed = 20260815L, epochs = 3)
+}
