@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.LinkRank
+import graft.sources.Tables
+import graft.streaming.StreamEdges
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming edge extraction must equal the batch pipeline EXACTLY —
+  * including transitions that straddle micro-batch boundaries — and the
+  * fresh rank must equal the batch rank over the same events. */
+class StreamEdgesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("stream == batch: cross-batch boundary edges survive; rank agrees; compact folds") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamedges").toString
+    val root = s"$base/edges"
+
+    val events = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("props"))
+      .orderBy("ts", "event_id") // CDC-style in-order delivery
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamEdges.start(
+      input.toDF().toDF("event_id", "ts", "user_id", "props"),
+      root, checkpoint = s"$base/ckpt")
+    try {
+      // three chunks → boundary transitions exist between every pair
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchEdges = edgeSet(
+      LinkRank.transitions(Tables.load(spark, sf001, "events")))
+    val streamed = edgeSet(StreamEdges.mergedEdges(spark, root))
+    assert(streamed == batchEdges,
+      s"missing=${(batchEdges -- streamed).take(5)} extra=${(streamed -- batchEdges).take(5)}")
+
+    val batchRank = LinkRank.pageRank(
+      LinkRank.transitions(Tables.load(spark, sf001, "events")), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fresh = StreamEdges.freshRank(spark, root, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fresh == batchRank, "fresh rank must equal the batch rank bit-exactly")
+
+    // compaction folds the slices without changing the merged edges
+    StreamEdges.compact(spark, root)
+    assert(edgeSet(StreamEdges.mergedEdges(spark, root)) == batchEdges)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+      .map(_.getName).toSeq
+    assert(dirs == Seq("delta=base"))
+  }
+}
