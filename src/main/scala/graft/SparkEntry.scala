@@ -926,6 +926,8 @@ object SparkEntry {
     "q_ridge_fit"      -> (RidgeDistill.ridgeFitQuery _),
     "q_ridge_score"    -> (RidgeDistill.ridgeScoreQuery _),
     "q_epoch_shuffle"  -> (EpochShuffle.epochShuffleQuery _),
+    "q_label_prop"     -> (LinkRank.labelPropQuery _),
+    "q_next_item"      -> (LinkRank.nextItemQuery _),
     "q_event_windows"  -> (Relational.eventWindows _),
     "q_sliding_windows"-> (Relational.slidingWindows _),
     "q_session_window" -> (Relational.sessionWindowQuery _),
@@ -1827,9 +1829,11 @@ object SparkEntry {
     * the engine — identical), every aggregate is cast back to BIGINT
     * (DuckDB SUM of integers widens to HUGEINT), so the replay is
     * bit-exact at any iteration count. */
-  private def linkRankOracleSql(iters: Int): String = {
-    val head =
-      s"""WITH ev AS (
+  /** Shared CTE prefix: the event log collapsed to aggregated transition
+    * edges (src, dst, w) — the DuckDB twin of [[operators.LinkRank
+    * .transitions]]. */
+  private def eventEdgesSql: String =
+    s"""WITH ev AS (
             SELECT user_id, ts, event_id,
                    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
             FROM events),
@@ -1838,7 +1842,11 @@ object SparkEntry {
             FROM ev),
           e0 AS (
             SELECT src, k AS dst, CAST(count(*) AS BIGINT) AS w
-            FROM sq WHERE src IS NOT NULL AND src <> k GROUP BY 1, 2),
+            FROM sq WHERE src IS NOT NULL AND src <> k GROUP BY 1, 2)"""
+
+  private def linkRankOracleSql(iters: Int): String = {
+    val head = eventEdgesSql +
+      s""",
           ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e0 GROUP BY 1),
           e AS (SELECT e0.src, e0.dst, e0.w, ow.wout FROM e0 JOIN ow USING (src)),
           nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
@@ -1856,6 +1864,31 @@ object SparkEntry {
     }.mkString
     head + its + s"""
           SELECT node AS k, CAST(rk AS BIGINT) AS rank_units FROM r$iters"""
+  }
+
+  /** Unrolled DuckDB twin of [[operators.LinkRank.labelPropagation]]:
+    * the same synchronous weighted-majority rounds with the same
+    * (weight desc, label asc) total tie order. */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val head = eventEdgesSql +
+      """,
+          und AS (SELECT v, u, CAST(SUM(w) AS BIGINT) AS w FROM (
+                    SELECT src AS v, dst AS u, w FROM e0
+                    UNION ALL SELECT dst, src, w FROM e0) t GROUP BY 1, 2),
+          nodes AS (SELECT DISTINCT v AS node FROM und),
+          l0 AS (SELECT node, node AS label FROM nodes)"""
+    val its = (1 to rounds).map { i =>
+      s""",
+          s$i AS (SELECT und.v AS node, l.label, CAST(SUM(und.w) AS BIGINT) AS s
+                  FROM und JOIN l${i - 1} l ON l.node = und.u GROUP BY 1, 2),
+          l$i AS (SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                             ORDER BY s DESC, label ASC) AS rn
+                    FROM s$i) t WHERE rn = 1)"""
+    }.mkString
+    head + its + s"""
+          SELECT node AS k, label AS community FROM l$rounds"""
   }
 
   /** Model-dependent ridge oracle (the dsirOracle contract): recompute
@@ -2676,6 +2709,20 @@ object SparkEntry {
     // the recursive term) — floor division everywhere, so the hash match
     // is bit-exact.
     "q_link_rank" -> linkRankOracleSql(5),
+    "q_label_prop" -> labelPropOracleSql(3),
+    // Next-item serving table: top-3 successors per item, exact
+    // micro-unit probabilities, full (weight desc, dst asc) tie order.
+    "q_next_item" -> (eventEdgesSql +
+      """,
+          ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e0 GROUP BY 1),
+          r AS (SELECT e0.src, e0.dst, e0.w, ow.wout,
+                       row_number() OVER (PARTITION BY e0.src
+                         ORDER BY e0.w DESC, e0.dst ASC) AS rn
+                FROM e0 JOIN ow USING (src))
+          SELECT src AS k, dst AS next_k, w,
+                 CAST((w * 1000000) // wout AS BIGINT) AS p_micro,
+                 CAST(rn AS BIGINT) AS rank
+          FROM r WHERE rn <= 3"""),
     "q_event_windows" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n_events,

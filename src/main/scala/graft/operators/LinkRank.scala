@@ -88,4 +88,64 @@ object LinkRank {
   def linkRankQuery(spark: SparkSession, sfDir: String): DataFrame =
     pageRank(transitions(Tables.load(spark, sfDir, "events")), iters = 5)
       .select(col("node").as("k"), col("rank").as("rank_units"))
+
+  /**
+   * Deterministic label propagation (weighted, synchronous) — community
+   * structure over the same graph, the balance/topic signal next to the
+   * importance signal. Each round every node adopts the label with the
+   * LARGEST incident edge weight among its (undirected) neighbors, ties
+   * broken by the SMALLEST label — a total tie order, so a fixed round
+   * count is bit-reproducible in any engine (the oracle unrolls the same
+   * rounds in SQL). Labels start as the node ids.
+   *
+   * Per round: one join of the label table against the undirected edge
+   * table, one map-side-combined (node, label) weight sum, one per-node
+   * window argmax — all edge-table-sized, never event-sized.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("src").as("v"), col("dst").as("u"), col("w"))
+      .unionByName(edges.select(col("dst").as("v"), col("src").as("u"), col("w")))
+      .groupBy("v", "u").agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = und.select(col("v").as("node")).distinct().localCheckpoint()
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("s").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      lab = und.join(lab, und("u") === lab("node"))
+        .select(und("v").as("node"), col("label"), col("w"))
+        .groupBy("node", "label").agg(sum(col("w")).as("s"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** Query-pack adapter: three synchronous rounds over the transition
+    * graph — (item, community) for every node. */
+  def labelPropQuery(spark: SparkSession, sfDir: String): DataFrame =
+    labelPropagation(transitions(Tables.load(spark, sfDir, "events")), rounds = 3)
+      .select(col("node").as("k"), col("label").as("community"))
+
+  /** Next-item transition table — the serving artifact a session-based
+    * recommender reads: per item, the top-3 successors by transition
+    * weight with exact micro-unit probabilities ((w·10⁶) div out-weight),
+    * full (weight desc, dst asc) tie order. */
+  def nextItems(events: DataFrame): DataFrame = {
+    val e = transitions(events)
+    val out = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val bysrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("w").desc, col("dst").asc)
+    e.join(out, "src")
+      .withColumn("rn", row_number().over(bysrc))
+      .filter(col("rn") <= 3)
+      .select(col("src").as("k"), col("dst").as("next_k"),
+        col("w"), expr("(w * 1000000) div wout").as("p_micro"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  def nextItemQuery(spark: SparkSession, sfDir: String): DataFrame =
+    nextItems(Tables.load(spark, sfDir, "events"))
 }

@@ -69,6 +69,37 @@ class LinkRankSpec extends AnyFunSuite with SparkTestBase {
     assert(q1 == q2 && q1.nonEmpty)
   }
 
+  test("label propagation: two cliques joined by a weak bridge split into two communities") {
+    // clique A = {1,2,3} (heavy), clique B = {10,11,12} (heavy), bridge 3-10 weight 1
+    val cl = for {
+      g <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L, 12L))
+      a <- g; b <- g if a < b
+    } yield (a, b, 10L)
+    val edges = (cl :+ ((3L, 10L, 1L))).toDF("src", "dst", "w")
+    val got = LinkRank.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 6)
+    val commA = Set(1L, 2L, 3L).map(got)
+    val commB = Set(10L, 11L, 12L).map(got)
+    assert(commA.size == 1 && commB.size == 1 && commA != commB,
+      s"expected two communities, got $got")
+  }
+
+  test("next-item table: exact probabilities and the full tie order") {
+    val ev = Seq(
+      (1L, ts(0), 1L, """{"k": 1}"""), (2L, ts(1), 1L, """{"k": 2}"""),
+      (3L, ts(2), 1L, """{"k": 1}"""), (4L, ts(3), 1L, """{"k": 3}"""),
+      (5L, ts(4), 1L, """{"k": 1}"""), (6L, ts(5), 1L, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "props")
+    // from 1: ->2 twice, ->3 once; wout(1) = 3
+    val rows = LinkRank.nextItems(ev).filter(col("k") === 1L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (2L, 2L, 666666L, 1L),
+      (3L, 1L, 333333L, 2L)))
+  }
+
   private def ts(m: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
 }
