@@ -2696,12 +2696,14 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
          FROM events WHERE event_id < 1000""",
     // Epoch reshuffle: the same seeded affine-permutation keys — the
-    // (a_e, b_e) literals come from the identical Park–Miller iteration,
-    // and the modular arithmetic is exact BIGINT in both engines.
+    // (a_e, b_e) literals come from the identical Lehmer iteration; the
+    // affine product exceeds 64 bits, so the engine computes it in exact
+    // DECIMAL(38,0) and the oracle in HUGEINT — identical values.
     "q_epoch_shuffle" -> (0 until 3).map { e =>
       val (a, b) = EpochShuffle.epochParams(20260815L, e)
       s"""SELECT CAST($e AS BIGINT) AS epoch, doc_id,
-               CAST((doc_id * $a + $b) % ${EpochShuffle.P} AS BIGINT) AS shuffle_key
+               CAST((CAST(doc_id AS HUGEINT) * $a + $b) % ${EpochShuffle.P} AS BIGINT)
+                 AS shuffle_key
           FROM documents"""
     }.mkString("\n          UNION ALL\n          "),
     // Link-rank: the same five integer-unit power iterations as LinkRank,

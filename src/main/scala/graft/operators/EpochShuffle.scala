@@ -31,29 +31,34 @@ import org.apache.spark.sql.functions._
  */
 object EpochShuffle {
 
-  /** 2³¹ − 1 (Mersenne prime): id headroom to 2.1e9 documents while
-    * a_e · doc_id stays far inside the exact-Long window. */
-  val P = 2147483647L
+  /** 2⁶¹ − 1 (Mersenne prime): id headroom to 2.3e18 documents. The
+    * affine products exceed 64 bits, so [[shuffleKey]] computes them in
+    * DECIMAL(38,0) (exact, ≤ ~2e37 ≪ 10³⁸) and the oracle mirrors with
+    * HUGEINT — bit-identical keys either way. */
+  val P = 2305843009213693951L
 
-  /** Seeded per-epoch multiplier/offset: iterates the MINSTD LCG
-    * (Park–Miller, multiplier 48271 — public standard) from the seed;
+  /** Seeded per-epoch multiplier/offset: iterates the Lehmer/Park–Miller
+    * multiplier 48271 (public standard) over the field mod P in BigInt;
     * a_e is forced nonzero so the map stays a bijection. */
   def epochParams(seed: Long, epoch: Int): (Long, Long) = {
-    var s = java.lang.Math.floorMod(seed, P)
-    if (s == 0L) s = 1L
+    val p = BigInt(P)
+    var s = BigInt(java.lang.Math.floorMod(seed, P))
+    if (s == 0) s = BigInt(1)
     // two LCG draws per epoch: first is a, second is b
-    val steps = 2 * epoch
-    def next(x: Long): Long = (x * 48271L) % P
+    def next(x: BigInt): BigInt = (x * 48271) % p
     var x = s
-    (0 until steps).foreach(_ => x = next(x))
-    val a = { val v = next(x); if (v == 0L) 1L else v }
+    (0 until 2 * epoch).foreach(_ => x = next(x))
+    val a = { val v = next(x); if (v == 0) BigInt(1) else v }
     val b = next(next(x))
-    (a, b)
+    (a.toLong, b.toLong)
   }
 
   /** The shuffle key column for one epoch's parameters. */
-  def shuffleKey(docId: Column, a: Long, b: Long): Column =
-    pmod(docId * lit(a) + lit(b), lit(P))
+  def shuffleKey(docId: Column, a: Long, b: Long): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    pmod(docId.cast(dec) * lit(a).cast(dec) + lit(b).cast(dec),
+      lit(P).cast(dec)).cast("long")
+  }
 
   /** (epoch, doc_id, shuffle_key) for `epochs` epochs — one narrow
     * projection per epoch, unioned; no shuffle anywhere. */

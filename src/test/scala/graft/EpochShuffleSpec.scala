@@ -25,14 +25,27 @@ class EpochShuffleSpec extends AnyFunSuite with SparkTestBase {
 
   test("the permutation inverts algebraically: resume needs no lookup table") {
     val (a, b) = EpochShuffle.epochParams(seed = 99L, epoch = 1)
-    val p = EpochShuffle.P
-    val aInv = BigInt(a).modInverse(BigInt(p)).toLong
-    val doc = 123456789L
-    val key = java.lang.Math.floorMod(doc * a + b, p)
-    val back = java.lang.Math.floorMod((key - b + p) % p * aInv % p, p)
-    // (key - b) * a^-1 mod p — modular products kept inside Long via BigInt
-    val backExact = ((BigInt(key) - BigInt(b)) * BigInt(aInv)).mod(BigInt(p)).toLong
-    assert(backExact == doc, s"inverse failed: $back / $backExact")
+    val p = BigInt(EpochShuffle.P)
+    val aInv = BigInt(a).modInverse(p)
+    // a doc id in the scaled-fixture regime (beyond 2^31): key and
+    // inverse both stay exact because the products run in BigInt /
+    // DECIMAL, never bare Long
+    for (doc <- Seq(123456789L, 9000004999L)) {
+      val key = (BigInt(doc) * a + b).mod(p)
+      val back = ((key - b) * aInv).mod(p)
+      assert(back == BigInt(doc), s"inverse failed for $doc: $back")
+    }
+  }
+
+  test("keys match the column expression for ids beyond 2^31 (scaled fixtures)") {
+    val (a, b) = EpochShuffle.epochParams(seed = 20260815L, epoch = 0)
+    val docs = Seq(9000004999L, 0L, 42L).toDF("doc_id")
+    val got = docs.select(col("doc_id"),
+      EpochShuffle.shuffleKey(col("doc_id"), a, b).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (doc, k) =>
+      assert(BigInt(k) == (BigInt(doc) * a + b).mod(BigInt(EpochShuffle.P)))
+    }
   }
 
   test("the plan is narrow: no Exchange anywhere in the epoch projection") {
