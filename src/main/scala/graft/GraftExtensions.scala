@@ -19,8 +19,23 @@ import graft.functions.GraftFunctionRegistry
  * (`shingle_hashes`, `minhash`, `simhash64`, `sorted_intersect_count`) and
  * the vector kernels (`cosine_sim`, `dot_product`). The cell-store side is
  * already SQL-reachable via the DSv2 catalog; this closes the function gap.
+ *
+ * The rollup serving rewrite rides along as an optimizer rule, so a
+ * pure-SQL session gets materialized-view answering
+ * ([[graft.plans.RollupRewrite]]) for registered tables without touching
+ * `spark.experimental` — the rule no-ops until a rollup is registered and
+ * has a session-conf kill switch. [[graft.plans.ValueIndexRewrite]] stays
+ * on `spark.experimental.extraOptimizations` (its `ensureInjected`)
+ * DELIBERATELY: it matches the post-pushdown `DataSourceV2ScanRelation`
+ * shape, and the user-optimizer batch is the only hook that runs after
+ * scan pushdown — injected here it would see pre-pushdown relations and,
+ * worse, sit in the same fixed point as predicate pushdown, which could
+ * re-push the re-applied condition onto the spliced scan and re-match
+ * forever.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.inject(extensions)
+    extensions.injectOptimizerRule(graft.plans.RollupRewriteRule(_))
+  }
 }

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => FilterNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DataType
@@ -25,9 +25,11 @@ import org.apache.spark.sql.types.DataType
  * the plan alone; the rewrite must never change semantics):
  *
  *  - the Aggregate's child is the registered base relation (optionally
- *    through a column-pruning Project of bare attributes) — any Filter
- *    in between disables the rewrite (a predicate over non-key columns
- *    is not answerable from the rollup);
+ *    through a column-pruning Project of bare attributes, optionally
+ *    through ONE deterministic Filter whose every column is a rollup
+ *    KEY — key columns are group-constant, so key-filtering partials
+ *    selects exactly the groups the base filter would keep; any
+ *    predicate touching a non-key column disables the rewrite);
  *  - every grouping expression is a bare column ⊆ the rollup's keys
  *    (a strict subset re-aggregates: the partials regroup coarser);
  *  - every aggregate is SUM(col) / SUM(CAST(col AS t)) / COUNT(*) /
@@ -118,28 +120,40 @@ final case class RollupRewriteRule(spark: SparkSession)
         rewrite(agg).getOrElse(agg)
     }
 
-  /** The Aggregate's input relation paths, looking through a
-    * column-pruning Project of bare attributes only (a Filter or a
-    * computed projection disqualifies the rewrite). */
-  private def baseOf(child: LogicalPlan): Option[Set[String]] = child match {
+  /** The Aggregate's input relation paths plus at most one Filter
+    * condition, looking through column-pruning Projects of bare
+    * attributes. A filter is admissible for serving ONLY if it
+    * references rollup KEY columns alone (checked at rewrite time):
+    * key columns are constant within a group, so filtering partials by
+    * a key predicate selects exactly the groups whose base rows the
+    * unrewritten plan would keep — re-aggregation is unchanged. Any
+    * second filter or computed projection disqualifies the rewrite. */
+  private def baseOf(child: LogicalPlan)
+      : Option[(Set[String], Option[Expression])] = child match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        Some(fs.location.rootPaths.map(_.toString).toSet)
+        Some((fs.location.rootPaths.map(_.toString).toSet, None))
       case _ => None
     }
     case Project(list, inner) if list.forall(_.isInstanceOf[AttributeReference]) =>
       baseOf(inner)
+    case FilterNode(cond, inner) if cond.deterministic =>
+      baseOf(inner) match {
+        case Some((paths, None)) => Some((paths, Some(cond)))
+        case _ => None
+      }
     case _ => None
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
-      paths <- baseOf(agg.child)
-      r <- RollupRewrite.lookup(paths)
-      plan <- rewriteWith(agg, r)
+      pf <- baseOf(agg.child)
+      r <- RollupRewrite.lookup(pf._1)
+      plan <- rewriteWith(agg, r, pf._2)
     } yield plan
 
-  private def rewriteWith(agg: Aggregate, r: Rollup): Option[LogicalPlan] = {
+  private def rewriteWith(agg: Aggregate, r: Rollup,
+      filterCond: Option[Expression]): Option[LogicalPlan] = {
     // fresh analyzed scan of the rollup (fresh exprIds per rewrite site)
     val roll = spark.read.parquet(r.rollupPath).queryExecution.analyzed
     val rollAttr: Map[String, Attribute] =
@@ -209,9 +223,27 @@ final case class RollupRewriteRule(spark: SparkSession)
         keyFor(a).map(k => Alias(k, a.name)(exprId = a.exprId))
       case _ => None
     }
-    if (newGrouping.forall(_.isDefined) && newAggs.forall(_.isDefined)) {
+    // a key-only filter remaps onto the rollup's key attributes; any
+    // reference to a non-key column (or an unknown leaf) vetoes the
+    // rewrite rather than risking semantics
+    def remapCond(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference => keyFor(a)
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty =>
+        val cs = other.children.map(remapCond)
+        if (cs.forall(_.isDefined)) Some(other.withNewChildren(cs.map(_.get)))
+        else None
+      case _ => None
+    }
+    val newChild: Option[LogicalPlan] = filterCond match {
+      case None => Some(roll)
+      case Some(cond) => remapCond(cond).map(c => FilterNode(c, roll))
+    }
+
+    if (newGrouping.forall(_.isDefined) && newAggs.forall(_.isDefined) &&
+        newChild.isDefined) {
       logInfo(s"rollup rewrite: serving aggregate from ${r.rollupPath}")
-      Some(Aggregate(newGrouping.map(_.get), newAggs.map(_.get), roll))
+      Some(Aggregate(newGrouping.map(_.get), newAggs.map(_.get), newChild.get))
     } else None
   }
 }

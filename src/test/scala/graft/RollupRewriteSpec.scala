@@ -76,6 +76,32 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     assert(!optimized(wrongKey).contains("cnt_p"))
   }
 
+  test("key-only filter is served; answers equal the unrewritten plan bit-exactly") {
+    rollupPath
+    def q = li.filter(col("l_linestatus") === "F" && col("l_returnflag") =!= "A")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(Dec)).as("s"), count(lit(1)).as("n"))
+    val p = optimized(q)
+    assert(servedBy(p), s"key-only filter must still be served:\n$p")
+    spark.conf.set("spark.graft.rollup.enabled", "false")
+    val expected = try q.collect().map(r =>
+      (r.getString(0), r.getDecimal(1), r.getLong(2))).sortBy(_._1).toSeq
+    finally spark.conf.set("spark.graft.rollup.enabled", "true")
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getDecimal(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("no rewrite: a filter touching a non-key column") {
+    rollupPath
+    val nonKey = li.filter(col("l_quantity") > 0)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(!optimized(nonKey).contains("cnt_p"))
+    val mixed = li.filter(col("l_returnflag") === "R" && col("l_tax") > 0)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(!optimized(mixed).contains("cnt_p"))
+  }
+
   test("no rewrite: a multi-path scan over base + another path keeps every path's rows") {
     rollupPath
     val extra = java.nio.file.Files.createTempDirectory("graft-rollup-extra").toString
