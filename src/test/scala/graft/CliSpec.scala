@@ -277,6 +277,31 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       "--corpus", s"$sf001/documents.parquet", "--target", "src0",
       "--bogus", "x")))
   }
+  test("GraphMain: rank, communities, and next-item modes; validation exits") {
+    import graft.cli.GraphMain
+    val ev = s"$sf001/events.parquet"
+    val rank = GraphMain.run(spark, Array("--events", ev, "--mode", "rank"))
+    assert(rank.nonEmpty && rank.forall(_.split("\t").length == 2))
+    // rank output is ordered: descending rank units with node tiebreak
+    val units = rank.map(_.split("\t")(1).toLong)
+    assert(units == units.sorted.reverse)
+    val comm = GraphMain.run(spark,
+      Array("--events", ev, "--mode", "communities", "--rounds", "2"))
+    assert(comm.length == rank.length, "one community row per node")
+    val out = java.nio.file.Files.createTempDirectory("graft-graph").toString + "/nx"
+    val next = GraphMain.run(spark,
+      Array("--events", ev, "--mode", "next", "--out", out))
+    assert(next.forall(_.split("\t").length == 5))
+    assert(spark.read.parquet(out).count() == next.length.toLong)
+    intercept[Args.CliExit](GraphMain.run(spark,
+      Array("--events", ev, "--mode", "bogus")))
+    intercept[Args.CliExit](GraphMain.run(spark,
+      Array("--events", ev, "--mode", "rank", "--iters", "0")))
+    intercept[Args.CliExit](GraphMain.run(spark, Array("--mode", "rank")))
+    intercept[Args.CliExit](GraphMain.run(spark,
+      Array("--events", ev, "--mode", "rank", "--bogus", "1")))
+  }
+
   test("MobMain: compact + reclaim + stats over a purged mob store") {
     import graft.cli.MobMain
     import graft.model.CellTable
