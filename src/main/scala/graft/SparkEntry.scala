@@ -928,6 +928,8 @@ object SparkEntry {
     "q_epoch_shuffle"  -> (EpochShuffle.epochShuffleQuery _),
     "q_label_prop"     -> (LinkRank.labelPropQuery _),
     "q_next_item"      -> (LinkRank.nextItemQuery _),
+    "q_funnel"         -> (EventAnalytics.funnelQuery _),
+    "q_retention"      -> (EventAnalytics.retentionQuery _),
     "q_event_windows"  -> (Relational.eventWindows _),
     "q_sliding_windows"-> (Relational.slidingWindows _),
     "q_session_window" -> (Relational.sessionWindowQuery _),
@@ -2706,6 +2708,48 @@ object SparkEntry {
                  AS shuffle_key
           FROM documents"""
     }.mkString("\n          UNION ALL\n          "),
+    // Funnel: the same cumulative-window reachability DP — latest step-k
+    // completion time carried forward per user, integer-microsecond
+    // windows, per-user depth then domain-sized counts.
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+                     FROM events),
+          a AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tus END)
+                            OVER w AS r1
+                FROM ev WINDOW w AS (PARTITION BY user_id
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)),
+          b AS (SELECT *, CASE WHEN event_type = 'click' AND r1 IS NOT NULL
+                                    AND tus - r1 <= 3600000000 THEN tus END AS hit2
+                FROM a),
+          c AS (SELECT *, max(hit2) OVER w AS r2
+                FROM b WINDOW w AS (PARTITION BY user_id
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)),
+          d AS (SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' AND r2 IS NOT NULL
+                                AND tus - r2 <= 3600000000 THEN 3
+                           WHEN hit2 IS NOT NULL THEN 2
+                           WHEN event_type = 'view' THEN 1 ELSE 0 END) AS depth
+                FROM c GROUP BY 1)
+          SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                 CAST(count(CASE WHEN depth >= 1 THEN 1 END) AS BIGINT) AS n_users FROM d
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'click',
+                 CAST(count(CASE WHEN depth >= 2 THEN 1 END) AS BIGINT) FROM d
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'purchase',
+                 CAST(count(CASE WHEN depth >= 3 THEN 1 END) AS BIGINT) FROM d""",
+    // Retention triangle: ISO-week cohorts, (user, week) already
+    // distinct so the cell count is a plain count.
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+                     FROM events),
+          c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+          a AS (SELECT DISTINCT user_id, week FROM ev)
+          SELECT cohort_week,
+                 CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM a JOIN c USING (user_id)
+          GROUP BY 1, 2""",
     // Link-rank: the same five integer-unit power iterations as LinkRank,
     // unrolled as chained CTEs (recursive CTEs disallow aggregation in
     // the recursive term) — floor division everywhere, so the hash match
