@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/**
+ * Streaming funnel — [[graft.operators.EventAnalytics.funnel]]'s
+ * reachability DP carried as per-user state, so conversion chains that
+ * STRADDLE micro-batch boundaries complete exactly as the batch DP
+ * would (a view in batch 3 converting on a click in batch 7 is the
+ * normal case at streaming granularity, not an edge case).
+ *
+ * The DP state is tiny and exact: per user, the latest REACHABLE
+ * completion time of each step prefix — precisely the cumulative-max
+ * column the batch windows compute, k longs per user, independent of
+ * history length. Each batch folds its events in (ts, event_id) order
+ * into that state and emits the user's current funnel depth; slices
+ * land per batch (`root/delta=b<id>`, replay-idempotent overwrite) and
+ * [[counts]] reads the per-user MAX depth across slices (depth is
+ * monotone, so merging is associative) into the step table.
+ *
+ * 100 TB shape: per batch, work is batch-sized plus one state row per
+ * active user; the depth slices are user-domain-sized; nothing ever
+ * replays event history.
+ */
+object StreamFunnel {
+
+  final case class Visit(userId: Long, tsMicros: Long, eventId: Long, eventType: String)
+  final case class FunnelState(reach: Seq[Long], depth: Int)
+  final case class UserDepth(userId: Long, depth: Int)
+
+  /** Event stream → per-user current funnel depth after each batch. */
+  def depthStream(events: DataFrame, steps: Seq[String],
+      windowMicros: Long): Dataset[UserDepth] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.length
+    events.select(
+        col("user_id").as("userId"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").as("eventId"),
+        col("event_type").as("eventType"))
+      .as[Visit]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, UserDepth](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[FunnelState]) =>
+          val init = state.getOption
+            .getOrElse(FunnelState(Seq.fill(k)(-1L), 0))
+          val reach = init.reach.toArray
+          var depth = init.depth
+          rows.toSeq.sortBy(v => (v.tsMicros, v.eventId)).foreach { v =>
+            val i = steps.indexOf(v.eventType)
+            if (i == 0) {
+              reach(0) = math.max(reach(0), v.tsMicros)
+              depth = math.max(depth, 1)
+            } else if (i > 0 && reach(i - 1) >= 0 &&
+                v.tsMicros - reach(i - 1) <= windowMicros &&
+                v.tsMicros >= reach(i - 1)) {
+              reach(i) = math.max(reach(i), v.tsMicros)
+              depth = math.max(depth, i + 1)
+            }
+          }
+          state.update(FunnelState(reach.toSeq, depth))
+          Iterator.single(UserDepth(user, depth))
+      }
+  }
+
+  /** Wire the stream into per-batch depth slices under `root`. */
+  def start(events: DataFrame, steps: Seq[String], windowMicros: Long,
+      root: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    depthStream(events, steps, windowMicros).toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$root/delta=b$id")
+      }
+      .start()
+
+  /** The live step table: per-user max depth across slices → counts. */
+  def counts(spark: SparkSession, root: String, steps: Seq[String]): DataFrame = {
+    val depth = spark.read.parquet(root)
+      .groupBy("userId").agg(max(col("depth")).as("depth"))
+    val aggs = steps.indices.map(i =>
+      count(when(col("depth") >= i + 1, 1)).as(s"n${i + 1}"))
+    val row = depth.agg(aggs.head, aggs.tail: _*).head
+    import spark.implicits._
+    steps.indices.map(i => ((i + 1).toLong, steps(i), row.getLong(i)))
+      .toDF("step", "event_type", "n_users")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.EventAnalytics
+import graft.sources.Tables
+import graft.streaming.StreamFunnel
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming funnel state: chains straddling micro-batches complete
+  * exactly as the batch DP computes, and the live counts equal the
+  * batch counts over the same (in-order) events. */
+class StreamFunnelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("a chain split across batches converts; stream counts equal batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamfunnel").toString
+    val root = s"$base/depths"
+
+    val events = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamFunnel.start(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      steps, windowMicros = 3600L * 1000000L, root, s"$base/ckpt")
+    try {
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val live = table(StreamFunnel.counts(spark, root, steps))
+    val batch = table(EventAnalytics.funnel(
+      Tables.load(spark, sf001, "events"), steps, 3600L * 1000000L))
+    assert(live == batch, s"live=$live batch=$batch")
+    assert(live.exists { case (s, _, n) => s == 1L && n > 0 })
+  }
+
+  test("hand case: view in batch 1 converts on a click in batch 2") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamfunnel2").toString
+    val root = s"$base/depths"
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamFunnel.start(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      Seq("view", "click"), windowMicros = 60000000L, root, s"$base/ckpt")
+    try {
+      input.addData((1L, t(0L), 7L, "view")); q.processAllAvailable()
+      input.addData((2L, t(50000000L), 7L, "click")); q.processAllAvailable()
+    } finally q.stop()
+    val counts = StreamFunnel.counts(spark, root, Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L),
+      "the cross-batch chain must convert from state")
+  }
+}
