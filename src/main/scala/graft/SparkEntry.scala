@@ -2717,13 +2717,15 @@ object SparkEntry {
           a AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tus END)
                             OVER w AS r1
                 FROM ev WINDOW w AS (PARTITION BY user_id
-                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)),
+                  ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
           b AS (SELECT *, CASE WHEN event_type = 'click' AND r1 IS NOT NULL
                                     AND tus - r1 <= 3600000000 THEN tus END AS hit2
                 FROM a),
           c AS (SELECT *, max(hit2) OVER w AS r2
                 FROM b WINDOW w AS (PARTITION BY user_id
-                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)),
+                  ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
           d AS (SELECT user_id,
                   MAX(CASE WHEN event_type = 'purchase' AND r2 IS NOT NULL
                                 AND tus - r2 <= 3600000000 THEN 3

@@ -34,9 +34,12 @@ object GraphMain {
       case Nil =>
       case m => Args.die(s"events are missing columns: ${m.mkString(", ")}", Usage)
     }
-    val edges = LinkRank.transitions(events)
+    // the aggregated edge table is the one event-log pass every mode
+    // shares — pinned so the guard, the mode plan, --out, and the
+    // TSV collect never rescan events
+    val edges = LinkRank.transitions(events).localCheckpoint()
     if (edges.isEmpty) Args.die("no transitions in the event log", Usage)
-    val result = mode match {
+    val result = (mode match {
       case "rank" =>
         LinkRank.pageRank(edges, iters)
           .orderBy(col("rank").desc, col("node").asc)
@@ -44,9 +47,10 @@ object GraphMain {
         LinkRank.labelPropagation(edges, rounds)
           .orderBy(col("label").asc, col("node").asc)
       case "next" =>
-        LinkRank.nextItems(events).orderBy(col("k").asc, col("rank").asc)
+        LinkRank.nextItemsFromEdges(edges)
+          .orderBy(col("k").asc, col("rank").asc)
       case other => Args.die(s"unknown --mode '$other'", Usage)
-    }
+    }).localCheckpoint() // one computation serves both the write and the TSV
     p.get("out").foreach(result.write.mode("overwrite").parquet(_))
     val lines = result.collect().map(_.toSeq.mkString("\t")).toSeq
     lines.foreach(println)

@@ -37,9 +37,15 @@ object EventAnalytics {
   def funnel(events: DataFrame, steps: Seq[String],
       windowMicros: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // the DP state a row reads must come from rows STRICTLY before it
+    // (1 PRECEDING): with the current row in frame, a funnel with a
+    // repeated step type would let one event complete two consecutive
+    // steps. For distinct step types the frames are equivalent (a row
+    // contributes only its own type), but the exclusive frame is the
+    // correct DP for every step list.
     val byUser = Window.partitionBy("user_id")
       .orderBy("tus", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val ev = events.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("tus"), col("event_type"))
     // hit_k: this event completes step k; r_k: latest step-k completion

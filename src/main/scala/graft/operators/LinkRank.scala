@@ -133,8 +133,12 @@ object LinkRank {
     * recommender reads: per item, the top-3 successors by transition
     * weight with exact micro-unit probabilities ((w·10⁶) div out-weight),
     * full (weight desc, dst asc) tie order. */
-  def nextItems(events: DataFrame): DataFrame = {
-    val e = transitions(events)
+  def nextItems(events: DataFrame): DataFrame =
+    nextItemsFromEdges(transitions(events))
+
+  /** [[nextItems]] over an already-built edge table (callers that have
+    * the edges in hand must not pay a second event scan). */
+  def nextItemsFromEdges(e: DataFrame): DataFrame = {
     val out = e.groupBy("src").agg(sum(col("w")).as("wout"))
     val bysrc = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("w").desc, col("dst").asc)

@@ -71,7 +71,11 @@ object ValueIndex {
     val candidates = spark.read.format("cellstore").load(indexPath)
       .filter(col("rowKey") === keyExpr)
       .select(col("value").as("rowKey")).distinct()
-    spark.read.format("cellstore").load(basePath)
+    // graft.noRewrite: this base read IS the probe — the rewrite rule
+    // must never re-splice a probe into it (a direct lookup()'s value
+    // filter pushes down onto exactly this scan)
+    spark.read.format("cellstore").option("graft.noRewrite", "true")
+      .load(basePath)
       .join(candidates, "rowKey")
   }
 

@@ -98,8 +98,13 @@ final case class ValueIndexRewriteRule(spark: SparkSession)
   private def rewrite(f: Filter, sr: DataSourceV2ScanRelation): Option[LogicalPlan] =
     for {
       scan <- sr.scan match {
-        case cs: CellStoreScan => Some(cs)
-        case _ => None // agg/group pushdown scans carry no value column
+        // graft.noRewrite marks the probe's own internals ([[ValueIndex
+        // .candidateJoin]]'s base read): without it, a directly-built
+        // lookup() plan — whose value filter pushdown lands right back
+        // on the base scan — would be re-spliced into a redundant
+        // nested double probe
+        case cs: CellStoreScan if !cs.noRewrite => Some(cs)
+        case _ => None // agg/group scans carry no value column
       }
       indexPath <- ValueIndexRewrite.indexFor(scan.path)
       bytes <- pinnedValue(f.condition)

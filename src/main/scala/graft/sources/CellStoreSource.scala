@@ -528,7 +528,8 @@ class CellStoreTable(path: String) extends Table
     new CellStoreScanBuilder(path, buckets,
       Option(options.get("splitBytes")).map(_.toLong).getOrElse(128L << 20),
       Option(options.get("files"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      Option(options.get("graft.noRewrite")).exists(_.toBoolean))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -537,7 +538,8 @@ class CellStoreTable(path: String) extends Table
 
 class CellStoreScanBuilder(path: String, buckets: Option[Int],
                            splitBytes: Long = 128L << 20,
-                           fileSubset: Option[Set[String]] = None)
+                           fileSubset: Option[Set[String]] = None,
+                           noRewrite: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
@@ -647,7 +649,8 @@ class CellStoreScanBuilder(path: String, buckets: Option[Int],
     case (None, Some((g, a))) =>
       new CellStoreGroupByScan(path, buckets, g, a, splitBytes, fileSubset)
     case _ =>
-      new CellStoreScan(path, buckets, pushed, required, splitBytes, limit, fileSubset)
+      new CellStoreScan(path, buckets, pushed, required, splitBytes, limit,
+        fileSubset, noRewrite)
   }
 }
 
@@ -893,7 +896,8 @@ class CellStoreScan(val path: String, buckets: Option[Int],
                     val pushed: Array[Filter], required: StructType,
                     splitBytes: Long = 128L << 20,
                     limit: Option[Int] = None,
-                    fileSubset: Option[Set[String]] = None)
+                    fileSubset: Option[Set[String]] = None,
+                    val noRewrite: Boolean = false)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering {

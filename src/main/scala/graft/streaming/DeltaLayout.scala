@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The shared delta-slice layout under a streaming root — one place for
+ * the naming, liveness, commit, and GC rules the streaming surfaces
+ * ([[StreamIndex]], [[StreamEdges]]) follow:
+ *
+ *  - `delta=b<batchId>` — one replay-idempotent slice per micro-batch;
+ *  - `delta=base` / `delta=base@<N>` — a compacted base GENERATION that
+ *    folded every batch id ≤ N (bare `delta=base` predates all, N = −1);
+ *  - the LIVE set is the newest base generation plus only the batch
+ *    slices newer than what it folded;
+ *  - a fold COMMITS with one rename of an ignored staging name to the
+ *    next generation, so readers flip atomically and a crash at any
+ *    point leaves a correct live set (stale dirs are garbage the next
+ *    [[gcStale]] sweeps);
+ *  - every list/rename/delete goes through Hadoop FileSystem with
+ *    CHECKED results (rename/delete report failure by returning false).
+ */
+object DeltaLayout {
+
+  val Staging = "compact.staging"
+
+  private val BatchName = "delta=b(\\d+)".r
+
+  /** A base dir's folded-through batch id, if the name is a base. */
+  def baseGen(name: String): Option[Long] = name match {
+    case "delta=base" => Some(-1L)
+    case s if s.startsWith("delta=base@") =>
+      scala.util.Try(s.stripPrefix("delta=base@").toLong).toOption
+    case _ => None
+  }
+
+  /** A batch slice's id, if the name is one. */
+  def batchId(name: String): Option[Long] = name match {
+    case BatchName(id) => Some(id.toLong)
+    case _ => None
+  }
+
+  def fileSystem(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The LIVE slice dirs (paths as strings, sorted). */
+  def liveDirs(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = fileSystem(spark, root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
+    val bases = dirs.flatMap(p => baseGen(p.getName).map(_ -> p))
+    val live =
+      if (bases.isEmpty) dirs.filter(p => batchId(p.getName).isDefined)
+      else {
+        val (gen, basePath) = bases.maxBy(_._1)
+        basePath +: dirs.filter(p => batchId(p.getName).exists(_ > gen))
+      }
+    live.map(_.toString).sorted
+  }
+
+  /** Highest batch id among the live slices — the generation a fold of
+    * them would commit as; None when there is nothing to fold. */
+  def foldTarget(dirs: Seq[String]): Option[Long] =
+    dirs.flatMap(d => batchId(new Path(d).getName)).reduceOption(_ max _)
+
+  /** Atomically commit `root/compact.staging` as `delta=base@<gen>`. */
+  def commitFold(spark: SparkSession, root: String, gen: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    if (!fs.rename(new Path(s"$root/$Staging"), new Path(s"$root/delta=base@$gen")))
+      throw new IllegalStateException(
+        s"delta compact: cannot commit $Staging as delta=base@$gen under $root")
+  }
+
+  /** Remove every base older than the newest generation and every batch
+    * slice it folded — including garbage a crashed pass left. Failed
+    * deletes throw rather than leaving state to drift silently. */
+  def gcStale(spark: SparkSession, root: String): Unit = {
+    val fs = fileSystem(spark, root)
+    val rootPath = new Path(root)
+    val newestGen = fs.listStatus(rootPath).filter(_.isDirectory)
+      .flatMap(s => baseGen(s.getPath.getName)).reduceOption(_ max _)
+    newestGen.foreach { gen =>
+      fs.listStatus(rootPath).filter(_.isDirectory).foreach { s =>
+        val n = s.getPath.getName
+        val stale = baseGen(n).exists(_ < gen) || batchId(n).exists(_ <= gen)
+        if (stale && !fs.delete(s.getPath, true))
+          throw new IllegalStateException(
+            s"delta compact: cannot remove folded slice ${s.getPath}")
+      }
+    }
+  }
+}

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.operators.LinkRank
 
@@ -20,19 +20,25 @@ import graft.operators.LinkRank
  * `flatMapGroupsWithState` keeps ONE row per user — the last visited
  * item — and each batch emits the boundary transition from that state
  * to the batch's first event before folding the rest (events within a
- * group sort by (ts, event_id), so replays are order-stable). State is
- * user-domain-sized, not history-sized.
+ * group sort by (ts, event_id), so replays are order-stable). A null
+ * item (missing/malformed `props."$.k"`) is kept as a CHAIN BREAKER,
+ * exactly as the batch lag() treats it — dropping such events instead
+ * would invent an edge across the gap, and failing on them would wedge
+ * the stream on one bad record forever.
  *
  * Slices land per batch as `root/delta=b<batchId>` partial edge counts
- * (the [[StreamRollup]] delta discipline: a replay overwrites its own
- * slice, and the engine restores the state checkpoint of batch N−1
- * before re-emitting batch N, so re-emission is idempotent). Edge
- * counts are per-slice PARTIALS that merge by sum; [[mergedEdges]]
- * re-aggregates, [[freshRank]] runs the exact integer power iteration
- * over the merged edges — spec-pinned EQUAL to the batch pipeline over
- * the same events, boundaries included. [[compact]] folds slices into
- * `delta=base` through Hadoop FileSystem with checked deletes
- * (single-writer contract, as [[StreamRollup.compact]]).
+ * (the [[DeltaLayout]] discipline: a replay overwrites its own slice,
+ * and the engine restores the state checkpoint of batch N−1 before
+ * re-emitting batch N, so re-emission is idempotent). Edge counts are
+ * per-slice PARTIALS that merge by sum; [[mergedEdges]] re-aggregates
+ * over the LIVE slice set with an explicit schema (an early batch with
+ * zero transitions leaves a data-file-less slice — schema inference
+ * would throw on it); [[freshRank]] runs the exact integer power
+ * iteration over the merged edges — spec-pinned EQUAL to the batch
+ * pipeline over the same events, boundaries included. [[compact]]
+ * folds the live slices and COMMITS with [[DeltaLayout.commitFold]]'s
+ * single rename, so there is no window where a reader double-counts
+ * folded slices, and a crash at any point leaves a correct live set.
  *
  * 100 TB shape: each batch touches its own events plus one state row
  * per active user; the merged edge table is transition-domain-sized
@@ -40,9 +46,13 @@ import graft.operators.LinkRank
  */
 object StreamEdges {
 
-  final case class Visit(userId: Long, tsMicros: Long, eventId: Long, k: Long)
-  final case class LastVisit(k: Long, tsMicros: Long, eventId: Long)
+  final case class Visit(userId: Long, tsMicros: Long, eventId: Long, k: Option[Long])
+  final case class LastVisit(k: Option[Long])
   final case class Transition(src: Long, dst: Long)
+
+  private val EdgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("w", LongType)))
 
   /** Raw event stream → per-user transitions, cross-batch edges included. */
   def transitionsStream(events: DataFrame): Dataset[Transition] = {
@@ -62,8 +72,9 @@ object StreamEdges {
           var prev = state.getOption
           val out = Seq.newBuilder[Transition]
           ordered.foreach { v =>
-            prev.foreach(p => if (p.k != v.k) out += Transition(p.k, v.k))
-            prev = Some(LastVisit(v.k, v.tsMicros, v.eventId))
+            for (p <- prev; pk <- p.k; vk <- v.k; if pk != vk)
+              out += Transition(pk, vk)
+            prev = Some(LastVisit(v.k)) // null k breaks the chain, as lag() does
           }
           prev.foreach(state.update)
           out.result().iterator
@@ -85,29 +96,29 @@ object StreamEdges {
       .start()
 
   /** The live edge table: per-slice partial counts re-summed. */
-  def mergedEdges(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root)
+  def mergedEdges(spark: SparkSession, root: String): DataFrame = {
+    val dirs = DeltaLayout.liveDirs(spark, root)
+    require(dirs.nonEmpty, s"no edge slices under $root")
+    spark.read.schema(EdgeSchema).parquet(dirs: _*)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+  }
 
   /** Integer PageRank over the live graph — never touches event history. */
   def freshRank(spark: SparkSession, root: String, iters: Int = 5): DataFrame =
     LinkRank.pageRank(mergedEdges(spark, root), iters)
 
-  /** Fold all slices into one `delta=base` (sums of sums), then remove
-    * the folded batch slices — Hadoop FileSystem, checked results, the
-    * single-writer discipline of [[StreamRollup.compact]]. */
+  /** Fold the live slices into the next base generation (sums of sums)
+    * and commit with [[DeltaLayout.commitFold]]'s single atomic rename;
+    * the deletes after it are GC of slices readers already ignore. */
   def compact(spark: SparkSession, root: String): Unit = {
-    val folded = mergedEdges(spark, root).localCheckpoint()
-    folded.write.mode("overwrite").parquet(s"$root/delta=base")
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(rootPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta=b") &&
-        s.getPath.getName != "delta=base")
-      .foreach { s =>
-        if (!fs.delete(s.getPath, true))
-          throw new IllegalStateException(
-            s"edge compact: cannot remove folded slice ${s.getPath}")
-      }
+    val dirs = DeltaLayout.liveDirs(spark, root)
+    DeltaLayout.foldTarget(dirs).foreach { maxId =>
+      val folded = spark.read.schema(EdgeSchema).parquet(dirs: _*)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .localCheckpoint()
+      folded.write.mode("overwrite").parquet(s"$root/${DeltaLayout.Staging}")
+      DeltaLayout.commitFold(spark, root, maxId)
+    }
+    DeltaLayout.gcStale(spark, root)
   }
 }

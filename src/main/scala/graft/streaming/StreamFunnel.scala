@@ -52,15 +52,21 @@ object StreamFunnel {
           val reach = init.reach.toArray
           var depth = init.depth
           rows.toSeq.sortBy(v => (v.tsMicros, v.eventId)).foreach { v =>
-            val i = steps.indexOf(v.eventType)
-            if (i == 0) {
-              reach(0) = math.max(reach(0), v.tsMicros)
-              depth = math.max(depth, 1)
-            } else if (i > 0 && reach(i - 1) >= 0 &&
-                v.tsMicros - reach(i - 1) <= windowMicros &&
-                v.tsMicros >= reach(i - 1)) {
-              reach(i) = math.max(reach(i), v.tsMicros)
-              depth = math.max(depth, i + 1)
+            // every step index this event's type occupies, decided
+            // against the PRE-event state (the batch DP's strict
+            // 1-PRECEDING frame: one event must not complete two
+            // consecutive steps of a repeated-type funnel)
+            val updates = steps.indices
+              .filter(j => steps(j) == v.eventType)
+              .flatMap { j =>
+                if (j == 0) Some(0)
+                else if (reach(j - 1) >= 0 && v.tsMicros >= reach(j - 1) &&
+                  v.tsMicros - reach(j - 1) <= windowMicros) Some(j)
+                else None
+              }
+            updates.foreach { j =>
+              reach(j) = math.max(reach(j), v.tsMicros)
+              depth = math.max(depth, j + 1)
             }
           }
           state.update(FunnelState(reach.toSeq, depth))

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,42 +50,11 @@ import graft.operators.InvertedIndex
  */
 object StreamIndex {
 
-  private val BatchName = "delta=b(\\d+)".r
-
-  /** A base dir's folded-through batch id: the initial `delta=base`
-    * predates every batch (-1); `delta=base@N` has folded ids <= N. */
-  private def baseGen(name: String): Option[Long] = name match {
-    case "delta=base" => Some(-1L)
-    case s if s.startsWith("delta=base@") =>
-      scala.util.Try(s.stripPrefix("delta=base@").toLong).toOption
-    case _ => None
-  }
-
-  private def batchId(name: String): Option[Long] = name match {
-    case BatchName(id) => Some(id.toLong)
-    case _ => None
-  }
-
-  private def fileSystem(spark: SparkSession, root: String) =
-    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
-
-  /** The LIVE slice set: the newest base generation plus batch slices
-    * newer than what it folded — older bases and folded batches are
-    * crash garbage that [[compact]] sweeps. */
-  private[streaming] def deltaDirs(spark: SparkSession, root: String): Seq[String] = {
-    val rootPath = new Path(root)
-    val fs = fileSystem(spark, root)
-    if (!fs.exists(rootPath)) return Seq.empty
-    val dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
-    val bases = dirs.flatMap(p => baseGen(p.getName).map(_ -> p))
-    val live =
-      if (bases.isEmpty) dirs.filter(p => batchId(p.getName).isDefined)
-      else {
-        val (gen, basePath) = bases.maxBy(_._1)
-        basePath +: dirs.filter(p => batchId(p.getName).exists(_ > gen))
-      }
-    live.map(_.toString).sorted
-  }
+  /** The LIVE slice set — [[DeltaLayout.liveDirs]]: the newest base
+    * generation plus batch slices newer than what it folded; older
+    * bases and folded batches are crash garbage [[compact]] sweeps. */
+  private[streaming] def deltaDirs(spark: SparkSession, root: String): Seq[String] =
+    DeltaLayout.liveDirs(spark, root)
 
   /** Index the initial corpus into `root/delta=base`. */
   def initialize(spark: SparkSession, docs: DataFrame, root: String,
@@ -133,11 +101,8 @@ object StreamIndex {
     * Single-writer contract (one streaming query per index root), as
     * [[StreamRollup.compact]]. */
   def compact(spark: SparkSession, root: String, buckets: Int = 8): Unit = {
-    val fs = fileSystem(spark, root)
     val dirs = deltaDirs(spark, root)
-    val foldedThrough = dirs.flatMap(d => batchId(new Path(d).getName))
-      .reduceOption(_ max _)
-    foldedThrough.foreach { maxId =>
+    DeltaLayout.foldTarget(dirs).foreach { maxId =>
       val cells = dirs.map(d =>
         spark.read.format("cellstore").load(d)
           .select(col("rowKey"), col("family"), col("qualifier"),
@@ -153,25 +118,11 @@ object StreamIndex {
         .select(col("rowKey"), col("family"), col("qualifier"),
           col("ts"), col("cellType"), col("value"))
       val merged = plain.unionByName(summed).localCheckpoint()
-      val staged = s"$root/compact.staging" // ignored by deltaDirs; overwrite clears a crashed pass
+      // staged under the ignored name; overwrite clears a crashed pass
       merged.write.format("cellstore").option("buckets", buckets.toString)
-        .mode("overwrite").save(staged)
-      if (!fs.rename(new Path(staged), new Path(s"$root/delta=base@$maxId")))
-        throw new IllegalStateException(
-          s"index compact: cannot commit $staged as delta=base@$maxId")
+        .mode("overwrite").save(s"$root/${DeltaLayout.Staging}")
+      DeltaLayout.commitFold(spark, root, maxId)
     }
-    // GC: every base older than the newest generation and every batch
-    // slice it folded — including garbage a crashed earlier pass left.
-    val newestGen = fs.listStatus(new Path(root)).filter(_.isDirectory)
-      .flatMap(s => baseGen(s.getPath.getName)).reduceOption(_ max _)
-    newestGen.foreach { gen =>
-      fs.listStatus(new Path(root)).filter(_.isDirectory).foreach { s =>
-        val n = s.getPath.getName
-        val stale = baseGen(n).exists(_ < gen) || batchId(n).exists(_ <= gen)
-        if (stale && !fs.delete(s.getPath, true))
-          throw new IllegalStateException(
-            s"index compact: cannot remove folded slice ${s.getPath}")
-      }
-    }
+    DeltaLayout.gcStale(spark, root)
   }
 }

@@ -46,6 +46,14 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(counts(f) == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("a repeated step type needs two distinct events (the DP reads strictly-prior state)") {
+    val f = EventAnalytics.funnel(ev(
+      (1L, 0L, 1L, "view"),                          // one view: depth 1 only
+      (2L, 0L, 2L, "view"), (3L, 30L, 2L, "view")),  // two views: depth 2
+      Seq("view", "view"), windowMicros = 60L)
+    assert(counts(f) == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("retention: cohort by first week, offsets count active users") {
     val week0 = 1704067200000000L // 2024-01-01 (Monday) in micros
     val day = 86400000000L

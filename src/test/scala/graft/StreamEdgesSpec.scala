@@ -50,12 +50,37 @@ class StreamEdgesSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(fresh == batchRank, "fresh rank must equal the batch rank bit-exactly")
 
-    // compaction folds the slices without changing the merged edges
+    // compaction folds the slices without changing the merged edges,
+    // committing atomically as the next base generation
     StreamEdges.compact(spark, root)
     assert(edgeSet(StreamEdges.mergedEdges(spark, root)) == batchEdges)
     val dirs = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("delta="))
       .map(_.getName).toSeq
-    assert(dirs == Seq("delta=base"))
+    assert(dirs.length == 1 && dirs.head.startsWith("delta=base@"))
+  }
+
+  test("a null item is a chain breaker (as batch lag), not a crash or an invented edge") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamedges-null").toString
+    val root = s"$base/edges"
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamEdges.start(
+      input.toDF().toDF("event_id", "ts", "user_id", "props"),
+      root, checkpoint = s"$base/ckpt")
+    try {
+      // 1 -> (malformed) -> 2: the malformed visit must BREAK the chain
+      input.addData(
+        (1L, t(0L), 9L, """{"k": 1}"""),
+        (2L, t(1000L), 9L, """not-json"""),
+        (3L, t(2000L), 9L, """{"k": 2}"""))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream wedged: ${q.exception}")
+    } finally q.stop()
+    // the slice set has no committed data rows at all — the explicit
+    // probe schema reads it as empty where inference would throw
+    val got = StreamEdges.mergedEdges(spark, root).collect()
+    assert(got.isEmpty, s"no edge may cross the malformed visit, got ${got.toSeq}")
   }
 }

@@ -45,6 +45,26 @@ class StreamFunnelSpec extends AnyFunSuite with SparkTestBase {
     assert(live.exists { case (s, _, n) => s == 1L && n > 0 })
   }
 
+  test("repeated step type: one event cannot complete two steps (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamfunnel3").toString
+    val root = s"$base/depths"
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamFunnel.start(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      Seq("view", "view"), windowMicros = 60000000L, root, s"$base/ckpt")
+    try {
+      input.addData((1L, t(0L), 1L, "view")) // one view: depth 1 only
+      input.addData((2L, t(0L), 2L, "view"), (3L, t(30000000L), 2L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = StreamFunnel.counts(spark, root, Seq("view", "view"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L),
+      "a single event must not complete two consecutive repeated steps")
+  }
+
   test("hand case: view in batch 1 converts on a click in batch 2") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-streamfunnel2").toString

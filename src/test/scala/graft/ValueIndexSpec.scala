@@ -97,6 +97,23 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
       val n = userQuery.groupBy(col("q")).count().collect()
       assert(n.map(_.getLong(1)).sum == expected.length)
 
+      // a directly-built lookup() must NOT be re-spliced into a nested
+      // double probe now that its base store is registered: its pushed
+      // value filter lands on a graft.noRewrite-marked scan
+      val direct = ValueIndex.lookup(spark, s"$base/index", s"$base/base",
+        "BUILDING".getBytes("UTF-8"))
+      // exactly the probe's own join — a re-spliced nested probe would
+      // add a second Join and a second base-store scan
+      val directOpt = direct.queryExecution.optimizedPlan.toString
+      val joins = "Join ".r.findAllIn(directOpt).length
+      assert(joins == 1, s"expected exactly one join, got $joins in:\n$directOpt")
+      val basePlan = direct.queryExecution.executedPlan.toString
+      val baseScans = s"CellStoreScan path=$base/base".r
+        .findAllIn(basePlan).length
+      assert(baseScans == 1,
+        s"expected exactly one base scan, got $baseScans in:\n$basePlan")
+      assert(direct.count() == expected.length)
+
       // conjunction: extra predicates stay applied on top of the probe
       val conj = spark.read.format("cellstore").load(s"$base/base")
         .filter(col("value") === lit("BUILDING".getBytes("UTF-8")) &&
