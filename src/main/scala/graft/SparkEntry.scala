@@ -1925,9 +1925,11 @@ object SparkEntry {
         val dot = (0 until k).map(j =>
           s"${ridged(i, j)} * CAST(${m.betaMicro(j)} AS HUGEINT)").mkString(" + ")
         val rowsum = (0 until k).map(j => ridged(i, j)).mkString(" + ")
-        s"""SELECT CAST($i AS BIGINT) AS i, ${aCell(i, i)} AS a_diag, b_$i AS b,
+        s"""SELECT CAST($i AS BIGINT) AS i,
+                   CAST(CAST(${aCell(i, i)} AS HUGEINT) AS VARCHAR) AS a_diag,
+                   CAST(CAST(b_$i AS HUGEINT) AS VARCHAR) AS b,
                    CAST(${m.betaMicro(i)} AS BIGINT) AS beta_micro,
-                   CAST($dot - 1000000 * CAST(b_$i AS HUGEINT) AS DECIMAL(38,0)) AS resid,
+                   CAST($dot - 1000000 * CAST(b_$i AS HUGEINT) AS VARCHAR) AS resid,
                    ($dot - 1000000 * CAST(b_$i AS HUGEINT)) <= 0
                      AND ($dot - 1000000 * CAST(b_$i AS HUGEINT)) + ($rowsum) > 0 AS ok
             FROM m"""

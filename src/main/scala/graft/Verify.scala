@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -10,9 +10,18 @@ object Verify {
     * values in pandas before hashing; MAP/ARRAY/STRUCT cells are
     * unhashable there (round 9's one red row, q_wide_row). Every
     * DECLARED query output column must therefore be atomic — enforced
-    * here at dump time and by OperatorSpec at test time. */
+    * here at dump time and by OperatorSpec at test time.
+    *
+    * DECIMAL wider than 18 digits is rejected too (round 11's one red
+    * row, q_ridge_fit): the driver reads the Spark parquet exactly
+    * (python Decimal) but pulls the DuckDB oracle through pandas where
+    * wide decimals become float64 and stringify scientifically past 9
+    * significant digits — the two paths canonicalize differently the
+    * moment a value outgrows the float window. Wide exact integers
+    * must ship as digit STRINGS on both sides. */
   def isOracleSortable(dt: DataType): Boolean = dt match {
     case _: MapType | _: ArrayType | _: StructType => false
+    case d: DecimalType => d.precision <= 18
     case _ => true
   }
   def main(args: Array[String]): Unit = {

@@ -25,8 +25,11 @@ object GraphMain {
     val p = Args.parse(args, Known, Usage)
     val eventsDir = p.required("events", Usage)
     val mode = p.required("mode", Usage)
-    val iters = p.get("iters").map(_.toInt).getOrElse(5)
-    val rounds = p.get("rounds").map(_.toInt).getOrElse(3)
+    def intFlag(name: String, default: Int): Int =
+      p.get(name).map(v => scala.util.Try(v.toInt).getOrElse(
+        Args.die(s"--$name must be an integer, got '$v'", Usage))).getOrElse(default)
+    val iters = intFlag("iters", 5)
+    val rounds = intFlag("rounds", 3)
     if (iters <= 0) Args.die("--iters must be positive", Usage)
     if (rounds <= 0) Args.die("--rounds must be positive", Usage)
     val events = spark.read.parquet(eventsDir)

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
  *    consumes the key — range-partitioned writes, per-shard sorts);
  *  - algebraically invertible: doc = (key − b_e) · a_e⁻¹ mod p, so a
  *    resume-from-position needs arithmetic, not a lookup join;
- *  - p = 2³¹ − 1 keeps a_e · doc_id < 2⁶² — exact in 64-bit integers
- *    in any engine, which is what makes the order bit-reproducible.
+ *  - p = 2⁶¹ − 1 admits ids to 2.3e18, so a_e · doc_id exceeds 64 bits;
+ *    [[shuffleKey]] therefore carries the affine products in
+ *    DECIMAL(38,0) (the oracle mirrors with HUGEINT) — exact either
+ *    way, which is what makes the order bit-reproducible.
  *
  * Complements [[CorpusPipeline]]'s hash shard assignment (`md5` order
  * within static shards): this one varies per epoch and inverts.

@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
  *   r_t+1(v)  = (15 * scale) // (100 * N)
  *               + Σ_u ((((r_t(u) * 85) // 100) * w(u,v)) // W(u))
  *
- * The multiply order keeps every intermediate ≤ 0.85 · scale · max_w —
- * within Long for edge weights up to ~1.2e7 at scale 1e12 (drop the
- * scale a decade per decade of weight beyond that).
+ * The contribution product (0.85 · scale) · w outgrows Long near edge
+ * weight ~1e7 at scale 1e12, so it is carried in DECIMAL(38,0) (the
+ * [[EpochShuffle]] discipline — exact, overflow-checked, identical
+ * floor quotients on these positive operands): there is no silent-wrap
+ * cliff at any realistic weight, and per-iteration results stay
+ * bit-identical to the BIGINT oracle wherever the oracle itself can
+ * represent them.
  *
  * 100 TB shape: the event log collapses ONCE to the aggregated edge
  * table (map-side-combined groupBy — the only pass over raw events);
@@ -74,7 +78,11 @@ object LinkRank {
     for (_ <- 1 to iters) {
       val contrib = linked.join(r, linked("src") === r("node"))
         .select(col("dst"),
-          expr("(((rank * 85) div 100) * w) div wout").as("c"))
+          // (rank·85 div 100)·w div wout in DECIMAL(38,0): the product
+          // passes 2⁶³ near w ~1e7, and non-ANSI Long multiply would
+          // wrap silently where the DuckDB oracle errors instead
+          expr("CAST(CAST((CAST(rank AS DECIMAL(38,0)) * 85) div 100 AS DECIMAL(38,0))" +
+            " * CAST(w AS DECIMAL(38,0)) div wout AS BIGINT)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("c"))
       r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"), (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))

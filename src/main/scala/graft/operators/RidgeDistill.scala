@@ -147,23 +147,32 @@ object RidgeDistill {
 
   /** Query-pack adapter: per-coefficient moments, residual, and the
     * quantization-bound gate — the oracle recomputes A and b from raw
-    * text and must land on identical residuals. */
+    * text and must land on identical residuals.
+    *
+    * The wide integers ship as STRINGS, not DECIMAL(38,0): the driver
+    * harness reads the Spark parquet exactly (python Decimal → plain
+    * digits) but materializes the DuckDB oracle through pandas where
+    * DECIMAL/HUGEINT become float64 and stringify in scientific
+    * notation past 9 significant digits — b is ~6e10 at sf0.01, so the
+    * round-11 DECIMAL form hash-mismatched driver-side while matching
+    * under the all-DuckDB local check. Digit strings canonicalize
+    * identically on every read path and at any corpus size. */
   def ridgeFitQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val m = fitFor(spark, sfDir)
     val rows = (0 until K).map { i =>
       Row(i.toLong,
-        new java.math.BigDecimal(m.a(i)(i).bigInteger),
-        new java.math.BigDecimal(m.b(i).bigInteger),
+        m.a(i)(i).toString,
+        m.b(i).toString,
         m.betaMicro(i),
-        new java.math.BigDecimal(m.resid(i).bigInteger),
+        m.resid(i).toString,
         m.gate(i))
     }
     val schema = StructType(Seq(
       StructField("i", LongType),
-      StructField("a_diag", DecimalType(38, 0)),
-      StructField("b", DecimalType(38, 0)),
+      StructField("a_diag", StringType),
+      StructField("b", StringType),
       StructField("beta_micro", LongType),
-      StructField("resid", DecimalType(38, 0)),
+      StructField("resid", StringType),
       StructField("ok", BooleanType)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)

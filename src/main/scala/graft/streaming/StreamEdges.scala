@@ -26,6 +26,16 @@ import graft.operators.LinkRank
  * would invent an edge across the gap, and failing on them would wedge
  * the stream on one bad record forever.
  *
+ * PARITY PRECONDITION — per-user IN-ORDER delivery across
+ * micro-batches (the CDC-replication shape the specs pin). The state
+ * keeps only the LAST visit, so an event arriving in a later batch
+ * with an earlier timestamp cannot be spliced into already-emitted
+ * transitions; batch equality holds when each user's events are
+ * batch-monotone (in-batch disorder is sorted away here). The fold
+ * DETECTS cross-batch regressions against the state's high-water
+ * timestamp and drops them deterministically — the watermark-style
+ * late-data discipline — rather than emitting a time-reversed edge.
+ *
  * Slices land per batch as `root/delta=b<batchId>` partial edge counts
  * (the [[DeltaLayout]] discipline: a replay overwrites its own slice,
  * and the engine restores the state checkpoint of batch N−1 before
@@ -47,7 +57,9 @@ import graft.operators.LinkRank
 object StreamEdges {
 
   final case class Visit(userId: Long, tsMicros: Long, eventId: Long, k: Option[Long])
-  final case class LastVisit(k: Option[Long])
+  /** `tsMicros` is the per-user high-water timestamp — the cross-batch
+    * regression detector (see object doc). */
+  final case class LastVisit(k: Option[Long], tsMicros: Long)
   final case class Transition(src: Long, dst: Long)
 
   private val EdgeSchema = StructType(Seq(
@@ -68,13 +80,15 @@ object StreamEdges {
       .flatMapGroupsWithState[LastVisit, Transition](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[LastVisit]) =>
-          val ordered = rows.toSeq.sortBy(v => (v.tsMicros, v.eventId))
           var prev = state.getOption
+          val floor = prev.map(_.tsMicros).getOrElse(Long.MinValue)
+          val ordered = rows.toSeq.sortBy(v => (v.tsMicros, v.eventId))
+            .filter(_.tsMicros >= floor) // cross-batch regression: drop, never reverse time
           val out = Seq.newBuilder[Transition]
           ordered.foreach { v =>
             for (p <- prev; pk <- p.k; vk <- v.k; if pk != vk)
               out += Transition(pk, vk)
-            prev = Some(LastVisit(v.k)) // null k breaks the chain, as lag() does
+            prev = Some(LastVisit(v.k, v.tsMicros)) // null k breaks the chain, as lag() does
           }
           prev.foreach(state.update)
           out.result().iterator

@@ -20,6 +20,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * [[counts]] reads the per-user MAX depth across slices (depth is
  * monotone, so merging is associative) into the step table.
  *
+ * PARITY PRECONDITION — per-user IN-ORDER delivery across
+ * micro-batches (the CDC-replication shape the specs pin). The state
+ * keeps only max reachable times, so an event arriving in a LATER
+ * batch with an EARLIER timestamp cannot be replayed into the ordered
+ * DP; batch equality holds when each user's events are batch-monotone
+ * (events within one batch are sorted here, so only cross-batch
+ * regressions matter). Rather than silently folding such an event into
+ * the wrong state, the fold DETECTS it against the per-user high-water
+ * timestamp and drops it deterministically — the late-data discipline
+ * watermarked aggregations apply — so a disordered source degrades to
+ * documented late-event drops, never to silently corrupt depths.
+ *
  * 100 TB shape: per batch, work is batch-sized plus one state row per
  * active user; the depth slices are user-domain-sized; nothing ever
  * replays event history.
@@ -27,7 +39,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamFunnel {
 
   final case class Visit(userId: Long, tsMicros: Long, eventId: Long, eventType: String)
-  final case class FunnelState(reach: Seq[Long], depth: Int)
+  /** `maxTs` is the per-user high-water timestamp of every event already
+    * folded — the cross-batch regression detector (see object doc). */
+  final case class FunnelState(reach: Seq[Long], depth: Int, maxTs: Long)
   final case class UserDepth(userId: Long, depth: Int)
 
   /** Event stream → per-user current funnel depth after each batch. */
@@ -48,10 +62,14 @@ object StreamFunnel {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (user, rows, state: GroupState[FunnelState]) =>
           val init = state.getOption
-            .getOrElse(FunnelState(Seq.fill(k)(-1L), 0))
+            .getOrElse(FunnelState(Seq.fill(k)(-1L), 0, Long.MinValue))
           val reach = init.reach.toArray
           var depth = init.depth
-          rows.toSeq.sortBy(v => (v.tsMicros, v.eventId)).foreach { v =>
+          var maxTs = init.maxTs
+          rows.toSeq.sortBy(v => (v.tsMicros, v.eventId))
+            .filter(v => v.tsMicros >= init.maxTs) // cross-batch regression: drop, never corrupt
+            .foreach { v =>
+            maxTs = math.max(maxTs, v.tsMicros)
             // every step index this event's type occupies, decided
             // against the PRE-event state (the batch DP's strict
             // 1-PRECEDING frame: one event must not complete two
@@ -69,7 +87,7 @@ object StreamFunnel {
               depth = math.max(depth, j + 1)
             }
           }
-          state.update(FunnelState(reach.toSeq, depth))
+          state.update(FunnelState(reach.toSeq, depth, maxTs))
           Iterator.single(UserDepth(user, depth))
       }
   }
@@ -88,9 +106,24 @@ object StreamFunnel {
       }
       .start()
 
-  /** The live step table: per-user max depth across slices → counts. */
+  private val DepthSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("userId",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("depth",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** The live step table: per-user max depth across slices → counts.
+    * Slices list via [[DeltaLayout.liveDirs]] and read with an explicit
+    * schema (the [[StreamEdges.mergedEdges]] hardening): a run whose
+    * batches all emitted zero rows leaves data-file-less slices where
+    * schema inference throws — here that is simply zero users. */
   def counts(spark: SparkSession, root: String, steps: Seq[String]): DataFrame = {
-    val depth = spark.read.parquet(root)
+    val dirs = DeltaLayout.liveDirs(spark, root)
+    val depthRows =
+      if (dirs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DepthSchema)
+      else spark.read.schema(DepthSchema).parquet(dirs: _*)
+    val depth = depthRows
       .groupBy("userId").agg(max(col("depth")).as("depth"))
     val aggs = steps.indices.map(i =>
       count(when(col("depth") >= i + 1, 1)).as(s"n${i + 1}"))
