@@ -1737,6 +1737,14 @@ object SparkEntry {
             CASE WHEN n_bytes = 0 THEN 'IllegalArgumentException: empty payload' END AS error
           FROM d"""
 
+  /** Plane count the single-table ANN tiers used this session —
+    * corpus-sized via [[operators.Similarity.scaledPlanes]], cached by the
+    * query run (Verify runs queries before collecting oracleSql). The
+    * fallback only matters for oracle text generated without a prior query
+    * run, which the Verify contract never does. */
+  private def annOracleP: Int =
+    operators.Similarity.cachedAnnPlanes.getOrElse(8)
+
   /** DuckDB equivalents for every SQL-expressible query above.
     *
     * The extra `zz_probe_duckdb_version` entry is NOT a query: it is a
@@ -3475,11 +3483,12 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 10""",
-    // ANN LSH: identical hyperplane buckets (generated from the same seed),
-    // then exact cosine top-20 within the query's bucket.
+    // ANN LSH: identical hyperplane buckets (corpus-sized plane count from
+    // the query run — the cachedModel contract — same seed), then exact
+    // cosine top-20 within the query's bucket.
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", 8, 42L)} AS bucket FROM e),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", annOracleP, 42L)} AS bucket FROM e),
            q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM bkt WHERE vec_id < 5),
            scored AS (
              SELECT q.query_id, c.vec_id, ${cosineSql("c.ev", "q.qv")} AS cosine
@@ -3488,18 +3497,19 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 20""",
-    // ANN multi-probe: base bucket + single-bit flips of the 3 smallest
-    // |margin| planes (ties by plane index, both engines), exact cosine
-    // top-20 within the probed buckets — probe mechanics replicated in SQL.
+    // ANN multi-probe: base bucket + single-bit flips of the (probes−1)
+    // smallest |margin| planes (ties by plane index, both engines), exact
+    // cosine top-20 within the probed buckets — probe mechanics replicated
+    // in SQL over the same corpus-sized plane count.
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", 8, 42L)} AS bucket FROM e),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", annOracleP, 42L)} AS bucket FROM e),
            qd AS (SELECT vec_id AS query_id, ev AS qv, bucket AS base,
-                         ${operators.Similarity.dotsSql("ev", 8, 42L)} AS ds
+                         ${operators.Similarity.dotsSql("ev", annOracleP, 42L)} AS ds
                   FROM bkt WHERE vec_id < 5),
            fl AS (SELECT query_id, qv, base,
                     list_transform(list_slice(list_sort(
-                      list_transform(range(8), i -> {'m': abs(ds[i+1]), 'i': i})), 1, 3),
+                      list_transform(range($annOracleP), i -> {'m': abs(ds[i+1]), 'i': i})), 1, ${operators.Similarity.scaledProbes(annOracleP) - 1}),
                       s -> s.i) AS flips
                   FROM qd),
            pb AS (SELECT query_id, qv,

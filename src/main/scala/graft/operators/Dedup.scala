@@ -459,24 +459,52 @@ object Dedup {
    * SimHash near-dup pairs: split the 64-bit fingerprint into four 16-bit
    * bands — any pair within Hamming distance 3 shares at least one exact
    * band (pigeonhole) — then verify with bit_count(xor).
+   *
+   * Same bucket-skew guard as [[minhashLsh]]: a (band, key) bucket over
+   * `maxBucket` — mass-identical documents, the shape crawled corpora
+   * actually have, collapse into the same four band keys — switches from
+   * the all-pairs self-join to STAR pairing against the bucket's min
+   * doc_id: O(size) candidates instead of O(size²). The fingerprint rides
+   * the window (one long), so star candidates Hamming-verify without a
+   * re-join; star-routed rows surface in the `simhash_skew` observe
+   * metric — the dropped-intra-cluster-edges audit.
    */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket > 1, "maxBucket must exceed 1")
     val fp = simhash(docs)
     val banded = fp.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
-      }: _*)).as("bk"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
-        col("a.bk.band") === col("b.bk.band") &&
-        col("a.bk.key") === col("b.bk.key") &&
-        col("a.doc_id") < col("b.doc_id"))
+        // single window/shuffle key: band in the high bits, 16-bit band
+        // value in the low bits
+        (shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)) +
+          lit(b.toLong << 16)).as(s"_b$b")
+      }: _*)).as("bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket")
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      // min (doc_id, simhash) carries the star center's fingerprint along,
+      // so the star path verifies from the window output alone
+      .withColumn("bmin", min(struct(col("doc_id"), col("simhash"))).over(w))
+      .observe(s"simhash_skew_${skewMetricSeq.incrementAndGet()}",
+        count(when(col("bsz") > maxBucket, 1)).as("star_routed_rows"))
+
+    val small = sized.filter(col("bsz") <= maxBucket)
+    val smallPairs = small.alias("a")
+      .join(small.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    val starPairs = sized
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("bmin.doc_id"))
+      .select(
+        col("bmin.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        expr("bit_count(bmin.simhash ^ simhash)").as("hamming"))
+
+    smallPairs.unionByName(starPairs)
       .filter(col("hamming") <= maxHamming)
       .groupBy("doc_a", "doc_b")
       .agg(min(col("hamming")).as("hamming"))

