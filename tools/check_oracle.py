@@ -9,6 +9,7 @@ fixture tables, and compares: column names, row count, and value-sorted
 content. Exits non-zero on any mismatch.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -41,7 +42,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # scaled fixtures (tools.ScaleUp) write Spark-style DIRECTORIES
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
