@@ -1054,6 +1054,7 @@ object SparkEntry {
     "q_join_estimate"  -> (TableStats.joinEstimateQuery _),
     "q_purge_audit"    -> (Governance.purgeAuditQuery _),
     "q_export_audit"   -> (DatasetExport.exportAuditQuery _),
+    "q_corpus_export_e2e" -> (DatasetExport.corpusExportE2eQuery _),
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
     "q_bpe_encode"     -> (BpeTrainer.bpeEncodeQuery _),
@@ -3890,6 +3891,54 @@ object SparkEntry {
                        WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.8)
           SELECT fd.doc_id, fd.lang, fd.source, fd.quality
           FROM fd ANTI JOIN dropped USING (doc_id)""",
+    // Training-data export capstone: the q_clean_corpus chain, then the
+    // q_epoch_shuffle affine key (epoch 0, HUGEINT-exact), the
+    // q_export_audit md5 shard bucket, and the q_pack_sequences next-fit
+    // walk re-ordered by (shuffle_key, doc_id) within each shard — every
+    // stage the already-verified oracle piece; manifest_ok is the engine's
+    // file-level digest audit, asserted TRUE (the bound-boolean pattern).
+    "q_corpus_export_e2e" -> {
+      val (a, b) = EpochShuffle.epochParams(20260815L, 0)
+      s"""WITH RECURSIVE ql AS (SELECT doc_id, $QualitySql AS quality FROM documents),
+           f AS (SELECT d.doc_id, d.text, d.lang, d.source, ql.quality
+                 FROM documents d JOIN ql USING (doc_id)
+                 WHERE ql.quality >= 0.5 AND d.lang IN ('en','es','de','fr','zh')),
+           keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+           fd AS (SELECT f.* FROM f JOIN keep USING (doc_id)),
+           shg AS (SELECT doc_id, $ShingleSql AS shs FROM fd),
+           pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                       len(list_intersect(a.shs, b.shs)) AS inter,
+                       len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS uni
+                     FROM shg a JOIN shg b ON a.doc_id < b.doc_id),
+           dropped AS (SELECT DISTINCT db AS doc_id FROM pairs
+                       WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.8),
+           cl AS (SELECT fd.* FROM fd ANTI JOIN dropped USING (doc_id)),
+           keyed AS (SELECT doc_id, text,
+                       CAST((CAST(doc_id AS HUGEINT) * $a + $b) % ${EpochShuffle.P} AS BIGINT) AS skey,
+                       md5(concat(CAST(doc_id AS VARCHAR), 'graft-shard')) AS m
+                     FROM cl),
+           sharded AS (SELECT doc_id, text, skey, ${md5BucketSql("m", 8L)} AS shard FROM keyed),
+           -- MATERIALIZED: the recursive walk joins d once per step; inlined,
+           -- DuckDB would re-run the quadratic clean chain every iteration
+           d AS MATERIALIZED (SELECT shard, doc_id,
+                   CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS rn
+                 FROM sharded),
+           walk AS (
+             SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS used
+             FROM d WHERE rn = 1
+             UNION ALL
+             SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+                    CASE WHEN w.used + d.n_tokens <= 256 THEN w.bin ELSE w.bin + 1 END,
+                    CASE WHEN w.used + d.n_tokens <= 256 THEN w.used + d.n_tokens ELSE d.n_tokens END
+             FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)
+          SELECT CAST(shard AS BIGINT) AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(bin) + 1 AS BIGINT) AS n_seqs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 TRUE AS manifest_ok
+          FROM walk GROUP BY shard"""
+    },
     // End-to-end pipeline: the q_clean_corpus chain over the train slice,
     // then the q_decontam gram gate as an anti-join, then the
     // q_split_assign bucket — each stage the already-verified oracle piece.

@@ -24,6 +24,35 @@ object Verify {
     case d: DecimalType => d.precision <= 18
     case _ => true
   }
+
+  /** DECIMAL(16..18) passes the TYPE guard but float64 is only exact to
+    * 2^53: a 16–18-digit VALUE would still canonicalize differently on
+    * the pandas/float64 oracle path. This value-level guard closes that
+    * window precisely (a blanket precision≤15 would outlaw the repo's
+    * standard DECIMAL(18,4) money sums, whose headroom exists exactly so
+    * sf1+ sums cannot ANSI-overflow): any wide-decimal column whose max
+    * |value|·10^scale reaches 2^53 fails the dump, not the driver. */
+  private val Float64ExactUnits = new java.math.BigDecimal(1L << 53)
+  def assertDecimalsInFloatWindow(df: org.apache.spark.sql.DataFrame): Unit = {
+    val wide = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] &&
+        f.dataType.asInstanceOf[DecimalType].precision > 15 => f.name
+    }
+    if (wide.nonEmpty) {
+      import org.apache.spark.sql.functions.{abs, max, col}
+      val maxes = df.agg(max(abs(col(wide.head))),
+        wide.tail.map(c => max(abs(col(c)))): _*).head()
+      wide.zipWithIndex.foreach { case (name, i) =>
+        val m = maxes.getDecimal(i)
+        if (m != null &&
+            m.movePointRight(m.scale).compareTo(Float64ExactUnits) >= 0)
+          throw new IllegalStateException(
+            s"column $name: |$m| exceeds the float64-exact window — " +
+              "the pandas oracle path would canonicalize it differently; " +
+              "ship digit strings or BIGINT instead")
+      }
+    }
+  }
   def main(args: Array[String]): Unit = {
     // D1-style arg validation (reference CopyRow.java:45-98): usage + exit(1)
     if (args.length < 2 || args.length > 3) {
@@ -53,6 +82,7 @@ object Verify {
             throw new IllegalStateException(
               s"non-atomic output columns (oracle cannot canonicalize): " +
                 complex.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+          assertDecimalsInFloatWindow(df)
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

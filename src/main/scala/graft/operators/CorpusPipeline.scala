@@ -325,16 +325,24 @@ object CorpusPipeline {
    * `repartition` are neither rerun- nor topology-stable). One window
    * shuffle keyed by shard.
    */
+  /** The deterministic shard bucket as a plain column — first 24 bits of
+    * `md5(doc_id‖salt)` mod `numShards` — so pipelines attach it with a
+    * narrow projection (the [[splitColumn]] discipline). */
+  def shardColumn(numShards: Int, salt: String = "graft-shard"): org.apache.spark.sql.Column = {
+    require(numShards > 0)
+    pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
+        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
+      lit(numShards.toLong))
+  }
+
   def shardCorpus(
       docs: DataFrame,
       numShards: Int,
       salt: String = "graft-shard"): DataFrame = {
     require(numShards > 0)
     import org.apache.spark.sql.expressions.Window
-    val shard = pmod(
-      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))
-        .cast("binary")), 1, 6), 16, 10).cast("bigint"),
-      lit(numShards.toLong))
+    val shard = shardColumn(numShards, salt)
     val orderKey = md5(concat(col("doc_id").cast("string"), lit(salt), lit("#pos"))
       .cast("binary"))
     docs.select(col("doc_id"), shard.as("shard"), orderKey.as("_ok"))
@@ -440,6 +448,26 @@ object CorpusPipeline {
    * bounds both the collected array and the packing fragmentation: at most
    * one under-filled trailing bin per `grpSize` docs.
    */
+  /** The greedy next-fit fold over a pre-sorted `ds` struct array — each
+    * element needs `doc_id` and `n_tokens` fields (extra leading sort
+    * fields ride along untouched). Shared by the fixed-group and the
+    * caller-ordered packers so the walk cannot drift between them. */
+  private def packFoldSql(budget: Long): String =
+    s"""aggregate(
+          ds,
+          named_struct(
+            'bin', CAST(-1 AS BIGINT), 'used', CAST($budget AS BIGINT),
+            'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n_tokens: BIGINT, bin: BIGINT>>)),
+          (acc, d) ->
+            IF(acc.used + d.n_tokens <= $budget,
+               named_struct('bin', acc.bin, 'used', acc.used + d.n_tokens,
+                 'out', array_append(acc.out,
+                   named_struct('doc_id', d.doc_id, 'n_tokens', d.n_tokens, 'bin', acc.bin))),
+               named_struct('bin', acc.bin + CAST(1 AS BIGINT), 'used', d.n_tokens,
+                 'out', array_append(acc.out,
+                   named_struct('doc_id', d.doc_id, 'n_tokens', d.n_tokens, 'bin', acc.bin + CAST(1 AS BIGINT))))),
+          acc -> acc.out)"""
+
   def packSequences(docs: DataFrame, budget: Long, grpSize: Long = 100L): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
@@ -447,21 +475,28 @@ object CorpusPipeline {
       size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
     toks.groupBy("grp")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
-      .select(col("grp"), explode(expr(
-        s"""aggregate(
-              ds,
-              named_struct(
-                'bin', CAST(-1 AS BIGINT), 'used', CAST($budget AS BIGINT),
-                'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n_tokens: BIGINT, bin: BIGINT>>)),
-              (acc, d) ->
-                IF(acc.used + d.n_tokens <= $budget,
-                   named_struct('bin', acc.bin, 'used', acc.used + d.n_tokens,
-                     'out', array_append(acc.out,
-                       named_struct('doc_id', d.doc_id, 'n_tokens', d.n_tokens, 'bin', acc.bin))),
-                   named_struct('bin', acc.bin + CAST(1 AS BIGINT), 'used', d.n_tokens,
-                     'out', array_append(acc.out,
-                       named_struct('doc_id', d.doc_id, 'n_tokens', d.n_tokens, 'bin', acc.bin + CAST(1 AS BIGINT))))),
-              acc -> acc.out)""")).as("p"))
+      .select(col("grp"), explode(expr(packFoldSql(budget))).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("grp"),
+        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+  }
+
+  /** [[packSequences]] with caller-chosen group and in-group order — the
+    * shape a training job actually packs in: group = shard, order = the
+    * epoch shuffle key, so sequence composition follows the epoch
+    * permutation instead of raw id order. Same one-shuffle plan: the
+    * struct array sorts by (ord, doc_id) lexicographically, then the
+    * shared next-fit fold walks it. */
+  def packSequencesOrdered(docs: DataFrame,
+      grp: org.apache.spark.sql.Column, ord: org.apache.spark.sql.Column,
+      budget: Long): DataFrame = {
+    val toks = docs.select(
+      grp.cast("bigint").as("grp"), ord.cast("bigint").as("ord"),
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    toks.groupBy("grp")
+      .agg(sort_array(collect_list(
+        struct(col("ord"), col("doc_id"), col("n_tokens")))).as("ds"))
+      .select(col("grp"), explode(expr(packFoldSql(budget))).as("p"))
       .select(col("p.doc_id").as("doc_id"), col("grp"),
         col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
   }

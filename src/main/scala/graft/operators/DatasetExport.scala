@@ -136,4 +136,57 @@ object DatasetExport {
 
   private val exportOnce =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /**
+   * The training-data export CAPSTONE — the already-verified pieces
+   * composed exactly the way a real training-data job runs them:
+   *
+   *   clean ([[CorpusPipeline.clean]]: quality gate → lang allowlist →
+   *   exact dedup → near-dup drop) → epoch-0 reshuffle
+   *   ([[EpochShuffle.shuffleKey]], seed 20260815) → deterministic
+   *   md5 shards → greedy next-fit packing in shuffle-key order
+   *   ([[CorpusPipeline.packSequencesOrdered]], 256-token budget) →
+   *   sharded file export with a verified integrity manifest
+   *   ([[exportShards]]/[[verifyExport]]).
+   *
+   * Emits one row per shard: docs, packed sequences, tokens, and
+   * `manifest_ok` = the engine's file-level audit (xor-digest re-read
+   * match AND export/pack doc counts agreeing). The oracle replays
+   * clean + key + shard + pack relationally and asserts the same
+   * booleans — so a regression anywhere in the chain (a stage reordered,
+   * a shard misassigned, a bin split drifting) flips a driver hash
+   * mismatch, not just a spec inequality.
+   *
+   * 100 TB shape: no stage adds a shuffle beyond its own contract —
+   * clean's window/band shuffles, ONE groupBy(shard) for packing (the
+   * shuffle the sharded write needs anyway), metadata-sized audit join;
+   * the reshuffle key and shard bucket are narrow projections
+   * (plan-shape spec pins the exchange count).
+   */
+  def corpusExportE2eQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cleaned = CorpusPipeline.clean(docs)
+    val (a, b) = EpochShuffle.epochParams(20260815L, 0)
+    val keyed = cleaned
+      .withColumn("_skey", EpochShuffle.shuffleKey(col("doc_id"), a, b))
+      .withColumn("_shard", CorpusPipeline.shardColumn(8))
+    val packed = CorpusPipeline.packSequencesOrdered(
+      keyed, col("_shard"), col("_skey"), budget = 256L)
+    val packStats = packed.groupBy(col("grp").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin")) + 1L).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
+    val out = graft.WorkDirs.dir(
+      s"export_e2e_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    exportOnce.computeIfAbsent(out, { _ =>
+      exportShards(cleaned.select("doc_id", "text"), out, 8)
+      java.lang.Boolean.TRUE
+    })
+    val audit = verifyExport(spark, out).select(
+      col("shard"), col("n_docs").as("x_docs"), col("manifest_ok").as("x_ok"))
+    packStats.join(audit, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_seqs"), col("n_tokens"),
+        (col("x_ok") && col("n_docs") === col("x_docs")).as("manifest_ok"))
+  }
 }

@@ -32,6 +32,26 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("wide-decimal value guard: float64-exact values pass, wider ones are rejected") {
+    import spark.implicits._
+    // DECIMAL(18,4) whose units fit 2^53 — the repo-standard money sum shape
+    val ok = Seq("123456789.0123", "-900719925474.0000").toDF("v")
+      .select(col("v").cast("decimal(18,4)").as("v"))
+    Verify.assertDecimalsInFloatWindow(ok) // must not throw
+    // 2^53 units = 900719925474.0993; one step past it must be rejected
+    val bad = Seq("900719925474.0993").toDF("v")
+      .select(col("v").cast("decimal(18,4)").as("v"))
+    val e = intercept[IllegalStateException](Verify.assertDecimalsInFloatWindow(bad))
+    assert(e.getMessage.contains("float64-exact window"))
+    // declared queries must all sit inside the window at sf0.001
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try Verify.assertDecimalsInFloatWindow(fn(spark, sf001))
+      catch { case e: IllegalStateException =>
+        fail(s"$name: ${e.getMessage}")
+      }
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     // zz_probe_* entries are deliberate oracle-side diagnostics (e.g. the
     // DuckDB version/cast-rule probe): SQL the driver MAY run, with no

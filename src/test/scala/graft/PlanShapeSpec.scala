@@ -119,6 +119,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("corpus export capstone: epoch key + shard are narrow, packing adds ONE exchange over clean") {
+    import graft.operators.{CorpusPipeline, DatasetExport, EpochShuffle}
+    def exchanges(df: DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(executedPlan(df)).length
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val cleaned = CorpusPipeline.clean(docs)
+    val (a, b) = EpochShuffle.epochParams(20260815L, 0)
+    val keyed = cleaned
+      .withColumn("_skey", EpochShuffle.shuffleKey(col("doc_id"), a, b))
+      .withColumn("_shard", CorpusPipeline.shardColumn(8))
+    val packed = CorpusPipeline.packSequencesOrdered(
+      keyed, col("_shard"), col("_skey"), budget = 256L)
+    val (exClean, exPacked) = (exchanges(cleaned), exchanges(packed))
+    // the reshuffle key and shard bucket are projections; packing rides one
+    // groupBy(shard) — the only exchange the stage may add
+    assert(exPacked == exClean + 1,
+      s"packing added ${exPacked - exClean} exchanges over clean (want 1)")
+    // the full capstone: per-shard stats reuse the pack partitioning (no
+    // extra exchange) and the manifest audit is metadata-sized (2 shard
+    // aggregations over the exported files + the audit join)
+    val full = exchanges(DatasetExport.corpusExportE2eQuery(spark, sf001))
+    assert(full <= exPacked + 4,
+      s"capstone plan grew to $full exchanges (packed side has $exPacked)")
+  }
+
   test("matryoshka ANN: one shuffle total — the rerank window reuses the first pass's partitioning") {
     val plan = executedPlan(graft.operators.Similarity.mrlQuery(spark, sf001))
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
