@@ -58,6 +58,8 @@ object Bench {
     // one query, so min-of-n actually excises it (driver round 9 recorded
     // both passes of q_line_dedup at 23-25 s on a host stall vs 0.85 s
     // measured idle — back-to-back passes gave min-of-n nothing to cut)
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val passTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     (1 to runs).foreach { _ =>
@@ -111,7 +113,29 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"n_warmup_failed":${warmupFailed.size},"warmup_failed":$warmJson,"sf":"$sfDir"}""")
+    // host-contention self-report (round 12's artifact carried a uniform
+    // ~1.17× drift vs round 11 with no code cause): median/p90 of each
+    // query's max/min pass ratio plus the 1-minute loadavg around the
+    // timed region. An idle, trustworthy sweep reads median≈1, p90≲1.5,
+    // loadavg≈0; queries whose passes disagreed >1.5× are listed so a
+    // reader knows exactly which timings to re-measure. Full per-query
+    // ratios stay in the sidecar (the stdout line must fit the driver's
+    // tail-capture buffer — overflow = unparsed round).
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val ratios = timed.collect {
+      case (k, ts) if ts.nonEmpty && ts.min > 0 => k -> ts.max / ts.min
+    }
+    val sortedR = ratios.map(_._2).sorted
+    def pct(p: Double): Double =
+      if (sortedR.isEmpty) 1.0 else sortedR(((sortedR.size - 1) * p).toInt)
+    val noisy = ratios.filter(_._2 > 1.5).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val contention =
+      s"""{"median_pass_ratio":${f(pct(0.5))},"p90_pass_ratio":${f(pct(0.9))},""" +
+      s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},""" +
+      s""""n_ratio_gt1_5":${ratios.count(_._2 > 1.5)},"noisiest":$noisy}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"n_warmup_failed":${warmupFailed.size},"warmup_failed":$warmJson,"contention":$contention,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

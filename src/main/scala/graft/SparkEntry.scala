@@ -394,6 +394,12 @@ object SparkEntry {
     InvertedIndex.search(spark, invIndexDir(spark, sfDir),
       Seq("merge", "sort", "window"), k = 20)
 
+  /** Wildcard (`s*`) search through the index's LEXICON family: the
+    * prefix resolves to its term set via one pushed rowKey range scan,
+    * then ranks with the same tf·idf probe as [[keywordSearchQuery]]. */
+  private def prefixSearchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.prefixSearch(spark, invIndexDir(spark, sfDir), "s", k = 20)
+
   /** BM25 through the same index store: length-normalized Okapi ranking
     * (rational idf), same probe, same terms — compares directly with the
     * plain tf·idf ranking of [[keywordSearchQuery]]. */
@@ -975,6 +981,7 @@ object SparkEntry {
     "q_strat_sample"   -> (CorpusPipeline.stratSampleQuery _),
     "q_quality_classifier" -> (TextAnalysis.qualityClassifierQuery _),
     "q_keyword_search" -> (keywordSearchQuery _),
+    "q_prefix_search"  -> (prefixSearchQuery _),
     "q_bm25_search"    -> (bm25SearchQuery _),
     "q_search_ndcg"    -> (RankMetrics.searchNdcgQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
@@ -3308,6 +3315,27 @@ object SparkEntry {
                                      AS BIGINT)) AS BIGINT) AS score
                 FROM p JOIN d USING (term) CROSS JOIN n
                 WHERE p.term IN ('merge', 'sort', 'window')
+                GROUP BY 1),
+          r AS (SELECT doc_id, score,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                            AS BIGINT) AS rank
+                FROM s)
+          SELECT doc_id, score, rank FROM r WHERE rank <= 20""",
+    // Prefix search: the q_keyword_search arithmetic with the term set
+    // resolved by prefix (LIKE 's%' ≙ the engine's lexicon range scan).
+    "q_prefix_search" ->
+      """WITH p AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+                          FROM documents)
+                    GROUP BY 1, 2),
+          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          s AS (SELECT p.doc_id,
+                       CAST(sum(CAST(floor((CAST(p.tf AS DOUBLE) * ((n.n + 1.0) / (d.df + 1)))
+                                           * 1000000.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS score
+                FROM p JOIN d USING (term) CROSS JOIN n
+                WHERE p.term LIKE 's%'
                 GROUP BY 1),
           r AS (SELECT doc_id, score,
                        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)

@@ -164,7 +164,21 @@ object InvertedIndex {
       lit("Put").as("cellType"),
       concat_ws(",", transform(col("positions"), _.cast("string")))
         .cast("binary").as("value"))
+    // lexicon layer: the term DICTIONARY keyed by the raw term bytes (not
+    // the hash), so prefix/wildcard queries resolve matching terms with
+    // ONE pushed rowKey RANGE scan — the sorted term dictionary real
+    // search engines keep next to their hashed postings. Presence-only
+    // (value is a marker): purge never touches it, a stale entry costs
+    // one empty probe, never a wrong result.
+    val lexCells = docFrequencies(post).select(
+      col("term").cast("binary").as("rowKey"),
+      lit("lex").as("family"),
+      col("term").cast("binary").as("qualifier"),
+      lit(CellTable.BaseTs).as("ts"),
+      lit("Put").as("cellType"),
+      lit(Array[Byte](1)).as("value"))
     postCells.unionByName(dfCells).unionByName(posCells)
+      .unionByName(lexCells)
       .unionByName(metaCell(
         docs.select(col(idCol)).agg(count(lit(1)).as("v")), "n_docs"))
       .unionByName(metaCell(
@@ -382,6 +396,45 @@ object InvertedIndex {
     val uniq = terms.distinct
     val (post, dfs, nDocs, _) = probe(spark, dir, uniq)
     scoreTfidf(post, dfs, nDocs, k)
+  }
+
+  /** Smallest byte string strictly greater than every string with prefix
+    * `b`: increment the last non-0xFF byte, truncating behind it; None =
+    * unbounded (an all-0xFF prefix). */
+  private def prefixSuccessor(b: Array[Byte]): Option[Array[Byte]] = {
+    var i = b.length - 1
+    while (i >= 0 && b(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else { val r = b.take(i + 1); r(i) = (r(i) + 1).toByte; Some(r) }
+  }
+
+  /**
+   * Prefix (`pre*`) term search: resolve the matching terms from the
+   * LEXICON family — keyed by raw term bytes, so the prefix becomes ONE
+   * pushed rowKey RANGE on the store (`[prefix, succ(prefix))`, the
+   * dictionary scan a real engine's wildcard query does) — then rank
+   * with the standard hash-probed tf·idf sum over the resolved set.
+   * The term list collects to the driver, bounded by the prefix's
+   * lexicon width (the same bound [[search]]'s caller-supplied term
+   * list has — a one-letter prefix on a web corpus should go through
+   * [[tfidfTopTerms]]-style pruning instead).
+   */
+  def prefixSearch(spark: SparkSession, dir: String, prefix: String,
+      k: Int): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    val lo = prefix.getBytes("UTF-8")
+    val store = spark.read.format("cellstore").load(dir)
+    val ranged = prefixSuccessor(lo) match {
+      case Some(hi) => store.filter(col("rowKey") >= lit(lo) && col("rowKey") < lit(hi))
+      case None     => store.filter(col("rowKey") >= lit(lo))
+    }
+    val terms = ranged.filter(col("family") === "lex")
+      .select(col("qualifier").cast("string").as("term"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (terms.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Long, Long)].toDF("doc_id", "score", "rank")
+    } else search(spark, dir, terms, k)
   }
 
   /** The probed triple, visible to [[graft.streaming.StreamIndex]]'s

@@ -71,6 +71,26 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(probePlan.contains("cellstore"), probePlan)
   }
 
+  test("prefix search: lexicon resolves exactly the prefix's terms; ranking == explicit search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_pfx").toString
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    InvertedIndex.buildIndex(spark, docs, dir, buckets = 4)
+    // ground-truth term set straight from the corpus vocabulary
+    val want = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").startsWith("s")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(want.nonEmpty)
+    val viaPrefix = InvertedIndex.prefixSearch(spark, dir, "s", k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaTerms = InvertedIndex.search(spark, dir, want, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaPrefix == viaTerms,
+      s"prefix ranking must equal explicit-term search over $want")
+    // no-match prefix: empty result with the search schema, no throw
+    val empty = InvertedIndex.prefixSearch(spark, dir, "zzz-no-such", k = 5)
+    assert(empty.columns.toSeq == Seq("doc_id", "score", "rank") && empty.count() == 0)
+  }
+
   test("bm25: equal tf, the shorter document wins (length normalization)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_invidx_bm25").toString
     InvertedIndex.buildIndex(spark, tiny, dir, buckets = 2)
