@@ -3819,7 +3819,11 @@ object SparkEntry {
           FROM f""",
     // SimHash near-dup pairs: per-token fnv1a64, 64-lane majority vote
     // (bit b set iff 2·|set| > n), 16-bit banding, Hamming ≤ 3 — the whole
-    // fingerprint recomputed from first principles in SQL.
+    // fingerprint recomputed from first principles in SQL. All-pairs form:
+    // the fixture corpora stay far under simhashPairs' star-routing
+    // threshold (maxBucket=1024 per (band,key) bucket — the q_minhash_pairs
+    // / q_embed_neardup convention), so the unguarded join IS the whole
+    // answer here; the guard's behavior is spec-pinned in DedupSpec.
     "q_simhash_pairs" ->
       s"""WITH toks AS (
             SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),

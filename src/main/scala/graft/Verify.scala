@@ -82,8 +82,18 @@ object Verify {
             throw new IllegalStateException(
               s"non-atomic output columns (oracle cannot canonicalize): " +
                 complex.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
-          assertDecimalsInFloatWindow(df)
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          // value guard runs on the WRITTEN parquet (one small-file scan)
+          // rather than the live plan — df.agg would execute the whole
+          // query a second time. A violation deletes the dump before
+          // rethrowing so the driver cannot hash a known-bad artifact.
+          try assertDecimalsInFloatWindow(spark.read.parquet(s"$outDir/$name"))
+          catch { case e: IllegalStateException =>
+            val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            throw e
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -138,7 +138,8 @@ object InvertedIndex {
       lit("Put").as("cellType"),
       concat(CellTable.bigEndianKey(col("tf")),
         CellTable.bigEndianKey(col("dl"))).as("value"))
-    val dfCells = docFrequencies(post).select(
+    val dfs = docFrequencies(post)
+    val dfCells = dfs.select(
       termKey(col("term")).as("rowKey"),
       lit("df").as("family"),
       col("term").cast("binary").as("qualifier"),
@@ -169,8 +170,10 @@ object InvertedIndex {
     // ONE pushed rowKey RANGE scan — the sorted term dictionary real
     // search engines keep next to their hashed postings. Presence-only
     // (value is a marker): purge never touches it, a stale entry costs
-    // one empty probe, never a wrong result.
-    val lexCells = docFrequencies(post).select(
+    // one empty probe, never a wrong result. Derived from the SAME dfs
+    // aggregation as dfCells — a second docFrequencies call would plan a
+    // second full groupBy(term) shuffle over the postings.
+    val lexCells = dfs.select(
       col("term").cast("binary").as("rowKey"),
       lit("lex").as("family"),
       col("term").cast("binary").as("qualifier"),

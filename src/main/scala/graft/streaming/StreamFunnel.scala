@@ -173,7 +173,13 @@ object StreamFunnel {
             .map(v => Pending(v.tsMicros, v.eventId, v.eventType))
             .filter(p => pairOrd.gt((p.tsMicros, p.eventId), floor))
           val all = (init.pending ++ incoming).distinct
-          val (readyU, hold) = all.partition(_.tsMicros <= wmMicros)
+          // STRICTLY below the watermark: an event AT the watermark could
+          // still gain a same-timestamp, lower-event_id sibling in a later
+          // batch (Spark only drops rows strictly below the watermark), and
+          // folding it now would wrongly reject that sibling at the
+          // high-water pair filter. Held events re-drive via the event-time
+          // timeout once the watermark passes them.
+          val (readyU, hold) = all.partition(_.tsMicros < wmMicros)
           val ready = readyU.sortBy(p => (p.tsMicros, p.eventId))
           val reach = init.reach.toArray
           val depth = foldOrdered(steps, windowMicros, reach, init.depth, ready)
