@@ -1075,6 +1075,7 @@ object SparkEntry {
     "q_rep_stats"      -> (TextAnalysis.repStatsQuery _),
     "q_lm_score"       -> (TextAnalysis.lmScoreQuery _),
     "q_pack_sequences" -> (CorpusPipeline.packSequencesQuery _),
+    "q_pack_ffd"       -> (CorpusPipeline.packFfdQuery _),
     "q_salted_distinct"-> (Skew.saltedDistinctQuery _),
     "q_redact"         -> (TextAnalysis.redactQuery _),
     "q_normalize_text" -> (TextAnalysis.normalizeQuery _),
@@ -3764,6 +3765,36 @@ object SparkEntry {
                    CASE WHEN w.used + d.n_tokens <= 256 THEN w.used + d.n_tokens ELSE d.n_tokens END
             FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1)
           SELECT doc_id, grp, bin, n_tokens FROM walk""",
+    // First-fit-decreasing packing: the same per-group recursive walk,
+    // largest-first order, each item into the FIRST open bin that fits —
+    // the open-bin load vector rides the recursion as a LIST. DuckDB's
+    // list_position returns 0 (not NULL) on a miss; nullif(…, 0) is the
+    // not-found guard (a bare IS NULL check re-slices at position 0 and
+    // the loads list doubles every miss — measured exponential blowup).
+    // MATERIALIZED d: the walk joins it once per step.
+    "q_pack_ffd" -> {
+      val pos = "nullif(list_position(list_transform(w.loads, x -> x + d.n_tokens <= 256), true), 0)"
+      s"""WITH RECURSIVE d AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(doc_id // 100 AS BIGINT) AS grp,
+                   CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY (doc_id // 100)
+                     ORDER BY len(regexp_split_to_array(text, '\\s+')) DESC, doc_id ASC) AS rn
+            FROM documents),
+          walk AS (
+            SELECT grp, rn, doc_id, n_tokens,
+                   CAST(1 AS BIGINT) AS bin, [n_tokens] AS loads
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+                   coalesce(CAST($pos AS BIGINT), len(w.loads) + 1),
+                   CASE WHEN $pos IS NULL THEN list_append(w.loads, d.n_tokens)
+                        ELSE list_concat(list_concat(
+                               w.loads[1:$pos-1], [w.loads[$pos] + d.n_tokens]),
+                               w.loads[$pos+1:]) END
+            FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1)
+          SELECT doc_id, grp, bin, n_tokens FROM walk"""
+    },
     // PII scrub over planted addresses (same regex dialect both engines)
     "q_redact" ->
       s"""WITH planted AS (

@@ -506,6 +506,61 @@ object CorpusPipeline {
     packSequences(Tables.load(spark, sfDir, "documents"), budget = 256L)
 
   /**
+   * First-fit-DECREASING packing — the padding-efficiency upgrade over
+   * [[packSequences]]'s next-fit: items are walked largest-first and each
+   * goes into the FIRST open bin it fits (a new bin only when none fits).
+   * FFD is the classic bin-packing heuristic (≤ 11/9·OPT + 6/9 bins,
+   * Dósa 2007) — for sequence packing that is directly fewer padded
+   * tokens per training step. Same one-shuffle shape as [[packSequences]]:
+   * group → sorted struct array → one aggregate() fold; the open-bin
+   * load vector lives inside the fold state, bounded by the group's bin
+   * count, never materialized. Bins are 1-based in walk order.
+   *
+   * Determinism: ties sort (n_tokens desc, doc_id asc); the fold is a
+   * left fold over that total order, so reruns and repartitionings agree.
+   */
+  def packSequencesFirstFit(docs: DataFrame, budget: Long,
+      grpSize: Long = 100L): DataFrame = {
+    // first-fit position in the open-bin loads, 1-based; Spark's
+    // array_position returns 0 when no bin fits
+    // lambda var is `y`: the expression is re-spliced inside a transform
+    // whose own lambda binds `x`, and nested lambdas must not shadow
+    val pos = s"array_position(transform(acc.loads, y -> y + d.n_tokens <= CAST($budget AS BIGINT)), true)"
+    val fold =
+      s"""aggregate(
+            ds,
+            named_struct(
+              'loads', CAST(array() AS ARRAY<BIGINT>),
+              'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n_tokens: BIGINT, bin: BIGINT>>)),
+            (acc, d) ->
+              IF($pos = 0,
+                 named_struct(
+                   'loads', array_append(acc.loads, d.n_tokens),
+                   'out', array_append(acc.out, named_struct(
+                     'doc_id', d.doc_id, 'n_tokens', d.n_tokens,
+                     'bin', CAST(size(acc.loads) AS BIGINT) + 1))),
+                 named_struct(
+                   'loads', transform(acc.loads, (x, i) -> IF(CAST(i AS BIGINT) + 1 = $pos, x + d.n_tokens, x)),
+                   'out', array_append(acc.out, named_struct(
+                     'doc_id', d.doc_id, 'n_tokens', d.n_tokens, 'bin', $pos)))),
+            acc -> acc.out)"""
+    val toks = docs.select(
+      col("doc_id"),
+      (col("doc_id") / grpSize).cast("bigint").as("grp"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    toks.groupBy("grp")
+      .agg(sort_array(collect_list(
+        struct((-col("n_tokens")).as("negt"), col("doc_id"), col("n_tokens")))).as("ds"))
+      .select(col("grp"), explode(expr(fold)).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("grp"),
+        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+  }
+
+  /** Query-pack adapter: FFD-pack the corpus into 256-token sequences. */
+  def packFfdQuery(spark: SparkSession, sfDir: String): DataFrame =
+    packSequencesFirstFit(Tables.load(spark, sfDir, "documents"), budget = 256L)
+
+  /**
    * Benchmark decontamination — the leakage gate of a training-data
    * pipeline: a training document is contaminated when it shares any
    * n-token window with an eval/benchmark document (the published-corpus

@@ -335,6 +335,45 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("FFD packing: valid bins, never more bins than next-fit, hand-case optimality") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+    val budget = 256L
+    val ffd = graft.operators.CorpusPipeline
+      .packSequencesFirstFit(docs, budget).collect()
+    assert(ffd.length == docs.count()) // coverage complete
+    ffd.groupBy(r => (r.getAs[Long]("grp"), r.getAs[Long]("bin"))).foreach {
+      case (_, rows) =>
+        val total = rows.map(_.getAs[Long]("n_tokens")).sum
+        assert(total <= budget || rows.length == 1) // valid or lone oversized doc
+    }
+    // FFD never opens more bins than next-fit in any group
+    val nf = graft.operators.CorpusPipeline.packSequences(docs, budget).collect()
+    def binsPerGrp(rows: Array[org.apache.spark.sql.Row]) = rows
+      .groupBy(_.getAs[Long]("grp"))
+      .map { case (g, rs) => g -> rs.map(_.getAs[Long]("bin")).distinct.length }
+    val (fb, nb) = (binsPerGrp(ffd), binsPerGrp(nf))
+    assert(fb.keySet == nb.keySet)
+    fb.foreach { case (g, n) => assert(n <= nb(g), s"grp $g: FFD $n > next-fit ${nb(g)}") }
+    // hand case where next-fit provably wastes a bin: sizes 200,200,56,56
+    // in id order — next-fit packs (200),(200),(56,56): 3 bins; FFD walks
+    // 200,200,56,56 largest-first into (200,56),(200,56): 2 bins
+    import spark.implicits._
+    val hand = Seq((0L, 200), (1L, 200), (2L, 56), (3L, 56))
+      .toDF("doc_id", "n")
+      .select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), col("n")), _ => lit("w"))).as("text"))
+    val handFfd = graft.operators.CorpusPipeline
+      .packSequencesFirstFit(hand, budget).collect()
+    assert(handFfd.map(_.getAs[Long]("bin")).distinct.length == 2)
+    val handNf = graft.operators.CorpusPipeline.packSequences(hand, budget).collect()
+    assert(handNf.map(_.getAs[Long]("bin")).distinct.length == 3)
+    // determinism across physical layouts
+    val again = graft.operators.CorpusPipeline
+      .packSequencesFirstFit(docs.repartition(13), budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == ffd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
   test("stratified sample: exact per-stratum counts, repartition-stable, salt-sensitive") {
     val docs = graft.sources.Tables.load(spark, sf001, "documents")
     val s = CorpusPipeline.stratifiedSample(docs, perStratum = 7)
