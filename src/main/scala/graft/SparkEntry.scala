@@ -1061,6 +1061,7 @@ object SparkEntry {
     "q_join_estimate"  -> (TableStats.joinEstimateQuery _),
     "q_purge_audit"    -> (Governance.purgeAuditQuery _),
     "q_export_audit"   -> (DatasetExport.exportAuditQuery _),
+    "q_export_incr"    -> (DatasetExport.exportIncrQuery _),
     "q_corpus_export_e2e" -> (DatasetExport.corpusExportE2eQuery _),
     "q_theta_overlap"  -> (Sketches.thetaOverlapCheckQuery _),
     "q_bpe_merges"     -> (BpeTrainer.bpeMergesQuery _),
@@ -2238,6 +2239,20 @@ object SparkEntry {
     // assignment replayed via the md5 bucket); the hash match is the
     // engine's file-level integrity check, asserted TRUE.
     "q_export_audit" ->
+      s"""WITH h AS (SELECT doc_id, text,
+                 md5(concat(CAST(doc_id AS VARCHAR), 'graft-shard')) AS m
+               FROM documents),
+          s AS (SELECT doc_id, text, ${md5BucketSql("m", 8L)} AS shard FROM h)
+          SELECT CAST(shard AS BIGINT) AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+                   AS n_tokens,
+                 TRUE AS manifest_ok
+          FROM s GROUP BY shard""",
+    // Incremental export: three disjoint micro-batch appends merge to the
+    // batch-oblivious truth — the oracle is the SAME full-corpus shard
+    // recompute (shard assignment is batch-independent by construction).
+    "q_export_incr" ->
       s"""WITH h AS (SELECT doc_id, text,
                  md5(concat(CAST(doc_id AS VARCHAR), 'graft-shard')) AS m
                FROM documents),

@@ -137,6 +137,28 @@ object DatasetExport {
   private val exportOnce =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Query-pack adapter for the INCREMENTAL export path: the corpus
+    * arrives as three disjoint micro-batches (`doc_id % 3` — the
+    * streaming shape, each appended via [[appendBatch]]'s idempotent
+    * batch-addressed layout), then [[verifyIncremental]] audits the
+    * merged per-shard manifest TOTALS (summed counts, xor-merged
+    * digests) against a recompute from the shard files. Batching
+    * partitions the corpus, so the oracle is the same full-corpus
+    * shard recompute as q_export_audit — a green row proves the
+    * delta manifests merge to exactly the batch-oblivious truth. */
+  def exportIncrQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = graft.WorkDirs.dir(
+      s"export_incr_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    exportOnce.computeIfAbsent(out, { _ =>
+      val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      (0 until 3).foreach { b =>
+        appendBatch(docs.filter(pmod(col("doc_id"), lit(3L)) === b), out, 8, b)
+      }
+      java.lang.Boolean.TRUE
+    })
+    verifyIncremental(spark, out)
+  }
+
   /**
    * The training-data export CAPSTONE — the already-verified pieces
    * composed exactly the way a real training-data job runs them:
