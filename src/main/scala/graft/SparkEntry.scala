@@ -1010,6 +1010,7 @@ object SparkEntry {
     "q_embed_neardup"  -> (Dedup.embeddingNearDupQuery _),
     "q_embed_clusters" -> (Dedup.embeddingClustersQuery _),
     "q_ann_topk"       -> (Similarity.bruteForceQuery _),
+    "q_mmr_rerank"     -> (Similarity.mmrQuery _),
     "q_ann_lsh"        -> (Similarity.lshQuery _),
     "q_ann_multiprobe" -> (Similarity.multiProbeQuery _),
     "q_ann_mrl"        -> (Similarity.mrlQuery _),
@@ -3528,6 +3529,53 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 10""",
+    // MMR diversity rerank: the exact-top-50 relevance pass, then ten
+    // unrolled greedy steps (the PageRank-oracle convention) — each step a
+    // row_number argmax over `7·rel − 3·pen` (λ = 0.7 in tenths, micro-unit
+    // BIGINTs: exact integer arithmetic, vec_id tiebreak) followed by the
+    // incremental penalty fold greatest(pen, sim(c, pick)). cand/ce/sims
+    // MATERIALIZED: each is re-read by every unrolled step.
+    "q_mmr_rerank" -> {
+      val k = 10
+      val steps = (1 to k).map { t =>
+        val prev = s"r${t - 1}"
+        val pick =
+          s"""p$t AS (SELECT query_id, vec_id, rel FROM (
+                SELECT query_id, vec_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY 7*rel - 3*pen DESC, vec_id ASC) AS rn
+                FROM $prev) t WHERE rn = 1)"""
+        val fold = if (t < k)
+          s""",
+           r$t AS (SELECT r.query_id, r.vec_id, r.rel, greatest(r.pen, s.sim) AS pen
+                  FROM $prev r
+                  JOIN p$t p ON p.query_id = r.query_id AND r.vec_id != p.vec_id
+                  JOIN sims s ON s.query_id = r.query_id AND s.c = r.vec_id AND s.o = p.vec_id)"""
+        else ""
+        pick + fold
+      }.mkString(",\n           ")
+      val unionPicks = (1 to k).map(t =>
+        s"SELECT query_id, vec_id, rel, CAST($t AS BIGINT) AS mmr_rank FROM p$t")
+        .mkString("\n          UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+           scored AS (SELECT q.query_id, c.vec_id, ${cosineSql("c.ev", "q.qv")} AS cosine
+                      FROM e c JOIN q ON c.vec_id != q.query_id),
+           cand AS MATERIALIZED (SELECT query_id, vec_id,
+                    CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT) AS rel
+                  FROM (SELECT query_id, vec_id, cosine,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+                        FROM scored) t WHERE rank <= 50),
+           ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
+                 FROM cand JOIN e ON e.vec_id = cand.vec_id),
+           sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS c, b.vec_id AS o,
+                    CAST(floor(${cosineSql("a.ev", "b.ev")} * 1000000.0 + 0.5) AS BIGINT) AS sim
+                  FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+           r0 AS (SELECT query_id, vec_id, rel, CAST(0 AS BIGINT) AS pen FROM cand),
+           $steps
+          $unionPicks"""
+    },
     // ANN LSH: identical hyperplane buckets (corpus-sized plane count from
     // the query run — the cachedModel contract — same seed), then exact
     // cosine top-20 within the query's bucket.

@@ -267,6 +267,72 @@ object Similarity {
     * than the plane count itself. */
   def scaledProbes(planes: Int): Int = math.min(4, planes)
 
+  /**
+   * Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR'98) —
+   * diversity-aware top-k for RAG/retrieval: greedily pick the candidate
+   * maximizing `λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)`, so near-
+   * duplicate hits cannot crowd the result list. The relevance pass is
+   * the exact [[bruteForceTopK]] cut to `r` candidates per query.
+   *
+   * Exactness: λ rides as tenths and every score is a micro-unit BIGINT
+   * (`floor(q9(cos)·1e6 + 0.5)` — the engine's tie-rule-free
+   * quantization), so the greedy argmax is integer arithmetic with a
+   * (score desc, vec_id asc) total order — bit-reproducible and
+   * oracle-replayable. The max-sim penalty folds INCREMENTALLY
+   * (`pen_t = greatest(pen_{t−1}, sim(c, pick_{t−1}))`), so step t costs
+   * one row_number window plus one bounded join, never a re-scan of the
+   * picked set.
+   *
+   * 100 TB shape: everything after the scan-bound relevance pass is
+   * bounded by queries × r (candidates) and queries × r² (pairwise sims,
+   * checkpointed once, reused k−1 times) — corpus size never enters the
+   * iteration. `localCheckpoint` per round truncates the growing plan,
+   * the [[graft.operators.Dedup.connectedComponents]] driver-loop
+   * discipline.
+   */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, r: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1 && r >= k, "need r >= k >= 1")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, "lambdaTenths in [0,10]")
+    def micro(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    val cand = bruteForceTopK(corpus, queries, r)
+      .select(col("query_id"), col("vec_id"), micro(col("cosine")).as("rel"))
+      .localCheckpoint()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val ce = cand.join(emb, "vec_id")
+    val sims = ce.select(col("query_id"), col("vec_id").as("c"), col("embedding").as("e_c"))
+      .join(ce.select(col("query_id"), col("vec_id").as("o"), col("embedding").as("e_o")),
+        Seq("query_id"))
+      .filter(col("c") =!= col("o"))
+      .select(col("query_id"), col("c").as("vec_id"), col("o"),
+        micro(q9(VectorFunctions.cosine_sim(col("e_c"), col("e_o")))).as("sim"))
+      .localCheckpoint()
+    val (lam, lamC) = (lambdaTenths.toLong, 10L - lambdaTenths)
+    var remaining = cand.withColumn("pen", lit(0L))
+    val picks = Seq.newBuilder[DataFrame]
+    (1 to k).foreach { t =>
+      val w = Window.partitionBy("query_id").orderBy(
+        (lit(lam) * col("rel") - lit(lamC) * col("pen")).desc, col("vec_id").asc)
+      val pick = remaining.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("rel"),
+          lit(t.toLong).as("mmr_rank"))
+        .localCheckpoint()
+      picks += pick
+      if (t < k) {
+        remaining = remaining
+          .join(pick.select(col("query_id"), col("vec_id").as("o")), Seq("query_id"))
+          .filter(col("vec_id") =!= col("o"))
+          .join(sims, Seq("query_id", "vec_id", "o"))
+          .select(col("query_id"), col("vec_id"), col("rel"),
+            greatest(col("pen"), col("sim")).as("pen"))
+          .localCheckpoint()
+      }
+    }
+    picks.result().reduce(_ unionByName _)
+  }
+
   // Query-pack adapters --------------------------------------------------
 
   /** Corpus-sized plane count for the embeddings fixture, cached for the
@@ -303,6 +369,12 @@ object Similarity {
     val emb = Tables.load(spark, sfDir, "embeddings")
     filteredTopK(emb, emb.filter(col("vec_id") < 5),
       col("label") =!= col("query_label"), k = 10)
+  }
+
+  /** MMR-diversified top-10 from 50 exact candidates, λ = 0.7. */
+  def mmrQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    mmrRerank(emb, emb.filter(col("vec_id") < 5), k = 10, r = 50)
   }
 
   /** Same queries through the LSH path, planes sized to the corpus. */

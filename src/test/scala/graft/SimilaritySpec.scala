@@ -170,6 +170,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full.agg(sum("n")).head().getLong(0) == emb001.count() * 64)
   }
 
+  test("MMR rerank: top-relevance first, duplicates deferred, picks distinct and candidate-bounded") {
+    import spark.implicits._
+    // fixture: rank-1 equals exact top-1, picks are distinct candidates
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val mmr = Similarity.mmrRerank(emb, queries, k = 5, r = 20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("mmr_rank")))
+    val top1 = Similarity.bruteForceTopK(emb, queries, 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    mmr.filter(_._3 == 1L).foreach { case (q, v, _) =>
+      assert(v == top1(q), s"MMR rank 1 for query $q must be the exact top-1")
+    }
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.length == 5, s"query $q picked a duplicate")
+    }
+    // hand case: an exact duplicate of pick 1 is deferred behind a diverse
+    // candidate at diversity-leaning λ=0.3 (at λ=0.7 relevance dominates)
+    def vec(a: Double, b: Double): Seq[Float] =
+      (Seq(a.toFloat, b.toFloat) ++ Seq.fill(62)(0.0f))
+    val corpus = Seq(
+      (1L, vec(1.0, 0.0)),   // a1: rel 1
+      (2L, vec(1.0, 0.0)),   // a2: exact duplicate of a1
+      (3L, vec(0.6, 0.8))).toDF("vec_id", "embedding") // b: rel 0.6, diverse
+    val qdf = Seq((0L, vec(1.0, 0.0))).toDF("vec_id", "embedding")
+    val order = Similarity.mmrRerank(corpus, qdf, k = 3, r = 3, lambdaTenths = 3)
+      .orderBy("mmr_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(order == Seq(1L, 3L, 2L),
+      s"diverse candidate must outrank the duplicate at λ=0.3, got $order")
+  }
+
   test("scaledPlanes: occupancy-targeted, clamped, monotone in corpus size") {
     assert(Similarity.scaledPlanes(500L) == 2)       // floor
     assert(Similarity.scaledPlanes(5000L) == 3)      // sf0.01 shape
