@@ -999,6 +999,8 @@ object SparkEntry {
     "q_ngram_jaccard"  -> (Dedup.ngramJaccardQuery _),
     "q_source_overlap" -> (Dedup.sourceOverlapQuery _),
     "q_dup_clusters"   -> (Dedup.clustersQuery _),
+    "q_dedup_by_source"-> (Dedup.dedupBySourceQuery _),
+    "q_length_buckets" -> (TextAnalysis.lengthBucketsQuery _),
     "q_rep_windows"    -> (Dedup.repeatedWindowsQuery _),
     "q_span_dedup"     -> (Dedup.spanDedupQuery _),
     "q_suffix_dedup"   -> (Dedup.suffixDedupQuery _),
@@ -3759,6 +3761,44 @@ object SparkEntry {
           reach AS (SELECT a, b FROM sym
                     UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
           SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
+    // Per-source near-dup attribution: the q_dup_clusters transitive
+    // closure joined back to sources under the keep-min-id survivor rule.
+    "q_dedup_by_source" ->
+      s"""WITH RECURSIVE ${jaccardPairsSql("documents")},
+          edges AS (SELECT doc_a, doc_b FROM pairs
+                    WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5),
+          sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                  UNION SELECT doc_b, doc_a FROM edges
+                  UNION SELECT doc_a, doc_a FROM edges
+                  UNION SELECT doc_b, doc_b FROM edges),
+          reach AS (SELECT a, b FROM sym
+                    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(cl.cluster_id) AS BIGINT) AS n_dup_members,
+                 CAST(count(CASE WHEN cl.cluster_id IS NOT NULL
+                                      AND cl.cluster_id != d.doc_id THEN 1 END) AS BIGINT)
+                   AS n_dropped,
+                 (CAST(count(CASE WHEN cl.cluster_id IS NOT NULL
+                                       AND cl.cluster_id != d.doc_id THEN 1 END) AS BIGINT)
+                  * 1000000) // CAST(count(*) AS BIGINT) AS drop_rate_micro
+          FROM documents d LEFT JOIN cl USING (doc_id)
+          GROUP BY d.source""",
+    // Power-of-two length buckets via integer bit length — length(bin(n))
+    // is exact in both engines, no libm log2 — with the pad-to-bucket-max
+    // waste fraction in micro-units (positive integer division).
+    "q_length_buckets" ->
+      s"""WITH t AS (SELECT
+                 CAST(length(bin(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT))) AS BIGINT) AS bucket,
+                 CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+               FROM documents)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                 ((CAST(count(*) AS BIGINT) * max(n_tokens)
+                   - CAST(sum(n_tokens) AS BIGINT)) * 1000000)
+                  // (CAST(count(*) AS BIGINT) * max(n_tokens)) AS pad_frac_micro
+          FROM t GROUP BY bucket""",
     // temperature-flattened mixture: rates n^(alpha-1)/max, rounded half-up
     // to 6 decimals on BOTH sides, then the shared md5 threshold
     "q_temp_sample" ->

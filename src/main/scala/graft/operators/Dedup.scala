@@ -926,6 +926,28 @@ object Dedup {
   def clustersQuery(spark: SparkSession, sfDir: String): DataFrame =
     docClustersCached(spark, sfDir)
 
+  /** Per-source near-dup ATTRIBUTION — the curation diagnostic "which
+    * sources feed the duplicate clusters, and how much would each lose"
+    * under the keep-the-min-id survivor rule: per source, total docs,
+    * cluster members, docs the dedup would drop, and the drop rate in
+    * micro-units. The cluster table is dup-member-sized (broadcast side);
+    * the corpus aggregates by source with map-side combine — the join
+    * never shuffles the corpus. */
+  def dedupBySourceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val clusters = docClustersCached(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("cluster_id")).as("n_dup_members"),
+        count(when(col("cluster_id").isNotNull &&
+          col("cluster_id") =!= col("doc_id"), 1)).as("n_dropped"))
+      .withColumn("drop_rate_micro",
+        expr("n_dropped * 1000000 div n_docs"))
+  }
+
   /** Query adapter: repeated 4-token windows across the corpus. The window
     * id is the engine's 64-bit hash (not SQL-reproducible as a value), so
     * the oracle compares the (n_docs, min_doc, max_doc) multiset. */

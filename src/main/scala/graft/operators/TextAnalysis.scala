@@ -315,6 +315,30 @@ object TextAnalysis {
   def corpusStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     corpusDataCard(Tables.load(spark, sfDir, "documents"))
 
+  /**
+   * Length-bucketed batch shaping — the dataloader-side economics of the
+   * corpus: docs bucket by the BIT LENGTH of their token count
+   * (power-of-two length buckets, `length(bin(n))` — integer-exact in
+   * both engines, no libm log2), and each bucket reports the padding
+   * fraction a batcher pays when it pads to the bucket max — the number
+   * dynamic-batching / sequence-packing decisions are made from. One
+   * map-side-combined aggregation over ≤ ~40 bucket keys; byte-linear.
+   */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val n = size(whitespaceTokens(col("text"))).cast("bigint")
+    docs.select(length(bin(n)).cast("bigint").as("bucket"), n.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_frac_micro",
+        expr("(n_docs * max_tokens - sum_tokens) * 1000000 div (n_docs * max_tokens)"))
+  }
+
+  /** Query-pack adapter: power-of-two length buckets with padding cost. */
+  def lengthBucketsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lengthBuckets(Tables.load(spark, sfDir, "documents"))
+
   def textStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
     textStats(Tables.load(spark, sfDir, "documents"))
 
