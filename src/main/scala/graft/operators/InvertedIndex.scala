@@ -423,7 +423,7 @@ object InvertedIndex {
    * [[tfidfTopTerms]]-style pruning instead).
    */
   def prefixSearch(spark: SparkSession, dir: String, prefix: String,
-      k: Int): DataFrame = {
+      k: Int, maxTerms: Int = 1024): DataFrame = {
     require(prefix.nonEmpty, "prefix must be non-empty")
     val lo = prefix.getBytes("UTF-8")
     val store = spark.read.format("cellstore").load(dir)
@@ -431,9 +431,16 @@ object InvertedIndex {
       case Some(hi) => store.filter(col("rowKey") >= lit(lo) && col("rowKey") < lit(hi))
       case None     => store.filter(col("rowKey") >= lit(lo))
     }
+    // maxTerms+1 limit: the collect is bounded BEFORE it happens, so a
+    // one-letter prefix on a web-scale lexicon fails fast with advice
+    // instead of pulling the dictionary onto the driver
     val terms = ranged.filter(col("family") === "lex")
       .select(col("qualifier").cast("string").as("term"))
+      .limit(maxTerms + 1)
       .collect().map(_.getString(0)).toSeq.sorted
+    require(terms.size <= maxTerms,
+      s"prefix '$prefix' matches more than $maxTerms lexicon terms — " +
+        "narrow the prefix or raise maxTerms (driver-side term list)")
     if (terms.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[(Long, Long, Long)].toDF("doc_id", "score", "rank")

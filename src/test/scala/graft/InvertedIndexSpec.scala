@@ -89,6 +89,16 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     // no-match prefix: empty result with the search schema, no throw
     val empty = InvertedIndex.prefixSearch(spark, dir, "zzz-no-such", k = 5)
     assert(empty.columns.toSeq == Seq("doc_id", "score", "rank") && empty.count() == 0)
+    // the lexicon resolve is a PUSHED rowKey range on the store scan —
+    // the dictionary walk reads one key interval, not the store
+    val store = spark.read.format("cellstore").load(dir)
+    val plan = store.filter(
+        col("rowKey") >= lit("s".getBytes("UTF-8")) &&
+        col("rowKey") < lit("t".getBytes("UTF-8")) &&
+        col("family") === "lex")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(rowKey") && plan.contains("LessThan(rowKey"),
+      s"lexicon range not pushed into the scan:\n$plan")
   }
 
   test("bm25: equal tf, the shorter document wins (length normalization)") {
