@@ -450,6 +450,24 @@ object SparkEntry {
     HybridSearch.fuseTopK(lex, sem, k = 20)
   }
 
+  /** RAG retrieval capstone: lexical BM25 + semantic cosine fused by RRF
+    * (the exact q_hybrid_search ranking), then MMR-diversified to 10 via
+    * [[operators.Similarity.mmrSelect]] — relevance for the greedy
+    * tradeoff is the fused-rank linear decay `(21 − rank)·50000`
+    * micro-units (integer, so the λ=0.7 argmax stays exact), diversity
+    * geometry from the embedding column. One declared query proving the
+    * retrieval tier composes end-to-end: index probe → ANN → fusion →
+    * diversity, every stage the already-verified piece. */
+  private def ragE2eQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = hybridSearchQuery(spark, sfDir)
+      .select(lit(0L).as("query_id"), col("doc_id").as("vec_id"),
+        ((lit(21L) - col("rank")) * lit(50000L)).as("rel"))
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.mmrSelect(cand, emb, k = 10, lambdaTenths = 7)
+      .select(col("vec_id").as("doc_id"), col("rel"), col("mmr_rank"))
+  }
+
   /** A twin index store purged of the subject's documents (doc_id
     * divisible by 7 — ranks 1/4/8/11/20 of the unpurged BM25 top-20, so
     * the purge is observable in the ranking, and df/n_docs corrections
@@ -1056,6 +1074,7 @@ object SparkEntry {
     "q_near_search"    -> (nearSearchQuery _),
     "q_search_snippets" -> (searchSnippetsQuery _),
     "q_hybrid_search"  -> (hybridSearchQuery _),
+    "q_rag_e2e"        -> (ragE2eQuery _),
     "q_index_purge"    -> (indexPurgeQuery _),
     "q_index_compact"  -> (indexCompactQuery _),
     "q_sketch_union"   -> (Sketches.sketchUnionCheckQuery _),
@@ -1234,6 +1253,69 @@ object SparkEntry {
     * side), per-rank terms micro-quantize before the long sum, and the
     * final ratios divide the resulting integers — nothing float-ordered
     * anywhere. */
+  /** The q_hybrid_search oracle, hoisted so the RAG capstone can embed
+    * the whole fused ranking as a subquery (DuckDB accepts WITH inside a
+    * parenthesized subquery — the AnnRecall composition pattern). */
+  private def hybridOracleSql: String =
+    s"""WITH lex AS ($bm25OracleSql),
+          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0),
+          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id != 0),
+          scored AS (SELECT c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
+                     FROM c CROSS JOIN q),
+          sem AS (SELECT vec_id AS doc_id, rank FROM (
+                    SELECT vec_id,
+                           CAST(row_number() OVER (ORDER BY cosine DESC,
+                             vec_id ASC) AS BIGINT) AS rank
+                    FROM scored) t WHERE rank <= 20),
+          u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                       CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
+                       CAST(coalesce(s.rank, 0) AS BIGINT) AS sem_rank
+                FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+          f AS (SELECT doc_id, lex_rank, sem_rank,
+                       CAST(CASE WHEN lex_rank > 0
+                              THEN floor(1000000000000.0 / (60.0 + lex_rank))
+                              ELSE 0 END
+                          + CASE WHEN sem_rank > 0
+                              THEN floor(1000000000000.0 / (60.0 + sem_rank))
+                              ELSE 0 END AS BIGINT) AS rrf_score
+                FROM u)
+          SELECT doc_id, lex_rank, sem_rank, rrf_score,
+                 CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+          FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20"""
+
+  /** The unrolled MMR greedy steps (the PageRank-oracle convention):
+    * expects CTEs `cand`(query_id, vec_id, rel), `sims`(query_id, c, o,
+    * sim) and `r0`(query_id, vec_id, rel, pen=0) to be in scope; returns
+    * (step CTEs p1/r1…pk, the UNION ALL of the k picks). λ in tenths —
+    * exact integer argmax with the vec_id tiebreak. */
+  private def mmrUnrolledSql(k: Int, lambdaTenths: Int): (String, String) = {
+    val (lam, lamC) = (lambdaTenths, 10 - lambdaTenths)
+    val steps = (1 to k).map { t =>
+      val prev = s"r${t - 1}"
+      val pick =
+        s"""p$t AS (SELECT query_id, vec_id, rel FROM (
+              SELECT query_id, vec_id, rel,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY $lam*rel - $lamC*pen DESC, vec_id ASC) AS rn
+              FROM $prev) t WHERE rn = 1)"""
+      val fold = if (t < k)
+        s""",
+         r$t AS (SELECT r.query_id, r.vec_id, r.rel, greatest(r.pen, s.sim) AS pen
+                FROM $prev r
+                JOIN p$t p ON p.query_id = r.query_id AND r.vec_id != p.vec_id
+                JOIN sims s ON s.query_id = r.query_id AND s.c = r.vec_id AND s.o = p.vec_id)"""
+      else ""
+      pick + fold
+    }.mkString(",\n           ")
+    val union = (1 to k).map(t =>
+      s"SELECT query_id, vec_id, rel, CAST($t AS BIGINT) AS mmr_rank FROM p$t")
+      .mkString("\n          UNION ALL ")
+    (steps, union)
+  }
+
   private def searchNdcgOracleSql: String = {
     val w = operators.RankMetrics.dcgWeights(10)
     val wList = w.map(_.toString).mkString("[", ", ", "]")
@@ -2538,35 +2620,27 @@ object SparkEntry {
     // replayed cosine top-20 (probe = vec_id 0) on integer RRF points —
     // floor of ONE correctly-rounded division per rank, so the fused
     // order is bit-identical cross-engine
-    "q_hybrid_search" ->
-      s"""WITH lex AS ($bm25OracleSql),
-          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                FROM embeddings WHERE vec_id = 0),
-          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
-                FROM embeddings WHERE vec_id != 0),
-          scored AS (SELECT c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
-                     FROM c CROSS JOIN q),
-          sem AS (SELECT vec_id AS doc_id, rank FROM (
-                    SELECT vec_id,
-                           CAST(row_number() OVER (ORDER BY cosine DESC,
-                             vec_id ASC) AS BIGINT) AS rank
-                    FROM scored) t WHERE rank <= 20),
-          u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
-                       CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
-                       CAST(coalesce(s.rank, 0) AS BIGINT) AS sem_rank
-                FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
-          f AS (SELECT doc_id, lex_rank, sem_rank,
-                       CAST(CASE WHEN lex_rank > 0
-                              THEN floor(1000000000000.0 / (60.0 + lex_rank))
-                              ELSE 0 END
-                          + CASE WHEN sem_rank > 0
-                              THEN floor(1000000000000.0 / (60.0 + sem_rank))
-                              ELSE 0 END AS BIGINT) AS rrf_score
-                FROM u)
-          SELECT doc_id, lex_rank, sem_rank, rrf_score,
-                 CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
-                   AS BIGINT) AS rank
-          FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
+    "q_hybrid_search" -> hybridOracleSql,
+    // RAG capstone: the whole fused hybrid ranking embedded as a subquery,
+    // relevance = (21 − rank)·50000 linear rank decay, then the ten
+    // unrolled MMR greedy steps (λ = 0.7) over embedding cosines.
+    "q_rag_e2e" -> {
+      val (steps, unionPicks) = mmrUnrolledSql(k = 10, lambdaTenths = 7)
+      s"""WITH cand AS MATERIALIZED (
+            SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS vec_id,
+                   CAST((21 - rank) * 50000 AS BIGINT) AS rel
+            FROM ( $hybridOracleSql ) h),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+          ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
+                FROM cand JOIN e ON e.vec_id = cand.vec_id),
+          sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS c, b.vec_id AS o,
+                   CAST(floor(${cosineSql("a.ev", "b.ev")} * 1000000.0 + 0.5) AS BIGINT) AS sim
+                 FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+          r0 AS (SELECT query_id, vec_id, rel, CAST(0 AS BIGINT) AS pen FROM cand),
+          $steps
+          SELECT vec_id AS doc_id, rel, mmr_rank FROM (
+          $unionPicks) z"""
+    },
     // Purged-index BM25: the ranking of an index that never contained
     // the subject (doc_id % 7 == 0) — the engine side serves it from
     // tombstones + corrected df/meta cells without a rebuild
@@ -3538,27 +3612,7 @@ object SparkEntry {
     // incremental penalty fold greatest(pen, sim(c, pick)). cand/ce/sims
     // MATERIALIZED: each is re-read by every unrolled step.
     "q_mmr_rerank" -> {
-      val k = 10
-      val steps = (1 to k).map { t =>
-        val prev = s"r${t - 1}"
-        val pick =
-          s"""p$t AS (SELECT query_id, vec_id, rel FROM (
-                SELECT query_id, vec_id, rel,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY 7*rel - 3*pen DESC, vec_id ASC) AS rn
-                FROM $prev) t WHERE rn = 1)"""
-        val fold = if (t < k)
-          s""",
-           r$t AS (SELECT r.query_id, r.vec_id, r.rel, greatest(r.pen, s.sim) AS pen
-                  FROM $prev r
-                  JOIN p$t p ON p.query_id = r.query_id AND r.vec_id != p.vec_id
-                  JOIN sims s ON s.query_id = r.query_id AND s.c = r.vec_id AND s.o = p.vec_id)"""
-        else ""
-        pick + fold
-      }.mkString(",\n           ")
-      val unionPicks = (1 to k).map(t =>
-        s"SELECT query_id, vec_id, rel, CAST($t AS BIGINT) AS mmr_rank FROM p$t")
-        .mkString("\n          UNION ALL ")
+      val (steps, unionPicks) = mmrUnrolledSql(k = 10, lambdaTenths = 7)
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
            q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
            scored AS (SELECT q.query_id, c.vec_id, ${cosineSql("c.ev", "q.qv")} AS cosine

@@ -292,14 +292,29 @@ object Similarity {
    */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, r: Int,
       lambdaTenths: Int = 7): DataFrame = {
-    require(k >= 1 && r >= k, "need r >= k >= 1")
-    require(lambdaTenths >= 0 && lambdaTenths <= 10, "lambdaTenths in [0,10]")
+    require(r >= k, "need r >= k")
     def micro(c: Column): Column =
       floor(c * lit(1000000.0) + lit(0.5)).cast("long")
     val cand = bruteForceTopK(corpus, queries, r)
       .select(col("query_id"), col("vec_id"), micro(col("cosine")).as("rel"))
+    mmrSelect(cand, corpus.select(col("vec_id"), col("embedding")),
+      k, lambdaTenths)
+  }
+
+  /** The MMR greedy core over an EXPLICIT candidate list — `cand` is
+    * (query_id, vec_id, rel) with rel an integer relevance in micro-scale
+    * units (any bounded retrieval leg: cosine, BM25 points, fused RRF
+    * rank decay), `emb` supplies the diversity geometry. This is what a
+    * hybrid/RAG pipeline calls after fusion; [[mmrRerank]] is the
+    * cosine-relevance instantiation. */
+  def mmrSelect(cand0: DataFrame, emb: DataFrame, k: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, "lambdaTenths in [0,10]")
+    def micro(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    val cand = cand0.select(col("query_id"), col("vec_id"), col("rel"))
       .localCheckpoint()
-    val emb = corpus.select(col("vec_id"), col("embedding"))
     val ce = cand.join(emb, "vec_id")
     val sims = ce.select(col("query_id"), col("vec_id").as("c"), col("embedding").as("e_c"))
       .join(ce.select(col("query_id"), col("vec_id").as("o"), col("embedding").as("e_o")),

@@ -52,6 +52,18 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("RAG capstone: distinct picks from the fused top-20, MMR pick 1 = fused top-1") {
+    val fused = run("q_hybrid_search").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    val rag = run("q_rag_e2e").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("mmr_rank")))
+    assert(rag.length == 10 && rag.map(_._1).distinct.length == 10)
+    assert(rag.map(_._1).forall(fused.contains),
+      "every RAG pick must come from the fused candidate list")
+    assert(fused(rag.find(_._2 == 1L).get._1) == 1L,
+      "MMR pick 1 must be the fused top-1")
+  }
+
   test("every oracleSql key has a matching query") {
     // zz_probe_* entries are deliberate oracle-side diagnostics (e.g. the
     // DuckDB version/cast-rule probe): SQL the driver MAY run, with no
