@@ -1885,7 +1885,7 @@ object SparkEntry {
              cand AS (SELECT query_id, vec_id, cv, qv, pca_dist FROM (
                SELECT *, row_number() OVER (PARTITION BY query_id
                            ORDER BY pca_dist ASC, vec_id ASC) AS pr
-               FROM pre) t WHERE pr <= 100),
+               FROM pre) t WHERE pr <= ${operators.EmbeddingPca.cachedPcaR.getOrElse(100)}),
              rer AS (SELECT query_id, vec_id, pca_dist,
                             ${cosineSql("cv", "qv")} AS cosine
                      FROM cand)
@@ -3571,7 +3571,7 @@ object SparkEntry {
            cand AS (SELECT query_id, vec_id, cv, qv, prefix_cos FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id
                          ORDER BY prefix_cos DESC, vec_id ASC) AS pr
-             FROM pre) t WHERE pr <= 100),
+             FROM pre) t WHERE pr <= ${operators.Similarity.cachedMrlR.getOrElse(100)}),
            rer AS (SELECT query_id, vec_id, prefix_cos,
                           ${cosineSql("cv", "qv")} AS cosine
                    FROM cand)

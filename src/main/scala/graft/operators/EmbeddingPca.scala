@@ -239,7 +239,20 @@ object EmbeddingPca {
     * rerank, top-20 — same query set as the other ANN tiers. */
   def annPcaQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    pcaTopK(emb, emb.filter(col("vec_id") < 5), fitCached(spark, sfDir))
+    // corpus-sized rerank budget (the mrl discipline): constant 5%
+    // fraction with a 100-candidate floor, cached for the oracle
+    val r = Similarity.scaledCandidates(emb.count())
+    lastPcaR.set(r)
+    pcaTopK(emb, emb.filter(col("vec_id") < 5), fitCached(spark, sfDir), r = r)
+  }
+
+  private val lastPcaR = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Rerank budget the last corpus-sized pca query used (the cachedModel
+    * contract, for the oracle's candidate cut). */
+  def cachedPcaR: Option[Int] = {
+    val v = lastPcaR.get()
+    if (v > 0) Some(v) else None
   }
 
   /** Driver-checkable PCA gate (the bound-boolean pattern of

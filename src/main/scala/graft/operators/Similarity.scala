@@ -267,6 +267,25 @@ object Similarity {
     * than the plane count itself. */
   def scaledProbes(planes: Int): Int = math.min(4, planes)
 
+  /** Matryoshka rerank budget sized to the corpus: a constant FRACTION
+    * (5% — the share the sf0.1 fixture's 100-of-2000 floor measures at)
+    * with a 100-candidate floor. The prefix pass's candidate QUALITY at a
+    * fixed fraction is scale-free, so recall holds across decades, while
+    * a fixed r decays (r=100 over 20k vectors reranks 0.5% — measured
+    * 0.19 recall at sf1 vs 0.38 at sf0.1). Rerank cost stays a fixed 5%
+    * of one corpus pass. */
+  def scaledCandidates(n: Long): Int =
+    math.max(100L, n / 20L).min(Int.MaxValue.toLong).toInt
+
+  private val lastMrlR = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Rerank budget the last corpus-sized mrl query used (the
+    * cachedAnnPlanes contract, for the oracle's candidate cut). */
+  def cachedMrlR: Option[Int] = {
+    val v = lastMrlR.get()
+    if (v > 0) Some(v) else None
+  }
+
   /**
    * Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR'98) —
    * diversity-aware top-k for RAG/retrieval: greedily pick the candidate
@@ -408,9 +427,12 @@ object Similarity {
   }
 
   /** Same queries through the Matryoshka path: 16-of-64-dim first pass,
-    * 100-candidate rerank, top-20. */
+    * corpus-sized rerank budget ([[scaledCandidates]] — 1% of the corpus,
+    * 100-candidate floor), top-20. */
   def mrlQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    mrlTopK(emb, emb.filter(col("vec_id") < 5), dPrefix = 16, r = 100, k = 20)
+    val r = scaledCandidates(emb.count())
+    lastMrlR.set(r)
+    mrlTopK(emb, emb.filter(col("vec_id") < 5), dPrefix = 16, r = r, k = 20)
   }
 }
