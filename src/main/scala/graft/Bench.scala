@@ -131,9 +131,13 @@ object Bench {
       if (sortedR.isEmpty) 1.0 else sortedR(((sortedR.size - 1) * p).toInt)
     val noisy = ratios.filter(_._2 > 1.5).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    // getSystemLoadAverage returns -1.0 where loadavg is unsupported; -1
+    // would read as "near-idle" to the loadavg≈0 interpretation above, so
+    // an unavailable reading is published as null, never as a number
+    def loadJson(v: Double): String = if (v < 0) "null" else f(v)
     val contention =
       s"""{"median_pass_ratio":${f(pct(0.5))},"p90_pass_ratio":${f(pct(0.9))},""" +
-      s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},""" +
+      s""""loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},""" +
       s""""n_ratio_gt1_5":${ratios.count(_._2 > 1.5)},"noisiest":$noisy}"""
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"n_warmup_failed":${warmupFailed.size},"warmup_failed":$warmJson,"contention":$contention,"sf":"$sfDir"}""")
     spark.stop()

@@ -756,7 +756,10 @@ object SparkEntry {
     * through the stub codec — the ORACLE IS q_media_decode's (the same
     * stub replay over the raw corpus), so a byte lost anywhere in the
     * split/resolve path flips a fake dimension or digest. */
-  private def mediaMobQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The MOB-backed media store (media payload cells MOB'd at the
+    * 64-byte media-family threshold), built once per (JVM, corpus) and
+    * shared by [[mediaMobQuery]] and [[ragMediaQuery]]'s media leg. */
+  private def mediaMobDir(spark: SparkSession, sfDir: String): String = {
     val dir = WorkDirs.dir(s"media_mob_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
     buildOnce(dir) {
       operators.MobStore.writeMobPerFamily(
@@ -766,9 +769,42 @@ object SparkEntry {
         thresholds = Map("media" -> operators.Multimodal.MediaMobThreshold),
         default = 1 << 20)
     }
+    dir
+  }
+
+  private def mediaMobQuery(spark: SparkSession, sfDir: String): DataFrame =
     operators.Multimodal.decodeMeta(
       operators.Multimodal.mediaFromCells(
-        operators.MobStore.readResolved(spark, dir))).toDF()
+        operators.MobStore.readResolved(spark, mediaMobDir(spark, sfDir)))).toDF()
+
+  /** Cross-modal retrieval capstone: a TEXT query's BM25 leg (the
+    * q_bm25_search index probe) fused by RRF with a MEDIA-feature ANN leg
+    * — payloads resolved THROUGH the MOB store (q_media_mob's split/
+    * resolve path), stub-encoded to feature vectors (q_media_ann's
+    * encoder), cosine top-20 against media 0 — then MMR-diversified to 10
+    * with the MEDIA feature space as the diversity geometry. Every stage
+    * is an already-verified piece; the oracle recomputes the feature
+    * space from the RAW corpus (the shared q_media_ann replay), so a byte
+    * lost anywhere in the MOB path shifts a cosine and flips the round.
+    * Scale shape: both legs are ≤20-row lists when they reach the fusion
+    * join; corpus size enters only through the audited BM25-probe and
+    * scan-bound feature/ANN legs. */
+  private def ragMediaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
+        Seq("merge", "sort", "window"), k = 20, lnIdf = false)
+      .select(col("doc_id"), col("rank"))
+    val feats = operators.Multimodal.extractFeatures(
+        operators.Multimodal.mediaFromCells(
+          operators.MobStore.readResolved(spark, mediaMobDir(spark, sfDir))))
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val sem = Similarity
+      .bruteForceTopK(feats, feats.filter(col("vec_id") === 0L), k = 20)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    val cand = HybridSearch.fuseTopK(lex, sem, k = 20)
+      .select(lit(0L).as("query_id"), col("doc_id").as("vec_id"),
+        ((lit(21L) - col("rank")) * lit(50000L)).as("rel"))
+    Similarity.mmrSelect(cand, feats, k = 10, lambdaTenths = 7)
+      .select(col("vec_id").as("doc_id"), col("rel"), col("mmr_rank"))
   }
 
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
@@ -1104,7 +1140,8 @@ object SparkEntry {
     "q_normalize_text" -> (TextAnalysis.normalizeQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
-    "q_media_ann"      -> (Multimodal.mediaAnnQuery _))
+    "q_media_ann"      -> (Multimodal.mediaAnnQuery _),
+    "q_rag_media"      -> (ragMediaQuery _))
 
   // Oracle-SQL building blocks ------------------------------------------
   // Each replicates a Spark-side computation in DuckDB SQL exactly (same
@@ -1444,6 +1481,29 @@ object SparkEntry {
     s"xor(($z3), ($z3) // 2147483648::HUGEINT)"
   }
 
+  /** The media-feature CTE chain (`Multimodal.extractFeatures`'s stub
+    * encoder replayed exactly: per-dim splitmix64 over the payload fnv
+    * digest, double→float rounding, float normalization) ending in
+    * `emb`(vec_id, embedding FLOAT[]) — shared by the q_media_ann oracle
+    * and the q_rag_media capstone's media leg, so both replay the
+    * identical feature space. */
+  private def mediaEmbCtesSql: String =
+    s"""m AS ($mediaSql),
+           f1 AS (SELECT media_id, list_transform(range(64),
+                    i -> (hx + CAST(i AS HUGEINT) + 11400714819323198485::HUGEINT)
+                         % 18446744073709551616::HUGEINT) AS zs
+                  FROM m WHERE n_bytes > 0),
+           f2 AS (SELECT media_id, list_transform(zs, z -> ${mulModSql("xor(z, z // 1073741824::HUGEINT)", 0xbf58476d1ce4e5b9L)}) AS zs FROM f1),
+           f3 AS (SELECT media_id, list_transform(zs, z -> ${mulModSql("xor(z, z // 134217728::HUGEINT)", 0x94d049bb133111ebL)}) AS zs FROM f2),
+           f4 AS (SELECT media_id, list_transform(zs, z -> xor(z, z // 2147483648::HUGEINT)) AS zs FROM f3),
+           raw AS (SELECT media_id AS vec_id,
+             list_transform(zs, z -> CAST(CAST(${signedSql("z")} AS DOUBLE) / 9223372036854775807 AS FLOAT)) AS raw
+             FROM f4),
+           normed AS (SELECT vec_id,
+             CAST(sqrt(list_reduce(list_transform(raw, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS FLOAT) AS nf, raw
+             FROM raw),
+           emb AS (SELECT vec_id, list_transform(raw, x -> CASE WHEN nf = 0 THEN x ELSE CAST(x / nf AS FLOAT) END) AS embedding FROM normed)"""
+
   /** The derived-media CTE body (`Multimodal.deriveMedia` + fnv digest):
     * media_id, kind (round-robin by id), payload size, unsigned hash. */
   private def mediaSql: String =
@@ -1493,7 +1553,7 @@ object SparkEntry {
              probes AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
                SELECT vec_id, ev, cell,
                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-               FROM sc WHERE vec_id < 5) t WHERE rn <= 2),
+               FROM sc WHERE vec_id < 5) t WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
              scored AS (
                SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
                FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id != p.query_id)
@@ -1654,7 +1714,7 @@ object SparkEntry {
            probes AS (SELECT vec_id AS query_id, cell FROM (
              SELECT vec_id, cell,
                     row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-             FROM sc WHERE vec_id < 5) t WHERE rn <= 2),
+             FROM sc WHERE vec_id < 5) t WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.coarse.nlist)}),
            $pqNormSql,
            ${pqEncSql(m.pq)},
            qt AS (SELECT vec_id AS query_id,
@@ -1703,7 +1763,7 @@ object SparkEntry {
            probes AS (SELECT vec_id AS query_id, cell, s AS cell_dot FROM (
              SELECT vec_id, cell, s,
                     row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-             FROM scq) t WHERE rn <= 2),
+             FROM scq) t WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.coarse.nlist)}),
            qt AS (SELECT vec_id AS query_id,
                ${pqTablesSql(m.pq)} AS tables
              FROM nq WHERE vec_id < 5),
@@ -1834,11 +1894,93 @@ object SparkEntry {
 
   /** Plane count the single-table ANN tiers used this session —
     * corpus-sized via [[operators.Similarity.scaledPlanes]], cached by the
-    * query run (Verify runs queries before collecting oracleSql). The
-    * fallback only matters for oracle text generated without a prior query
-    * run, which the Verify contract never does. */
-  private def annOracleP: Int =
-    operators.Similarity.cachedAnnPlanes.getOrElse(8)
+    * query run (Verify runs queries before collecting oracleSql). NO
+    * fallback: when the cache is unset (the query never ran in this JVM)
+    * the entries are OMITTED — the driver records a weaker rows-only check
+    * instead of comparing against an oracle whose plane count silently
+    * disagrees with the dumped artifact (the ivfOracle convention). */
+  /** Shared CTE prefix for every bucketed ANN oracle: corpus buckets
+    * (`bkt`) under the corpus-sized plane count, query margins (`qd`),
+    * flip selection (`fl`), and the probed (query_id, qv, bucket) fan-out
+    * (`pb`) — the exact multi-probe mechanics of
+    * [[operators.Similarity.probedQueryBuckets]]. */
+  private def probedBucketCtesSql(p: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", p, 42L)} AS bucket FROM e),
+           qd AS (SELECT vec_id AS query_id, ev AS qv, bucket AS base,
+                         ${operators.Similarity.dotsSql("ev", p, 42L)} AS ds
+                  FROM bkt WHERE vec_id < 5),
+           fl AS (SELECT query_id, qv, base,
+                    list_transform(list_slice(list_sort(
+                      list_transform(range($p), i -> {'m': abs(ds[i+1]), 'i': i})), 1, ${operators.Similarity.scaledProbes(p) - 1}),
+                      s -> s.i) AS flips
+                  FROM qd),
+           pb AS (SELECT query_id, qv,
+                    unnest(list_prepend(base, list_transform(flips, i -> xor(base, 1 << i)))) AS bucket
+                  FROM fl)"""
+
+  private def bucketAnnOracle: Map[String, String] =
+    operators.Similarity.cachedAnnPlanes.map { p =>
+      Map(
+        // ANN LSH: identical hyperplane buckets (corpus-sized plane count
+        // from the query run — the cachedModel contract — same seed), then
+        // exact cosine top-20 within the query's bucket.
+        "q_ann_lsh" ->
+          s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+               bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", p, 42L)} AS bucket FROM e),
+               q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM bkt WHERE vec_id < 5),
+               scored AS (
+                 SELECT q.query_id, c.vec_id, ${cosineSql("c.ev", "q.qv")} AS cosine
+                 FROM bkt c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id)
+              SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored) t WHERE rank <= 20""",
+        // ANN multi-probe: base bucket + single-bit flips of the (probes−1)
+        // smallest |margin| planes (ties by plane index, both engines),
+        // exact cosine top-20 within the probed buckets — probe mechanics
+        // replicated in SQL over the same corpus-sized plane count.
+        "q_ann_multiprobe" ->
+          s"""WITH ${probedBucketCtesSql(p)},
+               scored AS (
+                 SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
+                 FROM bkt c JOIN pb p ON c.bucket = p.bucket AND c.vec_id != p.query_id)
+              SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored) t WHERE rank <= 20""")
+    }.getOrElse(Map.empty)
+
+  /** OCCUPANCY-BOUND Matryoshka oracle: candidates from the SAME probed
+    * buckets as the multiprobe oracle (shared CTE prefix), prefix-16
+    * cosine first pass (list_slice of the same doubles — the engine
+    * slices the float array before widening, identical elements), cut at
+    * the occupancy-derived budget, full-cosine rerank. Both scores
+    * q9-rounded, both ranks (score, vec_id)-tiebroken. Present only when
+    * the query run cached the corpus-sized plane count (the
+    * bucketAnnOracle convention — no silent fallback). */
+  private def mrlAnnOracle: Map[String, String] =
+    operators.Similarity.cachedAnnPlanes.map { p =>
+      val r = operators.Similarity.bucketedRerank(
+        operators.Similarity.scaledProbes(p))
+      Map("q_ann_mrl" ->
+        s"""WITH ${probedBucketCtesSql(p)},
+             pre AS (
+               SELECT p.query_id, c.vec_id, c.ev, p.qv,
+                      ${cosineSql("list_slice(c.ev, 1, 16)", "list_slice(p.qv, 1, 16)")} AS prefix_cos
+               FROM bkt c JOIN pb p ON c.bucket = p.bucket AND c.vec_id != p.query_id),
+             cand AS (SELECT query_id, vec_id, ev, qv, prefix_cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY prefix_cos DESC, vec_id ASC) AS pr
+               FROM pre) t WHERE pr <= $r),
+             rer AS (SELECT query_id, vec_id, prefix_cos,
+                            ${cosineSql("ev", "qv")} AS cosine
+                     FROM cand)
+            SELECT query_id, vec_id, prefix_cos, cosine, rank FROM (
+              SELECT query_id, vec_id, prefix_cos, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM rer) t WHERE rank <= 20""")
+    }.getOrElse(Map.empty)
 
   /** DuckDB equivalents for every SQL-expressible query above.
     *
@@ -1865,36 +2007,39 @@ object SparkEntry {
     * same float-rounded component literals, the 8-term distance sums in
     * the same left-assoc order, both scores q9-round. */
   private def pcaAnnOracle: Map[String, String] =
-    operators.EmbeddingPca.cachedModel.map { m =>
+    (for (m <- operators.EmbeddingPca.cachedModel;
+          p <- operators.Similarity.cachedAnnPlanes) yield {
+      val r = operators.Similarity.bucketedRerank(
+        operators.Similarity.scaledProbes(p))
       val comps = (0 until 8).map(c => m.components(c).map(_.toFloat).toSeq)
       val coordList = comps.map(w =>
-        s"list_dot_product(cv, ${doubleArrSql(w)})").mkString(",\n                ")
+        s"list_dot_product(c.ev, ${doubleArrSql(w)})").mkString(",\n                ")
       val qcoordList = comps.map(w =>
-        s"list_dot_product(qv, ${doubleArrSql(w)})").mkString(",\n                ")
+        s"list_dot_product(p.qv, ${doubleArrSql(w)})").mkString(",\n                ")
       val dist = (1 to 8).map(i =>
         s"(pc[$i] - qpc[$i]) * (pc[$i] - qpc[$i])").mkString(" + ")
       Map("q_ann_pca" ->
-        s"""WITH q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                        FROM embeddings WHERE vec_id < 5),
-             c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-             q AS (SELECT query_id, qv, [$qcoordList] AS qpc FROM q0),
-             c AS (SELECT vec_id, cv, [$coordList] AS pc FROM c0),
-             pre AS (SELECT q.query_id, c.vec_id, c.cv, q.qv,
+        s"""WITH ${probedBucketCtesSql(p)},
+             prj AS (SELECT p.query_id, c.vec_id, c.ev, p.qv,
+                       [$coordList] AS pc,
+                       [$qcoordList] AS qpc
+                     FROM bkt c JOIN pb p ON c.bucket = p.bucket AND c.vec_id != p.query_id),
+             pre AS (SELECT query_id, vec_id, ev, qv,
                        round($dist, 9) AS pca_dist
-                     FROM c JOIN q ON c.vec_id != q.query_id),
-             cand AS (SELECT query_id, vec_id, cv, qv, pca_dist FROM (
+                     FROM prj),
+             cand AS (SELECT query_id, vec_id, ev, qv, pca_dist FROM (
                SELECT *, row_number() OVER (PARTITION BY query_id
                            ORDER BY pca_dist ASC, vec_id ASC) AS pr
-               FROM pre) t WHERE pr <= ${operators.EmbeddingPca.cachedPcaR.getOrElse(100)}),
+               FROM pre) t WHERE pr <= $r),
              rer AS (SELECT query_id, vec_id, pca_dist,
-                            ${cosineSql("cv", "qv")} AS cosine
+                            ${cosineSql("ev", "qv")} AS cosine
                      FROM cand)
             SELECT query_id, vec_id, pca_dist, cosine, rank FROM (
               SELECT query_id, vec_id, pca_dist, cosine,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM rer) t WHERE rank <= 20""")
-    }.getOrElse(Map.empty)
+    }).getOrElse(Map.empty)
 
   /** Positional (non-distinct) width-`n` gram list with the whole-doc
     * fallback — the DuckDB twin of `Dsir.bigrams` (ngramSql minus its
@@ -2056,7 +2201,8 @@ object SparkEntry {
 
   private def oracleSqlBase: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
-      sqOracle ++ embedOracle ++ pcaAnnOracle ++ dsirOracle ++ ridgeOracle ++ Map(
+      sqOracle ++ embedOracle ++ pcaAnnOracle ++ bucketAnnOracle ++
+      mrlAnnOracle ++ dsirOracle ++ ridgeOracle ++ Map(
     "zz_probe_duckdb_version" ->
       """SELECT version() AS duckdb_version,
                 CAST(round(CAST(0.1234565 AS DOUBLE), 6) AS DECIMAL(18,6)) AS canary_r6_cast,
@@ -2631,6 +2777,55 @@ object SparkEntry {
                    CAST((21 - rank) * 50000 AS BIGINT) AS rel
             FROM ( $hybridOracleSql ) h),
           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+          ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
+                FROM cand JOIN e ON e.vec_id = cand.vec_id),
+          sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS c, b.vec_id AS o,
+                   CAST(floor(${cosineSql("a.ev", "b.ev")} * 1000000.0 + 0.5) AS BIGINT) AS sim
+                 FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+          r0 AS (SELECT query_id, vec_id, rel, CAST(0 AS BIGINT) AS pen FROM cand),
+          $steps
+          SELECT vec_id AS doc_id, rel, mmr_rank FROM (
+          $unionPicks) z"""
+    },
+    // Cross-modal RAG capstone: the BM25 lexical leg fused (RRF, the
+    // q_hybrid_search math) with a MEDIA-feature cosine leg — the feature
+    // space recomputed from the RAW corpus via the shared q_media_ann
+    // replay, so the engine's MOB-resolved path must reproduce it byte
+    // for byte — then the ten unrolled MMR greedy steps over media-
+    // feature cosines (λ = 0.7).
+    "q_rag_media" -> {
+      val (steps, unionPicks) = mmrUnrolledSql(k = 10, lambdaTenths = 7)
+      s"""WITH $mediaEmbCtesSql,
+          lex AS ($bm25OracleSql),
+          qm AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM emb WHERE vec_id = 0),
+          cm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM emb WHERE vec_id != 0),
+          scoredm AS (SELECT cm.vec_id, ${cosineSql("cm.cv", "qm.qv")} AS cosine
+                      FROM cm CROSS JOIN qm),
+          sem AS (SELECT vec_id AS doc_id, rank FROM (
+                    SELECT vec_id,
+                           CAST(row_number() OVER (ORDER BY cosine DESC,
+                             vec_id ASC) AS BIGINT) AS rank
+                    FROM scoredm) t WHERE rank <= 20),
+          u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                       CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
+                       CAST(coalesce(s.rank, 0) AS BIGINT) AS sem_rank
+                FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+          fz AS (SELECT doc_id,
+                       CAST(CASE WHEN lex_rank > 0
+                              THEN floor(1000000000000.0 / (60.0 + lex_rank))
+                              ELSE 0 END
+                          + CASE WHEN sem_rank > 0
+                              THEN floor(1000000000000.0 / (60.0 + sem_rank))
+                              ELSE 0 END AS BIGINT) AS rrf_score
+                 FROM u),
+          fused AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                        AS BIGINT) AS rank
+                    FROM fz ORDER BY rrf_score DESC, doc_id ASC LIMIT 20),
+          cand AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS query_id,
+                   doc_id AS vec_id,
+                   CAST((21 - rank) * 50000 AS BIGINT) AS rel FROM fused),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM emb),
           ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
                 FROM cand JOIN e ON e.vec_id = cand.vec_id),
           sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS c, b.vec_id AS o,
@@ -3556,29 +3751,6 @@ object SparkEntry {
                  CAST(max(floor(x * 1000000.0 + 0.5)) AS BIGINT) AS max_micro,
                  CAST(sum(floor(x * 1000000.0 + 0.5)) AS BIGINT) AS sum_micro
           FROM d GROUP BY dim""",
-    // Matryoshka two-stage: prefix-16 cosine first pass (list_slice of the
-    // same doubles — the engine slices the float array before widening,
-    // identical elements), 100-candidate rerank on the full cosine. Both
-    // scores q9-rounded, both ranks carry the (score, vec_id) tiebreak.
-    "q_ann_mrl" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                     FROM embeddings WHERE vec_id < 5),
-           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-           pre AS (
-             SELECT q.query_id, c.vec_id, c.cv, q.qv,
-                    ${cosineSql("list_slice(c.cv, 1, 16)", "list_slice(q.qv, 1, 16)")} AS prefix_cos
-             FROM c JOIN q ON c.vec_id != q.query_id),
-           cand AS (SELECT query_id, vec_id, cv, qv, prefix_cos FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-                         ORDER BY prefix_cos DESC, vec_id ASC) AS pr
-             FROM pre) t WHERE pr <= ${operators.Similarity.cachedMrlR.getOrElse(100)}),
-           rer AS (SELECT query_id, vec_id, prefix_cos,
-                          ${cosineSql("cv", "qv")} AS cosine
-                   FROM cand)
-          SELECT query_id, vec_id, prefix_cos, cosine, rank FROM (
-            SELECT query_id, vec_id, prefix_cos, cosine,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM rer) t WHERE rank <= 20""",
     // Filtered ANN: exact top-10 among same-label corpus vectors only
     // (pre-filtering — the predicate applies before scoring).
     "q_ann_filtered" ->
@@ -3632,45 +3804,6 @@ object SparkEntry {
            $steps
           $unionPicks"""
     },
-    // ANN LSH: identical hyperplane buckets (corpus-sized plane count from
-    // the query run — the cachedModel contract — same seed), then exact
-    // cosine top-20 within the query's bucket.
-    "q_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", annOracleP, 42L)} AS bucket FROM e),
-           q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM bkt WHERE vec_id < 5),
-           scored AS (
-             SELECT q.query_id, c.vec_id, ${cosineSql("c.ev", "q.qv")} AS cosine
-             FROM bkt c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id)
-          SELECT query_id, vec_id, cosine, rank FROM (
-            SELECT query_id, vec_id, cosine,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM scored) t WHERE rank <= 20""",
-    // ANN multi-probe: base bucket + single-bit flips of the (probes−1)
-    // smallest |margin| planes (ties by plane index, both engines), exact
-    // cosine top-20 within the probed buckets — probe mechanics replicated
-    // in SQL over the same corpus-sized plane count.
-    "q_ann_multiprobe" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-           bkt AS (SELECT vec_id, ev, ${operators.Similarity.bucketSql("ev", annOracleP, 42L)} AS bucket FROM e),
-           qd AS (SELECT vec_id AS query_id, ev AS qv, bucket AS base,
-                         ${operators.Similarity.dotsSql("ev", annOracleP, 42L)} AS ds
-                  FROM bkt WHERE vec_id < 5),
-           fl AS (SELECT query_id, qv, base,
-                    list_transform(list_slice(list_sort(
-                      list_transform(range($annOracleP), i -> {'m': abs(ds[i+1]), 'i': i})), 1, ${operators.Similarity.scaledProbes(annOracleP) - 1}),
-                      s -> s.i) AS flips
-                  FROM qd),
-           pb AS (SELECT query_id, qv,
-                    unnest(list_prepend(base, list_transform(flips, i -> xor(base, 1 << i)))) AS bucket
-                  FROM fl),
-           scored AS (
-             SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
-             FROM bkt c JOIN pb p ON c.bucket = p.bucket AND c.vec_id != p.query_id)
-          SELECT query_id, vec_id, cosine, rank FROM (
-            SELECT query_id, vec_id, cosine,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM scored) t WHERE rank <= 20""",
     // DSv2 cellstore range scan: keys [100, 200), one cell per non-key
     // customer column, base timestamps (no version injection here).
     "q_store_scan" ->
@@ -4039,21 +4172,7 @@ object SparkEntry {
     // multiplies), the exact double→float rounding chain of the stub
     // encoder, then bit-exact cosine top-10 for the first 3 media ids.
     "q_media_ann" ->
-      s"""WITH m AS ($mediaSql),
-           f1 AS (SELECT media_id, list_transform(range(64),
-                    i -> (hx + CAST(i AS HUGEINT) + 11400714819323198485::HUGEINT)
-                         % 18446744073709551616::HUGEINT) AS zs
-                  FROM m WHERE n_bytes > 0),
-           f2 AS (SELECT media_id, list_transform(zs, z -> ${mulModSql("xor(z, z // 1073741824::HUGEINT)", 0xbf58476d1ce4e5b9L)}) AS zs FROM f1),
-           f3 AS (SELECT media_id, list_transform(zs, z -> ${mulModSql("xor(z, z // 134217728::HUGEINT)", 0x94d049bb133111ebL)}) AS zs FROM f2),
-           f4 AS (SELECT media_id, list_transform(zs, z -> xor(z, z // 2147483648::HUGEINT)) AS zs FROM f3),
-           raw AS (SELECT media_id AS vec_id,
-             list_transform(zs, z -> CAST(CAST(${signedSql("z")} AS DOUBLE) / 9223372036854775807 AS FLOAT)) AS raw
-             FROM f4),
-           normed AS (SELECT vec_id,
-             CAST(sqrt(list_reduce(list_transform(raw, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS FLOAT) AS nf, raw
-             FROM raw),
-           emb AS (SELECT vec_id, list_transform(raw, x -> CASE WHEN nf = 0 THEN x ELSE CAST(x / nf AS FLOAT) END) AS embedding FROM normed),
+      s"""WITH $mediaEmbCtesSql,
            q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM emb WHERE vec_id < 3),
            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM emb),
            scored AS (

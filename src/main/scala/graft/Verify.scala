@@ -53,7 +53,19 @@ object Verify {
       }
     }
   }
+  /** Set for the lifetime of a Verify run (and by oracle-parity specs):
+    * query adapters whose DuckDB twin carries a data-shape PRECONDITION
+    * (e.g. q_simhash_pairs' all-pairs oracle vs the engine's star guard)
+    * assert it only when this is on — Bench and production runs, where no
+    * oracle compares the output and the guarded shapes are expected,
+    * skip the extra pass. */
+  @volatile private var oraclePreconditions = false
+  def oraclePreconditionsEnabled: Boolean = oraclePreconditions
+  private[graft] def enableOraclePreconditions(): Unit =
+    oraclePreconditions = true
+
   def main(args: Array[String]): Unit = {
+    enableOraclePreconditions()
     // D1-style arg validation (reference CopyRow.java:45-98): usage + exit(1)
     if (args.length < 2 || args.length > 3) {
       System.err.println("usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")

@@ -33,18 +33,25 @@ object AnnRecall {
 
   /** (tier, k, floor in micro-units). Floors are the tier's documented
     * quality contract on the synthetic fixtures: comfortably below every
-    * measured value at sf0.001/sf0.01/sf0.1 (0.59/0.65/0.38 for mrl,
-    * 0.80/0.84/0.94 ivf, 0.70/0.74/0.68 pq, 0.82/0.86/0.66 ivfpq,
-    * 0.82/0.88/0.40 ivfpq_res, 1.0 everywhere for sq8) but high enough
-    * that a broken tier — empty probes, garbage codebooks, wrong rerank —
-    * lands far under.
+    * measured value but high enough that a broken tier — empty probes,
+    * garbage codebooks, wrong rerank — lands far under.
     *
-    * mrl and pca size their rerank budget to the corpus since round 13
-    * ([[Similarity.scaledCandidates]] — a constant 5% fraction with a
-    * 100-candidate floor, cached for the oracle's candidate cut): at sf1
-    * (20k vectors) the fixed r=100 measured 0.19 / 0.07 recall; the
-    * scaled budget measures 0.65 / 0.34 — both decade-stable and above
-    * their floors at every measured scale.
+    * mrl and pca are OCCUPANCY-BOUND since round 14
+    * ([[Similarity.mrlBucketedTopK]] / [[EmbeddingPca.pcaBucketedTopK]]:
+    * candidates from the multi-probe buckets, prefix cut at the
+    * occupancy-derived [[Similarity.bucketedRerank]] budget): measured
+    * 0.59 / 0.57 at sf0.1 and 0.38 / 0.32 at sf1 — per-query cost now
+    * DECADE-FLAT (the round-13 scaledCandidates budget was decade-stable
+    * in recall but linear in per-query cost), recall ceilinged by the
+    * multiprobe tier whose buckets supply the candidates.
+    *
+    * The IVF family sizes nlist to the corpus since round 14
+    * ([[IvfIndex.scaledNlist]] — constant ~256-vector cell occupancy —
+    * with ⌊√nlist⌋ probes): ivf measures 0.94 at BOTH sf0.1 (nlist=8,
+    * identical to the fixed-parameter era) and sf1 (nlist=128, nprobe=11
+    * — candidates ~11·156 ≈ 3% of the corpus vs the fixed model's 25%),
+    * ivfpq 0.66/0.60, ivfpq_res 0.40/0.54 — per-probe cost grows ~√decade
+    * while recall holds far above the floors.
     *
     * The two single-table bucketing tiers size their hyperplane count to
     * the corpus since round 13 ([[Similarity.scaledPlanes]] — constant

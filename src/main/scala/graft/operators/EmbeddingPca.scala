@@ -235,24 +235,62 @@ object EmbeddingPca {
       .filter(col("rank") <= k)
   }
 
-  /** Query-pack adapter: 8-of-64-dim PCA first pass, 100-candidate
-    * rerank, top-20 — same query set as the other ANN tiers. */
-  def annPcaQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    // corpus-sized rerank budget (the mrl discipline): constant 5%
-    // fraction with a 100-candidate floor, cached for the oracle
-    val r = Similarity.scaledCandidates(emb.count())
-    lastPcaR.set(r)
-    pcaTopK(emb, emb.filter(col("vec_id") < 5), fitCached(spark, sfDir), r = r)
+  /**
+   * OCCUPANCY-BOUND PCA two-stage ANN (the [[Similarity.mrlBucketedTopK]]
+   * discipline with a learned first-pass subspace): candidates come from
+   * the query's multi-probe LSH buckets, the 8-d PCA distance ranks only
+   * those, the top `rPrefix` rerank at full dimension. Per-query cost
+   * tracks bucket occupancy — decade-flat by [[Similarity.scaledPlanes]]'
+   * construction — instead of the corpus fraction [[pcaTopK]] pays.
+   */
+  def pcaBucketedTopK(corpus: DataFrame, queries: DataFrame, model: Model,
+      planes: Int, probes: Int, rPrefix: Int,
+      nComp: Int = NComponents, k: Int = 20, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = (0 until nComp).map(c => model.components(c).map(_.toFloat))
+    def coords(e: Column): Column =
+      array(comps.map(w => rawCoord(e, w)): _*)
+    val hp = Similarity.hyperplanes(planes, 64, seed)
+    val cand = Similarity.bucketedCorpusDf(corpus, hp)
+      .join(broadcast(Similarity.probedQueryBuckets(queries, hp, probes)),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("query_vec"),
+        coords(col("embedding")).as("pc"), coords(col("query_vec")).as("qpc"))
+    val dist = (0 until nComp).map { c =>
+      val d = element_at(col("pc"), c + 1) - element_at(col("qpc"), c + 1)
+      d * d
+    }.reduce(_ + _) // left-assoc — the oracle sums in the same order
+    val scored = cand.select(col("query_id"), col("vec_id"), col("embedding"),
+      col("query_vec"), Similarity.q9(dist).as("pca_dist"))
+    val wPre = Window.partitionBy("query_id")
+      .orderBy(col("pca_dist").asc, col("vec_id").asc)
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("_pr", row_number().over(wPre))
+      .filter(col("_pr") <= rPrefix)
+      .select(col("query_id"), col("vec_id"), col("pca_dist"),
+        Similarity.q9(graft.functions.VectorFunctions.cosine_sim(
+          col("embedding"), col("query_vec"))).as("cosine"))
+      .withColumn("rank", row_number().over(wFull).cast("bigint"))
+      .filter(col("rank") <= k)
   }
 
-  private val lastPcaR = new java.util.concurrent.atomic.AtomicInteger(-1)
-
-  /** Rerank budget the last corpus-sized pca query used (the cachedModel
-    * contract, for the oracle's candidate cut). */
-  def cachedPcaR: Option[Int] = {
-    val v = lastPcaR.get()
-    if (v > 0) Some(v) else None
+  /** Query-pack adapter: OCCUPANCY-BOUND 8-of-64-dim PCA first pass over
+    * the query's multi-probe buckets (corpus-sized plane count shared
+    * with the other bucketed tiers), [[Similarity.bucketedRerank]]
+    * candidates, top-20. [[pcaTopK]] (corpus-fraction budget) remains the
+    * no-index path. */
+  def annPcaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // via annPlanes (not scaledPlanes directly) so the plane count lands
+    // in the cachedAnnPlanes oracle cache no matter which tier runs first
+    val p = Similarity.annPlanes(emb)
+    val probes = Similarity.scaledProbes(p)
+    pcaBucketedTopK(emb, emb.filter(col("vec_id") < 5),
+      fitCached(spark, sfDir), planes = p, probes = probes,
+      rPrefix = Similarity.bucketedRerank(probes))
   }
 
   /** Driver-checkable PCA gate (the bound-boolean pattern of

@@ -76,10 +76,16 @@ object IvfIndex {
 
     (0 until iters).foreach { _ =>
       val model = Model(centroids)
-      val assigned = corpus.select(
-        col("vec_id"),
-        posexplode(col("embedding")).as(Seq("dim", "x")),
-        nearestCell(model, col("embedding")).as("cell"))
+      // cell materialized in its OWN projection BELOW the generator:
+      // sharing a select with posexplode re-evaluates the nlist-way argmax
+      // once per exploded dimension — a dim× hidden multiplier on the
+      // assignment cost (the PqIndex.encode HOF re-eval trap, generator
+      // flavor; measured 64× on the corpus-scaled nlist=128 fit at sf1)
+      val assigned = corpus
+        .select(col("vec_id"), col("embedding"),
+          nearestCell(model, col("embedding")).as("cell"))
+        .select(col("vec_id"), col("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
       // float components round exactly into DECIMAL(27,12); the sum is
       // order-free, unlike avg() over doubles
       val means = assigned.groupBy("cell", "dim")
@@ -303,6 +309,34 @@ object IvfIndex {
       nprobe: Int): DataFrame =
     search(spark.read.parquet(path), queries, model, k, nprobe)
 
+  /**
+   * Cell count sized to the corpus — the [[Similarity.scaledPlanes]]
+   * discipline applied to the IVF family: the smallest power-of-two
+   * `nlist ∈ [minNlist, maxNlist]` with `n ≤ targetCell · nlist`, so
+   * expected cell occupancy (and with it the per-probe scan cost) holds
+   * roughly constant across corpus decades. A FIXED nlist is
+   * fraction-of-corpus per query by accident, not by contract: cells
+   * fatten linearly with the corpus, so every probe's cost grows with n
+   * even though recall looks stable. Integer ladder, no float log2.
+   */
+  def scaledNlist(n: Long, targetCell: Long = 256L,
+      minNlist: Int = 8, maxNlist: Int = 4096): Int = {
+    var nl = minNlist
+    while (nl < maxNlist && n > targetCell * nl) nl *= 2
+    nl
+  }
+
+  /** Probes for a scaled cell count: ⌊√nlist⌋ with a floor of 2. A fixed
+    * nprobe over a growing nlist probes a vanishing fraction of centroid
+    * space (recall decays); a fixed FRACTION re-creates linear per-query
+    * cost. √nlist is the standard compromise — probed candidates grow as
+    * √(n/targetCell)·targetCell, decade-sublinear, while the probed
+    * fraction shrinks slowly enough that recall holds (measured: see
+    * AnnRecall.Tiers scaladoc). ⌊√8⌋ = 2 keeps the verify-scale fixtures
+    * bit-identical to the fixed-parameter era. */
+  def scaledNprobe(nlist: Int): Int =
+    math.max(2, math.sqrt(nlist.toDouble).toInt)
+
   /** Trained models memoized per (corpus, nlist, iters): an IVF index is
     * BUILT once and SEARCHED many times — amortizing the k-means fit across
     * queries is the production shape (at 100 TB the model would persist
@@ -331,8 +365,12 @@ object IvfIndex {
     * generators no matter which query trains first). */
   private def packModel(spark: SparkSession, sfDir: String): Model = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    modelCache.computeIfAbsent(s"$sfDir#nlist=8#iters=2",
-      _ => train(emb, nlist = 8, iters = 2))
+    // corpus-sized nlist (decade-stable occupancy — [[scaledNlist]]); the
+    // count() is parquet footer metadata, and the model is memoized so the
+    // fit + count amortize across the whole ANN query pack
+    val nl = scaledNlist(emb.count())
+    modelCache.computeIfAbsent(s"$sfDir#nlist=$nl#iters=2",
+      _ => train(emb, nlist = nl, iters = 2))
   }
 
   /** Query-pack adapter: per-cluster population + cosine mass. */
@@ -355,6 +393,7 @@ object IvfIndex {
       writeIndex(emb, model, d)
       d
     })
-    searchIndex(spark, dir, emb.filter(col("vec_id") < 5), model, k = 20, nprobe = 2)
+    searchIndex(spark, dir, emb.filter(col("vec_id") < 5), model, k = 20,
+      nprobe = scaledNprobe(model.nlist))
   }
 }

@@ -215,11 +215,14 @@ object IvfPqIndex {
 
   /** Query-pack adapter: train (or reuse) the composed model, persist the
     * cell-partitioned code layout (once), search the first 5 vectors with
-    * nprobe=2 of 8 cells, ADC pool r=50, exact top-10. */
+    * a corpus-sized probe count ([[IvfIndex.scaledNlist]] cells,
+    * [[IvfIndex.scaledNprobe]] probes — decade-stable occupancy), ADC
+    * pool r=50, exact top-10. */
   def ivfpqQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val model = modelCache.computeIfAbsent(s"$sfDir#nlist=8#m=8#k=16",
-      _ => train(emb, nlist = 8, dim = 64, m = 8, k = 16,
+    val nl = IvfIndex.scaledNlist(emb.count())
+    val model = modelCache.computeIfAbsent(s"$sfDir#nlist=$nl#m=8#k=16",
+      _ => train(emb, nlist = nl, dim = 64, m = 8, k = 16,
         coarseIters = 2, pqIters = 2))
     val dir = indexCache.computeIfAbsent(sfDir, _ => {
       val d = graft.WorkDirs.dir(s"ivfpq_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
@@ -227,7 +230,7 @@ object IvfPqIndex {
       d
     })
     searchIndex(spark, dir, emb, emb.filter(col("vec_id") < 5), model,
-      k = 10, nprobe = 2, r = 50)
+      k = 10, nprobe = IvfIndex.scaledNprobe(nl), r = 50)
   }
 
   /** Residual models live in their OWN cache so [[cachedModel]]'s
@@ -251,8 +254,9 @@ object IvfPqIndex {
     * against a generated SQL replay like its global twin. */
   def ivfpqResidualQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val model = residualModelCache.computeIfAbsent(s"$sfDir#res#nlist=8#m=8#k=16",
-      _ => train(emb, nlist = 8, dim = 64, m = 8, k = 16,
+    val nl = IvfIndex.scaledNlist(emb.count())
+    val model = residualModelCache.computeIfAbsent(s"$sfDir#res#nlist=$nl#m=8#k=16",
+      _ => train(emb, nlist = nl, dim = 64, m = 8, k = 16,
         coarseIters = 2, pqIters = 2, residual = true))
     val dir = residualIndexCache.computeIfAbsent(sfDir, _ => {
       val d = graft.WorkDirs.dir(s"ivfpqres_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
@@ -260,6 +264,6 @@ object IvfPqIndex {
       d
     })
     searchIndex(spark, dir, emb, emb.filter(col("vec_id") < 5), model,
-      k = 10, nprobe = 2, r = 50)
+      k = 10, nprobe = IvfIndex.scaledNprobe(nl), r = 50)
   }
 }

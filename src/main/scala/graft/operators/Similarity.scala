@@ -122,21 +122,16 @@ object Similarity {
    * [[lshTopK]]; only the broadcast query side fans out ×probes, so the
    * recall/cost knob never touches corpus layout or shuffle.
    */
-  def multiProbeTopK(
-      corpus: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      planes: Int = 8,
-      seed: Long = 42L,
-      probes: Int = 4): DataFrame = {
-    require(probes >= 1 && probes <= planes, "probes must be in [1, planes]")
-    val hp = hyperplanes(planes, 64, seed)
-    val bucketedCorpus = corpus.select(
-      col("vec_id"), col("embedding"), bucketExpr(hp).as("bucket"))
-
+  /** Multi-probe candidate generation, shared by [[multiProbeTopK]] and
+    * the bucketed two-stage tiers ([[mrlBucketedTopK]],
+    * [[graft.operators.EmbeddingPca.pcaBucketedTopK]]): each query row
+    * fans out to its base bucket plus single-bit flips of the `probes − 1`
+    * smallest-|margin| planes. Returns (query_id, query_vec, bucket). */
+  private[operators] def probedQueryBuckets(
+      queries: DataFrame, hp: Seq[Seq[Float]], probes: Int): DataFrame = {
     val dots = array(hp.map(p =>
       VectorFunctions.dot_product(col("query_vec"), typedlit(p))): _*)
-    val probed = queries
+    queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       .withColumn("_dots", dots)
       // base bucket from the SAME dots the margins rank (≡ bucketExpr)
@@ -151,6 +146,26 @@ object Similarity {
       .withColumn("bucket", explode(expr(
         "array_union(array(_base), transform(_flips, i -> _base ^ shiftleft(CAST(1 AS BIGINT), i)))")))
       .select(col("query_id"), col("query_vec"), col("bucket"))
+  }
+
+  /** Corpus side of the bucketed tiers: (vec_id, embedding, bucket) —
+    * each vector in exactly ONE bucket (so probe joins cannot duplicate
+    * pairs), narrow codegen, no shuffle. */
+  private[operators] def bucketedCorpusDf(
+      corpus: DataFrame, hp: Seq[Seq[Float]]): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"), bucketExpr(hp).as("bucket"))
+
+  def multiProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 42L,
+      probes: Int = 4): DataFrame = {
+    require(probes >= 1 && probes <= planes, "probes must be in [1, planes]")
+    val hp = hyperplanes(planes, 64, seed)
+    val bucketedCorpus = bucketedCorpusDf(corpus, hp)
+    val probed = probedQueryBuckets(queries, hp, probes)
 
     val scored = bucketedCorpus
       .join(broadcast(probed),
@@ -238,6 +253,57 @@ object Similarity {
   }
 
   /**
+   * OCCUPANCY-BOUND Matryoshka two-stage retrieval: candidate generation
+   * goes through the multi-probe LSH buckets ([[probedQueryBuckets]] over
+   * [[scaledPlanes]]-sized hyperplanes) instead of a full-corpus prefix
+   * pass — the prefix score ranks only vectors in the query's probed
+   * buckets, the top `rPrefix` of those rerank at full dimension. Per-query
+   * cost therefore tracks BUCKET OCCUPANCY (probes × targetBucket — a
+   * corpus-decade constant by scaledPlanes' construction), where the plain
+   * [[mrlTopK]] with a [[scaledCandidates]] budget stays a fixed FRACTION
+   * of a corpus pass (decade-stable recall, but per-query cost linear in
+   * n). The recall ceiling is the multi-probe tier's (candidates outside
+   * probed buckets are unreachable); the prefix cut inside the buckets
+   * costs little below that ceiling because `rPrefix` is sized at a
+   * quarter of expected occupancy. Scores q9-quantized, ranks (score,
+   * vec_id)-tiebroken — oracle-replayable like every tier.
+   */
+  def mrlBucketedTopK(corpus: DataFrame, queries: DataFrame, dPrefix: Int,
+      planes: Int, probes: Int, rPrefix: Int, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(probes >= 1 && probes <= planes, "probes must be in [1, planes]")
+    val hp = hyperplanes(planes, 64, seed)
+    val cand = bucketedCorpusDf(corpus, hp)
+      .join(broadcast(probedQueryBuckets(queries, hp, probes)),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"), col("embedding"), col("query_vec"),
+        q9(VectorFunctions.cosine_sim(
+          slice(col("embedding"), 1, dPrefix),
+          slice(col("query_vec"), 1, dPrefix))).as("prefix_cos"))
+    val wPre = Window.partitionBy("query_id")
+      .orderBy(col("prefix_cos").desc, col("vec_id").asc)
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("_pr", row_number().over(wPre))
+      .filter(col("_pr") <= rPrefix)
+      .select(col("query_id"), col("vec_id"), col("prefix_cos"),
+        q9(VectorFunctions.cosine_sim(col("embedding"), col("query_vec")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wFull).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Prefix-cut budget for the bucketed two-stage tiers: a quarter of the
+    * expected probed mass (probes × targetBucket / 4 = 1024 at the
+    * defaults), floored at 100 — corpus-independent BY CONSTRUCTION
+    * (occupancy is what scaledPlanes holds constant), so rerank cost is
+    * decade-flat without a per-corpus cache. */
+  def bucketedRerank(probes: Int, targetBucket: Long = 1024L): Int =
+    math.max(100L, probes * targetBucket / 4).toInt
+
+  /**
    * Hyperplane count sized to the corpus (the [[graft.operators.Dedup
    * .planesFor]] discipline, applied to the SEARCH tiers): the smallest
    * `p ∈ [minPlanes, maxPlanes]` with `n ≤ targetBucket · 2^p`, so expected
@@ -276,15 +342,6 @@ object Similarity {
     * of one corpus pass. */
   def scaledCandidates(n: Long): Int =
     math.max(100L, n / 20L).min(Int.MaxValue.toLong).toInt
-
-  private val lastMrlR = new java.util.concurrent.atomic.AtomicInteger(-1)
-
-  /** Rerank budget the last corpus-sized mrl query used (the
-    * cachedAnnPlanes contract, for the oracle's candidate cut). */
-  def cachedMrlR: Option[Int] = {
-    val v = lastMrlR.get()
-    if (v > 0) Some(v) else None
-  }
 
   /**
    * Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR'98) —
@@ -372,7 +429,7 @@ object Similarity {
   /** Corpus-sized plane count for the embeddings fixture, cached for the
     * oracle. One count() job (parquet footer metadata — no data scan); a
     * 100 TB deployment passes its catalog-known corpus size instead. */
-  private def annPlanes(emb: DataFrame): Int = {
+  private[operators] def annPlanes(emb: DataFrame): Int = {
     val p = scaledPlanes(emb.count())
     lastAnnPlanes.set(p)
     p
@@ -426,13 +483,18 @@ object Similarity {
       planes = p, probes = scaledProbes(p))
   }
 
-  /** Same queries through the Matryoshka path: 16-of-64-dim first pass,
-    * corpus-sized rerank budget ([[scaledCandidates]] — 1% of the corpus,
-    * 100-candidate floor), top-20. */
+  /** Same queries through the OCCUPANCY-BOUND Matryoshka path
+    * ([[mrlBucketedTopK]]): 16-of-64-dim prefix pass restricted to the
+    * query's multi-probe buckets (corpus-sized plane count, shared with
+    * the lsh/multiprobe tiers and cached for the oracle), prefix cut at
+    * [[bucketedRerank]] candidates, full-dim rerank, top-20. Per-query
+    * cost is decade-flat; the plain [[mrlTopK]] (corpus-fraction budget
+    * via [[scaledCandidates]]) remains the no-index path. */
   def mrlQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val r = scaledCandidates(emb.count())
-    lastMrlR.set(r)
-    mrlTopK(emb, emb.filter(col("vec_id") < 5), dPrefix = 16, r = r, k = 20)
+    val p = annPlanes(emb)
+    val probes = scaledProbes(p)
+    mrlBucketedTopK(emb, emb.filter(col("vec_id") < 5), dPrefix = 16,
+      planes = p, probes = probes, rPrefix = bucketedRerank(probes), k = 20)
   }
 }

@@ -46,11 +46,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    Event-time timeouts flush users whose pending events age past the
  *    watermark without new data arriving.
  *
- * NOTE — checkpoint compatibility: round 13 added `maxEventId` to
- * [[StreamFunnel.FunnelState]] (and the buffered variant is new
- * state), changing the state encoder schema; checkpoints written by
- * earlier builds cannot resume — start a fresh checkpoint dir (the
- * emitted delta slices remain valid).
+ * NOTE — checkpoint compatibility: round 13 added `maxEventId` (a
+ * schema break), and round 14 added the [[StateVersion]] evolution
+ * fields — the LAST such break: checkpoints written by pre-round-14
+ * builds cannot resume (start a fresh checkpoint dir; the emitted
+ * delta slices remain valid), but from round 14 on, semantic changes
+ * ride the version field and new data rides the reserved bag, so
+ * future upgrades resume in place.
  *
  * 100 TB shape: per batch, work is batch-sized plus one state row per
  * active user; the depth slices are user-domain-sized; nothing ever
@@ -61,8 +63,14 @@ object StreamFunnel {
   final case class Visit(userId: Long, tsMicros: Long, eventId: Long, eventType: String)
   /** `(maxTs, maxEventId)` is the high-water pair of every event already
     * folded — the cross-batch regression + boundary-replay detector
-    * (see object doc). */
-  final case class FunnelState(reach: Seq[Long], depth: Int, maxTs: Long, maxEventId: Long)
+    * (see object doc). `(stateVersion, reserved)` is the [[StateVersion]]
+    * evolution discipline: future semantic changes bump the version,
+    * future per-user data lands in the bag — neither changes the encoder
+    * schema, so the NEXT evolution resumes this checkpoint. */
+  final case class FunnelState(reach: Seq[Long], depth: Int, maxTs: Long,
+      maxEventId: Long,
+      stateVersion: Int = StateVersion.Current,
+      reserved: Map[String, String] = Map.empty)
   final case class UserDepth(userId: Long, depth: Int)
 
   /** A not-yet-folded event held until the watermark passes it. */
@@ -74,7 +82,9 @@ object StreamFunnel {
   final case class VisitT(userId: Long, tsMicros: Long, eventId: Long,
       eventType: String, ts: java.sql.Timestamp)
   final case class BufferedState(reach: Seq[Long], depth: Int,
-      maxTs: Long, maxEventId: Long, pending: Seq[Pending])
+      maxTs: Long, maxEventId: Long, pending: Seq[Pending],
+      stateVersion: Int = StateVersion.Current,
+      reserved: Map[String, String] = Map.empty)
 
   /** Fold `ordered` (already sorted by (ts, eventId)) into the DP arrays.
     * Every step index an event's type occupies is decided against the
@@ -132,7 +142,10 @@ object StreamFunnel {
           val depth = foldOrdered(steps, windowMicros, reach, init.depth, ordered)
           val (maxTs, maxEv) = ordered.lastOption
             .map(p => (p.tsMicros, p.eventId)).getOrElse(floor)
-          state.update(FunnelState(reach.toSeq, depth, maxTs, maxEv))
+          // re-stamp Current, CARRY the reserved bag: a newer version's
+          // extension data must survive a fold by this writer
+          state.update(FunnelState(reach.toSeq, depth, maxTs, maxEv,
+            StateVersion.Current, init.reserved))
           Iterator.single(UserDepth(user, depth))
       }
   }
@@ -185,7 +198,8 @@ object StreamFunnel {
           val depth = foldOrdered(steps, windowMicros, reach, init.depth, ready)
           val (maxTs, maxEv) = ready.lastOption
             .map(p => (p.tsMicros, p.eventId)).getOrElse(floor)
-          state.update(BufferedState(reach.toSeq, depth, maxTs, maxEv, hold))
+          state.update(BufferedState(reach.toSeq, depth, maxTs, maxEv, hold,
+            StateVersion.Current, init.reserved))
           // a user with pending events but no further arrivals must still be
           // re-invoked once the watermark passes them: event-time timeout at
           // the earliest pending ts (clamped strictly past the watermark)

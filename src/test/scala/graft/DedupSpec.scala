@@ -286,6 +286,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)  // exact J=1
   }
 
+  test("simhash oracle precondition: fails fast past the star threshold, passes the fixtures") {
+    // the q_simhash_pairs DuckDB oracle replays the banding ALL-PAIRS;
+    // the adapter asserts (under Verify) that no (band, key) bucket
+    // crosses the star-routing threshold, so a future oversized fixture
+    // fails with a diagnostic instead of a silent driver hash mismatch
+    val big = spark.range(1300)
+      .select(col("id").as("doc_id"), lit(doc).as("text"))
+    assert(Dedup.simhashMaxBucket(big) == 1300L)
+    val e = intercept[IllegalArgumentException](
+      Dedup.assertSimhashOraclePrecondition(big))
+    assert(e.getMessage.contains("star-route"))
+    // the real verify fixture is comfortably under the threshold
+    Dedup.assertSimhashOraclePrecondition(
+      graft.sources.Tables.load(spark, sf001, "documents"))
+  }
+
   test("simhash: identical docs collide at distance 0; near docs within 3") {
     val pairs = Dedup.simhashPairs(docs).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

@@ -9,6 +9,31 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
 
+  test("scaled nlist/nprobe ladder: constant cell occupancy, sqrt probes, fixture pins") {
+    // occupancy bound: the chosen nlist keeps n <= targetCell * nlist
+    // wherever the ladder can (below the max clamp)
+    Seq(1L, 500L, 2000L, 20000L, 60000L, 1000000L).foreach { n =>
+      val nl = IvfIndex.scaledNlist(n)
+      if (nl < 4096) assert(n <= 256L * nl, s"n=$n nlist=$nl breaks occupancy")
+      assert(nl >= 8 && nl <= 4096 && Integer.bitCount(nl) == 1)
+    }
+    // fixture pins — the verify-scale corpora keep the round-13 model
+    // shape (oracle continuity), the scaled decades grow it
+    assert(IvfIndex.scaledNlist(500L) == 8)     // sf0.001 / sf0.01
+    assert(IvfIndex.scaledNlist(2000L) == 8)    // sf0.1
+    assert(IvfIndex.scaledNlist(20000L) == 128) // sf1
+    assert(IvfIndex.scaledNlist(60000L) == 256) // sf3
+    // monotone in n
+    val ns = Seq(100L, 1000L, 5000L, 20000L, 80000L, 400000L)
+    assert(ns.map(IvfIndex.scaledNlist(_)) == ns.map(IvfIndex.scaledNlist(_)).sorted)
+    // probes: floor(sqrt(nlist)) with a floor of 2 — 2 at the verify
+    // scales (bit-identical to the fixed-parameter era), sublinear after
+    assert(IvfIndex.scaledNprobe(8) == 2)
+    assert(IvfIndex.scaledNprobe(128) == 11)
+    assert(IvfIndex.scaledNprobe(256) == 16)
+    assert(IvfIndex.scaledNprobe(4096) == 64)
+  }
+
   test("IVF: training is deterministic and assignment covers all vectors") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val m1 = IvfIndex.train(emb, nlist = 8, iters = 2)

@@ -64,6 +64,21 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
       "MMR pick 1 must be the fused top-1")
   }
 
+  test("cross-modal RAG capstone: 10 distinct picks, rel on the fused-rank lattice") {
+    val rag = run("q_rag_media").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rel"),
+        r.getAs[Long]("mmr_rank")))
+    assert(rag.length == 10 && rag.map(_._1).distinct.length == 10)
+    assert(rag.map(_._3).sorted.toSeq == (1L to 10L))
+    // rel is the fused-rank linear decay (21 − rank)·50000 over a ≤20 list
+    assert(rag.forall { case (_, rel, _) =>
+      rel % 50000L == 0L && rel >= 50000L && rel <= 1000000L })
+    // pick 1 is the greedy argmax: the highest-rel candidate (vec_id tiebreak)
+    val top = rag.maxBy(_._2)._2
+    assert(rag.find(_._3 == 1L).get._2 == top,
+      "MMR pick 1 must carry the maximal fused relevance")
+  }
+
   test("every oracleSql key has a matching query") {
     // zz_probe_* entries are deliberate oracle-side diagnostics (e.g. the
     // DuckDB version/cast-rule probe): SQL the driver MAY run, with no

@@ -212,11 +212,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // exact boundary: n == targetBucket << p stays at p
     assert(Similarity.scaledPlanes(1024L << 6) == 6)
     assert(Similarity.scaledPlanes((1024L << 6) + 1) == 7)
-    // rerank budget: 5% fraction with the 100-candidate floor
+    // no-index rerank budget: 5% fraction with the 100-candidate floor
     assert(Similarity.scaledCandidates(500L) == 100)    // floor
     assert(Similarity.scaledCandidates(2000L) == 100)   // 5% == floor
     assert(Similarity.scaledCandidates(20000L) == 1000) // sf1 shape
     assert(Similarity.scaledCandidates(60000L) == 3000) // sf3 shape
+    // bucketed-tier prefix cut: a quarter of expected probed mass,
+    // 100-candidate floor — corpus-INDEPENDENT (occupancy is the constant)
+    assert(Similarity.bucketedRerank(1) == 256)
+    assert(Similarity.bucketedRerank(2) == 512)  // verify-scale fixtures
+    assert(Similarity.bucketedRerank(4) == 1024) // sf1+ (probes cap at 4)
+    assert(Similarity.bucketedRerank(1, targetBucket = 100L) == 100) // floor
   }
 
   test("LSH top-k: results are a subset of correct cosine scores, same bucket only") {

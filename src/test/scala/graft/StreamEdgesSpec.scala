@@ -84,6 +84,75 @@ class StreamEdgesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.isEmpty, s"no edge may cross the malformed visit, got ${got.toSeq}")
   }
 
+  test("buffered: a cross-batch REGRESSED event INSERTS its edges (watermark ordering)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamedges-buf").toString
+    val root = s"$base/edges"
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamEdges.startBuffered(
+      input.toDF().toDF("event_id", "ts", "user_id", "props"),
+      root, checkpoint = s"$base/ckpt", lateness = "1 hour")
+    try {
+      // the LATER event arrives first; the EARLIER one lands a batch later
+      // (inside the 1-hour bound). The eager mode documents this as a drop
+      // — zero edges; the buffered mode must hold both past the watermark
+      // and emit the 1→2 edge in (ts, event_id) order
+      input.addData((2L, t(3000L * 1000000L), 7L, """{"k": 2}"""))
+      q.processAllAvailable()
+      input.addData((1L, t(1000L * 1000000L), 7L, """{"k": 1}"""))
+      q.processAllAvailable()
+      // advance the watermark past both events (user -1's null-k flushes
+      // break their own chain), then one more batch so timeouts fire
+      input.addData((90L, t(10200L * 1000000L), -1L, "{}"))
+      q.processAllAvailable()
+      input.addData((91L, t(10300L * 1000000L), -1L, "{}"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream wedged: ${q.exception}")
+    } finally q.stop()
+    val got = StreamEdges.mergedEdges(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L)),
+      s"the regressed event must insert its edge via the watermark buffer, got $got")
+  }
+
+  test("buffered: randomly-permuted micro-batch assignment equals the batch edge table") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-streamedges-perm").toString
+    val root = s"$base/edges"
+
+    val ordered = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("props"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val events = new scala.util.Random(1415L).shuffle(ordered.toSeq) // any delivery order
+    val maxTs = ordered.map(_._2.getTime).max
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamEdges.startBuffered(
+      input.toDF().toDF("event_id", "ts", "user_id", "props"),
+      root, checkpoint = s"$base/ckpt", lateness = "3650 days")
+    try {
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // watermark past every event, then one more batch for the timeouts
+      input.addData((-90L, new java.sql.Timestamp(maxTs + 3660L * 86400000L), -1L, "{}"))
+      q.processAllAvailable()
+      input.addData((-91L, new java.sql.Timestamp(maxTs + 3661L * 86400000L), -1L, "{}"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream wedged: ${q.exception}")
+    } finally q.stop()
+
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchEdges = edgeSet(
+      LinkRank.transitions(Tables.load(spark, sf001, "events")))
+    val streamed = edgeSet(StreamEdges.mergedEdges(spark, root))
+    assert(streamed == batchEdges,
+      s"missing=${(batchEdges -- streamed).take(5)} extra=${(streamed -- batchEdges).take(5)}")
+  }
+
   test("at-least-once redelivery: a replayed batch adds no edge weight (boundary ties included)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-streamedges-redeliver").toString
