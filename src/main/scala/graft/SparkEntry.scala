@@ -410,6 +410,15 @@ object SparkEntry {
     InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
       Seq("merge", "sort", "window"), k = 20, lnIdf = false)
 
+  /** Pseudo-relevance-feedback expansion over the same index: seeds
+    * merge/sort/window, top-5 feedback docs, 3 mined expansion terms,
+    * expanded BM25 top-20 (rational idf — the driver-compared form). */
+  private def prfSearchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    InvertedIndex.searchPrf(spark, invIndexDir(spark, sfDir),
+      graft.sources.Tables.load(spark, sfDir, "documents"),
+      Seq("merge", "sort", "window"), k = 20, fbDocs = 5, fbTerms = 3,
+      lnIdf = false)
+
   /** Exact phrase query through the index's positional layer — probes
     * only the two terms' `pos` cells; the oracle re-derives matches by
     * scanning adjacent token pairs in the raw text, so a green row
@@ -1037,6 +1046,7 @@ object SparkEntry {
     "q_keyword_search" -> (keywordSearchQuery _),
     "q_prefix_search"  -> (prefixSearchQuery _),
     "q_bm25_search"    -> (bm25SearchQuery _),
+    "q_prf_search"     -> (prfSearchQuery _),
     "q_search_ndcg"    -> (RankMetrics.searchNdcgQuery _),
     "q_counter_incr"   -> (counterIncrQuery _),
     "q_check_and_put"  -> (checkAndPutQuery _),
@@ -1072,6 +1082,8 @@ object SparkEntry {
     "q_ann_mrl"        -> (Similarity.mrlQuery _),
     "q_ann_filtered"   -> (Similarity.filteredQuery _),
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
+    "q_ann_ivf_filtered" -> (IvfIndex.ivfFilteredQuery _),
+    "q_ivf_probe_curve" -> (IvfIndex.probeCurveQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
     "q_embed_stats"    -> (EmbeddingStats.dimStatsQuery _),
@@ -1281,6 +1293,55 @@ object SparkEntry {
                      CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
                           AS BIGINT) AS rank
               FROM s)
+        SELECT doc_id, score, rank FROM r WHERE rank <= 20"""
+  }
+
+  /** PRF oracle: the whole expansion loop replayed relationally from the
+    * shared token stats — seed BM25 rank, top-5 feedback docs, the 3
+    * highest-tf non-seed terms of length ≥ 4 mined from THOSE docs
+    * ((tf desc, term asc) tiebreak), expanded BM25 top-20. Same
+    * micro-quantized rational-idf score as [[bm25OracleSqlOver]]. */
+  private def prfOracleSql: String = {
+    val k1 = 1.2; val b = 0.75
+    val seeds = "'merge', 'sort', 'window'"
+    def scoreSql(termPred: String, out: String): String =
+      s"""$out AS (SELECT p.doc_id,
+                     CAST(sum(CAST(floor(
+                       (((n.n + 1.0) / (d.df + 1)) *
+                        ((CAST(p.tf AS DOUBLE) * ${k1 + 1}) /
+                         (CAST(p.tf AS DOUBLE) + $k1 *
+                          (${1 - b} + $b * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))))
+                       * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS score
+              FROM p JOIN d USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN n CROSS JOIN ad
+              WHERE $termPred
+              GROUP BY 1)"""
+    s"""WITH p AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+                        FROM documents)
+                  GROUP BY 1, 2),
+        d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+        ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+        ${scoreSql(s"p.term IN ($seeds)", "s0")},
+        fb AS (SELECT doc_id FROM (
+                 SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                             AS BIGINT) AS rank
+                 FROM s0) t WHERE rank <= 5),
+        ex AS (SELECT term FROM (
+                 SELECT p.term, CAST(sum(p.tf) AS BIGINT) AS tf
+                 FROM p JOIN fb USING (doc_id)
+                 WHERE length(p.term) >= 4 AND p.term NOT IN ($seeds)
+                 GROUP BY 1) t
+               ORDER BY tf DESC, term ASC LIMIT 3),
+        ${scoreSql(s"(p.term IN ($seeds) OR p.term IN (SELECT term FROM ex))", "s1")},
+        r AS (SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                          AS BIGINT) AS rank
+              FROM s1)
         SELECT doc_id, score, rank FROM r WHERE rank <= 20"""
   }
 
@@ -1585,7 +1646,63 @@ object SparkEntry {
                              ${cosineSql("cl.ev", "c.cv")} AS centroid_cos
                       FROM cells cl JOIN cent c USING (cell))
             SELECT vec_id, cell, centroid_cos FROM cosd
-            WHERE centroid_cos < 0.25""")
+            WHERE centroid_cos < 0.25""",
+        // Pre-filtered IVF search: the same probed cells, scoring only
+        // same-label corpus vectors (labels re-joined from the raw table).
+        "q_ann_ivf_filtered" ->
+          s"""$cellsCte,
+             lbl AS (SELECT vec_id, label FROM embeddings),
+             probes AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
+               SELECT vec_id, ev, cell,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+               FROM sc WHERE vec_id < 5) t WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+             scored AS (
+               SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
+               FROM cells c
+               JOIN lbl cl ON cl.vec_id = c.vec_id
+               JOIN probes p ON c.cell = p.cell AND c.vec_id != p.query_id
+               JOIN lbl ql ON ql.vec_id = p.query_id AND ql.label = cl.label)
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored) t WHERE rank <= 10""",
+        // The nprobe recall/cost curve: per ladder step, probed-candidate
+        // count and recall@20 vs the exact baseline — counts, so the
+        // integer arithmetic carries no quantization rule at all.
+        "q_ivf_probe_curve" -> {
+          val denom = 5 * 20
+          val rows = operators.IvfIndex.probeLadder(m.nlist).map { np =>
+            s"""SELECT CAST($np AS BIGINT) AS nprobe,
+                  (SELECT count(*) FROM cells c
+                   JOIN pr p ON c.cell = p.cell AND p.rn <= $np
+                            AND c.vec_id != p.query_id) AS n_candidates,
+                  (SELECT count(*) FROM (
+                     SELECT query_id, vec_id FROM (
+                       SELECT p.query_id, c.vec_id,
+                              row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY ${cosineSql("c.ev", "p.qv")} DESC,
+                                         c.vec_id ASC) AS rank
+                       FROM cells c JOIN pr p ON c.cell = p.cell AND p.rn <= $np
+                                AND c.vec_id != p.query_id) t WHERE rank <= 20) r
+                   JOIN truth USING (query_id, vec_id)) AS n_matches"""
+          }.mkString("\n             UNION ALL\n             ")
+          s"""$cellsCte,
+             pr AS (SELECT vec_id AS query_id, ev AS qv, cell,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                    FROM sc WHERE vec_id < 5),
+             truth AS (SELECT query_id, vec_id FROM (
+               SELECT q.vec_id AS query_id, c.vec_id,
+                      row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${cosineSql("c.ev", "q.ev")} DESC, c.vec_id ASC) AS rank
+               FROM e c JOIN e q ON q.vec_id < 5 AND c.vec_id != q.vec_id) t
+               WHERE rank <= 20),
+             curve AS (
+             $rows
+             )
+            SELECT nprobe, n_candidates, n_matches,
+                   n_matches * 1000000 // $denom AS recall_micro
+            FROM curve"""
+        })
     }.getOrElse(Map.empty)
 
   /** `CAST([...] AS DOUBLE[])` literal for a float codeword/centroid —
@@ -3636,6 +3753,7 @@ object SparkEntry {
     // k1+1), and avgdl = Σdl/N divides the same integers on both sides.
     // Micro-unit quantization as in q_keyword_search (tie-rule-free).
     "q_bm25_search" -> bm25OracleSql,
+    "q_prf_search" -> prfOracleSql,
     "q_search_ndcg" -> searchNdcgOracleSql,
     // ColumnPaginationFilter: the page [1, 3) of the byte-ordered
     // qualifiers is (c_mktsegment, c_name) for every customer row.

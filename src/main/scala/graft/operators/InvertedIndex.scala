@@ -501,6 +501,37 @@ object InvertedIndex {
   }
 
   /**
+   * Pseudo-relevance-feedback query expansion (the Rocchio/RM1 shape):
+   * run the seed query, take the top `fbDocs` hits as silent relevance
+   * judgments, mine their text for the `fbTerms` most frequent non-seed
+   * terms (space-split — the index's own tokenization — length ≥ 4 as
+   * the cheap stopword screen, (tf desc, term asc) tiebreak), and re-run
+   * BM25 with the expanded term set at equal weights.
+   *
+   * Scale shape: the feedback pass is a k-probe ([[searchBm25]]); term
+   * mining tokenizes ONLY the fbDocs hit documents (the k-row hit list
+   * broadcasts into a semi-join — the [[phraseSnippets]] discipline), and
+   * the expansion list collected to the driver is `fbTerms` strings —
+   * bounded model-sized state, the BPE convention. The expanded query is
+   * one more k-probe. Nothing rescans the corpus.
+   */
+  def searchPrf(spark: SparkSession, dir: String, docs: DataFrame,
+      terms: Seq[String], k: Int, fbDocs: Int = 5, fbTerms: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = true): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0, "need fbDocs >= 1, fbTerms >= 0")
+    val fb = searchBm25(spark, dir, terms, fbDocs, k1, b, lnIdf)
+      .select("doc_id")
+    val expansion = docs.join(broadcast(fb), "doc_id")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 4 && !col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq // fbTerms rows: bounded driver state
+    searchBm25(spark, dir, terms ++ expansion, k, k1, b, lnIdf)
+  }
+
+  /**
    * Exact phrase search through the positional layer: probe the phrase
    * terms' `pos` cells (pushed `In(rowKey)` GETs — cost ∝ the terms'
    * posting lists, never a corpus scan), regroup per document, and

@@ -27,15 +27,20 @@ object IvfIndex {
   }
 
   /** Column: index of the nearest centroid (dot-product argmax — centroids
-    * are L2-normalized at train time so dot ≡ cosine ranking). */
+    * are L2-normalized at train time so dot ≡ cosine ranking). A single
+    * O(nlist) aggregate fold, NOT an array_sort: this expression runs per
+    * CORPUS row in training and assignment, and sorting nlist structs per
+    * row is a log-factor of pure overhead on the hot path (measured on
+    * the corpus-scaled nlist=256 fit at sf3). Strictly-greater keeps the
+    * FIRST (lowest-index) cell on score ties — the same total order as
+    * the probe sort and the oracle's `ORDER BY s DESC, cell ASC`. */
   private[operators] def nearestCell(model: Model, vec: org.apache.spark.sql.Column) = {
     val scored = model.centroids.zipWithIndex.map { case (c, i) =>
       struct(VectorFunctions.dot_product(vec, typedlit(c)).as("score"),
         lit(i).as("cell"))
     }
-    element_at(array_sort(array(scored: _*),
-      (a, b) => when(a("score") > b("score"), -1)
-        .when(a("score") < b("score"), 1).otherwise(0)), 1)("cell")
+    aggregate(array(scored.tail: _*), scored.head,
+      (best, x) => when(x("score") > best("score"), x).otherwise(best))("cell")
   }
 
   private def normalize(v: Seq[Float]): Seq[Float] = {
@@ -197,6 +202,60 @@ object IvfIndex {
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
+
+  /**
+   * PRE-FILTERED cell-pruned search — the "vector search WHERE clause" at
+   * index scale ([[Similarity.filteredTopK]]'s contract composed with the
+   * IVF layout): `pred` may reference corpus columns and `query_`-renamed
+   * query columns; it applies BEFORE the top-k cut, so the result is the
+   * true top-k of the eligible subset within the probed cells (recall <
+   * 1 only through the probe, exactly as the unfiltered [[search]]).
+   *
+   * 100 TB shape: the cell equi-join still drives dynamic partition
+   * pruning (only probed `cell=<i>/` directories open), and corpus-only
+   * conjuncts of `pred` push below the join into the pruned scan — a
+   * selective tenant/label filter cuts the probed fraction further, for
+   * free. The corpus never shuffles.
+   */
+  def searchFiltered(
+      assignedCorpus: DataFrame,
+      queries: DataFrame,
+      model: Model,
+      k: Int,
+      nprobe: Int,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val q = queries.select(queries.columns.map {
+      case "vec_id"    => col("vec_id").as("query_id")
+      case "embedding" => col("embedding").as("query_vec")
+      case c           => col(c).as(s"query_$c")
+    }: _*)
+      .withColumn("_probe",
+        explode(probeCellsColumn(model, col("query_vec"), nprobe)))
+      .withColumn("cell", col("_probe.cell"))
+      .drop("_probe")
+    val scored = assignedCorpus.join(broadcast(q), Seq("cell"))
+      .filter(pred && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosine_sim(col("embedding"), col("query_vec")), 9)
+          .as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[searchFiltered]] over the persisted cell layout (dynamic partition
+    * pruning + pushed corpus-side filter conjuncts). */
+  def searchIndexFiltered(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      model: Model,
+      k: Int,
+      nprobe: Int,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    searchFiltered(spark.read.parquet(path), queries, model, k, nprobe, pred)
 
   /**
    * Persist the assigned corpus as the index's physical layout: one
@@ -385,7 +444,8 @@ object IvfIndex {
       packModel(spark, sfDir), minCos = 0.25)
       .select(col("vec_id"), col("cell"), col("centroid_cos"))
 
-  def ivfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The one persisted pack index per (JVM, corpus): model + layout dir. */
+  private def packIndex(spark: SparkSession, sfDir: String): (Model, String) = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val model = packModel(spark, sfDir)
     val dir = indexCache.computeIfAbsent(sfDir, _ => {
@@ -393,7 +453,79 @@ object IvfIndex {
       writeIndex(emb, model, d)
       d
     })
+    (model, dir)
+  }
+
+  def ivfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (model, dir) = packIndex(spark, sfDir)
     searchIndex(spark, dir, emb.filter(col("vec_id") < 5), model, k = 20,
       nprobe = scaledNprobe(model.nlist))
+  }
+
+  /** Query-pack adapter: same-label PRE-FILTERED search through the
+    * persisted layout — the multi-tenant ANN shape at index scale
+    * (q_ann_filtered's contract with cell pruning on top). */
+  def ivfFilteredQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (model, dir) = packIndex(spark, sfDir)
+    searchIndexFiltered(spark, dir, emb.filter(col("vec_id") < 5), model,
+      k = 10, nprobe = scaledNprobe(model.nlist),
+      pred = col("label") === col("query_label"))
+  }
+
+  /** The nprobe ladder the probe curve measures: doubling steps capped at
+    * nlist, always including the pack default [[scaledNprobe]]. */
+  def probeLadder(nlist: Int): Seq[Int] =
+    (Iterator.iterate(1)(_ * 2).takeWhile(_ <= nlist).toSeq :+
+      scaledNprobe(nlist)).distinct.sorted
+
+  /**
+   * Driver-verified recall/cost curve over the `nprobe` knob: one row per
+   * ladder step with the probed CANDIDATE count (the cost: pairs scored
+   * after cell pruning) and recall@k against the exact scan-bound
+   * baseline (the quality). This is the tuning artifact a production
+   * deployment reads to pick its probe budget — produced by the engine
+   * and hash-checked against the relational replay, so a probe-selection
+   * or pruning regression shows up as a wrong COUNT, not a vague slowdown.
+   *
+   * Cost shape: each ladder step is one cell-pruned join (the same plan
+   * as [[searchIndex]]); the exact baseline is one scan-bound pass — the
+   * AnnRecall-gate price, paid once.
+   */
+  def probeCurve(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, model: Model, k: Int): DataFrame = {
+    val truth = Similarity.bruteForceTopK(corpus, queries, k)
+      .select("query_id", "vec_id")
+    val assigned = spark.read.parquet(path)
+    val nQueries = queries.count()
+    val denom = nQueries * k
+    probeLadder(model.nlist).map { np =>
+      val probed = queries.select(
+        col("vec_id").as("query_id"),
+        explode(probeCellsColumn(model, col("embedding"), np)).as("probe"))
+        .select(col("query_id"), col("probe.cell").as("cell"))
+      val cands = assigned.join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val matches = searchIndex(spark, path, queries, model, k, np)
+        .select("query_id", "vec_id")
+        .join(truth, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_matches"))
+      // 1-row × 1-row audit assembly (the TableStats convention)
+      cands.crossJoin(matches).select(
+        lit(np.toLong).as("nprobe"),
+        col("n_candidates"),
+        col("n_matches"),
+        expr(s"n_matches * 1000000 div $denom").as("recall_micro"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Query-pack adapter: the probe curve over the pack index, k = 20,
+    * first 5 vectors as queries. */
+  def probeCurveQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (model, dir) = packIndex(spark, sfDir)
+    probeCurve(spark, dir, emb, emb.filter(col("vec_id") < 5), model, k = 20)
   }
 }

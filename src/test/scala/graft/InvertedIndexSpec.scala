@@ -148,6 +148,33 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(tfidf.toSeq == Seq(0L, 1L))
   }
 
+  test("PRF expansion: fbTerms=0 degenerates to plain BM25; expansion re-ranks " +
+      "with mined non-seed terms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_prf").toString
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    InvertedIndex.buildIndex(spark, docs, dir, buckets = 4)
+    val seeds = Seq("merge", "sort", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("rank"))).toSeq
+    // no expansion terms → the PRF result IS the seed BM25 result
+    val plain = rows(InvertedIndex.searchBm25(spark, dir, seeds, k = 20,
+      lnIdf = false))
+    val prf0 = rows(InvertedIndex.searchPrf(spark, dir, docs, seeds, k = 20,
+      fbDocs = 5, fbTerms = 0, lnIdf = false))
+    assert(prf0 == plain, "fbTerms=0 must be a no-op expansion")
+    // with expansion: every hit's score is >= its seed-only score (equal-
+    // weight expansion only ADDS micro-contributions), and the mined terms
+    // must actually contribute — at least one doc's score strictly grows
+    val prf = rows(InvertedIndex.searchPrf(spark, dir, docs, seeds, k = 20,
+      fbDocs = 5, fbTerms = 3, lnIdf = false))
+    assert(prf.nonEmpty && prf.map(_._3).toSeq == (1L to prf.length))
+    val plainScore = plain.map(t => t._1 -> t._2).toMap
+    val grew = prf.count { case (id, s, _) =>
+      plainScore.get(id).forall(s > _) }
+    assert(grew > 0, "expansion terms must add score mass somewhere in the top-20")
+  }
+
   test("ln-idf and rational-idf BM25: single-term rankings identical, " +
       "multi-term heads and result sets agree") {
     val dir = java.nio.file.Files.createTempDirectory("graft_invidx_ln").toString

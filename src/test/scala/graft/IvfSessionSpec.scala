@@ -34,6 +34,48 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     assert(IvfIndex.scaledNprobe(4096) == 64)
   }
 
+  test("filtered IVF search: hits share the query's label; full probe == exact filtered top-k") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val hits = IvfIndex.ivfFilteredQuery(spark, sf001).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      assert(labels(r.getAs[Long]("vec_id")) == labels(r.getAs[Long]("query_id")),
+        "a pre-filtered hit must share the query's label")
+    }
+    // nprobe = nlist removes the probe cut: must equal the exact
+    // pre-filtered top-k (same pred, same tiebreaks)
+    val model = IvfIndex.train(emb, nlist = 4, iters = 1)
+    val queries = emb.filter(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"))).toSet
+    val full = key(IvfIndex.searchFiltered(IvfIndex.assign(emb, model),
+      queries, model, k = 10, nprobe = 4,
+      pred = col("label") === col("query_label")))
+    val exact = key(graft.operators.Similarity.filteredTopK(emb, queries,
+      col("label") === col("query_label"), k = 10))
+    assert(full == exact, "full-probe filtered search must equal exact filtered top-k")
+  }
+
+  test("probe curve: candidates and recall monotone in nprobe; full probe is exact") {
+    val rows = IvfIndex.probeCurveQuery(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_matches"), r.getAs[Long]("recall_micro")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == IvfIndex.probeLadder(8).map(_.toLong))
+    rows.sliding(2).foreach {
+      case Array((_, c1, m1, _), (_, c2, m2, _)) =>
+        assert(c2 >= c1, "probing more cells cannot score fewer candidates")
+        assert(m2 >= m1, "probing more cells cannot lower recall")
+      case _ =>
+    }
+    // nprobe = nlist probes everything: the search IS the exact baseline
+    assert(rows.last._4 == 1000000L,
+      s"full probe must hit recall 1.0, got ${rows.last}")
+  }
+
   test("IVF: training is deterministic and assignment covers all vectors") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val m1 = IvfIndex.train(emb, nlist = 8, iters = 2)
