@@ -799,9 +799,9 @@ object SparkEntry {
     * join; corpus size enters only through the audited BM25-probe and
     * scan-bound feature/ANN legs. */
   private def ragMediaQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
-        Seq("merge", "sort", "window"), k = 20, lnIdf = false)
-      .select(col("doc_id"), col("rank"))
+    // THE q_bm25_search leg, by call — the capstone reuses the verified
+    // query, so its seeds/k/idf can never silently diverge from it
+    val lex = bm25SearchQuery(spark, sfDir).select(col("doc_id"), col("rank"))
     val feats = operators.Multimodal.extractFeatures(
         operators.Multimodal.mediaFromCells(
           operators.MobStore.readResolved(spark, mediaMobDir(spark, sfDir))))

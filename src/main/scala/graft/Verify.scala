@@ -53,7 +53,8 @@ object Verify {
       }
     }
   }
-  /** Set for the lifetime of a Verify run (and by oracle-parity specs):
+  /** Set for the lifetime of a Verify run (and by DedupSpec's wiring
+    * test, which exercises the guarded branch):
     * query adapters whose DuckDB twin carries a data-shape PRECONDITION
     * (e.g. q_simhash_pairs' all-pairs oracle vs the engine's star guard)
     * assert it only when this is on — Bench and production runs, where no

@@ -66,10 +66,10 @@ object AnnRecall {
     ("lsh", 20, 100000L),
     ("multiprobe", 20, 250000L),
     ("mrl", 20, 250000L),
-    // pca measures 0.51/0.62/0.24 at sf0.001/0.01/0.1 — an 8-of-64-dim
-    // learned subspace over near-isotropic synthetic vectors; the floor
-    // documents "far above random pruning" (random r=100 recall ~2% at
-    // sf0.1), not production-embedding quality
+    // pca (occupancy-bound since r14) measures 0.57 at sf0.1 / 0.32 at
+    // sf1 / 0.24 at sf3 — an 8-of-64-dim learned subspace over
+    // near-isotropic synthetic vectors; the floor documents "far above
+    // random pruning", not production-embedding quality
     ("pca", 20, 100000L),
     ("ivf", 20, 500000L),
     ("pq", 10, 400000L),

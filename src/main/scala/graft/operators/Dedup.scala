@@ -470,9 +470,15 @@ object Dedup {
    * metric — the dropped-intra-cluster-edges audit.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1024): DataFrame =
+    simhashPairsFromFp(simhash(docs), maxHamming, maxBucket)
+
+  /** [[simhashPairs]] over PRE-COMPUTED fingerprints — lets a caller that
+    * also needs the banding for something else (the Verify-time oracle
+    * precondition) pay the tokenize/fingerprint pass once. */
+  private[graft] def simhashPairsFromFp(fp: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 1024): DataFrame = {
     require(maxBucket > 1, "maxBucket must exceed 1")
-    val fp = simhash(docs)
     val banded = fp.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
@@ -918,16 +924,19 @@ object Dedup {
     minhashLsh(Tables.load(spark, sfDir, "documents"))
 
   /** Largest (band, key) bucket the simhash banding would form over
-    * `docs` — the quantity [[simhashPairs]]'s star guard keys on. */
-  private[graft] def simhashMaxBucket(docs: DataFrame): Long = {
-    val fp = simhash(docs)
+    * `docs` — the quantity [[simhashPairs]]'s star guard keys on.
+    * 0 on an empty corpus (no buckets → the precondition holds
+    * trivially, not an opaque NPE on the NULL max). */
+  private[graft] def simhashMaxBucket(docs: DataFrame): Long =
+    simhashMaxBucketFromFp(simhash(docs))
+
+  private[graft] def simhashMaxBucketFromFp(fp: DataFrame): Long =
     fp.select(explode(array((0 until 4).map { b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)) +
           lit(b.toLong << 16)
       }: _*)).as("bucket"))
       .groupBy("bucket").count()
-      .agg(max(col("count"))).head().getLong(0)
-  }
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
 
   /** ORACLE PRECONDITION, asserted rather than assumed: the DuckDB twin
     * of q_simhash_pairs replays the banding ALL-PAIRS, which matches the
@@ -936,8 +945,12 @@ object Dedup {
     * future fixture crosses it, fail HERE with a diagnostic instead of
     * shipping the driver a silent hash mismatch. */
   private[graft] def assertSimhashOraclePrecondition(docs: DataFrame,
+      maxBucket: Int = 1024): Unit =
+    assertSimhashOraclePreconditionFromFp(simhash(docs), maxBucket)
+
+  private[graft] def assertSimhashOraclePreconditionFromFp(fp: DataFrame,
       maxBucket: Int = 1024): Unit = {
-    val maxB = simhashMaxBucket(docs)
+    val maxB = simhashMaxBucketFromFp(fp)
     require(maxB <= maxBucket,
       s"q_simhash_pairs oracle precondition violated: largest simhash " +
         s"(band, key) bucket has $maxB docs > maxBucket=$maxBucket, so the " +
@@ -950,10 +963,16 @@ object Dedup {
     // precondition checked only when an oracle comparison is actually in
     // play (graft.Verify sets the flag): bench/production corpora — where
     // the star guard fires BY DESIGN on mass-identical ScaleUp docs —
-    // skip the extra pass, since no oracle compares their output
-    if (graft.Verify.oraclePreconditionsEnabled)
-      assertSimhashOraclePrecondition(docs)
-    simhashPairs(docs)
+    // skip the extra pass, since no oracle compares their output. The
+    // FINGERPRINTS are localCheckpointed under the flag so the tokenize/
+    // fingerprint pass is paid once across the check and the pairs query,
+    // not twice (checkpointing the raw docs would not dedupe it — the
+    // expensive expression lives downstream of them).
+    if (graft.Verify.oraclePreconditionsEnabled) {
+      val fp = simhash(docs).localCheckpoint()
+      assertSimhashOraclePreconditionFromFp(fp)
+      simhashPairsFromFp(fp)
+    } else simhashPairs(docs)
   }
 
   def ngramJaccardQuery(spark: SparkSession, sfDir: String): DataFrame =

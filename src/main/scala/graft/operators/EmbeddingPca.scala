@@ -251,13 +251,17 @@ object EmbeddingPca {
     def coords(e: Column): Column =
       array(comps.map(w => rawCoord(e, w)): _*)
     val hp = Similarity.hyperplanes(planes, 64, seed)
+    // projections computed ONCE per corpus row / per probed query row,
+    // BEFORE the join: pc depends only on the corpus vector and qpc only
+    // on the query, so evaluating them per joined pair (a corpus vector
+    // re-projects once per query whose buckets it lands in) is pure
+    // redundant work — same arithmetic on the same values either way
     val cand = Similarity.bucketedCorpusDf(corpus, hp)
-      .join(broadcast(Similarity.probedQueryBuckets(queries, hp, probes)),
+      .withColumn("pc", coords(col("embedding")))
+      .join(broadcast(Similarity.probedQueryBuckets(queries, hp, probes)
+          .withColumn("qpc", coords(col("query_vec")))),
         Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"),
-        col("query_vec"),
-        coords(col("embedding")).as("pc"), coords(col("query_vec")).as("qpc"))
     val dist = (0 until nComp).map { c =>
       val d = element_at(col("pc"), c + 1) - element_at(col("qpc"), c + 1)
       d * d

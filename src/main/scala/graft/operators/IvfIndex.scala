@@ -176,32 +176,18 @@ object IvfIndex {
 
   /**
    * Search: score queries only against corpus vectors in each query's
-   * `nprobe` closest cells.
+   * `nprobe` closest cells. The unfiltered instantiation of
+   * [[searchFiltered]] (pred = true, which Catalyst folds away), so the
+   * q9 rounding, self-exclusion, and (cosine desc, vec_id asc) tiebreak
+   * — all oracle-replayed — live in exactly one body.
    */
   def search(
       assignedCorpus: DataFrame,
       queries: DataFrame,
       model: Model,
       k: Int,
-      nprobe: Int): DataFrame = {
-    val probeCells = probeCellsColumn(model, col("embedding"), nprobe)
-    val q = queries.select(
-      col("vec_id").as("query_id"),
-      col("embedding").as("query_vec"),
-      explode(probeCells).as("probe"))
-      .select(col("query_id"), col("query_vec"), col("probe.cell").as("cell"))
-
-    val scored = assignedCorpus.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id"),
-        round(VectorFunctions.cosine_sim(col("embedding"), col("query_vec")), 9)
-          .as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-  }
+      nprobe: Int): DataFrame =
+    searchFiltered(assignedCorpus, queries, model, k, nprobe, lit(true))
 
   /**
    * PRE-FILTERED cell-pruned search — the "vector search WHERE clause" at

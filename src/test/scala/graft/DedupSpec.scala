@@ -300,6 +300,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the real verify fixture is comfortably under the threshold
     Dedup.assertSimhashOraclePrecondition(
       graft.sources.Tables.load(spark, sf001, "documents"))
+    // and the FLAG-GUARDED wiring itself: with preconditions enabled (as
+    // graft.Verify.main enables them) the adapter runs the shared-
+    // fingerprint check-then-pairs path and still produces the pairs
+    Verify.enableOraclePreconditions()
+    assert(Verify.oraclePreconditionsEnabled)
+    assert(Dedup.simhashQuery(spark, sf001).collect().nonEmpty)
   }
 
   test("simhash: identical docs collide at distance 0; near docs within 3") {
