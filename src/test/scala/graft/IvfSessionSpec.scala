@@ -57,6 +57,20 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     val exact = key(graft.operators.Similarity.filteredTopK(emb, queries,
       col("label") === col("query_label"), k = 10))
     assert(full == exact, "full-probe filtered search must equal exact filtered top-k")
+
+    // the 100 TB claims hold THROUGH the filter: the persisted-layout plan
+    // keeps dynamic partition pruning on cell (only probed directories
+    // open) and pushes the corpus-side label conjunct into the scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    IvfIndex.writeIndex(emb, model, dir)
+    val plan = IvfIndex.searchIndexFiltered(spark, dir, queries, model,
+        k = 10, nprobe = 2, pred = col("label") === col("query_label"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected DPP partition filter in the filtered plan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(label)") ||
+      plan.contains("IsNotNull(label)"),
+      s"expected the label conjunct pushed into the pruned scan:\n$plan")
   }
 
   test("probe curve: candidates and recall monotone in nprobe; full probe is exact") {
