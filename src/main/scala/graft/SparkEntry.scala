@@ -1084,6 +1084,7 @@ object SparkEntry {
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
     "q_ann_ivf_filtered" -> (IvfIndex.ivfFilteredQuery _),
     "q_ivf_probe_curve" -> (IvfIndex.probeCurveQuery _),
+    "q_ivf_drift"      -> (IvfIndex.driftCheckQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
     "q_embed_stats"    -> (EmbeddingStats.dimStatsQuery _),
@@ -1666,6 +1667,28 @@ object SparkEntry {
               SELECT query_id, vec_id, cosine,
                      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored) t WHERE rank <= 10""",
+        // Index health: the physical cell layout's populations recomputed
+        // from the cached centroids' assignment — footer metadata on the
+        // engine side, the cells CTE here; means exact-integer, skew the
+        // standard scaled-integer half-up double.
+        "q_ivf_drift" ->
+          s"""$cellsCte,
+             cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+                    FROM cells GROUP BY 1),
+             a AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                          min(n_vectors) AS min_vectors,
+                          max(n_vectors) AS max_vectors,
+                          CAST(sum(n_vectors) AS BIGINT) AS s
+                   FROM cc)
+            SELECT n_cells, min_vectors, max_vectors,
+                   (s * 1000000) // n_cells AS mean_micro,
+                   CAST(floor(CAST(max_vectors * n_cells AS DOUBLE)
+                        / CAST(s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                     AS skew_micro,
+                   CAST(floor(CAST(max_vectors * n_cells AS DOUBLE)
+                        / CAST(s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                     > 2000000 AS drifted
+            FROM a""",
         // The nprobe recall/cost curve: per ladder step, probed-candidate
         // count and recall@20 vs the exact baseline — counts, so the
         // integer arithmetic carries no quantization rule at all.

@@ -514,4 +514,34 @@ object IvfIndex {
     val (model, dir) = packIndex(spark, sfDir)
     probeCurve(spark, dir, emb, emb.filter(col("vec_id") < 5), model, k = 20)
   }
+
+  /**
+   * Driver-checkable index-health artifact — [[driftReport]] with every
+   * emitted number integer-exact so DuckDB can replay it: cell count,
+   * min/max cell population, the mean in exact integer micro-units
+   * (`sum·10⁶ div n_cells`), and the max/mean skew ratio as a
+   * scaled-integer half-up micro value (the engine's standard float
+   * quantization — same double ops in the same order on both engines).
+   * `drifted` flips when skew exceeds 2×. The engine side reads FOOTER
+   * METADATA only ([[cellStats]] — no data pages); the oracle recomputes
+   * populations from the cached centroids' assignment, so a row lost or
+   * double-written anywhere in the cell layout flips the driver hash —
+   * the ops check "is the physical index exactly the logical assignment,
+   * and is it still balanced" as one verified row.
+   */
+  def driftCheckQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, dir) = packIndex(spark, sfDir)
+    cellStats(spark, dir).agg(
+        count(lit(1)).cast("bigint").as("n_cells"),
+        min(col("n_vectors")).as("min_vectors"),
+        max(col("n_vectors")).as("max_vectors"),
+        sum(col("n_vectors")).as("_sum"))
+      .select(
+        col("n_cells"), col("min_vectors"), col("max_vectors"),
+        expr("_sum * 1000000 div n_cells").as("mean_micro"),
+        floor(col("max_vectors").cast("double") * col("n_cells").cast("double") /
+            col("_sum").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("bigint").as("skew_micro"))
+      .withColumn("drifted", col("skew_micro") > lit(2000000L))
+  }
 }
