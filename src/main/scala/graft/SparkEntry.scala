@@ -2135,7 +2135,8 @@ object SparkEntry {
     // the recall gate's oracle composes the per-tier oracle statements, so
     // it exists exactly when every tier's (model-dependent) entry does
     val annKeys = Seq("q_ann_topk", "q_ann_lsh", "q_ann_multiprobe",
-      "q_ann_mrl", "q_ann_pca", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
+      "q_ann_mrl", "q_ann_pca", "q_ann_ivf", "q_ann_ivf_filtered",
+      "q_ann_filtered", "q_ann_pq", "q_ann_ivfpq",
       "q_ann_ivfpq_res", "q_ann_sq")
     if (annKeys.forall(base.contains))
       base + ("q_ann_recall" -> AnnRecall.recallOracleSql(base))
