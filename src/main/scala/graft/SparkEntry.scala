@@ -797,7 +797,16 @@ object SparkEntry {
     * lost anywhere in the MOB path shifts a cosine and flips the round.
     * Scale shape: both legs are ≤20-row lists when they reach the fusion
     * join; corpus size enters only through the audited BM25-probe and
-    * scan-bound feature/ANN legs. */
+    * scan-bound feature/ANN legs.
+    *
+    * INVARIANT (pinned in MediaMobSpec): the RRF join fuses the lexical
+    * leg's `doc_id` with the media leg's `media_id` — the two id domains
+    * coincide ONLY because [[operators.Multimodal.deriveMedia]] maps
+    * doc_id → media_id 1:1 (and every BM25 hit has non-empty text, so
+    * every fused candidate owns a feature vector for mmrSelect's inner
+    * joins). A deriveMedia change that breaks the 1:1 mapping would fuse
+    * unrelated entities while engine and oracle still agree — the spec
+    * fails it instead. */
   private def ragMediaQuery(spark: SparkSession, sfDir: String): DataFrame = {
     // THE q_bm25_search leg, by call — the capstone reuses the verified
     // query, so its seeds/k/idf can never silently diverge from it

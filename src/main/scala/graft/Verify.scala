@@ -64,6 +64,13 @@ object Verify {
   def oraclePreconditionsEnabled: Boolean = oraclePreconditions
   private[graft] def enableOraclePreconditions(): Unit =
     oraclePreconditions = true
+  /** The matching reset — the flag is process-global, so a TEST that
+    * enables it (DedupSpec's wiring check) must restore the default in
+    * teardown or every later suite in the same JVM silently runs the
+    * precondition path (extra aggregation pass + eager checkpoint):
+    * test-order coupling and a plan change outside Verify runs. */
+  private[graft] def disableOraclePreconditions(): Unit =
+    oraclePreconditions = false
 
   def main(args: Array[String]): Unit = {
     enableOraclePreconditions()

@@ -481,8 +481,12 @@ object IvfIndex {
    */
   def probeCurve(spark: SparkSession, path: String, corpus: DataFrame,
       queries: DataFrame, model: Model, k: Int): DataFrame = {
+    // the exact scan-bound baseline is the curve's most expensive leg:
+    // checkpoint it once (the mmrSelect convention) instead of
+    // re-executing it inside every ladder step's join
     val truth = Similarity.bruteForceTopK(corpus, queries, k)
       .select("query_id", "vec_id")
+      .localCheckpoint()
     val assigned = spark.read.parquet(path)
     val nQueries = queries.count()
     val denom = nQueries * k

@@ -33,6 +33,26 @@ object StateVersion {
     * version carrying (stateVersion, reserved) — current. */
   val Current: Int = 2
 
+  /** Guard for the ROLLBACK direction, applied at every restore site:
+    * the tolerant-default discipline protects old-state-new-binary, but
+    * an OLDER binary restoring state stamped by a FUTURE semantic
+    * version would silently fold it with old semantics (and the
+    * reserved-bag carry cannot preserve meaning it does not know) — so
+    * a higher-than-Current stamp fails loudly, mirroring the
+    * loud-corruption stance [[reservedLong]] takes. Returns the state
+    * unchanged so restores read `checkRestored(state.getOption)`. */
+  def checkRestored[S](state: Option[S])(version: S => Int): Option[S] = {
+    state.foreach { s =>
+      val v = version(s)
+      if (v > Current) throw new IllegalStateException(
+        s"restored streaming state carries version $v > Current $Current " +
+          "— this binary is older than the one that wrote the checkpoint; " +
+          "roll the binary forward (or start a fresh checkpoint dir) " +
+          "instead of folding future-versioned state with old semantics")
+    }
+    state
+  }
+
   /** Tolerant long read: a key absent from `reserved` (state written by
     * an older version, or any version before the key existed) yields
     * `default`. A present-but-unparsable value is a CORRUPTION, not an

@@ -127,7 +127,9 @@ object StreamEdges {
       .flatMapGroupsWithState[LastVisit, Transition](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[LastVisit]) =>
-          var prev = state.getOption
+          // rollback guard: future-stamped state fails loudly (StateVersion)
+          val restored = StateVersion.checkRestored(state.getOption)(_.stateVersion)
+          var prev = restored
           val floor = prev.map(p => (p.tsMicros, p.eventId))
             .getOrElse((Long.MinValue, Long.MinValue))
           val ordered = rows.toSeq.sortBy(v => (v.tsMicros, v.eventId))
@@ -136,7 +138,7 @@ object StreamEdges {
             .filter(v => Ordering[(Long, Long)].gt((v.tsMicros, v.eventId), floor))
           // re-stamped Current with the CARRIED reserved bag: a newer
           // version's extension data must survive a fold by this writer
-          val carried = state.getOption.map(_.reserved).getOrElse(Map.empty)
+          val carried = restored.map(_.reserved).getOrElse(Map.empty)
           val out = Seq.newBuilder[Transition]
           ordered.foreach { v =>
             for (p <- prev; pk <- p.k; vk <- v.k; if pk != vk)
@@ -186,7 +188,9 @@ object StreamEdges {
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (_, rows, state: GroupState[BufferedEdgeState]) =>
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          val init = state.getOption.getOrElse(BufferedEdgeState(
+          // rollback guard: future-stamped state fails loudly (StateVersion)
+          val init = StateVersion.checkRestored(state.getOption)(_.stateVersion)
+            .getOrElse(BufferedEdgeState(
             hasPrev = false, prevK = None,
             maxTs = Long.MinValue, maxEventId = Long.MinValue,
             pending = Seq.empty))

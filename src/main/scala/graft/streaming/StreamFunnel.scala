@@ -130,7 +130,8 @@ object StreamFunnel {
       .flatMapGroupsWithState[FunnelState, UserDepth](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (user, rows, state: GroupState[FunnelState]) =>
-          val init = state.getOption
+          // rollback guard: future-stamped state fails loudly (StateVersion)
+          val init = StateVersion.checkRestored(state.getOption)(_.stateVersion)
             .getOrElse(FunnelState(Seq.fill(k)(-1L), 0, Long.MinValue, Long.MinValue))
           val reach = init.reach.toArray
           val floor = (init.maxTs, init.maxEventId)
@@ -177,7 +178,9 @@ object StreamFunnel {
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (user, rows, state: GroupState[BufferedState]) =>
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          val init = state.getOption.getOrElse(
+          // rollback guard: future-stamped state fails loudly (StateVersion)
+          val init = StateVersion.checkRestored(state.getOption)(_.stateVersion)
+            .getOrElse(
             BufferedState(Seq.fill(k)(-1L), 0, Long.MinValue, Long.MinValue, Seq.empty))
           val floor = (init.maxTs, init.maxEventId)
           // ingest: below the folded pair = beyond-watermark straggler or

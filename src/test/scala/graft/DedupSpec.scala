@@ -303,9 +303,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // and the FLAG-GUARDED wiring itself: with preconditions enabled (as
     // graft.Verify.main enables them) the adapter runs the shared-
     // fingerprint check-then-pairs path and still produces the pairs
-    Verify.enableOraclePreconditions()
-    assert(Verify.oraclePreconditionsEnabled)
-    assert(Dedup.simhashQuery(spark, sf001).collect().nonEmpty)
+    try {
+      Verify.enableOraclePreconditions()
+      assert(Verify.oraclePreconditionsEnabled)
+      assert(Dedup.simhashQuery(spark, sf001).collect().nonEmpty)
+    } finally Verify.disableOraclePreconditions() // process-global flag:
+    // restore the default so later suites in this JVM keep the
+    // production plan (no test-order coupling)
   }
 
   test("simhash: identical docs collide at distance 0; near docs within 3") {

@@ -36,4 +36,22 @@ class MediaMobSpec extends AnyFunSuite with SparkTestBase {
     assert(maxMain < Multimodal.MediaMobThreshold + 64,
       s"main store still carries $maxMain-byte media values")
   }
+
+  test("deriveMedia keeps media_id == doc_id — the q_rag_media fusion invariant") {
+    // the cross-modal capstone RRF-joins the BM25 leg's doc_id with the
+    // media ANN leg's media_id in one id domain; that is only sound while
+    // deriveMedia maps doc_id → media_id 1:1 (and every BM25-rankable doc
+    // owns a payload, hence a feature vector for mmrSelect's inner joins).
+    // A deriveMedia change breaking the mapping must fail HERE, not ship a
+    // semantically wrong but hash-green capstone.
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"))
+    val media = Multimodal.deriveMedia(spark, sf001)
+      .select(col("media_id"), col("content"))
+    assert(media.join(docs, col("media_id") === col("doc_id")).count()
+      == docs.count(), "media ids must be exactly the document ids")
+    assert(media.count() == docs.count(), "1:1, no extra media rows")
+    assert(media.filter(col("content").isNull || length(col("content")) === 0)
+      .count() == 0, "every media row carries a payload (feature vector exists)")
+  }
 }

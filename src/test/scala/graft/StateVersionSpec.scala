@@ -22,6 +22,20 @@ class StateVersionSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("foldedCount"))
   }
 
+  test("rollback guard: restoring FUTURE-versioned state fails loudly") {
+    // the other direction of the evolution contract: an older binary must
+    // not silently fold state a future semantic version wrote (the
+    // reserved-bag carry cannot preserve meaning this binary predates)
+    assert(StateVersion.checkRestored(Option.empty[Int])(identity).isEmpty)
+    assert(StateVersion.checkRestored(Some(StateVersion.Current))(identity)
+      .contains(StateVersion.Current))
+    assert(StateVersion.checkRestored(Some(1))(identity).contains(1),
+      "older versions restore fine — the tolerant-default path")
+    val e = intercept[IllegalStateException](
+      StateVersion.checkRestored(Some(StateVersion.Current + 1))(identity))
+    assert(e.getMessage.contains("roll the binary forward"))
+  }
+
   test("restored state round-trips across a query RESTART from the same checkpoint") {
     // the operational contract the version+reserved fields exist to keep:
     // stop a stateful query, start a NEW query over the SAME checkpoint,
