@@ -241,29 +241,148 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       pred: org.apache.spark.sql.Column): DataFrame =
-    searchFiltered(spark.read.parquet(path), queries, model, k, nprobe, pred)
+    searchFiltered(readIndex(spark, path), queries, model, k, nprobe, pred)
+
+  // --- physical layout -----------------------------------------------
+  //
+  // The index root is a directory of IMMUTABLE SLICES in the repo's
+  // shared [[graft.streaming.DeltaLayout]] naming:
+  //
+  //   path/delta=base/cell=<i>/…        the initial build
+  //   path/delta=b<batchId>/cell=<i>/…  one replay-idempotent append each
+  //   path/delta=base@<N>/cell=<i>/…    a rebuild that folded ids ≤ N
+  //
+  // Every slice is cell-partitioned, so a probe of `nprobe` cells still
+  // reads nprobe/nlist of the data (the unprobed `cell=` directories of
+  // every slice are never opened). Slices land via stage-then-ONE-rename,
+  // so readers never see a partial slice, a crashed writer leaves only an
+  // ignored staging dir, and a REPLAYED append (foreachBatch retries its
+  // uncommitted batch) finds its slice already present and writes nothing
+  // — batch-id-addressed slices are the exactly-once mechanism.
+
+  import graft.streaming.DeltaLayout
+  import org.apache.hadoop.fs.Path
+
+  /** Write `assigned` (must carry `cell`) as one immutable slice under
+    * `root`. Returns false — writing nothing durable — when the slice
+    * already exists: the slice NAME is the idempotency key. */
+  private[operators] def writeSlice(assigned: DataFrame, root: String,
+      sliceName: String): Boolean = {
+    val spark = assigned.sparkSession
+    val fs = DeltaLayout.fileSystem(spark, root)
+    val target = new Path(s"$root/$sliceName")
+    if (fs.exists(target)) return false
+    // staging name never parses as a slice (DeltaLayout anchors its
+    // patterns), so readers ignore it at every crash point
+    val staging = new Path(s"$root/$sliceName.staging")
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new IllegalStateException(s"cannot clear stale staging $staging")
+    assigned
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    if (fs.exists(target)) { fs.delete(staging, true); false } // replay race
+    else if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"cannot commit slice $target")
+    else true
+  }
+
+  /** Replace the whole index root with a fresh `delta=base` slice (the
+    * initial-build semantic; [[rebuildIndex]] is the atomic in-place
+    * repair). */
+  private[operators] def replaceRoot(assigned: DataFrame, path: String): Unit = {
+    val fs = DeltaLayout.fileSystem(assigned.sparkSession, path)
+    val p = new Path(path)
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new IllegalStateException(s"cannot clear index root $path")
+    writeSlice(assigned, path, "delta=base")
+  }
+
+  /** The live slice directories of a persisted index. */
+  private[operators] def liveSliceDirs(spark: SparkSession, path: String): Seq[String] = {
+    val dirs = DeltaLayout.liveDirs(spark, path)
+    require(dirs.nonEmpty, s"no live index slices under $path")
+    dirs
+  }
+
+  /** One DataFrame over every live slice — `cell` stays a partition
+    * column of the multi-root scan, so the probe join's dynamic
+    * partition pruning works exactly as on a single slice. `basePath`
+    * anchors partition discovery at the index root (the slice dirs
+    * themselves parse as a `delta=` partition level, which the reader
+    * drops — only the LISTED live slices are read, so staging dirs and
+    * folded slices stay invisible regardless). */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path)
+      .parquet(liveSliceDirs(spark, path): _*)
+      .drop("delta")
+
+  /** The next free append batch id: above every live slice's id AND the
+    * newest base's folded-through generation. (A manual-append + one
+    * streaming-ingest mix on one index must share this id space — see
+    * [[graft.streaming.VectorIngest]].) */
+  private[operators] def nextBatchId(spark: SparkSession, path: String): Long = {
+    val ids = DeltaLayout.liveDirs(spark, path)
+      .map(d => new Path(d).getName)
+      .flatMap(n => DeltaLayout.baseGen(n).orElse(DeltaLayout.batchId(n)))
+    (ids :+ -1L).max + 1
+  }
+
+  /** Commit a retrained, re-assigned layout as the next base GENERATION:
+    * stage under [[DeltaLayout.Staging]], fold-commit with ONE rename,
+    * GC the folded slices. A crash at ANY point leaves a readable index —
+    * before the rename the old live set is fully intact; after it the
+    * new base wins [[DeltaLayout.liveDirs]] and the stale slices are
+    * garbage the next rebuild (or [[DeltaLayout.gcStale]]) sweeps. */
+  private[operators] def commitRebuild(spark: SparkSession, path: String,
+      assigned: DataFrame): Unit = {
+    val fs = DeltaLayout.fileSystem(spark, path)
+    val live = liveSliceDirs(spark, path)
+    val staging = new Path(s"$path/${DeltaLayout.Staging}")
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new IllegalStateException(s"cannot clear stale staging $staging")
+    assigned
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val liveNames = live.map(d => new Path(d).getName)
+    val curGen = liveNames.flatMap(DeltaLayout.baseGen).foldLeft(-1L)(_ max _)
+    // base@N folds batch ids ≤ N; a rebuild of a pure base claims the
+    // next unseen id so generations strictly increase
+    val gen = liveNames.flatMap(DeltaLayout.batchId)
+      .foldLeft(curGen + 1)(_ max _)
+    DeltaLayout.commitFold(spark, path, gen)
+    DeltaLayout.gcStale(spark, path)
+  }
 
   /**
    * Persist the assigned corpus as the index's physical layout: one
-   * partition directory per cell (`cell=<i>/`). This is the design's 100 TB
-   * claim made real: a probe of `nprobe` cells reads nprobe/nlist of the
-   * data because the directories for unprobed cells are never opened.
+   * partition directory per cell (`cell=<i>/`) inside the base slice.
+   * This is the design's 100 TB claim made real: a probe of `nprobe`
+   * cells reads nprobe/nlist of the data because the directories for
+   * unprobed cells are never opened.
    */
   def writeIndex(corpus: DataFrame, model: Model, path: String): Unit =
-    assign(corpus, model)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    replaceRoot(assign(corpus, model), path)
 
   /** Index maintenance: route NEW vectors into the existing cell layout
     * without rebuilding — centroids stay fixed (the standard trade: cell
     * balance drifts as the corpus grows; [[driftReport]] measures it,
     * [[rebuildIndex]] repairs it). Appends only touch the new vectors'
     * cell directories, so maintenance cost ∝ the delta, and searches keep
-    * pruning the union of old and new files per cell. */
-  def appendToIndex(delta: DataFrame, model: Model, path: String): Unit =
-    assign(delta, model)
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+    * pruning the union of old and new slices per cell. The no-id overload
+    * allocates the next free batch id (batch callers); streaming ingest
+    * passes its OWN micro-batch id so a foreachBatch REPLAY of an
+    * uncommitted batch finds the slice already present and appends
+    * nothing — exactly-once by slice name. */
+  def appendToIndex(delta: DataFrame, model: Model, path: String): Unit = {
+    appendToIndex(delta, model, path,
+      nextBatchId(delta.sparkSession, path))
+    ()
+  }
+
+  /** Batch-id-addressed append; false = slice existed (replay skipped). */
+  def appendToIndex(delta: DataFrame, model: Model, path: String,
+      batchId: Long): Boolean =
+    writeSlice(assign(delta, model), path, s"delta=b$batchId")
 
   /** Per-cell population of a persisted index, FOOTER METADATA ONLY — the
     * [[StoreStats.describe]] device applied to the cell layout: list each
@@ -272,28 +391,30 @@ object IvfIndex {
     * file — nlist directories with compaction-bounded file counts, the
     * same order as planning a scan of the index. */
   def cellStats(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
-    val rows = fs.listStatus(dir)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .sortBy(_.getPath.getName)
-      .map { cellDir =>
-        val cell = cellDir.getPath.getName.stripPrefix("cell=").toInt
-        val n = fs.listStatus(cellDir.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
-            f.getLen > 0)
-          .map { f =>
-            val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-            try r.getRowGroups.asScala.map(_.getRowCount).sum
-            finally r.close()
-          }.sum
-        (cell, n)
-      }.toSeq
+    val fs = DeltaLayout.fileSystem(spark, path)
+    // per-(slice, cell) footer counts, summed per cell across the live
+    // slices — nlist × slices entries of driver-side arithmetic
+    val rows = liveSliceDirs(spark, path).flatMap { slice =>
+      fs.listStatus(new Path(slice))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map { cellDir =>
+          val cell = cellDir.getPath.getName.stripPrefix("cell=").toInt
+          val n = fs.listStatus(cellDir.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+              f.getLen > 0)
+            .map { f =>
+              val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+              try r.getRowGroups.asScala.map(_.getRowCount).sum
+              finally r.close()
+            }.sum
+          (cell, n)
+        }
+    }.groupBy(_._1).map { case (c, ns) => (c, ns.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
     import spark.implicits._
     rows.toDF("cell", "n_vectors")
   }
@@ -316,25 +437,19 @@ object IvfIndex {
       round(max(col("n_vectors")) / avg(col("n_vectors")), 4).as("skew"))
       .withColumn("drifted", col("skew") > maxSkew)
 
-  /** Retrain on the CURRENT index contents (base + every appended delta)
-    * and rewrite the cell layout — the repair [[driftReport]] calls for.
-    * The new layout lands in a sibling directory first and swaps in with
-    * a rename, so a crash mid-rebuild leaves the old index intact (same
-    * commit discipline as the store tier's compaction). Returns the new
-    * model — centroids move, so searches must use it (DOCUMENTED
-    * CONTRACT: an old model probes the wrong cells of the new layout). */
+  /** Retrain on the CURRENT index contents (base + every appended slice)
+    * and commit the retrained layout as the next base generation — the
+    * repair [[driftReport]] calls for. CRASH-ATOMIC by the
+    * [[commitRebuild]] single-rename discipline: a crash at any point
+    * leaves a readable index (before the commit the old live set is
+    * fully intact; after it the new base wins). Returns the new model —
+    * centroids move, so searches must use it (DOCUMENTED CONTRACT: an
+    * old model probes the wrong cells of the new layout). */
   def rebuildIndex(spark: SparkSession, path: String, nlist: Int,
       iters: Int = 3): Model = {
-    import org.apache.hadoop.fs.Path
-    val vectors = spark.read.parquet(path).select("vec_id", "embedding")
+    val vectors = readIndex(spark, path).select("vec_id", "embedding")
     val model = train(vectors, nlist, iters, stratifiedSeeds = true)
-    val tmp = s"$path.rebuild.tmp"
-    writeIndex(vectors, model, tmp)       // reads old layout, writes sibling
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    fs.rename(new Path(tmp), p)
+    commitRebuild(spark, path, assign(vectors, model))
     model
   }
 
@@ -352,7 +467,7 @@ object IvfIndex {
       model: Model,
       k: Int,
       nprobe: Int): DataFrame =
-    search(spark.read.parquet(path), queries, model, k, nprobe)
+    search(readIndex(spark, path), queries, model, k, nprobe)
 
   /**
    * Cell count sized to the corpus — the [[Similarity.scaledPlanes]]
@@ -487,7 +602,7 @@ object IvfIndex {
     val truth = Similarity.bruteForceTopK(corpus, queries, k)
       .select("query_id", "vec_id")
       .localCheckpoint()
-    val assigned = spark.read.parquet(path)
+    val assigned = readIndex(spark, path)
     val nQueries = queries.count()
     val denom = nQueries * k
     probeLadder(model.nlist).map { np =>

@@ -78,64 +78,58 @@ object IvfPqIndex {
     }
   }
 
-  /** Persist the index: PQ codes partitioned by IVF cell (`cell=<i>/`).
-    * A probe of `nprobe` cells reads nprobe/nlist of the CODES — the float
-    * vectors are not in the index at all. Residual models encode
-    * x̂ − c(cell); global models encode x̂ directly. */
-  def writeIndex(corpus: DataFrame, model: Model, path: String): Unit =
+  /** The persisted rows: PQ codes with their IVF cell assignment.
+    * The normalized / encoded vectors are each materialized in their OWN
+    * projection: the m×k codeword scorings reference them, and
+    * `transform` (no codegen) re-evaluates inlined subexpressions per
+    * reference (same trap as PqIndex.encode /
+    * TextAnalysis.repetitionStats). */
+  private def encoded(corpus: DataFrame, model: Model): DataFrame =
     IvfIndex.assign(corpus, model.coarse)
-      // normalized vector materialized in its OWN projection: the m×k
-      // codeword scorings below reference it, and `transform` (no codegen)
-      // re-evaluates inlined subexpressions per reference (same trap as
-      // PqIndex.encode / TextAnalysis.repetitionStats)
       .select(col("vec_id"), col("cell"), PqIndex.normed(col("embedding")).as("_e"))
       .select(col("vec_id"), col("cell"),
         (if (model.residual)
           residualCol(model.coarse, col("_e"), col("cell"))
         else col("_e")).as("_enc"))
-      // the encoded vector in its own projection too — same HOF trap
       .select(col("vec_id"), col("cell"),
         PqIndex.codesColumn(model.pq, col("_enc")).as("codes"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Persist the index: PQ codes partitioned by IVF cell (`cell=<i>/`
+    * inside the base slice — the [[IvfIndex]] slice layout, shared).
+    * A probe of `nprobe` cells reads nprobe/nlist of the CODES — the float
+    * vectors are not in the index at all. Residual models encode
+    * x̂ − c(cell); global models encode x̂ directly. */
+  def writeIndex(corpus: DataFrame, model: Model, path: String): Unit =
+    IvfIndex.replaceRoot(encoded(corpus, model), path)
 
   /** Route NEW vectors into the existing code layout — [[IvfIndex
     * .appendToIndex]] for the composed index: centroids and codebooks
     * stay frozen, cost ∝ the delta, cell balance drifts as the corpus
     * grows. [[IvfIndex.cellStats]]/[[IvfIndex.driftReport]] read this
-    * layout unchanged (same `cell=<i>/` parquet dirs, codes instead of
-    * floats), and [[rebuildIndex]] is the repair. */
-  def appendToIndex(delta: DataFrame, model: Model, path: String): Unit =
-    IvfIndex.assign(delta, model.coarse)
-      .select(col("vec_id"), col("cell"), PqIndex.normed(col("embedding")).as("_e"))
-      .select(col("vec_id"), col("cell"),
-        (if (model.residual)
-          residualCol(model.coarse, col("_e"), col("cell"))
-        else col("_e")).as("_enc"))
-      .select(col("vec_id"), col("cell"),
-        PqIndex.codesColumn(model.pq, col("_enc")).as("codes"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+    * layout unchanged (same slice dirs, codes instead of floats), and
+    * [[rebuildIndex]] is the repair. Appends are batch-id-addressed
+    * slices like the float index's — replay-idempotent. */
+  def appendToIndex(delta: DataFrame, model: Model, path: String): Unit = {
+    IvfIndex.writeSlice(encoded(delta, model), path,
+      s"delta=b${IvfIndex.nextBatchId(delta.sparkSession, path)}")
+    ()
+  }
 
   /** Retrain BOTH stages on the current corpus (the code layout carries
     * no floats, so the corpus frame is required — at scale it is the
-    * table the index was built from) and swap the layout in with a
-    * sibling-directory rename, crash-safe like [[IvfIndex.rebuildIndex]].
-    * The coarse stage reseeds mass-proportionally, so a drifted mega-cell
-    * splits; returns the new model (old models probe the wrong cells of
-    * the new layout — same contract as the IVF rebuild). */
+    * table the index was built from) and commit the re-encoded layout as
+    * the next base generation — crash-atomic by the same single-rename
+    * fold as [[IvfIndex.rebuildIndex]]. The coarse stage reseeds
+    * mass-proportionally, so a drifted mega-cell splits; returns the new
+    * model (old models probe the wrong cells of the new layout — same
+    * contract as the IVF rebuild). */
   def rebuildIndex(spark: SparkSession, path: String, corpus: DataFrame,
       nlist: Int, dim: Int = 64, m: Int = 8, k: Int = 16,
       coarseIters: Int = 3, pqIters: Int = 3,
       residual: Boolean = false): Model = {
-    import org.apache.hadoop.fs.Path
     val model = train(corpus, nlist, dim, m, k, coarseIters, pqIters,
       residual, stratifiedSeeds = true)
-    val tmp = s"$path.rebuild.tmp"
-    writeIndex(corpus, model, tmp)
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+    IvfIndex.commitRebuild(spark, path, encoded(corpus, model))
     model
   }
 
@@ -149,7 +143,7 @@ object IvfPqIndex {
   def searchIndex(spark: SparkSession, path: String, corpus: DataFrame,
       queries: DataFrame, model: Model, k: Int, nprobe: Int, r: Int): DataFrame = {
     require(r >= k, "rerank pool must be at least k")
-    val encoded = spark.read.parquet(path) // (vec_id, codes, cell)
+    val encoded = IvfIndex.readIndex(spark, path) // (vec_id, codes, cell)
 
     // probe cells score on the NORMALIZED query (same ranking as raw —
     // positive rescale — and in residual mode the probe score IS the

@@ -20,12 +20,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * always-on append path with an offline rebuild trigger is how large ANN
  * deployments stay fresh without write amplification.)
  *
- * Batch-level exactly-once follows the [[CellStoreIngest]] argument:
- * foreachBatch may replay a batch after a crash BEFORE its checkpoint
- * commit; parquet appends are not self-deduplicating, so a replayed batch
- * can double-append. The driftReport catches the imbalance; deployments
- * needing strict exactly-once route through the cell store's rename-in
- * commit instead (CellStoreIngest) and compact into the index layout.
+ * Batch-level EXACTLY-ONCE: each micro-batch lands as the
+ * batch-id-addressed slice `delta=b<batchId>` of the index's
+ * [[DeltaLayout]] root, committed with one rename. foreachBatch may
+ * replay a batch after a crash BEFORE its checkpoint commit — the replay
+ * finds its slice already present and appends nothing, so populations
+ * cannot double. (The id space belongs to this stream's checkpoint:
+ * batch-API appends interleaved with a live ingest stream would collide
+ * with its future ids — run one or the other per index, or resume the
+ * same checkpoint.) A rebuild folds slices into `delta=base@<N>`
+ * STRICTLY ABOVE every live batch id, so later micro-batch ids stay
+ * live.
  */
 object VectorIngest {
 
@@ -36,8 +41,11 @@ object VectorIngest {
       path: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
-    val appendBatch: (DataFrame, Long) => Unit = (batch, _) =>
-      IvfIndex.appendToIndex(batch, model, path)
+    val appendBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      // the micro-batch id IS the slice address — replays are no-ops
+      IvfIndex.appendToIndex(batch, model, path, batchId)
+      ()
+    }
     embeddings.writeStream
       .foreachBatch(appendBatch)
       .option("checkpointLocation", checkpoint)

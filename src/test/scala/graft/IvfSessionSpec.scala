@@ -133,8 +133,8 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     val model = IvfIndex.train(emb, nlist = 8, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     IvfIndex.writeIndex(emb, model, dir)
-    // physical layout: one directory per cell
-    val cellDirs = new java.io.File(dir).listFiles()
+    // physical layout: one directory per cell inside the base slice
+    val cellDirs = new java.io.File(s"$dir/delta=base").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty && cellDirs.length <= 8)
 
@@ -159,13 +159,18 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     val delta = emb.filter(col("vec_id") % 2 =!= 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
     IvfIndex.writeIndex(old, model, dir)
-    val filesBefore = new java.io.File(dir).listFiles()
-      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getAbsolutePath).toSet
+    def leaves() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(_.getAbsolutePath).toSet
+    }
+    val filesBefore = leaves()
     IvfIndex.appendToIndex(delta, model, dir)
-    // append adds files, never rewrites the old ones
-    val filesAfter = new java.io.File(dir).listFiles()
-      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getAbsolutePath).toSet
+    // append lands as a NEW slice, never rewriting the old files
+    val filesAfter = leaves()
     assert(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size)
+    assert(new java.io.File(s"$dir/delta=b0").isDirectory,
+      "batch append must land as a batch-id-addressed slice")
     // the maintained index answers exactly like a from-scratch build
     val queries = emb.filter(col("vec_id") < 3)
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
@@ -259,6 +264,77 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     assert(
       keyed2(IvfIndex.searchIndex(spark, dir, queries, rebuilt, k = 10, nprobe = 8))
         == keyed2(Similarity.bruteForceTopK(union, queries, k = 10)))
+  }
+
+  test("rebuild is crash-atomic: a kill at EITHER step leaves a readable index") {
+    import graft.streaming.DeltaLayout
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    IvfIndex.writeIndex(emb, model, dir)
+    IvfIndex.appendToIndex(emb.filter(col("vec_id") < 7)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")), model, dir)
+    val before = IvfIndex.cellStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = before.values.sum
+
+    // crash window A: the retrained layout is fully staged but the commit
+    // rename never ran — the old live set must be what readers see
+    val fs = DeltaLayout.fileSystem(spark, dir)
+    import org.apache.hadoop.fs.Path
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(s"$dir/delta=base"),
+      fs, new Path(s"$dir/${DeltaLayout.Staging}"),
+      false, spark.sessionState.newHadoopConf())
+    assert(IvfIndex.cellStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == before,
+      "a staged-but-uncommitted rebuild must be invisible")
+    assert(IvfIndex.readIndex(spark, dir).count() == total)
+
+    // resuming the rebuild from that crash state succeeds (stale staging
+    // is cleared, the fold commits atomically, folded slices are GC'd)
+    val rebuilt = IvfIndex.rebuildIndex(spark, dir, nlist = 4, iters = 1)
+    assert(IvfIndex.readIndex(spark, dir).count() == total)
+
+    // crash window B: fold committed, GC never ran — the new generation
+    // wins liveDirs and the stale slices are ignored (copy one back in)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(DeltaLayout.liveDirs(spark, dir).head),
+      fs, new Path(s"$dir/delta=b0"),
+      false, spark.sessionState.newHadoopConf())
+    assert(new java.io.File(s"$dir/delta=b0").isDirectory)
+    // b0 is BELOW the committed generation → folded → not live
+    assert(IvfIndex.readIndex(spark, dir).count() == total,
+      "slices at or below the committed generation must stay folded")
+    // and searches through the recovered index still answer
+    assert(IvfIndex.searchIndex(spark, dir, emb.filter(col("vec_id") < 2),
+      rebuilt, k = 5, nprobe = 4).count() > 0)
+  }
+
+  test("vector ingest is exactly-once: a replayed batch appends nothing") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_once").toString
+    IvfIndex.writeIndex(emb.filter(col("vec_id") % 2 === 0), model, dir)
+    val delta = emb.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+    def pops() = IvfIndex.cellStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    assert(IvfIndex.appendToIndex(delta, model, dir, batchId = 0L),
+      "first delivery of batch 0 must append")
+    val after = pops()
+    // the foreachBatch replay scenario: same batch id re-delivered after
+    // a crash before the checkpoint commit — the slice already exists,
+    // so the replay writes NOTHING and populations are unchanged
+    assert(!IvfIndex.appendToIndex(delta, model, dir, batchId = 0L),
+      "replay of batch 0 must be a no-op")
+    assert(pops() == after, "a replayed batch must not change populations")
+    // a NEW batch id still appends
+    assert(IvfIndex.appendToIndex(delta.limit(3)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")),
+      model, dir, batchId = 1L))
+    assert(pops().values.sum == after.values.sum + 3)
   }
 
   test("sessionize batch: contiguous per-user coverage, gap invariant") {

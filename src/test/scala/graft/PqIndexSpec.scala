@@ -59,8 +59,9 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.IvfIndex.train(emb, nlist = 8, iters = 2), model)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     IvfPqIndex.writeIndex(emb, composed, dir)
-    // physical layout: one directory of CODES per cell (no float vectors)
-    val cellDirs = new java.io.File(dir).listFiles()
+    // physical layout: one directory of CODES per cell inside the base
+    // slice (no float vectors)
+    val cellDirs = new java.io.File(s"$dir/delta=base").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty && cellDirs.length <= 8)
 
