@@ -1093,6 +1093,7 @@ object SparkEntry {
     "q_ann_ivf"        -> (IvfIndex.ivfQuery _),
     "q_ann_ivf_filtered" -> (IvfIndex.ivfFilteredQuery _),
     "q_ivf_probe_curve" -> (IvfIndex.probeCurveQuery _),
+    "q_ivf_autotune"   -> (IvfIndex.autotuneQuery _),
     "q_ivf_drift"      -> (IvfIndex.driftCheckQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
@@ -1701,41 +1702,59 @@ object SparkEntry {
         // The nprobe recall/cost curve: per ladder step, probed-candidate
         // count and recall@20 vs the exact baseline — counts, so the
         // integer arithmetic carries no quantization rule at all.
-        "q_ivf_probe_curve" -> {
-          val denom = 5 * 20
-          val rows = operators.IvfIndex.probeLadder(m.nlist).map { np =>
-            s"""SELECT CAST($np AS BIGINT) AS nprobe,
-                  (SELECT count(*) FROM cells c
-                   JOIN pr p ON c.cell = p.cell AND p.rn <= $np
-                            AND c.vec_id != p.query_id) AS n_candidates,
-                  (SELECT count(*) FROM (
-                     SELECT query_id, vec_id FROM (
-                       SELECT p.query_id, c.vec_id,
-                              row_number() OVER (PARTITION BY p.query_id
-                                ORDER BY ${cosineSql("c.ev", "p.qv")} DESC,
-                                         c.vec_id ASC) AS rank
-                       FROM cells c JOIN pr p ON c.cell = p.cell AND p.rn <= $np
-                                AND c.vec_id != p.query_id) t WHERE rank <= 20) r
-                   JOIN truth USING (query_id, vec_id)) AS n_matches"""
-          }.mkString("\n             UNION ALL\n             ")
-          s"""$cellsCte,
-             pr AS (SELECT vec_id AS query_id, ev AS qv, cell,
-                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-                    FROM sc WHERE vec_id < 5),
-             truth AS (SELECT query_id, vec_id FROM (
-               SELECT q.vec_id AS query_id, c.vec_id,
-                      row_number() OVER (PARTITION BY q.vec_id
-                        ORDER BY ${cosineSql("c.ev", "q.ev")} DESC, c.vec_id ASC) AS rank
-               FROM e c JOIN e q ON q.vec_id < 5 AND c.vec_id != q.vec_id) t
-               WHERE rank <= 20),
-             curve AS (
-             $rows
-             )
-            SELECT nprobe, n_candidates, n_matches,
-                   n_matches * 1000000 // $denom AS recall_micro
-            FROM curve"""
-        })
+        "q_ivf_probe_curve" -> probeCurveOracleSql(m, cellsCte),
+        // The decision the curve exists to produce: cheapest step meeting
+        // the 0.9 recall target (fallback: the deepest step) — the oracle
+        // re-derives the CHOICE from the replayed curve, so a probe-
+        // selection regression flips a driver hash, not a chart.
+        "q_ivf_autotune" ->
+          s"""SELECT nprobe, n_candidates, n_matches, recall_micro,
+                   (recall_micro >= 900000) AS meets_target
+            FROM ( ${probeCurveOracleSql(m, cellsCte)} ) c
+            ORDER BY (recall_micro >= 900000) DESC,
+                     CASE WHEN recall_micro >= 900000 THEN nprobe
+                          ELSE -nprobe END ASC
+            LIMIT 1""")
     }.getOrElse(Map.empty)
+
+  /** The q_ivf_probe_curve oracle body (shared with q_ivf_autotune, which
+    * wraps it in the decision cut): per ladder step, probed-candidate
+    * count and recall@20 vs the exact baseline. */
+  private def probeCurveOracleSql(m: operators.IvfIndex.Model,
+      cellsCte: String): String = {
+    val denom = 5 * 20
+    val rows = operators.IvfIndex.probeLadder(m.nlist).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+            (SELECT count(*) FROM cells c
+             JOIN pr p ON c.cell = p.cell AND p.rn <= $np
+                      AND c.vec_id != p.query_id) AS n_candidates,
+            (SELECT count(*) FROM (
+               SELECT query_id, vec_id FROM (
+                 SELECT p.query_id, c.vec_id,
+                        row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY ${cosineSql("c.ev", "p.qv")} DESC,
+                                   c.vec_id ASC) AS rank
+                 FROM cells c JOIN pr p ON c.cell = p.cell AND p.rn <= $np
+                          AND c.vec_id != p.query_id) t WHERE rank <= 20) r
+             JOIN truth USING (query_id, vec_id)) AS n_matches"""
+    }.mkString("\n             UNION ALL\n             ")
+    s"""$cellsCte,
+       pr AS (SELECT vec_id AS query_id, ev AS qv, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+              FROM sc WHERE vec_id < 5),
+       truth AS (SELECT query_id, vec_id FROM (
+         SELECT q.vec_id AS query_id, c.vec_id,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${cosineSql("c.ev", "q.ev")} DESC, c.vec_id ASC) AS rank
+         FROM e c JOIN e q ON q.vec_id < 5 AND c.vec_id != q.vec_id) t
+         WHERE rank <= 20),
+       curve AS (
+       $rows
+       )
+      SELECT nprobe, n_candidates, n_matches,
+             n_matches * 1000000 // $denom AS recall_micro
+      FROM curve"""
+  }
 
   /** `CAST([...] AS DOUBLE[])` literal for a float codeword/centroid —
     * Double.toString round-trips, so DuckDB parses the exact value. */

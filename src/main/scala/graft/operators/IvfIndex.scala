@@ -634,6 +634,31 @@ object IvfIndex {
     probeCurve(spark, dir, emb, emb.filter(col("vec_id") < 5), model, k = 20)
   }
 
+  /** Close the tuning loop [[probeCurve]] opens: pick the CHEAPEST ladder
+    * step whose measured recall meets `targetMicro` — the probe budget a
+    * production deployment should run at — falling back to the deepest
+    * (highest-recall) step when no step qualifies. One decision row
+    * (nprobe, cost, quality, meets_target), derived from the curve by
+    * integer comparison only, so the driver's oracle re-derives the same
+    * decision from the replayed curve: a probe-selection regression
+    * flips the CHOICE, not just a number on a chart. The windowless
+    * orderBy is scale-bounded: the curve is one row per ladder step
+    * (≤ log₂ nlist + 1). */
+  def autotuneNprobe(curve: DataFrame, targetMicro: Long): DataFrame = {
+    val ok = col("recall_micro") >= lit(targetMicro)
+    curve
+      .orderBy(ok.desc,
+        when(ok, col("nprobe")).otherwise(-col("nprobe")).asc)
+      .limit(1)
+      .select(col("nprobe"), col("n_candidates"), col("n_matches"),
+        col("recall_micro"), ok.as("meets_target"))
+  }
+
+  /** Query-pack adapter: the autotuned probe budget at a 0.9 recall
+    * target over the pack index's curve. */
+  def autotuneQuery(spark: SparkSession, sfDir: String): DataFrame =
+    autotuneNprobe(probeCurveQuery(spark, sfDir), targetMicro = 900000L)
+
   /**
    * Driver-checkable index-health artifact — [[driftReport]] with every
    * emitted number integer-exact so DuckDB can replay it: cell count,
