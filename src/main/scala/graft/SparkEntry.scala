@@ -1094,6 +1094,7 @@ object SparkEntry {
     "q_ann_ivf_filtered" -> (IvfIndex.ivfFilteredQuery _),
     "q_ivf_probe_curve" -> (IvfIndex.probeCurveQuery _),
     "q_ivf_autotune"   -> (IvfIndex.autotuneQuery _),
+    "q_ivf_rebuild"    -> (IvfIndex.rebuildAuditQuery _),
     "q_ivf_drift"      -> (IvfIndex.driftCheckQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
@@ -1716,6 +1717,94 @@ object SparkEntry {
                           ELSE -nprobe END ASC
             LIMIT 1""")
     }.getOrElse(Map.empty)
+
+  /** q_ivf_rebuild oracle — BOTH lifecycle verdicts recomputed from the
+    * session's cached BEFORE (pack) and AFTER (rebuilt) centroids: the
+    * skewed delta re-derives relationally (donor cell = largest
+    * population under the before model, lowest id tiebreak, cloned per
+    * [[operators.IvfIndex.RebuildDeltaOffsets]] offset), the populations
+    * re-assign under each model (before: drifted; after: balanced), and
+    * the rebuilt index's probe replays for recall@20 against the exact
+    * truth over the ingested corpus. A row lost or double-written
+    * anywhere in the ingest → rebuild pipeline makes the engine's
+    * footer-derived numbers disagree with this replay. Omitted
+    * (rows-only check) when either cached model is absent. */
+  private def ivfRebuildOracle: Map[String, String] =
+    (for (m1 <- operators.IvfIndex.cachedModel;
+          m2 <- operators.IvfIndex.cachedRebuiltModel) yield {
+      def centVals(m: operators.IvfIndex.Model) =
+        m.centroids.zipWithIndex.map { case (c, i) =>
+          s"($i, ${doubleArrSql(c)})"
+        }.mkString(",\n              ")
+      val np2 = operators.IvfIndex.auditNprobe(m2.nlist)
+      val deltaSelects = operators.IvfIndex.RebuildDeltaOffsets.map(off =>
+          s"SELECT vec_id + $off AS vec_id, ev FROM donors")
+        .mkString("\n             UNION ALL ")
+      def skewSql(t: String) =
+        s"CAST(floor(CAST($t.mx * $t.n_cells AS DOUBLE) / CAST($t.s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+      def argmaxCells(sc: String, cols: String) =
+        s"""SELECT $cols, cell FROM (
+            SELECT $cols, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+            FROM $sc) t WHERE rn = 1"""
+      Map("q_ivf_rebuild" ->
+        s"""WITH cent1(cell, cv) AS (VALUES
+              ${centVals(m1)}),
+            cent2(cell, cv) AS (VALUES
+              ${centVals(m2)}),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            sc1 AS (SELECT e.vec_id, e.ev, c.cell, list_dot_product(e.ev, c.cv) AS s
+                    FROM e CROSS JOIN cent1 c),
+            cells1 AS MATERIALIZED (${argmaxCells("sc1", "vec_id, ev")}),
+            donor AS (SELECT cell FROM (
+                SELECT cell, count(*) AS c FROM cells1 GROUP BY 1) d
+              ORDER BY c DESC, cell ASC LIMIT 1),
+            donors AS (SELECT vec_id, ev FROM cells1
+                       WHERE cell = (SELECT cell FROM donor)),
+            delta AS ($deltaSelects),
+            un AS MATERIALIZED (SELECT vec_id, ev FROM e
+                 UNION ALL SELECT vec_id, ev FROM delta),
+            scb AS (SELECT u.vec_id, c.cell, list_dot_product(u.ev, c.cv) AS s
+                    FROM un u CROSS JOIN cent1 c),
+            cellsb AS (${argmaxCells("scb", "vec_id")}),
+            popb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cellsb GROUP BY 1),
+            ab AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, max(n) AS mx,
+                          CAST(sum(n) AS BIGINT) AS s FROM popb),
+            sca AS (SELECT u.vec_id, u.ev, c.cell, list_dot_product(u.ev, c.cv) AS s
+                    FROM un u CROSS JOIN cent2 c),
+            cellsa AS MATERIALIZED (${argmaxCells("sca", "vec_id, ev")}),
+            popa AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cellsa GROUP BY 1),
+            aa AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, max(n) AS mx,
+                          CAST(sum(n) AS BIGINT) AS s FROM popa),
+            probes AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
+                SELECT vec_id, ev, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                FROM sca WHERE vec_id < 5) t WHERE rn <= $np2),
+            got AS (SELECT query_id, vec_id FROM (
+                SELECT p.query_id, a.vec_id,
+                       row_number() OVER (PARTITION BY p.query_id
+                         ORDER BY ${cosineSql("a.ev", "p.qv")} DESC, a.vec_id ASC) AS rank
+                FROM cellsa a JOIN probes p ON a.cell = p.cell AND a.vec_id != p.query_id) t
+              WHERE rank <= 20),
+            truth AS (SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ${cosineSql("c.ev", "q.ev")} DESC, c.vec_id ASC) AS rank
+                FROM un c JOIN e q ON q.vec_id < 5 AND c.vec_id != q.vec_id) t
+              WHERE rank <= 20),
+            nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matches
+                   FROM got JOIN truth USING (query_id, vec_id))
+           SELECT ab.s AS n_total,
+                  ${skewSql("ab")} AS before_skew_micro,
+                  ${skewSql("ab")} > 2000000 AS before_drifted,
+                  aa.n_cells AS after_n_cells,
+                  ${skewSql("aa")} AS after_skew_micro,
+                  ${skewSql("aa")} > 2000000 AS after_drifted,
+                  nm.n_matches,
+                  nm.n_matches * 1000000 // 100 AS recall_micro,
+                  nm.n_matches * 1000000 // 100 >= 500000 AS within_floor
+           FROM ab CROSS JOIN aa CROSS JOIN nm""")
+    }).getOrElse(Map.empty)
 
   /** The q_ivf_probe_curve oracle body (shared with q_ivf_autotune, which
     * wraps it in the decision cut): per ladder step, probed-candidate
@@ -2369,7 +2458,7 @@ object SparkEntry {
     }.getOrElse(Map.empty)
 
   private def oracleSqlBase: Map[String, String] =
-    ivfOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
+    ivfOracle ++ ivfRebuildOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
       sqOracle ++ embedOracle ++ pcaAnnOracle ++ bucketAnnOracle ++
       mrlAnnOracle ++ dsirOracle ++ ridgeOracle ++ Map(
     "zz_probe_duckdb_version" ->
