@@ -447,14 +447,16 @@ object SparkEntry {
     * probe, the more-like-this shape; the fixture's vec ids share the
     * documents' key space). Both legs are top-20 lists, so the fusion
     * join is constant work at any corpus size — the legs themselves are
-    * the measured index-probe / ANN plans. */
+    * the measured index-probe / ANN plans. The semantic leg is SERVED
+    * FROM THE SHARED IVF INDEX ([[operators.IvfIndex.packSearch]] —
+    * partition-pruned cell layout at the serving probe) since round 15:
+    * the scan-bound exact pass survives only as q_ann_leg_recall's truth,
+    * so per-query retrieval cost is ≈√decade instead of linear. */
   private def hybridSearchQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val lex = InvertedIndex.searchBm25(spark, invIndexDir(spark, sfDir),
         Seq("merge", "sort", "window"), k = 20, lnIdf = false)
       .select(col("doc_id"), col("rank"))
-    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
-    val sem = Similarity
-      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 20)
+    val sem = IvfIndex.packSearch(spark, sfDir, col("vec_id") === 0L, k = 20)
       .select(col("vec_id").as("doc_id"), col("rank"))
     HybridSearch.fuseTopK(lex, sem, k = 20)
   }
@@ -786,6 +788,57 @@ object SparkEntry {
       operators.Multimodal.mediaFromCells(
         operators.MobStore.readResolved(spark, mediaMobDir(spark, sfDir)))).toDF()
 
+  /** The media FEATURE table, resolved THROUGH the MOB store (q_media_mob's
+    * split/resolve path) and stub-encoded — shared by the media ANN
+    * index, q_media_ann, and q_rag_media's semantic leg, so a byte lost
+    * anywhere in the MOB path shifts every downstream cosine. */
+  private def mediaFeats(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Multimodal.extractFeatures(
+        operators.Multimodal.mediaFromCells(
+          operators.MobStore.readResolved(spark, mediaMobDir(spark, sfDir))))
+      .select(col("media_id").as("vec_id"), col("embedding"))
+
+  /** The one media-feature IVF index per (JVM, corpus) — the
+    * [[operators.IvfIndex]] pack-index discipline applied to the
+    * multimodal tier: corpus-scaled nlist, cell-partitioned layout,
+    * model cached for the oracle generators (Verify runs queries before
+    * collecting oracleSql — the cachedModel contract, media side). */
+  private val mediaIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (IvfIndex.Model, String)]()
+
+  private def mediaIndex(spark: SparkSession, sfDir: String): (IvfIndex.Model, String) =
+    mediaIndexCache.computeIfAbsent(sfDir, _ => {
+      val feats = mediaFeats(spark, sfDir)
+      val model = IvfIndex.train(feats, IvfIndex.scaledNlist(feats.count()),
+        iters = 2)
+      val dir = WorkDirs.dir(s"ivf_media_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+      IvfIndex.writeIndex(feats, model, dir)
+      (model, dir)
+    })
+
+  /** The one cached media model of this session, if any (the
+    * [[operators.IvfIndex.cachedModel]] exactly-one contract). */
+  private def cachedMediaModel: Option[IvfIndex.Model] = {
+    val vs = mediaIndexCache.values()
+    if (vs.size() == 1) Some(vs.iterator().next()._1) else None
+  }
+
+  /** Index-served media ANN leg: search the media-feature IVF index at
+    * the serving probe. */
+  private def mediaIndexSearch(spark: SparkSession, sfDir: String,
+      pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val (model, dir) = mediaIndex(spark, sfDir)
+    IvfIndex.searchIndex(spark, dir, mediaFeats(spark, sfDir).filter(pred),
+      model, k, nprobe = IvfIndex.scaledNprobe(model.nlist))
+  }
+
+  /** Media features piped into ANN search — SERVED FROM THE MEDIA IVF
+    * INDEX since round 15 (the multimodal → similarity composition at
+    * index scale; [[operators.Multimodal.mediaAnnQuery]] remains the
+    * scan-bound exact composition and q_ann_leg_recall's truth). */
+  private def mediaAnnQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mediaIndexSearch(spark, sfDir, col("vec_id") < 3, k = 10)
+
   /** Cross-modal retrieval capstone: a TEXT query's BM25 leg (the
     * q_bm25_search index probe) fused by RRF with a MEDIA-feature ANN leg
     * — payloads resolved THROUGH the MOB store (q_media_mob's split/
@@ -811,18 +864,64 @@ object SparkEntry {
     // THE q_bm25_search leg, by call — the capstone reuses the verified
     // query, so its seeds/k/idf can never silently diverge from it
     val lex = bm25SearchQuery(spark, sfDir).select(col("doc_id"), col("rank"))
-    val feats = operators.Multimodal.extractFeatures(
-        operators.Multimodal.mediaFromCells(
-          operators.MobStore.readResolved(spark, mediaMobDir(spark, sfDir))))
-      .select(col("media_id").as("vec_id"), col("embedding"))
-    val sem = Similarity
-      .bruteForceTopK(feats, feats.filter(col("vec_id") === 0L), k = 20)
+    val feats = mediaFeats(spark, sfDir)
+    // the media ANN leg rides the MEDIA IVF INDEX (round 15) — the
+    // scan-bound exact pass survives only as q_ann_leg_recall's truth
+    val sem = mediaIndexSearch(spark, sfDir, col("vec_id") === 0L, k = 20)
       .select(col("vec_id").as("doc_id"), col("rank"))
     val cand = HybridSearch.fuseTopK(lex, sem, k = 20)
       .select(lit(0L).as("query_id"), col("doc_id").as("vec_id"),
         ((lit(21L) - col("rank")) * lit(50000L)).as("rel"))
     Similarity.mmrSelect(cand, feats, k = 10, lambdaTenths = 7)
       .select(col("vec_id").as("doc_id"), col("rel"), col("mmr_rank"))
+  }
+
+  /** (tier, recall floor in micro-units) for each INDEX-SERVED capstone
+    * leg — the quality contract that lets the capstones drop their
+    * scan-bound exact legs: hybrid_sem (q_hybrid_search / q_rag_e2e's
+    * embedding leg through the pack IVF index), media_sem (q_rag_media's
+    * media leg through the media IVF index), media_ann (q_media_ann).
+    * Floors are comfortably under the measured values (see scaladoc of
+    * [[legRecallQuery]]) but far above a broken probe. */
+  private val LegFloors: Seq[(String, Long)] = Seq(
+    ("hybrid_sem", 500000L),
+    ("media_sem", 500000L),
+    ("media_ann", 500000L))
+
+  /** Driver-verified recall gate for the index-served capstone legs (the
+    * AnnRecall pattern applied to the legs that replaced bruteForceTopK
+    * in round 15): each leg joins the exact scan-bound truth it
+    * displaced, recall = matches·1e6 div truth-count, and the oracle
+    * replays legs AND truths relationally — so a probe regression in any
+    * capstone flips a driver hash, not just a slow drift in fused
+    * rankings. The exact passes live HERE (paid once, as gate truth)
+    * instead of inside every capstone execution. */
+  private def legRecallQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val feats = mediaFeats(spark, sfDir)
+    def leg(tier: String, got: DataFrame, truth: DataFrame): DataFrame = {
+      val floor = LegFloors.toMap.apply(tier)
+      val t = truth.select("query_id", "vec_id").localCheckpoint()
+      got.select("query_id", "vec_id")
+        .join(t, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        // 1-row × 1-row audit assembly; truth checkpointed so the count
+        // re-reads local blocks, not the scan
+        .crossJoin(t.agg(count(lit(1)).as("_denom")))
+        .select(lit(tier).as("tier"), col("n_matches"),
+          expr("n_matches * 1000000 div _denom").as("recall_micro"),
+          (expr("n_matches * 1000000 div _denom") >= lit(floor))
+            .as("within_floor"))
+    }
+    leg("hybrid_sem",
+        IvfIndex.packSearch(spark, sfDir, col("vec_id") === 0L, k = 20),
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 20))
+      .unionAll(leg("media_sem",
+        mediaIndexSearch(spark, sfDir, col("vec_id") === 0L, k = 20),
+        Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") === 0L), k = 20)))
+      .unionAll(leg("media_ann",
+        mediaAnnQuery(spark, sfDir),
+        Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 10)))
   }
 
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
@@ -1164,8 +1263,9 @@ object SparkEntry {
     "q_normalize_text" -> (TextAnalysis.normalizeQuery _),
     "q_media_decode"   -> (Multimodal.decodeQuery _),
     "q_frame_sample"   -> (Multimodal.frameSampleQuery _),
-    "q_media_ann"      -> (Multimodal.mediaAnnQuery _),
-    "q_rag_media"      -> (ragMediaQuery _))
+    "q_media_ann"      -> (mediaAnnQuery _),
+    "q_rag_media"      -> (ragMediaQuery _),
+    "q_ann_leg_recall" -> (legRecallQuery _))
 
   // Oracle-SQL building blocks ------------------------------------------
   // Each replicates a Spark-side computation in DuckDB SQL exactly (same
@@ -1363,22 +1463,28 @@ object SparkEntry {
     * side), per-rank terms micro-quantize before the long sum, and the
     * final ratios divide the resulting integers — nothing float-ordered
     * anywhere. */
-  /** The q_hybrid_search oracle, hoisted so the RAG capstone can embed
-    * the whole fused ranking as a subquery (DuckDB accepts WITH inside a
-    * parenthesized subquery — the AnnRecall composition pattern). */
-  private def hybridOracleSql: String =
-    s"""WITH lex AS ($bm25OracleSql),
-          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                FROM embeddings WHERE vec_id = 0),
-          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
-                FROM embeddings WHERE vec_id != 0),
-          scored AS (SELECT c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
-                     FROM c CROSS JOIN q),
+  /** The q_hybrid_search oracle — MODEL-DEPENDENT since round 15: the
+    * semantic leg replays the pack-IVF probe for query 0 (the engine's
+    * index-served leg) instead of a full-corpus cosine pass. Hoisted so
+    * the RAG capstone can embed the whole fused ranking as a subquery
+    * (DuckDB accepts WITH inside a parenthesized subquery — the
+    * AnnRecall composition pattern). */
+  private def hybridOracleSql(m: operators.IvfIndex.Model): String =
+    s"""${cellsCteOf(m)},
+          lex AS ($bm25OracleSql),
+          probes0 AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
+              SELECT vec_id, ev, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+              FROM sc WHERE vec_id = 0) t
+            WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+          semscored AS (SELECT c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
+                        FROM cells c JOIN probes0 p
+                          ON c.cell = p.cell AND c.vec_id != p.query_id),
           sem AS (SELECT vec_id AS doc_id, rank FROM (
                     SELECT vec_id,
                            CAST(row_number() OVER (ORDER BY cosine DESC,
                              vec_id ASC) AS BIGINT) AS rank
-                    FROM scored) t WHERE rank <= 20),
+                    FROM semscored) t WHERE rank <= 20),
           u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
                        CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
                        CAST(coalesce(s.rank, 0) AS BIGINT) AS sem_rank
@@ -1605,13 +1711,16 @@ object SparkEntry {
     * replayed relationally (row_number argmax per vector, top-2 probe
     * cells per query, cosine top-20 inside probed cells). Absent a cached
     * model (e.g. the query never ran) the entry is omitted → rows-only. */
-  private def ivfOracle: Map[String, String] =
-    operators.IvfIndex.cachedModel.map { m =>
-      val cent = m.centroids.zipWithIndex.map { case (c, i) =>
-        s"($i, CAST(${c.map(_.toDouble.toString).mkString("[", ",", "]")} AS DOUBLE[]))"
-      }.mkString(",\n              ")
-      val cellsCte =
-        s"""WITH cent(cell, cv) AS (VALUES
+  /** The shared IVF assignment CTE prefix for the session's pack model:
+    * centroid VALUES, the double-cast corpus, the per-(vector, centroid)
+    * scores `sc`, and the argmax cells. Every embedding-side IVF oracle
+    * (per-tier queries, the hybrid/RAG sem legs, the leg recall gate)
+    * composes on top of this one definition. */
+  private def cellsCteOf(m: operators.IvfIndex.Model): String = {
+    val cent = m.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${doubleArrSql(c)})"
+    }.mkString(",\n              ")
+    s"""WITH cent(cell, cv) AS (VALUES
               $cent),
              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
              sc AS (SELECT e.vec_id, e.ev, c.cell, list_dot_product(e.ev, c.cv) AS s
@@ -1620,20 +1729,33 @@ object SparkEntry {
                SELECT vec_id, ev, cell,
                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
                FROM sc) t WHERE rn = 1)"""
-      Map(
-        "q_ann_ivf" ->
-          s"""$cellsCte,
+  }
+
+  /** One full IVF search statement over the pack model: probe the
+    * serving-nprobe nearest cells for the queries `queryPred` selects,
+    * score within probed cells, rank to `k` — the replay of
+    * `IvfIndex.searchIndex` for an arbitrary query cut (q_ann_ivf is the
+    * vec_id<5/k=20 instantiation; the capstone sem legs are vec_id=0). */
+  private def ivfSearchSql(m: operators.IvfIndex.Model, queryPred: String,
+      k: Int): String =
+    s"""${cellsCteOf(m)},
              probes AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
                SELECT vec_id, ev, cell,
                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-               FROM sc WHERE vec_id < 5) t WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+               FROM sc WHERE $queryPred) t WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
              scored AS (
                SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
                FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id != p.query_id)
             SELECT query_id, vec_id, cosine, rank FROM (
               SELECT query_id, vec_id, cosine,
                      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-              FROM scored) t WHERE rank <= 20""",
+              FROM scored) t WHERE rank <= $k"""
+
+  private def ivfOracle: Map[String, String] =
+    operators.IvfIndex.cachedModel.map { m =>
+      val cellsCte = cellsCteOf(m)
+      Map(
+        "q_ann_ivf" -> ivfSearchSql(m, "vec_id < 5", 20),
         // Cluster profiles: population + cosine mass in micro-units per
         // assigned cell (same argmax, same cosine kernel). floor(x·1e6 +
         // 0.5) as BIGINT — scaled-integer half-up — instead of round/
@@ -1804,6 +1926,206 @@ object SparkEntry {
                   nm.n_matches * 1000000 // 100 AS recall_micro,
                   nm.n_matches * 1000000 // 100 >= 500000 AS within_floor
            FROM ab CROSS JOIN aa CROSS JOIN nm""")
+    }).getOrElse(Map.empty)
+
+  /** q_hybrid_search + q_rag_e2e — model-dependent since round 15 (the
+    * semantic leg replays the pack-IVF probe); omitted (rows-only) when
+    * the session never trained the pack model. */
+  private def hybridRagOracle: Map[String, String] =
+    operators.IvfIndex.cachedModel.map { m =>
+      Map(
+        // Hybrid retrieval: RRF fusion of the replayed BM25 ranking with
+        // the replayed INDEX-SERVED cosine top-20 (probe = vec_id 0) on
+        // integer RRF points — floor of ONE correctly-rounded division
+        // per rank, so the fused order is bit-identical cross-engine
+        "q_hybrid_search" -> hybridOracleSql(m),
+        // RAG capstone: the whole fused hybrid ranking embedded as a
+        // subquery, relevance = (21 − rank)·50000 linear rank decay, then
+        // the ten unrolled MMR greedy steps (λ = 0.7) over embedding
+        // cosines.
+        "q_rag_e2e" -> {
+          val (steps, unionPicks) = mmrUnrolledSql(k = 10, lambdaTenths = 7)
+          s"""WITH cand AS MATERIALIZED (
+                SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS vec_id,
+                       CAST((21 - rank) * 50000 AS BIGINT) AS rel
+                FROM ( ${hybridOracleSql(m)} ) h),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+              ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
+                    FROM cand JOIN e ON e.vec_id = cand.vec_id),
+              sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS c, b.vec_id AS o,
+                       CAST(floor(${cosineSql("a.ev", "b.ev")} * 1000000.0 + 0.5) AS BIGINT) AS sim
+                     FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+              r0 AS (SELECT query_id, vec_id, rel, CAST(0 AS BIGINT) AS pen FROM cand),
+              $steps
+              SELECT vec_id AS doc_id, rel, mmr_rank FROM (
+              $unionPicks) z"""
+        })
+    }.getOrElse(Map.empty)
+
+  /** The media-IVF assignment CTE fragment (appended after
+    * [[mediaEmbCtesSql]], which supplies `emb`): centroid VALUES of the
+    * session's media model, double-cast features, scores, argmax cells. */
+  private def mediaCellsFragment(m: operators.IvfIndex.Model): String = {
+    val cent = m.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${doubleArrSql(c)})"
+    }.mkString(",\n              ")
+    s"""centm(cell, cv) AS (VALUES
+              $cent),
+           em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM emb),
+           scm AS (SELECT em.vec_id, em.ev, c.cell, list_dot_product(em.ev, c.cv) AS s
+                   FROM em CROSS JOIN centm c),
+           cellsm AS (SELECT vec_id, ev, cell FROM (
+             SELECT vec_id, ev, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+             FROM scm) t WHERE rn = 1)"""
+  }
+
+  /** One full media-IVF search statement: the [[ivfSearchSql]] twin over
+    * the media feature space (stub-encoder replay + probe + rank). */
+  private def mediaIvfSearchSql(m: operators.IvfIndex.Model,
+      queryPred: String, k: Int): String =
+    s"""WITH $mediaEmbCtesSql,
+           ${mediaCellsFragment(m)},
+           probesm AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
+             SELECT vec_id, ev, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+             FROM scm WHERE $queryPred) t
+             WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+           scoredm AS (
+             SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
+             FROM cellsm c JOIN probesm p
+               ON c.cell = p.cell AND c.vec_id != p.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scoredm) t WHERE rank <= $k"""
+
+  /** Brute-force cosine top-k over the media feature replay — the old
+    * q_media_ann statement generalized: the leg recall gate's TRUTH. */
+  private def mediaBruteSql(queryPred: String, k: Int): String =
+    s"""WITH $mediaEmbCtesSql,
+           q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM emb WHERE $queryPred),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM emb),
+           scored AS (
+             SELECT q.query_id, c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
+             FROM c JOIN q ON c.vec_id != q.query_id)
+          SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) t WHERE rank <= $k"""
+
+  /** Brute-force cosine top-k over the embeddings table (query cut by
+    * `queryPred`) emitting only the matched pair — the embedding-side
+    * truth for the leg recall gate. */
+  private def embBruteSql(queryPred: String, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE $queryPred),
+           scored AS (SELECT q.query_id, c.vec_id, ${cosineSql("c.ev", "q.qv")} AS cosine
+                      FROM e c JOIN q ON c.vec_id != q.query_id)
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) t WHERE rank <= $k"""
+
+  /** q_media_ann + q_rag_media — generated from the session's media-IVF
+    * model (index-served legs); omitted (rows-only) when absent. The
+    * feature space is still recomputed from the RAW corpus (the
+    * splitmix64 stub-encoder replay), so the engine's MOB-resolved path
+    * must reproduce it byte for byte. */
+  private def mediaIvfOracle: Map[String, String] =
+    cachedMediaModel.map { m =>
+      Map(
+        // Media features → ANN through the media IVF index: stub-encoder
+        // replay, probe from the cached centroids, bit-exact cosine
+        // top-10 for the first 3 media ids.
+        "q_media_ann" -> mediaIvfSearchSql(m, "vec_id < 3", 10),
+        // Cross-modal RAG capstone: the BM25 lexical leg fused (RRF, the
+        // q_hybrid_search math) with the INDEX-SERVED media-feature leg,
+        // then the ten unrolled MMR greedy steps over media-feature
+        // cosines (λ = 0.7).
+        "q_rag_media" -> {
+          val (steps, unionPicks) = mmrUnrolledSql(k = 10, lambdaTenths = 7)
+          s"""WITH $mediaEmbCtesSql,
+              ${mediaCellsFragment(m)},
+              lex AS ($bm25OracleSql),
+              probesm AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
+                SELECT vec_id, ev, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                FROM scm WHERE vec_id = 0) t
+                WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+              semscored AS (SELECT c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
+                            FROM cellsm c JOIN probesm p
+                              ON c.cell = p.cell AND c.vec_id != p.query_id),
+              sem AS (SELECT vec_id AS doc_id, rank FROM (
+                        SELECT vec_id,
+                               CAST(row_number() OVER (ORDER BY cosine DESC,
+                                 vec_id ASC) AS BIGINT) AS rank
+                        FROM semscored) t WHERE rank <= 20),
+              u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                           CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
+                           CAST(coalesce(s.rank, 0) AS BIGINT) AS sem_rank
+                    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+              fz AS (SELECT doc_id,
+                           CAST(CASE WHEN lex_rank > 0
+                                  THEN floor(1000000000000.0 / (60.0 + lex_rank))
+                                  ELSE 0 END
+                              + CASE WHEN sem_rank > 0
+                                  THEN floor(1000000000000.0 / (60.0 + sem_rank))
+                                  ELSE 0 END AS BIGINT) AS rrf_score
+                     FROM u),
+              fused AS (SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                            AS BIGINT) AS rank
+                        FROM fz ORDER BY rrf_score DESC, doc_id ASC LIMIT 20),
+              cand AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS query_id,
+                       doc_id AS vec_id,
+                       CAST((21 - rank) * 50000 AS BIGINT) AS rel FROM fused),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM emb),
+              ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
+                    FROM cand JOIN e ON e.vec_id = cand.vec_id),
+              sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS c, b.vec_id AS o,
+                       CAST(floor(${cosineSql("a.ev", "b.ev")} * 1000000.0 + 0.5) AS BIGINT) AS sim
+                     FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+              r0 AS (SELECT query_id, vec_id, rel, CAST(0 AS BIGINT) AS pen FROM cand),
+              $steps
+              SELECT vec_id AS doc_id, rel, mmr_rank FROM (
+              $unionPicks) z"""
+        })
+    }.getOrElse(Map.empty)
+
+  /** q_ann_leg_recall — the recall gate for the index-served capstone
+    * legs, composed from the SAME generated leg statements the per-query
+    * oracles verify, each intersected with its replayed exact truth.
+    * Needs both session models; omitted (rows-only) otherwise. */
+  private def legRecallOracle: Map[String, String] =
+    (for (m1 <- operators.IvfIndex.cachedModel; m2 <- cachedMediaModel) yield {
+      def row(tier: String, gotSql: String, truthSql: String) =
+        s"""SELECT '$tier' AS tier,
+              CAST((SELECT count(*)
+                    FROM (SELECT query_id, vec_id FROM ( $gotSql ) g) r
+                    JOIN (SELECT query_id, vec_id FROM ( $truthSql ) tt) t
+                      USING (query_id, vec_id)) AS BIGINT) AS n_matches,
+              CAST((SELECT count(*) FROM ( $truthSql ) t2) AS BIGINT) AS denom"""
+      val rows = Seq(
+        row("hybrid_sem", ivfSearchSql(m1, "vec_id = 0", 20),
+          embBruteSql("vec_id = 0", 20)),
+        row("media_sem", mediaIvfSearchSql(m2, "vec_id = 0", 20),
+          mediaBruteSql("vec_id = 0", 20)),
+        row("media_ann", mediaIvfSearchSql(m2, "vec_id < 3", 10),
+          mediaBruteSql("vec_id < 3", 10)))
+        .mkString("\n          UNION ALL\n          ")
+      Map("q_ann_leg_recall" ->
+        s"""WITH m AS (
+              $rows
+            )
+            SELECT tier, n_matches,
+                   (n_matches * 1000000) // denom AS recall_micro,
+                   (n_matches * 1000000) // denom >=
+                     CASE tier ${LegFloors.map { case (t, f) =>
+                       s"WHEN '$t' THEN $f"
+                     }.mkString(" ")} END AS within_floor
+            FROM m""")
     }).getOrElse(Map.empty)
 
   /** The q_ivf_probe_curve oracle body (shared with q_ivf_autotune, which
@@ -2458,7 +2780,8 @@ object SparkEntry {
     }.getOrElse(Map.empty)
 
   private def oracleSqlBase: Map[String, String] =
-    ivfOracle ++ ivfRebuildOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
+    ivfOracle ++ ivfRebuildOracle ++ hybridRagOracle ++ mediaIvfOracle ++
+      legRecallOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
       sqOracle ++ embedOracle ++ pcaAnnOracle ++ bucketAnnOracle ++
       mrlAnnOracle ++ dsirOracle ++ ridgeOracle ++ Map(
     "zz_probe_duckdb_version" ->
@@ -3020,80 +3343,11 @@ object SparkEntry {
                  CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id ASC)
                    AS BIGINT) AS rank
           FROM m ORDER BY n_matches DESC, doc_id ASC LIMIT 20""",
-    // Hybrid retrieval: RRF fusion of the replayed BM25 ranking with a
-    // replayed cosine top-20 (probe = vec_id 0) on integer RRF points —
-    // floor of ONE correctly-rounded division per rank, so the fused
-    // order is bit-identical cross-engine
-    "q_hybrid_search" -> hybridOracleSql,
-    // RAG capstone: the whole fused hybrid ranking embedded as a subquery,
-    // relevance = (21 − rank)·50000 linear rank decay, then the ten
-    // unrolled MMR greedy steps (λ = 0.7) over embedding cosines.
-    "q_rag_e2e" -> {
-      val (steps, unionPicks) = mmrUnrolledSql(k = 10, lambdaTenths = 7)
-      s"""WITH cand AS MATERIALIZED (
-            SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS vec_id,
-                   CAST((21 - rank) * 50000 AS BIGINT) AS rel
-            FROM ( $hybridOracleSql ) h),
-          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-          ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
-                FROM cand JOIN e ON e.vec_id = cand.vec_id),
-          sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS c, b.vec_id AS o,
-                   CAST(floor(${cosineSql("a.ev", "b.ev")} * 1000000.0 + 0.5) AS BIGINT) AS sim
-                 FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
-          r0 AS (SELECT query_id, vec_id, rel, CAST(0 AS BIGINT) AS pen FROM cand),
-          $steps
-          SELECT vec_id AS doc_id, rel, mmr_rank FROM (
-          $unionPicks) z"""
-    },
-    // Cross-modal RAG capstone: the BM25 lexical leg fused (RRF, the
-    // q_hybrid_search math) with a MEDIA-feature cosine leg — the feature
-    // space recomputed from the RAW corpus via the shared q_media_ann
-    // replay, so the engine's MOB-resolved path must reproduce it byte
-    // for byte — then the ten unrolled MMR greedy steps over media-
-    // feature cosines (λ = 0.7).
-    "q_rag_media" -> {
-      val (steps, unionPicks) = mmrUnrolledSql(k = 10, lambdaTenths = 7)
-      s"""WITH $mediaEmbCtesSql,
-          lex AS ($bm25OracleSql),
-          qm AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM emb WHERE vec_id = 0),
-          cm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM emb WHERE vec_id != 0),
-          scoredm AS (SELECT cm.vec_id, ${cosineSql("cm.cv", "qm.qv")} AS cosine
-                      FROM cm CROSS JOIN qm),
-          sem AS (SELECT vec_id AS doc_id, rank FROM (
-                    SELECT vec_id,
-                           CAST(row_number() OVER (ORDER BY cosine DESC,
-                             vec_id ASC) AS BIGINT) AS rank
-                    FROM scoredm) t WHERE rank <= 20),
-          u AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
-                       CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
-                       CAST(coalesce(s.rank, 0) AS BIGINT) AS sem_rank
-                FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
-          fz AS (SELECT doc_id,
-                       CAST(CASE WHEN lex_rank > 0
-                              THEN floor(1000000000000.0 / (60.0 + lex_rank))
-                              ELSE 0 END
-                          + CASE WHEN sem_rank > 0
-                              THEN floor(1000000000000.0 / (60.0 + sem_rank))
-                              ELSE 0 END AS BIGINT) AS rrf_score
-                 FROM u),
-          fused AS (SELECT doc_id,
-                      CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
-                        AS BIGINT) AS rank
-                    FROM fz ORDER BY rrf_score DESC, doc_id ASC LIMIT 20),
-          cand AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS query_id,
-                   doc_id AS vec_id,
-                   CAST((21 - rank) * 50000 AS BIGINT) AS rel FROM fused),
-          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM emb),
-          ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
-                FROM cand JOIN e ON e.vec_id = cand.vec_id),
-          sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS c, b.vec_id AS o,
-                   CAST(floor(${cosineSql("a.ev", "b.ev")} * 1000000.0 + 0.5) AS BIGINT) AS sim
-                 FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
-          r0 AS (SELECT query_id, vec_id, rel, CAST(0 AS BIGINT) AS pen FROM cand),
-          $steps
-          SELECT vec_id AS doc_id, rel, mmr_rank FROM (
-          $unionPicks) z"""
-    },
+    // q_hybrid_search / q_rag_e2e / q_rag_media / q_media_ann /
+    // q_ann_leg_recall moved to the MODEL-DEPENDENT generated maps
+    // (hybridRagOracle / mediaIvfOracle): their semantic legs are served
+    // from the session-trained IVF indexes since round 15, so their
+    // oracles replay the probe from the cached centroids.
     // Purged-index BM25: the ranking of an index that never contained
     // the subject (doc_id % 7 == 0) — the engine side serves it from
     // tombstones + corrected df/meta cells without a rebuild
@@ -4427,20 +4681,9 @@ object SparkEntry {
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) t
           WHERE hamming <= 3
           GROUP BY doc_a, doc_b""",
-    // Media features → ANN: the splitmix64 finalizer (32-bit-split modular
-    // multiplies), the exact double→float rounding chain of the stub
-    // encoder, then bit-exact cosine top-10 for the first 3 media ids.
-    "q_media_ann" ->
-      s"""WITH $mediaEmbCtesSql,
-           q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM emb WHERE vec_id < 3),
-           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM emb),
-           scored AS (
-             SELECT q.query_id, c.vec_id, ${cosineSql("c.cv", "q.qv")} AS cosine
-             FROM c JOIN q ON c.vec_id != q.query_id)
-          SELECT query_id, vec_id, cosine, rank FROM (
-            SELECT query_id, vec_id, cosine,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM scored) t WHERE rank <= 10""",
+    // q_media_ann moved to the model-dependent mediaIvfOracle (index-
+    // served since round 15); its old brute-force statement survives as
+    // mediaBruteSql — the leg recall gate's truth.
     // Source balancing: ≤40 docs per source, lowest ids win; reported as
     // per-source counts with id bounds.
     "q_source_cap" ->

@@ -564,6 +564,21 @@ object IvfIndex {
       nprobe = scaledNprobe(model.nlist))
   }
 
+  /** Index-served ANN leg for the retrieval capstones (q_hybrid_search /
+    * q_rag_e2e): search the SHARED pack index — partition-pruned cell
+    * layout, serving probe — for the query vectors `pred` selects. This
+    * replaces the capstones' scan-bound `bruteForceTopK` leg, the last
+    * linear-in-corpus retrieval cost: per query the scan now opens
+    * nprobe/nlist of the corpus (≈√decade growth), and the exact pass
+    * survives only as the recall-gate truth (q_ann_leg_recall). */
+  def packSearch(spark: SparkSession, sfDir: String,
+      pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (model, dir) = packIndex(spark, sfDir)
+    searchIndex(spark, dir, emb.filter(pred), model, k,
+      nprobe = scaledNprobe(model.nlist))
+  }
+
   /** Query-pack adapter: same-label PRE-FILTERED search through the
     * persisted layout — the multi-tenant ANN shape at index scale
     * (q_ann_filtered's contract with cell pruning on top). */
