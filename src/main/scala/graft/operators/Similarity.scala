@@ -330,8 +330,19 @@ object Similarity {
   }
 
   /** Probes for a scaled plane count: 4 once there is room, never more
-    * than the plane count itself. */
-  def scaledProbes(planes: Int): Int = math.min(4, planes)
+    * than the plane count itself — plus ONE EXTRA PROBE PER PLANE past 5
+    * (capped at 8). The deeper-decade bump is occupancy-derived: a fixed
+    * 4 probes over a growing plane count examines a vanishing 4/2^p of
+    * bucket space, which is what thinned the bucketed tiers' recall at
+    * sf3 (mrl 0.28 vs its 0.25 floor — one fixture reroll from a red
+    * gate); probing one more flip per decade keeps the examined mass
+    * (and with it [[bucketedRerank]]'s budget, a fixed quarter of it)
+    * growing with the corpus at occupancy-flat per-probe cost. planes ≤ 5
+    * — every verify-scale fixture and sf1 — is bit-identical to the
+    * fixed-4 era, so no oracle churn below sf3. */
+  def scaledProbes(planes: Int): Int =
+    if (planes <= 5) math.min(4, planes)
+    else math.min(8, 4 + (planes - 5))
 
   /** Matryoshka rerank budget sized to the corpus: a constant FRACTION
     * (5% — the share the sf0.1 fixture's 100-of-2000 floor measures at)

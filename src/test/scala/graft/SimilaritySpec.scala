@@ -221,8 +221,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // 100-candidate floor — corpus-INDEPENDENT (occupancy is the constant)
     assert(Similarity.bucketedRerank(1) == 256)
     assert(Similarity.bucketedRerank(2) == 512)  // verify-scale fixtures
-    assert(Similarity.bucketedRerank(4) == 1024) // sf1+ (probes cap at 4)
+    assert(Similarity.bucketedRerank(4) == 1024) // sf1 (probes 4 at planes 5)
     assert(Similarity.bucketedRerank(1, targetBucket = 100L) == 100) // floor
+    // deeper-decade probe bump: +1 probe per plane past 5, capped at 8;
+    // planes <= 5 (verify scales and sf1) bit-identical to the fixed-4 era
+    assert(Seq(1, 2, 4, 5).map(Similarity.scaledProbes) == Seq(1, 2, 4, 4))
+    assert(Similarity.scaledProbes(6) == 5)  // sf3 shape
+    assert(Similarity.scaledProbes(8) == 7)
+    assert(Similarity.scaledProbes(16) == 8) // cap
+    assert(Similarity.bucketedRerank(Similarity.scaledProbes(6)) == 1280)
   }
 
   test("LSH top-k: results are a subset of correct cosine scores, same bucket only") {
