@@ -823,12 +823,26 @@ object SparkEntry {
     if (vs.size() == 1) Some(vs.iterator().next()._1) else None
   }
 
+  /** QUERY-side media features: the `media_id` predicate applies BEFORE
+    * the stub-encode `mapPartitions` (and pushes through the MOB resolve
+    * join onto the main-store side), so fetching 1–3 query vectors costs
+    * 1–3 decodes — a filter placed after [[mediaFeats]] cannot cross the
+    * opaque per-partition encoder and re-encoded the whole corpus per
+    * capstone run (the sf3 slope this fixes). */
+  private def mediaQueryFeats(spark: SparkSession, sfDir: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    operators.Multimodal.extractFeatures(
+        operators.Multimodal.mediaFromCells(
+          operators.MobStore.readResolved(spark, mediaMobDir(spark, sfDir)))
+          .filter(pred))
+      .select(col("media_id").as("vec_id"), col("embedding"))
+
   /** Index-served media ANN leg: search the media-feature IVF index at
-    * the serving probe. */
+    * the serving probe; `pred` (over `media_id`) selects the queries. */
   private def mediaIndexSearch(spark: SparkSession, sfDir: String,
       pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val (model, dir) = mediaIndex(spark, sfDir)
-    IvfIndex.searchIndex(spark, dir, mediaFeats(spark, sfDir).filter(pred),
+    IvfIndex.searchIndex(spark, dir, mediaQueryFeats(spark, sfDir, pred),
       model, k, nprobe = IvfIndex.scaledNprobe(model.nlist))
   }
 
@@ -837,7 +851,7 @@ object SparkEntry {
     * index scale; [[operators.Multimodal.mediaAnnQuery]] remains the
     * scan-bound exact composition and q_ann_leg_recall's truth). */
   private def mediaAnnQuery(spark: SparkSession, sfDir: String): DataFrame =
-    mediaIndexSearch(spark, sfDir, col("vec_id") < 3, k = 10)
+    mediaIndexSearch(spark, sfDir, col("media_id") < 3, k = 10)
 
   /** Cross-modal retrieval capstone: a TEXT query's BM25 leg (the
     * q_bm25_search index probe) fused by RRF with a MEDIA-feature ANN leg
@@ -864,14 +878,18 @@ object SparkEntry {
     // THE q_bm25_search leg, by call — the capstone reuses the verified
     // query, so its seeds/k/idf can never silently diverge from it
     val lex = bm25SearchQuery(spark, sfDir).select(col("doc_id"), col("rank"))
-    val feats = mediaFeats(spark, sfDir)
     // the media ANN leg rides the MEDIA IVF INDEX (round 15) — the
     // scan-bound exact pass survives only as q_ann_leg_recall's truth
-    val sem = mediaIndexSearch(spark, sfDir, col("vec_id") === 0L, k = 20)
+    val sem = mediaIndexSearch(spark, sfDir, col("media_id") === 0L, k = 20)
       .select(col("vec_id").as("doc_id"), col("rank"))
     val cand = HybridSearch.fuseTopK(lex, sem, k = 20)
       .select(lit(0L).as("query_id"), col("doc_id").as("vec_id"),
         ((lit(21L) - col("rank")) * lit(50000L)).as("rel"))
+    // diversity geometry from the STORED index vectors (identical values,
+    // already encoded) — re-deriving the full feature table here would
+    // re-encode the whole corpus for a ≤20-row join
+    val feats = IvfIndex.readIndex(spark, mediaIndex(spark, sfDir)._2)
+      .select(col("vec_id"), col("embedding"))
     Similarity.mmrSelect(cand, feats, k = 10, lambdaTenths = 7)
       .select(col("vec_id").as("doc_id"), col("rel"), col("mmr_rank"))
   }
@@ -917,7 +935,7 @@ object SparkEntry {
         IvfIndex.packSearch(spark, sfDir, col("vec_id") === 0L, k = 20),
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 20))
       .unionAll(leg("media_sem",
-        mediaIndexSearch(spark, sfDir, col("vec_id") === 0L, k = 20),
+        mediaIndexSearch(spark, sfDir, col("media_id") === 0L, k = 20),
         Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") === 0L), k = 20)))
       .unionAll(leg("media_ann",
         mediaAnnQuery(spark, sfDir),
