@@ -1219,6 +1219,7 @@ object SparkEntry {
     "q_pca_check"      -> (EmbeddingPca.pcaCheckQuery _),
     "q_ann_pca"        -> (EmbeddingPca.annPcaQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
+    "q_ann_opq"        -> (OpqIndex.opqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
     "q_ann_sq"         -> (SqIndex.sqQuery _),
@@ -2290,6 +2291,33 @@ object SparkEntry {
            ${pqRerankTailSql(r = 50, k = 10)}"""
     }.toMap
 
+  /** OPQ oracle (q_ann_opq): the q_ann_pq statement with the learned
+    * rotation replayed in front — rq rebinds `nv` to the rotated,
+    * float-rounded coordinates (each a `list_dot_product` against one
+    * emitted rotation-row literal, the engine's codegen'd kernel), so
+    * the unchanged encode/tables/ADC/rerank building blocks read the
+    * rotated space without modification. */
+  private def opqOracle: Map[String, String] =
+    operators.OpqIndex.cachedModel.map { m =>
+      val rotSql = m.rotation.map { rw =>
+        s"CAST(CAST(list_dot_product(nv, ${doubleArrSql(rw)}) AS FLOAT) AS DOUBLE)"
+      }.mkString("[", ",\n               ", "]")
+      "q_ann_opq" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           $pqNormSql,
+           rq AS (SELECT vec_id,
+               $rotSql AS nv
+             FROM nq),
+           ${pqEncSql(m.pq, from = "rq")},
+           qt AS (SELECT vec_id AS query_id,
+               ${pqTablesSql(m.pq)} AS tables
+             FROM rq WHERE vec_id < 5),
+           adc AS (SELECT q.query_id, c.vec_id,
+               ${pqAdcSql(m.pq.m, "q.tables", "c.codes")} AS adc_score
+             FROM enc c JOIN qt q ON c.vec_id != q.query_id),
+           ${pqRerankTailSql(r = 50, k = 10)}"""
+    }.toMap
+
   /** Composed IVF×PQ oracle (q_ann_ivfpq): IVF cell assignment + top-2
     * probe cells exactly as the q_ann_ivf oracle, then PQ encode/ADC
     * restricted to vectors in probed cells, rerank tail as q_ann_pq. */
@@ -2593,7 +2621,7 @@ object SparkEntry {
     // it exists exactly when every tier's (model-dependent) entry does
     val annKeys = Seq("q_ann_topk", "q_ann_lsh", "q_ann_multiprobe",
       "q_ann_mrl", "q_ann_pca", "q_ann_ivf", "q_ann_ivf_filtered",
-      "q_ann_filtered", "q_ann_pq", "q_ann_ivfpq",
+      "q_ann_filtered", "q_ann_pq", "q_ann_opq", "q_ann_ivfpq",
       "q_ann_ivfpq_res", "q_ann_sq")
     if (annKeys.forall(base.contains))
       base + ("q_ann_recall" -> AnnRecall.recallOracleSql(base))
@@ -2799,7 +2827,8 @@ object SparkEntry {
 
   private def oracleSqlBase: Map[String, String] =
     ivfOracle ++ ivfRebuildOracle ++ hybridRagOracle ++ mediaIvfOracle ++
-      legRecallOracle ++ pqOracle ++ ivfpqOracle ++ ivfpqResidualOracle ++
+      legRecallOracle ++ pqOracle ++ opqOracle ++ ivfpqOracle ++
+      ivfpqResidualOracle ++
       sqOracle ++ embedOracle ++ pcaAnnOracle ++ bucketAnnOracle ++
       mrlAnnOracle ++ dsirOracle ++ ridgeOracle ++ Map(
     "zz_probe_duckdb_version" ->

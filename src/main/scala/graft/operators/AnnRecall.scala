@@ -78,6 +78,13 @@ object AnnRecall {
     // measured 0.62 / 0.80 / 0.94 at sf0.01 / sf0.1 / sf1
     ("ivf_filtered", 10, 500000L),
     ("pq", 10, 400000L),
+    // opq = pq with the eigenvalue-allocated PCA rotation in front (same
+    // m/k/r budget). On the near-isotropic fixtures the rotation is
+    // neutral (recall differs from pq only by seed/tie noise — measured
+    // 0.68 vs 0.74 at sf0.01, 0.54 vs 0.68 at sf0.1, both directions
+    // seen), so the floor documents the same contract as pq's; the
+    // rotation's provable win lives in OpqIndexSpec's rank-8 test
+    ("opq", 10, 400000L),
     ("ivfpq", 10, 400000L),
     ("ivfpq_res", 10, 250000L),
     ("sq8", 10, 900000L))
@@ -118,6 +125,7 @@ object AnnRecall {
       "ivf"        -> IvfIndex.ivfQuery(spark, sfDir),
       "ivf_filtered" -> IvfIndex.ivfFilteredQuery(spark, sfDir),
       "pq"         -> PqIndex.pqQuery(spark, sfDir),
+      "opq"        -> OpqIndex.opqQuery(spark, sfDir),
       "ivfpq"      -> IvfPqIndex.ivfpqQuery(spark, sfDir),
       "ivfpq_res"  -> IvfPqIndex.ivfpqResidualQuery(spark, sfDir),
       "sq8"        -> SqIndex.sqQuery(spark, sfDir))
@@ -150,7 +158,7 @@ object AnnRecall {
       "lsh" -> "q_ann_lsh", "multiprobe" -> "q_ann_multiprobe",
       "mrl" -> "q_ann_mrl", "pca" -> "q_ann_pca",
       "ivf" -> "q_ann_ivf", "ivf_filtered" -> "q_ann_ivf_filtered",
-      "pq" -> "q_ann_pq",
+      "pq" -> "q_ann_pq", "opq" -> "q_ann_opq",
       "ivfpq" -> "q_ann_ivfpq", "ivfpq_res" -> "q_ann_ivfpq_res",
       "sq8" -> "q_ann_sq")
     val rows = Tiers.map { case (tier, k, _) =>

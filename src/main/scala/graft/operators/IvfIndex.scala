@@ -267,24 +267,11 @@ object IvfIndex {
     * `root`. Returns false — writing nothing durable — when the slice
     * already exists: the slice NAME is the idempotency key. */
   private[operators] def writeSlice(assigned: DataFrame, root: String,
-      sliceName: String): Boolean = {
-    val spark = assigned.sparkSession
-    val fs = DeltaLayout.fileSystem(spark, root)
-    val target = new Path(s"$root/$sliceName")
-    if (fs.exists(target)) return false
+      sliceName: String): Boolean =
     // staging name never parses as a slice (DeltaLayout anchors its
     // patterns), so readers ignore it at every crash point
-    val staging = new Path(s"$root/$sliceName.staging")
-    if (fs.exists(staging) && !fs.delete(staging, true))
-      throw new IllegalStateException(s"cannot clear stale staging $staging")
-    assigned
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-    if (fs.exists(target)) { fs.delete(staging, true); false } // replay race
-    else if (!fs.rename(staging, target))
-      throw new IllegalStateException(s"cannot commit slice $target")
-    else true
-  }
+    DeltaLayout.writeSlice(assigned.repartition(col("cell")), root,
+      sliceName, partitionCols = Seq("cell"))
 
   /** Replace the whole index root with a fresh `delta=base` slice (the
     * initial-build semantic; [[rebuildIndex]] is the atomic in-place

@@ -38,7 +38,7 @@ object PqIndex {
   }
 
   /** L2-normalize so dot ≡ cosine ranking (zero vectors stay zero). */
-  private[operators] def normed(vec: Column): Column = {
+  private[graft] def normed(vec: Column): Column = {
     val n2 = VectorFunctions.dot_product(vec, vec)
     transform(vec, x =>
       when(n2 === 0d, x).otherwise((x / sqrt(n2)).cast("float")))
@@ -133,6 +133,11 @@ object PqIndex {
     corpus.select(col("vec_id"), normed(col("embedding")).as("_e"))
       .select(col("vec_id"), codesColumn(model, col("_e")).as("codes"))
 
+  /** Encode a `(vec_id, embedding)` frame whose vectors are ALREADY in
+    * the model's space (normalized / rotated) — no re-normalization. */
+  private[graft] def encodePrepared(vecs: DataFrame, model: Codebooks): DataFrame =
+    vecs.select(col("vec_id"), codesColumn(model, col("embedding")).as("codes"))
+
   /** `array<int>` of per-subspace nearest-codeword ids for a NORMALIZED
     * vector column (shared with [[IvfPqIndex]]'s cell-partitioned encode). */
   private[operators] def codesColumn(model: Codebooks, e: Column): Column =
@@ -163,6 +168,13 @@ object PqIndex {
     val q = queries
       .select(col("vec_id").as("query_id"), normed(col("embedding")).as("_e"))
       .select(col("query_id"), adcTablesColumn(model, col("_e")).as("tables"))
+    searchAdcPrepared(encoded, q, k)
+  }
+
+  /** ADC core over PREPARED lookup tables `(query_id, tables)` — the
+    * seam [[OpqIndex]] feeds rotated-space tables through. */
+  private[operators] def searchAdcPrepared(encoded: DataFrame,
+      q: DataFrame, k: Int): DataFrame = {
     val scored = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         // quantized before ranking so the candidate cut is ulp-robust
@@ -184,6 +196,14 @@ object PqIndex {
     require(r >= k, "rerank pool must be at least k")
     val cands = searchAdc(encode(corpus, model), queries, model, r)
       .select(col("query_id"), col("vec_id"))
+    rerankExact(cands, corpus, queries, k)
+  }
+
+  /** Exact-cosine rerank of `cands(query_id, vec_id)` against the RAW
+    * embeddings, top-`k` — shared by the PQ and OPQ tiers (only r float
+    * vectors per query are ever read). */
+  private[operators] def rerankExact(cands: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val emb = corpus.select(col("vec_id"), col("embedding"))
     val qemb = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_vec"))

@@ -59,6 +59,30 @@ object DeltaLayout {
     live.map(_.toString).sorted
   }
 
+  /** Write `df` as the slice `root/<sliceName>`, committed with ONE
+    * rename from a staging name no reader ever parses as a slice —
+    * replay-idempotent (an existing slice makes the write a checked
+    * no-op; returns false) and crash-atomic at every point. The generic
+    * form of the IVF index's slice append, shared by every
+    * batch-id-addressed output under a delta root. */
+  def writeSlice(df: org.apache.spark.sql.DataFrame, root: String,
+      sliceName: String, partitionCols: Seq[String] = Nil): Boolean = {
+    val spark = df.sparkSession
+    val fs = fileSystem(spark, root)
+    val target = new Path(s"$root/$sliceName")
+    if (fs.exists(target)) return false
+    val staging = new Path(s"$root/$sliceName.staging")
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new IllegalStateException(s"cannot clear stale staging $staging")
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging.toString)
+    if (fs.exists(target)) { fs.delete(staging, true); false } // replay race
+    else if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"cannot commit slice $target")
+    else true
+  }
+
   /** Highest batch id among the live slices — the generation a fold of
     * them would commit as; None when there is nothing to fold. */
   def foldTarget(dirs: Seq[String]): Option[Long] =

@@ -32,8 +32,14 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
       // that remain corpus-free: exact-rerank IVF dominates single-bucket
       // LSH, and SQ8 (full-dim scores, exact rerank) tops the quantizers.
       assert(r("ivf") > r("lsh"), s"ivf should beat single-bucket LSH: $r")
-      for (t <- Seq("pq", "ivfpq", "ivfpq_res"))
+      for (t <- Seq("pq", "opq", "ivfpq", "ivfpq_res"))
         assert(r("sq8") >= r(t), s"sq8 under $t: $r")
+      // no opq-vs-pq ordering pin: on the near-isotropic synthetic
+      // fixtures the rotation is neutral by construction (covariance ≈
+      // σ²I), so the two tiers' recalls differ only by seed/tie noise in
+      // either direction; OPQ's provable claim — cross-subspace
+      // correlation converted into quantizable structure — is pinned in
+      // OpqIndexSpec's rank-8 distortion test instead
     }
   }
 }

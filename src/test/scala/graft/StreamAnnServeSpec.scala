@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.IvfIndex
+import graft.sources.Tables
+import graft.streaming.{StreamAnnServe, VectorIngest}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The serving half of the live vector service: streamed query batches
+  * answer exactly like the batch probe, appended vectors become visible
+  * to LATER query batches with no coordination, and a replayed result
+  * batch cannot double-write. */
+class StreamAnnServeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+    (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+      r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+
+  test("streamed query batches ≡ batch probe; replay is a no-op; ingest is visible") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    val (idx, out, ckpt) = (s"$base/idx", s"$base/out", s"$base/ckpt")
+    IvfIndex.writeIndex(emb, model, idx)
+
+    // queries staged as TWO files → two micro-batches through the stream
+    val staging = s"$base/queries"
+    val queries = emb.filter(col("vec_id") < 4)
+    queries.filter(col("vec_id") < 2).coalesce(1).write.parquet(s"$staging/b1")
+    queries.filter(col("vec_id") >= 2).coalesce(1).write.parquet(s"$staging/b2")
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(staging)
+    val q = StreamAnnServe.start(stream, model, idx, out, ckpt, k = 10, nprobe = 3)
+    try q.processAllAvailable() finally q.stop()
+
+    val served = StreamAnnServe.results(spark, out).drop("batch_id")
+    val batch = IvfIndex.searchIndex(spark, idx, queries, model, k = 10, nprobe = 3)
+    assert(keyed(served) == keyed(batch),
+      "streamed serving must answer exactly like the batch probe")
+
+    // at-least-once replay of an already-committed result batch: no-op
+    StreamAnnServe.serveBatch(spark, model, idx, out, k = 10, nprobe = 3)(
+      queries.filter(col("vec_id") < 2), 0L)
+    assert(keyed(StreamAnnServe.results(spark, out).drop("batch_id")) == keyed(batch))
+
+    // freshness: ingest an exact duplicate of query 0's vector (new id),
+    // then serve a LATER batch of the same query — the duplicate must
+    // surface at rank 1 (cosine 1.0) without any restart or re-plan hook
+    val dup = queries.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    VectorIngest.start(
+      { val s = s"$base/dupstage"; dup.coalesce(1).write.parquet(s)
+        spark.readStream.schema(dup.schema).parquet(s) },
+      model, idx, s"$base/dupckpt") match {
+      case iq => try iq.processAllAvailable() finally iq.stop()
+    }
+    StreamAnnServe.serveBatch(spark, model, idx, out, k = 10, nprobe = 3)(
+      queries.filter(col("vec_id") === 0L), 99L)
+    val late = StreamAnnServe.results(spark, out)
+      .filter(col("batch_id") === 99L && col("rank") === 1L).head()
+    assert(late.getAs[Long]("vec_id") == 1000000L,
+      s"appended duplicate must top the later batch: $late")
+    assert(math.abs(late.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+}
