@@ -80,11 +80,13 @@ object AnnRecall {
     ("pq", 10, 400000L),
     // opq = pq with the eigenvalue-allocated PCA rotation in front (same
     // m/k/r budget). On the near-isotropic fixtures the rotation is
-    // neutral (recall differs from pq only by seed/tie noise — measured
-    // 0.68 vs 0.74 at sf0.01, 0.54 vs 0.68 at sf0.1, both directions
-    // seen), so the floor documents the same contract as pq's; the
-    // rotation's provable win lives in OpqIndexSpec's rank-8 test
-    ("opq", 10, 400000L),
+    // neutral — opq tracks pq plus seed/tie noise in EITHER direction
+    // (measured opq vs pq: 0.68/0.74 sf0.01, 0.54/0.68 sf0.1, 0.42/0.52
+    // sf1, 0.68/0.54 sf3) — so its floor is pq's contract minus that
+    // noise band, not pq's floor verbatim (0.42 over 0.40 at sf1 was one
+    // reroll from a spurious trip); the rotation's provable win lives in
+    // OpqIndexSpec's rank-8 distortion test
+    ("opq", 10, 300000L),
     ("ivfpq", 10, 400000L),
     ("ivfpq_res", 10, 250000L),
     ("sq8", 10, 900000L))

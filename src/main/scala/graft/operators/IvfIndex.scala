@@ -628,13 +628,25 @@ object IvfIndex {
     }.reduce(_.unionAll(_))
   }
 
+  /** The computed curve memoized per corpus (checkpointed rows): the
+    * curve is the tuning ARTIFACT — q_ivf_probe_curve materializes it,
+    * q_ivf_autotune reads the decision off it. Without the cache the
+    * autotune re-executed the whole ladder (including the scan-bound
+    * exact baseline) that the curve query had just paid for — the same
+    * build-once/consume-many contract as the model and index caches,
+    * and deterministic for the same reason. */
+  private val curveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Query-pack adapter: the probe curve over the pack index, k = 20,
     * first 5 vectors as queries. */
-  def probeCurveQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    val (model, dir) = packIndex(spark, sfDir)
-    probeCurve(spark, dir, emb, emb.filter(col("vec_id") < 5), model, k = 20)
-  }
+  def probeCurveQuery(spark: SparkSession, sfDir: String): DataFrame =
+    curveCache.computeIfAbsent(sfDir, { _ =>
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val (model, dir) = packIndex(spark, sfDir)
+      probeCurve(spark, dir, emb, emb.filter(col("vec_id") < 5), model, k = 20)
+        .localCheckpoint()
+    })
 
   /** Close the tuning loop [[probeCurve]] opens: pick the CHEAPEST ladder
     * step whose measured recall meets `targetMicro` — the probe budget a
