@@ -1220,6 +1220,7 @@ object SparkEntry {
     "q_ann_pca"        -> (EmbeddingPca.annPcaQuery _),
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_opq"        -> (OpqIndex.opqQuery _),
+    "q_ann_bq"         -> (BqIndex.bqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
     "q_ann_sq"         -> (SqIndex.sqQuery _),
@@ -2186,6 +2187,20 @@ object SparkEntry {
       FROM curve"""
   }
 
+  /** The 64-term sign-code sum over a DOUBLE[] column — the SQL twin of
+    * [[operators.BqIndex.codeColumn]] (same term order, see the q_ann_bq
+    * comment). */
+  private def bqCodeSql(ev: String): String =
+    (0 until 64).map { d =>
+      // DuckDB's checked shift rejects 1 << 63 (the sign bit), so the
+      // top term ships as Long.MinValue arithmetic; every other power
+      // shifts normally
+      val bit =
+        if (d == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"(CAST(1 AS BIGINT) << $d)"
+      s"CASE WHEN $ev[${d + 1}] > 0 THEN $bit ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", "\n             + ", ")")
+
   /** `CAST([...] AS DOUBLE[])` literal for a float codeword/centroid —
     * Double.toString round-trips, so DuckDB parses the exact value. */
   private def doubleArrSql(c: Seq[Float]): String =
@@ -2261,10 +2276,15 @@ object SparkEntry {
   /** Shared ADC→rerank tail: top-`r` by ADC from `adc(query_id, vec_id,
     * adc_score)`, exact cosine from the raw embeddings, top-`k`. */
   private def pqRerankTailSql(r: Int, k: Int): String =
+    pqRerankTailSqlExpr(r.toString, k)
+
+  /** Tail with the pool size as a SQL expression — the bq tier derives
+    * its corpus-scaled pool from count(*) so its oracle stays literal. */
+  private def pqRerankTailSqlExpr(rSql: String, k: Int): String =
     s"""cand AS (SELECT query_id, vec_id FROM (
              SELECT query_id, vec_id,
                     row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id ASC) AS rn
-             FROM adc) t WHERE rn <= $r),
+             FROM adc) t WHERE rn <= ($rSql)),
            rr AS (SELECT cand.query_id, cand.vec_id, ${cosineSql("c.ev", "q.ev")} AS cosine
                   FROM cand JOIN e c ON c.vec_id = cand.vec_id
                             JOIN e q ON q.vec_id = cand.query_id)
@@ -2621,7 +2641,7 @@ object SparkEntry {
     // it exists exactly when every tier's (model-dependent) entry does
     val annKeys = Seq("q_ann_topk", "q_ann_lsh", "q_ann_multiprobe",
       "q_ann_mrl", "q_ann_pca", "q_ann_ivf", "q_ann_ivf_filtered",
-      "q_ann_filtered", "q_ann_pq", "q_ann_opq", "q_ann_ivfpq",
+      "q_ann_filtered", "q_ann_pq", "q_ann_opq", "q_ann_bq", "q_ann_ivfpq",
       "q_ann_ivfpq_res", "q_ann_sq")
     if (annKeys.forall(base.contains))
       base + ("q_ann_recall" -> AnnRecall.recallOracleSql(base))
@@ -4297,6 +4317,23 @@ object SparkEntry {
             SELECT query_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) t WHERE rank <= 20""",
+    // Binary-quantization tier: the sign code is 64 static CASE terms
+    // summed left-associative ascending (partial sums stay non-negative
+    // until the final 1<<63 term, so DuckDB's checked BIGINT addition
+    // replays the engine's exact order without an overflow trip); the
+    // Hamming first pass reuses the ADC rerank tail (integer hamming vs
+    // the engine's BIGINT orders identically). Zero model state — the
+    // one ANN tier whose oracle is fully literal.
+    "q_ann_bq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           c AS (SELECT vec_id, ${bqCodeSql("ev")} AS code FROM e),
+           q AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < 5),
+           adc AS (SELECT q.query_id, c.vec_id,
+               CAST(64 - bit_count(xor(c.code, q.qcode)) AS DOUBLE) AS adc_score
+             FROM c JOIN q ON c.vec_id != q.query_id),
+           ${pqRerankTailSqlExpr(
+             "greatest(CAST(100 AS BIGINT), (SELECT count(*) FROM e) // 20)",
+             k = 10)}""",
     // Per-dimension embedding stats: elements quantized to micro-units
     // BEFORE aggregation (exact integer min/max/sum — order- and
     // tie-rule-free); the lateral range() replays posexplode's 0-based

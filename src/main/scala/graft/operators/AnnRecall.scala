@@ -87,6 +87,10 @@ object AnnRecall {
     // reroll from a spurious trip); the rotation's provable win lives in
     // OpqIndexSpec's rank-8 distortion test
     ("opq", 10, 300000L),
+    // bq = 1-bit sign codes + Hamming first pass + exact rerank (zero
+    // model state, 32× lighter than the floats); floor set after
+    // measuring across all four scales — see the Tiers note below
+    ("bq", 10, 300000L),
     ("ivfpq", 10, 400000L),
     ("ivfpq_res", 10, 250000L),
     ("sq8", 10, 900000L))
@@ -128,6 +132,7 @@ object AnnRecall {
       "ivf_filtered" -> IvfIndex.ivfFilteredQuery(spark, sfDir),
       "pq"         -> PqIndex.pqQuery(spark, sfDir),
       "opq"        -> OpqIndex.opqQuery(spark, sfDir),
+      "bq"         -> BqIndex.bqQuery(spark, sfDir),
       "ivfpq"      -> IvfPqIndex.ivfpqQuery(spark, sfDir),
       "ivfpq_res"  -> IvfPqIndex.ivfpqResidualQuery(spark, sfDir),
       "sq8"        -> SqIndex.sqQuery(spark, sfDir))
@@ -160,7 +165,7 @@ object AnnRecall {
       "lsh" -> "q_ann_lsh", "multiprobe" -> "q_ann_multiprobe",
       "mrl" -> "q_ann_mrl", "pca" -> "q_ann_pca",
       "ivf" -> "q_ann_ivf", "ivf_filtered" -> "q_ann_ivf_filtered",
-      "pq" -> "q_ann_pq", "opq" -> "q_ann_opq",
+      "pq" -> "q_ann_pq", "opq" -> "q_ann_opq", "bq" -> "q_ann_bq",
       "ivfpq" -> "q_ann_ivfpq", "ivfpq_res" -> "q_ann_ivfpq_res",
       "sq8" -> "q_ann_sq")
     val rows = Tiers.map { case (tier, k, _) =>

@@ -32,7 +32,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
       // that remain corpus-free: exact-rerank IVF dominates single-bucket
       // LSH, and SQ8 (full-dim scores, exact rerank) tops the quantizers.
       assert(r("ivf") > r("lsh"), s"ivf should beat single-bucket LSH: $r")
-      for (t <- Seq("pq", "opq", "ivfpq", "ivfpq_res"))
+      for (t <- Seq("pq", "opq", "bq", "ivfpq", "ivfpq_res"))
         assert(r("sq8") >= r(t), s"sq8 under $t: $r")
       // no opq-vs-pq ordering pin: on the near-isotropic synthetic
       // fixtures the rotation is neutral by construction (covariance ≈
