@@ -24,7 +24,29 @@ object IvfIndex {
 
   final case class Model(centroids: Seq[Seq[Float]]) {
     def nlist: Int = centroids.size
+
+    /** Deterministic identity of this quantizer — SHA-256 over the
+      * centroid float bits in order. Stamped into every base generation
+      * ([[ModelFpFile]]) and verified on search/append: an OLD model
+      * probes the WRONG cells of a rebuilt layout, and that mismatch
+      * must fail loudly, not degrade recall silently (the
+      * [[rebuildIndex]] contract, enforced instead of documented). */
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val buf = java.nio.ByteBuffer.allocate(4)
+      md.update(buf.putInt(nlist).array()); buf.clear()
+      centroids.foreach(_.foreach { f =>
+        md.update(buf.putInt(java.lang.Float.floatToIntBits(f)).array())
+        buf.clear()
+      })
+      md.digest().map("%02x".format(_)).mkString
+    }
   }
+
+  /** Marker file inside each base slice carrying the layout's model
+    * fingerprint — leading underscore, so parquet readers and the
+    * DeltaLayout slice rules both ignore it. */
+  val ModelFpFile = "_model.fp"
 
   /** Column: index of the nearest centroid (dot-product argmax — centroids
     * are L2-normalized at train time so dot ≡ cosine ranking). A single
@@ -240,8 +262,10 @@ object IvfIndex {
       model: Model,
       k: Int,
       nprobe: Int,
-      pred: org.apache.spark.sql.Column): DataFrame =
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    requireModelMatches(spark, path, model.fingerprint)
     searchFiltered(readIndex(spark, path), queries, model, k, nprobe, pred)
+  }
 
   // --- physical layout -----------------------------------------------
   //
@@ -267,22 +291,50 @@ object IvfIndex {
     * `root`. Returns false — writing nothing durable — when the slice
     * already exists: the slice NAME is the idempotency key. */
   private[operators] def writeSlice(assigned: DataFrame, root: String,
-      sliceName: String): Boolean =
+      sliceName: String, fp: Option[String] = None): Boolean =
     // staging name never parses as a slice (DeltaLayout anchors its
     // patterns), so readers ignore it at every crash point
     DeltaLayout.writeSlice(assigned.repartition(col("cell")), root,
-      sliceName, partitionCols = Seq("cell"))
+      sliceName, partitionCols = Seq("cell"),
+      markerFile = fp.map(ModelFpFile -> _))
 
   /** Replace the whole index root with a fresh `delta=base` slice (the
     * initial-build semantic; [[rebuildIndex]] is the atomic in-place
-    * repair). */
-  private[operators] def replaceRoot(assigned: DataFrame, path: String): Unit = {
+    * repair). `fp` stamps the layout's quantizer fingerprint into the
+    * base slice — atomic with the slice commit. */
+  private[operators] def replaceRoot(assigned: DataFrame, path: String,
+      fp: Option[String] = None): Unit = {
     val fs = DeltaLayout.fileSystem(assigned.sparkSession, path)
     val p = new Path(path)
     if (fs.exists(p) && !fs.delete(p, true))
       throw new IllegalStateException(s"cannot clear index root $path")
-    writeSlice(assigned, path, "delta=base")
+    writeSlice(assigned, path, "delta=base", fp)
   }
+
+  /** The fingerprint stamped into the layout's NEWEST base generation,
+    * if any (legacy layouts predate the marker — None skips the check,
+    * a written marker enforces it). */
+  def layoutFingerprint(spark: SparkSession, path: String): Option[String] =
+    liveSliceDirs(spark, path)
+      .filter(d => DeltaLayout.baseGen(new Path(d).getName).isDefined)
+      .sortBy(d => DeltaLayout.baseGen(new Path(d).getName).get).lastOption
+      .flatMap(base => DeltaLayout.readMarker(spark, s"$base/$ModelFpFile"))
+
+  /** Loud mismatch guard: a model whose fingerprint disagrees with the
+    * layout's stamp probes the WRONG cells (post-rebuild stale-model
+    * serving) or routes appends into the wrong directories — both are
+    * silent recall corruption without this check. Layouts without a
+    * stamp (legacy) pass. */
+  def requireModelMatches(spark: SparkSession, path: String,
+      fingerprint: String): Unit =
+    layoutFingerprint(spark, path).foreach { stamped =>
+      if (stamped != fingerprint)
+        throw new IllegalStateException(
+          s"model/layout fingerprint mismatch under $path: layout carries " +
+            s"${stamped.take(12)}…, caller passed ${fingerprint.take(12)}… — " +
+            "the index was rebuilt; restart searches/ingest with the model " +
+            "rebuildIndex returned")
+    }
 
   /** The live slice directories of a persisted index. */
   private[operators] def liveSliceDirs(spark: SparkSession, path: String): Seq[String] = {
@@ -321,7 +373,7 @@ object IvfIndex {
     * new base wins [[DeltaLayout.liveDirs]] and the stale slices are
     * garbage the next rebuild (or [[DeltaLayout.gcStale]]) sweeps. */
   private[operators] def commitRebuild(spark: SparkSession, path: String,
-      assigned: DataFrame): Unit = {
+      assigned: DataFrame, fp: Option[String] = None): Unit = {
     val fs = DeltaLayout.fileSystem(spark, path)
     val live = liveSliceDirs(spark, path)
     val staging = new Path(s"$path/${DeltaLayout.Staging}")
@@ -330,6 +382,11 @@ object IvfIndex {
     assigned
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    // the NEW quantizer's fingerprint rides in the staged generation —
+    // the atomic rename flips layout and stamp together, so there is no
+    // window where a stale model passes the mismatch guard
+    fp.foreach(v =>
+      DeltaLayout.writeMarker(spark, s"$staging/$ModelFpFile", v))
     val liveNames = live.map(d => new Path(d).getName)
     val curGen = liveNames.flatMap(DeltaLayout.baseGen).foldLeft(-1L)(_ max _)
     // base@N folds batch ids ≤ N; a rebuild of a pure base claims the
@@ -348,7 +405,7 @@ object IvfIndex {
    * unprobed cells are never opened.
    */
   def writeIndex(corpus: DataFrame, model: Model, path: String): Unit =
-    replaceRoot(assign(corpus, model), path)
+    replaceRoot(assign(corpus, model), path, Some(model.fingerprint))
 
   /** Index maintenance: route NEW vectors into the existing cell layout
     * without rebuilding — centroids stay fixed (the standard trade: cell
@@ -368,8 +425,10 @@ object IvfIndex {
 
   /** Batch-id-addressed append; false = slice existed (replay skipped). */
   def appendToIndex(delta: DataFrame, model: Model, path: String,
-      batchId: Long): Boolean =
+      batchId: Long): Boolean = {
+    requireModelMatches(delta.sparkSession, path, model.fingerprint)
     writeSlice(assign(delta, model), path, s"delta=b$batchId")
+  }
 
   /** Per-cell population of a persisted index, FOOTER METADATA ONLY — the
     * [[StoreStats.describe]] device applied to the cell layout: list each
@@ -430,13 +489,15 @@ object IvfIndex {
     * [[commitRebuild]] single-rename discipline: a crash at any point
     * leaves a readable index (before the commit the old live set is
     * fully intact; after it the new base wins). Returns the new model —
-    * centroids move, so searches must use it (DOCUMENTED CONTRACT: an
-    * old model probes the wrong cells of the new layout). */
+    * centroids move, so searches must use it (ENFORCED CONTRACT since
+    * round 15: the new generation carries the new fingerprint, and a
+    * stale model fails [[requireModelMatches]] loudly on the next
+    * search or append instead of silently probing the wrong cells). */
   def rebuildIndex(spark: SparkSession, path: String, nlist: Int,
       iters: Int = 3): Model = {
     val vectors = readIndex(spark, path).select("vec_id", "embedding")
     val model = train(vectors, nlist, iters, stratifiedSeeds = true)
-    commitRebuild(spark, path, assign(vectors, model))
+    commitRebuild(spark, path, assign(vectors, model), Some(model.fingerprint))
     model
   }
 
@@ -453,8 +514,10 @@ object IvfIndex {
       queries: DataFrame,
       model: Model,
       k: Int,
-      nprobe: Int): DataFrame =
+      nprobe: Int): DataFrame = {
+    requireModelMatches(spark, path, model.fingerprint)
     search(readIndex(spark, path), queries, model, k, nprobe)
+  }
 
   /**
    * Cell count sized to the corpus — the [[Similarity.scaledPlanes]]

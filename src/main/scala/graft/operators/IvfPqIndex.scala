@@ -42,7 +42,23 @@ object IvfPqIndex {
     * `residual = true` means the codebooks quantize x̂ − c(cell) and ADC
     * scores reconstruct q̂·x̂ as q̂·c + q̂·r̂. */
   final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Codebooks,
-      residual: Boolean = false)
+      residual: Boolean = false) {
+    /** Layout identity of the COMPOSED quantizer: both stages determine
+      * the stored bytes (cells from the coarse centroids, codes from the
+      * codebooks — and residual mode changes what a code means), so all
+      * three feed the stamp [[IvfIndex.requireModelMatches]] verifies. */
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(coarse.fingerprint.getBytes("UTF-8"))
+      md.update((if (residual) 1 else 0).toByte)
+      val buf = java.nio.ByteBuffer.allocate(4)
+      pq.books.foreach(_.foreach(_.foreach { f =>
+        md.update(buf.putInt(java.lang.Float.floatToIntBits(f)).array())
+        buf.clear()
+      }))
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
 
   /** The centroid of the assigned cell, as an array column (1-based
     * element_at over the broadcast centroid literals). */
@@ -100,7 +116,7 @@ object IvfPqIndex {
     * vectors are not in the index at all. Residual models encode
     * x̂ − c(cell); global models encode x̂ directly. */
   def writeIndex(corpus: DataFrame, model: Model, path: String): Unit =
-    IvfIndex.replaceRoot(encoded(corpus, model), path)
+    IvfIndex.replaceRoot(encoded(corpus, model), path, Some(model.fingerprint))
 
   /** Route NEW vectors into the existing code layout — [[IvfIndex
     * .appendToIndex]] for the composed index: centroids and codebooks
@@ -110,6 +126,7 @@ object IvfPqIndex {
     * [[rebuildIndex]] is the repair. Appends are batch-id-addressed
     * slices like the float index's — replay-idempotent. */
   def appendToIndex(delta: DataFrame, model: Model, path: String): Unit = {
+    IvfIndex.requireModelMatches(delta.sparkSession, path, model.fingerprint)
     IvfIndex.writeSlice(encoded(delta, model), path,
       s"delta=b${IvfIndex.nextBatchId(delta.sparkSession, path)}")
     ()
@@ -129,7 +146,8 @@ object IvfPqIndex {
       residual: Boolean = false): Model = {
     val model = train(corpus, nlist, dim, m, k, coarseIters, pqIters,
       residual, stratifiedSeeds = true)
-    IvfIndex.commitRebuild(spark, path, encoded(corpus, model))
+    IvfIndex.commitRebuild(spark, path, encoded(corpus, model),
+      Some(model.fingerprint))
     model
   }
 
@@ -143,6 +161,7 @@ object IvfPqIndex {
   def searchIndex(spark: SparkSession, path: String, corpus: DataFrame,
       queries: DataFrame, model: Model, k: Int, nprobe: Int, r: Int): DataFrame = {
     require(r >= k, "rerank pool must be at least k")
+    IvfIndex.requireModelMatches(spark, path, model.fingerprint)
     val encoded = IvfIndex.readIndex(spark, path) // (vec_id, codes, cell)
 
     // probe cells score on the NORMALIZED query (same ranking as raw —

@@ -66,7 +66,8 @@ object DeltaLayout {
     * form of the IVF index's slice append, shared by every
     * batch-id-addressed output under a delta root. */
   def writeSlice(df: org.apache.spark.sql.DataFrame, root: String,
-      sliceName: String, partitionCols: Seq[String] = Nil): Boolean = {
+      sliceName: String, partitionCols: Seq[String] = Nil,
+      markerFile: Option[(String, String)] = None): Boolean = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val target = new Path(s"$root/$sliceName")
@@ -77,10 +78,37 @@ object DeltaLayout {
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
+    // marker rides INSIDE the staged dir, so it commits (or vanishes)
+    // atomically with the slice's single rename
+    markerFile.foreach { case (name, content) =>
+      writeMarker(spark, s"$staging/$name", content)
+    }
     if (fs.exists(target)) { fs.delete(staging, true); false } // replay race
     else if (!fs.rename(staging, target))
       throw new IllegalStateException(s"cannot commit slice $target")
     else true
+  }
+
+  /** Write a small UTF-8 marker file (checked create-overwrite). */
+  def writeMarker(spark: SparkSession, path: String, content: String): Unit = {
+    val fs = fileSystem(spark, path)
+    val out = fs.create(new Path(path), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a marker file written by [[writeMarker]], if present. */
+  def readMarker(spark: SparkSession, path: String): Option[String] = {
+    val fs = fileSystem(spark, path)
+    val p = new Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   /** Highest batch id among the live slices — the generation a fold of

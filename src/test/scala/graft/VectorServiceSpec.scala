@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{IvfIndex, IvfPqIndex, PqIndex}
+import graft.sources.Tables
+import graft.streaming.{DeltaLayout, StreamAnnServe, VectorIngest, VectorService}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The model/layout fingerprint stamp and the coordinated rebuild: a
+  * stale model fails LOUDLY after a rebuild (search and append, float
+  * and composed index), legacy layouts stay readable, and the drained
+  * swap loses no vectors while the restarted streams carry the new
+  * model. */
+class VectorServiceSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = Tables.load(spark, sf001, "embeddings")
+
+  test("stale model fails loudly after rebuild; fresh model and legacy layouts pass") {
+    val a = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    IvfIndex.writeIndex(emb, a, dir)
+    val q = emb.filter(col("vec_id") < 2)
+    // pre-rebuild: the stamped fingerprint matches the builder's model
+    assert(IvfIndex.layoutFingerprint(spark, dir).contains(a.fingerprint))
+    assert(IvfIndex.searchIndex(spark, dir, q, a, k = 5, nprobe = 2).count() == 10)
+
+    // rebuild on a skewed superset → centroids move, fingerprint changes
+    IvfIndex.appendToIndex(
+      emb.select((col("vec_id") + 5000L).as("vec_id"), col("embedding"),
+        col("label")), a, dir)
+    val b = IvfIndex.rebuildIndex(spark, dir, nlist = 8, iters = 2)
+    assert(b.fingerprint != a.fingerprint)
+    assert(IvfIndex.layoutFingerprint(spark, dir).contains(b.fingerprint))
+
+    // stale model: search AND append both fail loudly, naming the stamp
+    val eSearch = intercept[IllegalStateException](
+      IvfIndex.searchIndex(spark, dir, q, a, k = 5, nprobe = 2))
+    assert(eSearch.getMessage.contains("fingerprint mismatch"))
+    val eAppend = intercept[IllegalStateException](
+      IvfIndex.appendToIndex(emb.limit(1), a, dir))
+    assert(eAppend.getMessage.contains("fingerprint mismatch"))
+    // the model the rebuild returned serves normally
+    assert(IvfIndex.searchIndex(spark, dir, q, b, k = 5, nprobe = 2).count() == 10)
+
+    // legacy layout (no stamp — pre-round-15 index): check is skipped
+    val base = IvfIndex.layoutFingerprint(spark, dir)
+    val fs = DeltaLayout.fileSystem(spark, dir)
+    val baseDir = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(p => p.getName.startsWith("delta=base")).get
+    assert(fs.delete(new org.apache.hadoop.fs.Path(baseDir, IvfIndex.ModelFpFile), false))
+    assert(IvfIndex.layoutFingerprint(spark, dir).isEmpty && base.nonEmpty)
+    assert(IvfIndex.searchIndex(spark, dir, q, a, k = 5, nprobe = 2).count() == 10)
+  }
+
+  test("composed IVF-PQ stamp covers both stages") {
+    val coarse = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val pq = PqIndex.train(emb, dim = 64, m = 8, k = 16, iters = 2)
+    val m1 = IvfPqIndex.Model(coarse, pq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_pq").toString
+    IvfPqIndex.writeIndex(emb, m1, dir)
+    val q = emb.filter(col("vec_id") < 2)
+    assert(IvfPqIndex.searchIndex(spark, dir, emb, q, m1,
+      k = 5, nprobe = 8, r = 20).count() == 10)
+    // same coarse stage, different CODEBOOKS → different stamp → loud
+    val pq2 = PqIndex.train(emb.filter(col("vec_id") % 2 === 0),
+      dim = 64, m = 8, k = 16, iters = 2)
+    val m2 = IvfPqIndex.Model(coarse, pq2)
+    assert(m2.fingerprint != m1.fingerprint)
+    val e = intercept[IllegalStateException](
+      IvfPqIndex.searchIndex(spark, dir, emb, q, m2, k = 5, nprobe = 8, r = 20)
+        .count())
+    assert(e.getMessage.contains("fingerprint mismatch"))
+  }
+
+  test("coordinated rebuild: drained swap loses nothing; restarted streams carry the new model") {
+    val a = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_svc").toString
+    val (idx, out) = (s"$base/idx", s"$base/out")
+    IvfIndex.writeIndex(emb.filter(col("vec_id") % 2 === 0), a, idx)
+
+    // live ingest of the odd half, file-per-batch
+    val staging = s"$base/stage"
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$staging/b1")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+      .parquet(staging)
+    val ingest = VectorIngest.start(stream, a, idx, s"$base/ckpt")
+    ingest.processAllAvailable()
+
+    // the swap: drain, stop, rebuild — nothing queued is lost
+    val b = VectorService.coordinatedRebuild(spark, idx, nlist = 8,
+      streams = Seq(ingest), iters = 2)
+    assert(b.fingerprint != a.fingerprint)
+    assert(IvfIndex.cellStats(spark, idx)
+      .agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
+
+    // restarted serving carries the NEW model and answers exactly like a
+    // from-scratch probe; the stale model is rejected loudly
+    val queries = emb.filter(col("vec_id") < 2)
+    StreamAnnServe.serveBatch(spark, b, idx, out, k = 5, nprobe = 2)(queries, 0L)
+    assert(StreamAnnServe.results(spark, out).count() == 10)
+    val e = intercept[IllegalStateException](
+      StreamAnnServe.serveBatch(spark, a, idx, out, k = 5, nprobe = 2)(queries, 1L))
+    assert(e.getMessage.contains("fingerprint mismatch"))
+
+    // restarted ingest on the SAME checkpoint continues above the folded
+    // generation with the new model
+    emb.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"), col("label"))
+      .coalesce(1).write.parquet(s"$staging/b2")
+    val resumed = VectorIngest.start(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+        .parquet(staging),
+      b, idx, s"$base/ckpt")
+    try resumed.processAllAvailable() finally resumed.stop()
+    assert(IvfIndex.cellStats(spark, idx)
+      .agg(sum(col("n_vectors"))).head().getLong(0)
+      == emb.count() + emb.filter(col("vec_id") % 2 === 1).count())
+  }
+}
