@@ -1496,7 +1496,7 @@ object SparkEntry {
               SELECT vec_id, ev, cell,
                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
               FROM sc WHERE vec_id = 0) t
-            WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+            WHERE rn <= ${packServingNprobe(m)}),
           semscored AS (SELECT c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
                         FROM cells c JOIN probes0 p
                           ON c.cell = p.cell AND c.vec_id != p.query_id),
@@ -1751,18 +1751,27 @@ object SparkEntry {
                FROM sc) t WHERE rn = 1)"""
   }
 
+  /** The probe the PACK-SERVED legs replay at: the session's autotuned
+    * serving decision (queries ran before oracle generation populated
+    * it — the cachedModel contract, probe side), falling back to the
+    * heuristic for sessions that never served a pack search. */
+  private def packServingNprobe(m: operators.IvfIndex.Model): Int =
+    operators.IvfIndex.cachedServingNprobe
+      .getOrElse(operators.IvfIndex.scaledNprobe(m.nlist))
+
   /** One full IVF search statement over the pack model: probe the
-    * serving-nprobe nearest cells for the queries `queryPred` selects,
+    * `nprobe` nearest cells for the queries `queryPred` selects,
     * score within probed cells, rank to `k` — the replay of
     * `IvfIndex.searchIndex` for an arbitrary query cut (q_ann_ivf is the
-    * vec_id<5/k=20 instantiation; the capstone sem legs are vec_id=0). */
+    * vec_id<5/k=20 instantiation at the heuristic probe; the capstone
+    * sem legs are vec_id=0 at the autotuned serving probe). */
   private def ivfSearchSql(m: operators.IvfIndex.Model, queryPred: String,
-      k: Int): String =
+      k: Int, nprobe: Int): String =
     s"""${cellsCteOf(m)},
              probes AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
                SELECT vec_id, ev, cell,
                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
-               FROM sc WHERE $queryPred) t WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+               FROM sc WHERE $queryPred) t WHERE rn <= $nprobe),
              scored AS (
                SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
                FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id != p.query_id)
@@ -1775,7 +1784,8 @@ object SparkEntry {
     operators.IvfIndex.cachedModel.map { m =>
       val cellsCte = cellsCteOf(m)
       Map(
-        "q_ann_ivf" -> ivfSearchSql(m, "vec_id < 5", 20),
+        "q_ann_ivf" -> ivfSearchSql(m, "vec_id < 5", 20,
+          operators.IvfIndex.scaledNprobe(m.nlist)),
         // Cluster profiles: population + cosine mass in micro-units per
         // assigned cell (same argmax, same cosine kernel). floor(x·1e6 +
         // 0.5) as BIGINT — scaled-integer half-up — instead of round/
@@ -2128,7 +2138,8 @@ object SparkEntry {
                       USING (query_id, vec_id)) AS BIGINT) AS n_matches,
               CAST((SELECT count(*) FROM ( $truthSql ) t2) AS BIGINT) AS denom"""
       val rows = Seq(
-        row("hybrid_sem", ivfSearchSql(m1, "vec_id = 0", 20),
+        row("hybrid_sem", ivfSearchSql(m1, "vec_id = 0", 20,
+          packServingNprobe(m1)),
           embBruteSql("vec_id = 0", 20)),
         row("media_sem", mediaIvfSearchSql(m2, "vec_id = 0", 20),
           mediaBruteSql("vec_id = 0", 20)),

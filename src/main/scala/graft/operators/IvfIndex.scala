@@ -311,13 +311,18 @@ object IvfIndex {
     writeSlice(assigned, path, "delta=base", fp)
   }
 
+  /** The newest live base generation's directory among `dirs`. */
+  private def newestBaseDir(dirs: Seq[String]): Option[String] =
+    dirs.filter(d => DeltaLayout.baseGen(new Path(d).getName).isDefined)
+      .sortBy(d => DeltaLayout.baseGen(new Path(d).getName).get).lastOption
+
   /** The fingerprint stamped into the layout's NEWEST base generation,
     * if any (legacy layouts predate the marker — None skips the check,
-    * a written marker enforces it). */
+    * a written marker enforces it). Reads the base stamp only — slice
+    * cross-validation lives in [[liveSliceDirs]], which every data read
+    * goes through. */
   def layoutFingerprint(spark: SparkSession, path: String): Option[String] =
-    liveSliceDirs(spark, path)
-      .filter(d => DeltaLayout.baseGen(new Path(d).getName).isDefined)
-      .sortBy(d => DeltaLayout.baseGen(new Path(d).getName).get).lastOption
+    newestBaseDir(DeltaLayout.liveDirs(spark, path))
       .flatMap(base => DeltaLayout.readMarker(spark, s"$base/$ModelFpFile"))
 
   /** Loud mismatch guard: a model whose fingerprint disagrees with the
@@ -336,10 +341,29 @@ object IvfIndex {
             "rebuildIndex returned")
     }
 
-  /** The live slice directories of a persisted index. */
+  /** The live slice directories of a persisted index, CROSS-VALIDATED:
+    * every append slice carries the fingerprint of the model that
+    * assigned its cells ([[appendToIndex]] stamps it), and a slice whose
+    * stamp disagrees with the live base's was written against a model a
+    * concurrent [[rebuildIndex]] has since replaced — its vectors sit in
+    * the WRONG cells of the current layout, so reading it would corrupt
+    * recall silently. Fail loudly instead; unstamped slices (legacy, or
+    * bases predating the marker) pass. */
   private[operators] def liveSliceDirs(spark: SparkSession, path: String): Seq[String] = {
     val dirs = DeltaLayout.liveDirs(spark, path)
     require(dirs.nonEmpty, s"no live index slices under $path")
+    for {
+      baseFp <- newestBaseDir(dirs)
+        .flatMap(b => DeltaLayout.readMarker(spark, s"$b/$ModelFpFile"))
+      d <- dirs if DeltaLayout.batchId(new Path(d).getName).isDefined
+      sliceFp <- DeltaLayout.readMarker(spark, s"$d/$ModelFpFile")
+      if sliceFp != baseFp
+    } throw new IllegalStateException(
+      s"orphaned append slice $d: written against model ${sliceFp.take(12)}…, " +
+        s"layout carries ${baseFp.take(12)}… — a rebuild committed while the " +
+        "append was in flight; its vectors are assigned to the OLD model's " +
+        "cells. Delete the slice and re-ingest its batch against the " +
+        "rebuilt model.")
     dirs
   }
 
@@ -393,7 +417,41 @@ object IvfIndex {
     // next unseen id so generations strictly increase
     val gen = liveNames.flatMap(DeltaLayout.batchId)
       .foldLeft(curGen + 1)(_ max _)
+    // a slice that appeared since the input snapshot holds vectors this
+    // rebuild did NOT read: committing base@gen would either fold it
+    // (silent LOSS via gcStale, id ≤ gen) or leave a stale-model orphan
+    // (id > gen). Abort cleanly instead — old live set fully intact, the
+    // concurrent slice intact, only the staged generation discarded.
+    // (VectorService.coordinatedRebuild drains ingest first, so hitting
+    // this means an uncoordinated writer; the append side's own
+    // post-rename verify covers the mirror-image interleaving.)
+    val concurrent = DeltaLayout.liveDirs(spark, path).filterNot(live.contains)
+    if (concurrent.nonEmpty) {
+      fs.delete(new Path(s"$path/${DeltaLayout.Staging}"), true)
+      throw new IllegalStateException(
+        s"rebuild raced an append under $path: slices " +
+          s"${concurrent.map(d => new Path(d).getName).mkString(", ")} " +
+          "landed after the rebuild read its input — rebuild aborted " +
+          "(layout unchanged); drain ingest (VectorService." +
+          "coordinatedRebuild) and retry")
+    }
     DeltaLayout.commitFold(spark, path, gen)
+    // refuse to GC a slice the fold claims but this rebuild never read:
+    // the window between the recheck above and commitFold is the last
+    // interleaving, and deleting such a slice would be silent vector
+    // loss. Leave it on disk and fail loudly; its own fingerprint stamp
+    // also fails every liveSliceDirs read if its id outranks gen.
+    val foldedConcurrent = fs.listStatus(new Path(path))
+      .filter(_.isDirectory).map(_.getPath.toString)
+      .filter(d => DeltaLayout.batchId(new Path(d).getName).exists(_ <= gen))
+      .filterNot(live.contains)
+    if (foldedConcurrent.nonEmpty)
+      throw new IllegalStateException(
+        s"rebuild committed base@$gen under $path but slices " +
+          s"${foldedConcurrent.map(d => new Path(d).getName).mkString(", ")} " +
+          "landed concurrently and are NOT in the new base — left on disk " +
+          "(not GC'd); re-ingest their batches against the rebuilt model, " +
+          "then gcStale")
     DeltaLayout.gcStale(spark, path)
   }
 
@@ -423,11 +481,38 @@ object IvfIndex {
     ()
   }
 
-  /** Batch-id-addressed append; false = slice existed (replay skipped). */
+  /** Batch-id-addressed append; false = slice existed (replay skipped).
+    *
+    * RACE-CLOSED against a concurrent [[rebuildIndex]] (check-then-act on
+    * the layout stamp is not enough — a rebuild can commit between the
+    * check and the slice rename):
+    *  1. the slice itself is STAMPED with the writer's fingerprint, so
+    *     even a slice that lands unnoticed is rejected by every later
+    *     [[liveSliceDirs]] read instead of silently serving wrong cells;
+    *  2. after the rename the layout stamp is RE-verified — on mismatch
+    *     the just-committed slice is deleted and the append throws, so
+    *     the common interleaving self-heals instead of leaving the
+    *     orphan for readers to trip on;
+    *  3. [[commitRebuild]] refuses to GC a concurrent slice it did not
+    *     fold (the batchId ≤ gen flavor, which would be silent LOSS). */
   def appendToIndex(delta: DataFrame, model: Model, path: String,
       batchId: Long): Boolean = {
-    requireModelMatches(delta.sparkSession, path, model.fingerprint)
-    writeSlice(assign(delta, model), path, s"delta=b$batchId")
+    val spark = delta.sparkSession
+    requireModelMatches(spark, path, model.fingerprint)
+    val wrote = writeSlice(assign(delta, model), path, s"delta=b$batchId",
+      Some(model.fingerprint))
+    if (wrote) layoutFingerprint(spark, path).foreach { stamped =>
+      if (stamped != model.fingerprint) {
+        val fs = DeltaLayout.fileSystem(spark, path)
+        fs.delete(new Path(s"$path/delta=b$batchId"), true)
+        throw new IllegalStateException(
+          s"append raced a rebuild under $path: slice b$batchId was assigned " +
+            s"with model ${model.fingerprint.take(12)}… but the layout now " +
+            s"carries ${stamped.take(12)}… — the slice was rolled back; " +
+            "re-ingest the batch against the rebuilt model")
+      }
+    }
+    wrote
   }
 
   /** Per-cell population of a persisted index, FOOTER METADATA ONLY — the
@@ -625,8 +710,12 @@ object IvfIndex {
       pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val (model, dir) = packIndex(spark, sfDir)
+    // serving probe = the AUTOTUNED decision off the memoized curve
+    // (round 16) — the budget the measured recall/cost trade justifies,
+    // not the √nlist heuristic; [[servingNprobe]] bounds it to the
+    // heuristic band so the scale contract survives a degenerate curve
     searchIndex(spark, dir, emb.filter(pred), model, k,
-      nprobe = scaledNprobe(model.nlist))
+      nprobe = servingNprobe(spark, sfDir))
   }
 
   /** Query-pack adapter: same-label PRE-FILTERED search through the
@@ -691,25 +780,34 @@ object IvfIndex {
     }.reduce(_.unionAll(_))
   }
 
-  /** The computed curve memoized per corpus (checkpointed rows): the
-    * curve is the tuning ARTIFACT — q_ivf_probe_curve materializes it,
+  /** The computed curve memoized per corpus as DRIVER DATA (schema +
+    * collected rows — the curve is ≤ log₂ nlist + 1 rows): the curve is
+    * the tuning ARTIFACT — q_ivf_probe_curve materializes it,
     * q_ivf_autotune reads the decision off it. Without the cache the
     * autotune re-executed the whole ladder (including the scan-bound
     * exact baseline) that the curve query had just paid for — the same
     * build-once/consume-many contract as the model and index caches,
-    * and deterministic for the same reason. */
-  private val curveCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * and deterministic for the same reason. Caching ROWS (not a
+    * localCheckpoint'ed DataFrame) keeps the entry valid across session
+    * restarts in one JVM — a checkpointed plan is bound to the executors
+    * that created it, so a restart left a permanently broken cached plan. */
+  private val curveCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+             Seq[org.apache.spark.sql.Row])]()
 
   /** Query-pack adapter: the probe curve over the pack index, k = 20,
     * first 5 vectors as queries. */
-  def probeCurveQuery(spark: SparkSession, sfDir: String): DataFrame =
-    curveCache.computeIfAbsent(sfDir, { _ =>
+  def probeCurveQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (schema, rows) = curveCache.computeIfAbsent(sfDir, { _ =>
       val emb = Tables.load(spark, sfDir, "embeddings")
       val (model, dir) = packIndex(spark, sfDir)
-      probeCurve(spark, dir, emb, emb.filter(col("vec_id") < 5), model, k = 20)
-        .localCheckpoint()
+      val curve =
+        probeCurve(spark, dir, emb, emb.filter(col("vec_id") < 5), model, k = 20)
+      (curve.schema, curve.collect().toSeq)
     })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
 
   /** Close the tuning loop [[probeCurve]] opens: pick the CHEAPEST ladder
     * step whose measured recall meets `targetMicro` — the probe budget a
@@ -735,6 +833,47 @@ object IvfIndex {
     * target over the pack index's curve. */
   def autotuneQuery(spark: SparkSession, sfDir: String): DataFrame =
     autotuneNprobe(probeCurveQuery(spark, sfDir), targetMicro = 900000L)
+
+  /** The serving probe a measured curve justifies — [[autotuneNprobe]]'s
+    * choice (cheapest ladder step meeting the 0.9 target) BOUNDED by the
+    * scale contract: when no step qualifies, or the qualifying step
+    * costs more than 2×⌊√nlist⌋, fall back to / cap at the heuristic
+    * band — a curve that needs more than twice the heuristic to hit 0.9
+    * is a rebuild signal, not a serving budget (serving near nlist
+    * would reopen the linear path the index exists to close). Recall
+    * is monotone in nprobe (probed cells are supersets), so every
+    * branch serves at ≥ the probed recall of its own band. */
+  def servingDecision(curve: DataFrame, nlist: Int): Int = {
+    val d = autotuneNprobe(curve, targetMicro = 900000L).head()
+    val heuristic = scaledNprobe(nlist)
+    if (!d.getAs[Boolean]("meets_target")) heuristic
+    else math.min(d.getAs[Long]("nprobe").toInt, 2 * heuristic)
+  }
+
+  /** The pack index's serving probe, memoized per corpus: the AUTOTUNED
+    * decision read off the memoized probe curve — closing the loop
+    * q_ivf_autotune opens, so capstone legs serve at the probe budget
+    * the measured curve justifies instead of the √nlist heuristic.
+    * Deterministic (the curve is), and ALWAYS derived through the curve
+    * (built on first use, amortized by [[probeCurveQuery]]'s cache) so
+    * the served probe never depends on which query ran first. */
+  private val servingNprobeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def servingNprobe(spark: SparkSession, sfDir: String): Int =
+    servingNprobeCache.computeIfAbsent(sfDir, { _ =>
+      val (model, _) = packIndex(spark, sfDir)
+      Integer.valueOf(
+        servingDecision(probeCurveQuery(spark, sfDir), model.nlist))
+    }).intValue()
+
+  /** The one serving decision of this session, if any — the
+    * [[cachedModel]] contract for the probe: oracle generators replay
+    * the capstone legs at exactly the probe the engine served. */
+  def cachedServingNprobe: Option[Int] = {
+    val vs = servingNprobeCache.values()
+    if (vs.size() == 1) Some(vs.iterator().next().intValue()) else None
+  }
 
   // --- rebuild lifecycle audit (q_ivf_rebuild) -------------------------
 

@@ -52,10 +52,20 @@ object IvfPqIndex {
       md.update(coarse.fingerprint.getBytes("UTF-8"))
       md.update((if (residual) 1 else 0).toByte)
       val buf = java.nio.ByteBuffer.allocate(4)
-      pq.books.foreach(_.foreach(_.foreach { f =>
-        md.update(buf.putInt(java.lang.Float.floatToIntBits(f)).array())
-        buf.clear()
-      }))
+      def putInt(i: Int): Unit = { md.update(buf.putInt(i).array()); buf.clear() }
+      // FRAME the codebook shape before the float stream (m, then each
+      // book's k, then each codeword's subDim): a flat stream lets two
+      // shapes with the same total float count hash identically even
+      // though (m, k) change what a stored code MEANS — the coarse stamp
+      // avoids this only because nlist is hashed first
+      putInt(pq.books.size)
+      pq.books.foreach { book =>
+        putInt(book.size)
+        book.foreach { cw =>
+          putInt(cw.size)
+          cw.foreach(f => putInt(java.lang.Float.floatToIntBits(f)))
+        }
+      }
       md.digest().map("%02x".format(_)).mkString
     }
   }

@@ -449,4 +449,72 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
       c.zip(v).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y })
     assert(row.getAs[Int]("cell") == dots.indexOf(dots.max))
   }
+
+  test("append slices are fingerprint-stamped; an orphaned slice fails reads loudly") {
+    import graft.streaming.DeltaLayout
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val model = IvfIndex.train(emb, nlist = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_orphan").toString
+    IvfIndex.writeIndex(emb.filter(col("vec_id") % 2 === 0), model, dir)
+    IvfIndex.appendToIndex(emb.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding"), model, dir, batchId = 0L)
+    // the slice carries the WRITER's model fingerprint, atomic with its
+    // rename — the durable half of the append/rebuild race closure
+    assert(DeltaLayout.readMarker(spark,
+      s"$dir/delta=b0/${IvfIndex.ModelFpFile}").contains(model.fingerprint))
+    assert(IvfIndex.readIndex(spark, dir).count() == emb.count())
+
+    // simulate the race's survivor: a slice whose stamp disagrees with
+    // the live base (an append assigned by a model a rebuild replaced) —
+    // every read must fail loudly instead of serving wrong cells
+    DeltaLayout.writeMarker(spark,
+      s"$dir/delta=b0/${IvfIndex.ModelFpFile}", "deadbeef" * 8)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.readIndex(spark, dir).count()
+    }
+    assert(e.getMessage.contains("orphaned append slice"))
+    // restore the true stamp: reads recover
+    DeltaLayout.writeMarker(spark,
+      s"$dir/delta=b0/${IvfIndex.ModelFpFile}", model.fingerprint)
+    assert(IvfIndex.readIndex(spark, dir).count() == emb.count())
+  }
+
+  test("servingDecision: autotuned choice, heuristic fallback, 2x-heuristic cap") {
+    import spark.implicits._
+    def curve(rows: (Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("nprobe", "n_candidates", "n_matches", "recall_micro")
+    // nlist=64 -> heuristic 8, cap 16
+    val nlist = 64
+    // cheapest qualifying step wins (4 meets 0.9 before 8 does)
+    assert(IvfIndex.servingDecision(curve(
+      (2L, 100L, 50L, 500000L), (4L, 200L, 95L, 950000L),
+      (8L, 400L, 100L, 1000000L)), nlist) == 4)
+    // decision-change -> probe-change: degrade step 4 below target and
+    // the served probe moves with the autotuned choice
+    assert(IvfIndex.servingDecision(curve(
+      (2L, 100L, 50L, 500000L), (4L, 200L, 80L, 800000L),
+      (8L, 400L, 100L, 1000000L)), nlist) == 8)
+    // no step qualifies -> heuristic fallback (never the deepest step:
+    // serving near nlist would reopen the linear path)
+    assert(IvfIndex.servingDecision(curve(
+      (2L, 100L, 10L, 100000L), (64L, 6400L, 80L, 800000L)), nlist) == 8)
+    // a qualifying step beyond 2x heuristic is capped to the band
+    assert(IvfIndex.servingDecision(curve(
+      (2L, 100L, 10L, 100000L), (32L, 3200L, 95L, 950000L)), nlist) == 16)
+  }
+
+  test("IvfPq fingerprint frames codebook shape: same float stream, different (m,k) differ") {
+    import graft.operators.{IvfPqIndex, PqIndex}
+    val coarse = IvfIndex.Model(Seq(Seq(1f, 0f), Seq(0f, 1f)))
+    // identical flat float stream [1,2,3,4]; shapes (m=1,k=1,subDim=4)
+    // vs (m=2,k=1,subDim=2) change what a stored code MEANS
+    val a = IvfPqIndex.Model(coarse,
+      PqIndex.Codebooks(4, 1, Seq(Seq(Seq(1f, 2f, 3f, 4f)))))
+    val b = IvfPqIndex.Model(coarse,
+      PqIndex.Codebooks(4, 2, Seq(Seq(Seq(1f, 2f)), Seq(Seq(3f, 4f)))))
+    assert(a.fingerprint != b.fingerprint)
+    // and the stamp is still deterministic
+    assert(a.fingerprint == IvfPqIndex.Model(coarse,
+      PqIndex.Codebooks(4, 1, Seq(Seq(Seq(1f, 2f, 3f, 4f))))).fingerprint)
+  }
 }
