@@ -44,6 +44,15 @@ object Bench {
     // it is recorded and annotated in the output JSON, so a later
     // timed-pass failure is attributable to the build (and its timing —
     // which then pays the build cost in pass 1 — is flagged as polluted)
+    // loadavg BEFORE the untimed warm-up pass: the post-warmup sample
+    // (loadavg_start) inevitably reads the bench's OWN artifact-build
+    // tail (r15's closing sweeps looked "contended" by their own warm-up
+    // — loadavg 2.5-4.3 on an idle host), so a quiet sweep was provable
+    // only by prose. This sample is taken while the JVM has done nothing
+    // but session init — ≲0.5 here IS the idle-host proof, from the
+    // sidecar alone.
+    val loadPreWarmup = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val warmupFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir)
@@ -137,6 +146,7 @@ object Bench {
     def loadJson(v: Double): String = if (v < 0) "null" else f(v)
     val contention =
       s"""{"median_pass_ratio":${f(pct(0.5))},"p90_pass_ratio":${f(pct(0.9))},""" +
+      s""""loadavg_pre_warmup":${loadJson(loadPreWarmup)},""" +
       s""""loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},""" +
       s""""n_ratio_gt1_5":${ratios.count(_._2 > 1.5)},"noisiest":$noisy}"""
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"n_warmup_failed":${warmupFailed.size},"warmup_failed":$warmJson,"contention":$contention,"sf":"$sfDir"}""")

@@ -106,11 +106,23 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 3,
       threshold: Double = 0.5,
+      maxBucket: Int = 1024): DataFrame =
+    minhashLshFromShingles(
+      docs.select(col("doc_id"), shingleHashes(col("text"), shingleN).as("shingles")),
+      numHashes, bands, threshold, maxBucket)
+
+  /** [[minhashLsh]] over PRE-COMPUTED sorted shingle-hash sets
+    * (`doc_id`, `shingles`) — lets a caller that needs the same shingle
+    * table for something else (the recall gate's exact-truth leg) pay
+    * the tokenize/shingle/hash pass once and share one checkpoint
+    * between both legs. */
+  private[graft] def minhashLshFromShingles(
+      withSh: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
       maxBucket: Int = 1024): DataFrame = {
     require(maxBucket > 1, "maxBucket must exceed 1")
-
-    val withSh = docs
-      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("shingles"))
 
     val banded = bandBuckets(withSh, numHashes, bands)
 
@@ -426,14 +438,35 @@ object Dedup {
     val sampled = docs.withColumn("_m", m)
       .orderBy(col("_m").asc, col("doc_id").asc).limit(sampleDocs)
       .drop("_m")
+    // ONE shingle table shared by the truth and found legs, checkpointed:
+    // without it the panel TakeOrdered AND the tokenize/shingle/hash pass
+    // re-ran once per reference (truth a, truth b, banding, both verify
+    // sides — 5×), which made this audit the slowest constant on the
+    // board; the pair passes below re-read ~1500 local rows instead
     val withSh = sampled.select(col("doc_id"),
-      shingleHashes(col("text"), shingleN).as("sh"))
-    val truth = withSh.alias("a")
-      .join(withSh.alias("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(jaccard(col("a.sh"), col("b.sh")).as("j"))
+      shingleHashes(col("text"), shingleN).as("shingles"))
+      .localCheckpoint()
+    // Truth pass, two cuts that keep the COUNT provably identical:
+    //  - the TakeOrdered panel is ONE partition, which serialized the
+    //    O(panel²) merge scans on a single core — repartition the probe
+    //    side so the pair loop uses the whole machine;
+    //  - J = |∩|/|∪| ≤ min(|a|,|b|)/max(|a|,|b|), so a size-ratio bound
+    //    IN THE JOIN CONDITION prunes most pairs before the merge scan
+    //    ever runs (1 micro-unit of slack absorbs the double product's
+    //    ulp so an exactly-at-threshold pair can never be dropped).
+    val sh = withSh.select(col("doc_id"), col("shingles"),
+      size(col("shingles")).cast("long").as("_sz"))
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val truth = sh.repartition(parts).alias("a")
+      .join(broadcast(sh.alias("b")),
+        col("a.doc_id") < col("b.doc_id") &&
+          least(col("a._sz"), col("b._sz")) * lit(1000000.0) >=
+            greatest(col("a._sz"), col("b._sz")) * lit(threshold * 1000000.0)
+              - lit(1.0))
+      .select(jaccard(col("a.shingles"), col("b.shingles")).as("j"))
       .filter(col("j") >= threshold)
       .agg(count(lit(1)).as("n_truth"))
-    val found = minhashLsh(sampled, shingleN = shingleN, threshold = threshold)
+    val found = minhashLshFromShingles(withSh, threshold = threshold)
       .agg(count(lit(1)).as("n_found_true"))
     // an empty truth set (possible on tiny samples) is vacuous full recall
     val recall = when(col("n_truth") === 0, lit(1000000L))
