@@ -1212,6 +1212,7 @@ object SparkEntry {
     "q_ivf_probe_curve" -> (IvfIndex.probeCurveQuery _),
     "q_ivf_autotune"   -> (IvfIndex.autotuneQuery _),
     "q_ivf_rebuild"    -> (IvfIndex.rebuildAuditQuery _),
+    "q_vector_service" -> (graft.streaming.VectorService.serviceAuditQuery _),
     "q_ivf_drift"      -> (IvfIndex.driftCheckQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
@@ -1221,6 +1222,7 @@ object SparkEntry {
     "q_ann_pq"         -> (PqIndex.pqQuery _),
     "q_ann_opq"        -> (OpqIndex.opqQuery _),
     "q_ann_bq"         -> (BqIndex.bqQuery _),
+    "q_ann_ivf_bq"     -> (IvfBqIndex.ivfbqQuery _),
     "q_ann_ivfpq"      -> (IvfPqIndex.ivfpqQuery _),
     "q_ann_ivfpq_res"  -> (IvfPqIndex.ivfpqResidualQuery _),
     "q_ann_sq"         -> (SqIndex.sqQuery _),
@@ -1852,6 +1854,30 @@ object SparkEntry {
                         / CAST(s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
                      > 2000000 AS drifted
             FROM a""",
+        // IVF × BQ composed tier: the q_ann_ivf probe (same cells CTE)
+        // over literal sign codes (the q_ann_bq encode), Hamming-ranked
+        // within probed cells, rescore pool derived from the PROBED mass
+        // (count(*)·nprobe/nlist — exact integer, so the pool replays
+        // literally), exact-rerank tail shared with the PQ/BQ twins.
+        "q_ann_ivf_bq" -> {
+          val np = operators.IvfIndex.scaledNprobe(m.nlist)
+          s"""$cellsCte,
+             co AS (SELECT vec_id, cell, ${bqCodeSql("ev")} AS code FROM cells),
+             probes AS (SELECT vec_id AS query_id, cell FROM (
+               SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+               FROM sc WHERE vec_id < 5) t WHERE rn <= $np),
+             qc AS (SELECT vec_id AS query_id, code AS qcode FROM co WHERE vec_id < 5),
+             adc AS (SELECT p.query_id, c.vec_id,
+                       CAST(64 - bit_count(xor(c.code, q.qcode)) AS DOUBLE) AS adc_score
+                     FROM co c
+                     JOIN probes p ON c.cell = p.cell AND c.vec_id != p.query_id
+                     JOIN qc q ON q.query_id = p.query_id),
+             ${pqRerankTailSqlExpr(
+               s"greatest(CAST(100 AS BIGINT), " +
+                 s"(((SELECT count(*) FROM e) * $np) // ${m.nlist}) // 20)",
+               k = 10)}"""
+        },
         // The nprobe recall/cost curve: per ladder step, probed-candidate
         // count and recall@20 vs the exact baseline — counts, so the
         // integer arithmetic carries no quantization rule at all.
@@ -1957,6 +1983,100 @@ object SparkEntry {
                   nm.n_matches * 1000000 // 100 >= 500000 AS within_floor
            FROM ab CROSS JOIN aa CROSS JOIN nm""")
     }).getOrElse(Map.empty)
+
+  /** q_vector_service oracle — the SERVICE lifecycle replayed from the
+    * session's cached before/after centroids (the q_ivf_rebuild replay
+    * plus the two SERVED legs): the skewed delta re-derives relationally,
+    * the drift verdicts recompute under each model, and BOTH served
+    * answer sets replay as cell-probed searches (before: cent1 over the
+    * drifted union at the before audit probe; after: cent2 over the
+    * rebuilt layout) intersected with the shared exact truth. The three
+    * fingerprint verdicts are stated as the CONTRACT (literal TRUE — the
+    * vocab-sketch bound-boolean pattern): an engine-side stamp failure
+    * flips the hash. Omitted (rows-only) when the session never ran the
+    * audit. */
+  private def vectorServiceOracle: Map[String, String] =
+    graft.streaming.VectorService.cachedServiceAudit.map { a =>
+      val (m1, m2) = (a.before, a.after)
+      def centVals(m: operators.IvfIndex.Model) =
+        m.centroids.zipWithIndex.map { case (c, i) =>
+          s"($i, ${doubleArrSql(c)})"
+        }.mkString(",\n              ")
+      val npB = operators.IvfIndex.auditNprobe(m1.nlist)
+      val npA = operators.IvfIndex.auditNprobe(m2.nlist)
+      val deltaSelects = operators.IvfIndex.RebuildDeltaOffsets.map(off =>
+          s"SELECT vec_id + $off AS vec_id, ev FROM donors")
+        .mkString("\n             UNION ALL ")
+      def skewSql(t: String) =
+        s"CAST(floor(CAST($t.mx * $t.n_cells AS DOUBLE) / CAST($t.s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+      def argmaxCells(sc: String, cols: String) =
+        s"""SELECT $cols, cell FROM (
+            SELECT $cols, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+            FROM $sc) t WHERE rn = 1"""
+      def servedLeg(cells: String, sc: String, np: Int) =
+        s"""SELECT query_id, vec_id FROM (
+              SELECT p.query_id, a.vec_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY ${cosineSql("a.ev", "p.qv")} DESC, a.vec_id ASC) AS rank
+              FROM $cells a JOIN (
+                SELECT vec_id AS query_id, ev AS qv, cell FROM (
+                  SELECT vec_id, ev, cell,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                  FROM $sc WHERE vec_id < 5) t WHERE rn <= $np) p
+                ON a.cell = p.cell AND a.vec_id != p.query_id) t
+            WHERE rank <= 20"""
+      Map("q_vector_service" ->
+        s"""WITH cent1(cell, cv) AS (VALUES
+              ${centVals(m1)}),
+            cent2(cell, cv) AS (VALUES
+              ${centVals(m2)}),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            sc1 AS (SELECT e.vec_id, e.ev, c.cell, list_dot_product(e.ev, c.cv) AS s
+                    FROM e CROSS JOIN cent1 c),
+            cells1 AS MATERIALIZED (${argmaxCells("sc1", "vec_id, ev")}),
+            donor AS (SELECT cell FROM (
+                SELECT cell, count(*) AS c FROM cells1 GROUP BY 1) d
+              ORDER BY c DESC, cell ASC LIMIT 1),
+            donors AS (SELECT vec_id, ev FROM cells1
+                       WHERE cell = (SELECT cell FROM donor)),
+            delta AS ($deltaSelects),
+            un AS MATERIALIZED (SELECT vec_id, ev FROM e
+                 UNION ALL SELECT vec_id, ev FROM delta),
+            scb AS (SELECT u.vec_id, u.ev, c.cell, list_dot_product(u.ev, c.cv) AS s
+                    FROM un u CROSS JOIN cent1 c),
+            cellsb AS MATERIALIZED (${argmaxCells("scb", "vec_id, ev")}),
+            popb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cellsb GROUP BY 1),
+            ab AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, max(n) AS mx,
+                          CAST(sum(n) AS BIGINT) AS s FROM popb),
+            sca AS (SELECT u.vec_id, u.ev, c.cell, list_dot_product(u.ev, c.cv) AS s
+                    FROM un u CROSS JOIN cent2 c),
+            cellsa AS MATERIALIZED (${argmaxCells("sca", "vec_id, ev")}),
+            truth AS MATERIALIZED (SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ${cosineSql("c.ev", "q.ev")} DESC, c.vec_id ASC) AS rank
+                FROM un c JOIN e q ON q.vec_id < 5 AND c.vec_id != q.vec_id) t
+              WHERE rank <= 20),
+            got_b AS (${servedLeg("cellsb", "scb", npB)}),
+            got_a AS (${servedLeg("cellsa", "sca", npA)}),
+            nmb AS (SELECT CAST(count(*) AS BIGINT) AS n_matches_before
+                    FROM got_b JOIN truth USING (query_id, vec_id)),
+            nma AS (SELECT CAST(count(*) AS BIGINT) AS n_matches_after
+                    FROM got_a JOIN truth USING (query_id, vec_id))
+           SELECT ab.s AS n_total,
+                  ${skewSql("ab")} AS before_skew_micro,
+                  ${skewSql("ab")} > 2000000 AS before_drifted,
+                  TRUE AS fp_before_ok,
+                  TRUE AS fp_after_ok,
+                  TRUE AS fp_changed,
+                  nmb.n_matches_before,
+                  nmb.n_matches_before * 1000000 // 100 AS before_recall_micro,
+                  nma.n_matches_after,
+                  nma.n_matches_after * 1000000 // 100 AS after_recall_micro,
+                  nma.n_matches_after * 1000000 // 100 >= 500000 AS within_floor
+           FROM ab CROSS JOIN nmb CROSS JOIN nma""")
+    }.getOrElse(Map.empty)
 
   /** q_hybrid_search + q_rag_e2e — model-dependent since round 15 (the
     * semantic leg replays the pack-IVF probe); omitted (rows-only) when
@@ -2652,8 +2772,8 @@ object SparkEntry {
     // it exists exactly when every tier's (model-dependent) entry does
     val annKeys = Seq("q_ann_topk", "q_ann_lsh", "q_ann_multiprobe",
       "q_ann_mrl", "q_ann_pca", "q_ann_ivf", "q_ann_ivf_filtered",
-      "q_ann_filtered", "q_ann_pq", "q_ann_opq", "q_ann_bq", "q_ann_ivfpq",
-      "q_ann_ivfpq_res", "q_ann_sq")
+      "q_ann_filtered", "q_ann_pq", "q_ann_opq", "q_ann_bq", "q_ann_ivf_bq",
+      "q_ann_ivfpq", "q_ann_ivfpq_res", "q_ann_sq")
     if (annKeys.forall(base.contains))
       base + ("q_ann_recall" -> AnnRecall.recallOracleSql(base))
     else base
@@ -2857,7 +2977,8 @@ object SparkEntry {
     }.getOrElse(Map.empty)
 
   private def oracleSqlBase: Map[String, String] =
-    ivfOracle ++ ivfRebuildOracle ++ hybridRagOracle ++ mediaIvfOracle ++
+    ivfOracle ++ ivfRebuildOracle ++ vectorServiceOracle ++
+      hybridRagOracle ++ mediaIvfOracle ++
       legRecallOracle ++ pqOracle ++ opqOracle ++ ivfpqOracle ++
       ivfpqResidualOracle ++
       sqOracle ++ embedOracle ++ pcaAnnOracle ++ bucketAnnOracle ++

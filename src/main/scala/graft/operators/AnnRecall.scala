@@ -91,6 +91,11 @@ object AnnRecall {
     // model state, 32× lighter than the floats); floor set after
     // measuring across all four scales — see the Tiers note below
     ("bq", 10, 300000L),
+    // ivf_bq = the bq first pass restricted to the probed cells (its
+    // rescore pool tracks the probed mass) — recall is bounded above by
+    // what the probe retains, so the floor is bq's band shaved by the
+    // probe loss, the same reasoning as ivfpq vs pq
+    ("ivf_bq", 10, 250000L),
     ("ivfpq", 10, 400000L),
     ("ivfpq_res", 10, 250000L),
     ("sq8", 10, 900000L))
@@ -133,6 +138,7 @@ object AnnRecall {
       "pq"         -> PqIndex.pqQuery(spark, sfDir),
       "opq"        -> OpqIndex.opqQuery(spark, sfDir),
       "bq"         -> BqIndex.bqQuery(spark, sfDir),
+      "ivf_bq"     -> IvfBqIndex.ivfbqQuery(spark, sfDir),
       "ivfpq"      -> IvfPqIndex.ivfpqQuery(spark, sfDir),
       "ivfpq_res"  -> IvfPqIndex.ivfpqResidualQuery(spark, sfDir),
       "sq8"        -> SqIndex.sqQuery(spark, sfDir))
@@ -166,6 +172,7 @@ object AnnRecall {
       "mrl" -> "q_ann_mrl", "pca" -> "q_ann_pca",
       "ivf" -> "q_ann_ivf", "ivf_filtered" -> "q_ann_ivf_filtered",
       "pq" -> "q_ann_pq", "opq" -> "q_ann_opq", "bq" -> "q_ann_bq",
+      "ivf_bq" -> "q_ann_ivf_bq",
       "ivfpq" -> "q_ann_ivfpq", "ivfpq_res" -> "q_ann_ivfpq_res",
       "sq8" -> "q_ann_sq")
     val rows = Tiers.map { case (tier, k, _) =>

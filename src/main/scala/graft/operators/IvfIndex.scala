@@ -658,7 +658,7 @@ object IvfIndex {
   /** The one session model the query pack shares (same key as
     * [[ivfQuery]], so `cachedModel` stays unambiguous for the oracle
     * generators no matter which query trains first). */
-  private def packModel(spark: SparkSession, sfDir: String): Model = {
+  private[graft] def packModel(spark: SparkSession, sfDir: String): Model = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // corpus-sized nlist (decade-stable occupancy — [[scaledNlist]]); the
     // count() is parquet footer metadata, and the model is memoized so the

@@ -137,8 +137,11 @@ object IvfPqIndex {
     * slices like the float index's — replay-idempotent. */
   def appendToIndex(delta: DataFrame, model: Model, path: String): Unit = {
     IvfIndex.requireModelMatches(delta.sparkSession, path, model.fingerprint)
+    // slice stamped with the writer's fingerprint — the durable half of
+    // the append/rebuild race closure (see IvfIndex.appendToIndex)
     IvfIndex.writeSlice(encoded(delta, model), path,
-      s"delta=b${IvfIndex.nextBatchId(delta.sparkSession, path)}")
+      s"delta=b${IvfIndex.nextBatchId(delta.sparkSession, path)}",
+      Some(model.fingerprint))
     ()
   }
 

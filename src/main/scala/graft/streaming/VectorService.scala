@@ -1,8 +1,10 @@
 package graft.streaming
 
-import graft.operators.IvfIndex
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.{IvfIndex, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /**
  * Coordinated model swap for the live vector service — the one
@@ -43,5 +45,167 @@ object VectorService {
     streams.foreach(_.stop())
     streams.foreach(_.awaitTermination())
     IvfIndex.rebuildIndex(spark, path, nlist, iters)
+  }
+
+  // --- service lifecycle audit (q_vector_service) ----------------------
+
+  /** Build-time facts of the audit, captured once per (JVM, corpus):
+    * both models (the oracle replays every verdict from their exact
+    * centroids), the pre-swap health numbers (from the PRE-rebuild
+    * footers, which the swap then replaces), the three fingerprint
+    * verdicts, and the dirs holding the index and both served answer
+    * sets. */
+  final case class ServiceAudit(dir: String, outBefore: String,
+      outAfter: String, before: IvfIndex.Model, after: IvfIndex.Model,
+      nTotal: Long, beforeSkewMicro: Long, beforeDrifted: Boolean,
+      fpBeforeOk: Boolean, fpAfterOk: Boolean, fpChanged: Boolean)
+
+  private val auditCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ServiceAudit]()
+
+  /** The one service audit of this session, if any — the oracle
+    * generator replays both served answer sets and both drift verdicts
+    * from these exact before/after centroids (the
+    * [[IvfIndex.cachedModel]] contract, service side). */
+  def cachedServiceAudit: Option[ServiceAudit] = {
+    val vs = auditCache.values()
+    if (vs.size() == 1) Some(vs.iterator().next()) else None
+  }
+
+  private def skewStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val pops = IvfIndex.cellStats(spark, dir).collect().map(_.getLong(1))
+    val (nCells, total, mx) = (pops.length.toLong, pops.sum, pops.max)
+    val skewMicro = math.floor(
+      (mx * nCells).toDouble / total.toDouble * 1000000.0 + 0.5).toLong
+    (total, skewMicro)
+  }
+
+  /**
+   * Run the LIVE service lifecycle ONCE per (JVM, corpus), end to end —
+   * every hop through the real streaming surfaces:
+   *
+   *  1. base layout from the shared pack model ([[IvfIndex.writeIndex]],
+   *     fingerprint-stamped);
+   *  2. a SKEWED delta (the [[IvfIndex.RebuildDeltaOffsets]] donor-cell
+   *     clone — one region gains 4× its mass) streamed in through
+   *     [[VectorIngest]] while the service is LIVE (ProcessingTime
+   *     trigger, drained with processAllAvailable — the stream object
+   *     stays ACTIVE for the coordinated swap to drain/stop itself);
+   *  3. a query stream served through [[StreamAnnServe]] AGAINST THE
+   *     DRIFTED INDEX — the before-swap served answers, committed as
+   *     exactly-once output slices;
+   *  4. [[coordinatedRebuild]] over BOTH running streams: drain → stop →
+   *     crash-atomic rebuild (stratified reseed splits the mega-cell) →
+   *     the new model returned;
+   *  5. the serve stream RESTARTED with the new model on the new
+   *     generation — the after-swap served answers.
+   *
+   * The audit row compares layout stamps against model fingerprints at
+   * both generations (a botched swap cannot pass), and the oracle
+   * recomputes drift verdicts AND both served answer sets from the
+   * cached before/after centroids — a row lost or double-written in any
+   * of ingest, fold, or serve flips the driver hash.
+   */
+  private def serviceAudit(spark: SparkSession, sfDir: String): ServiceAudit =
+    auditCache.computeIfAbsent(sfDir, _ => {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      val before = IvfIndex.packModel(spark, sfDir)
+      val dir = graft.WorkDirs.dir(s"vecsvc_$tag")
+      IvfIndex.writeIndex(emb, before, dir)
+
+      // the skewed delta: donor cell (largest population, lowest id
+      // tiebreak) cloned at each offset — the q_ivf_rebuild construction,
+      // so the oracle's relational re-derivation is shared
+      val assigned = IvfIndex.assign(emb, before)
+      val donorCell = assigned.groupBy("cell").count()
+        .orderBy(col("count").desc, col("cell").asc)
+        .limit(1).head().getAs[Int]("cell")
+      val delta = IvfIndex.RebuildDeltaOffsets.map(off =>
+          assigned.filter(col("cell") === donorCell)
+            .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val deltaDir = graft.WorkDirs.dir(s"vecsvc_delta_$tag")
+      delta.write.mode("overwrite").parquet(deltaDir)
+      val queryDir = graft.WorkDirs.dir(s"vecsvc_queries_$tag")
+      emb.filter(col("vec_id") < 5).write.mode("overwrite").parquet(queryDir)
+
+      // live service: ingest stream + serve stream, both ACTIVE
+      // (ProcessingTime) so the coordinated swap drains real streams
+      val ingest = VectorIngest.start(
+        spark.readStream.schema(delta.schema).parquet(deltaDir),
+        before, dir, checkpoint = s"$dir.ingest.ckpt")
+      ingest.processAllAvailable() // delta fully ingested BEFORE serving
+      val outBefore = graft.WorkDirs.dir(s"vecsvc_out_before_$tag")
+      val npBefore = IvfIndex.auditNprobe(before.nlist)
+      val serve = StreamAnnServe.start(
+        spark.readStream.schema(emb.schema).parquet(queryDir),
+        before, dir, outBefore, checkpoint = s"$outBefore.ckpt",
+        k = 20, nprobe = npBefore)
+      serve.processAllAvailable() // before-swap answers committed
+
+      val (nTotal, skew0) = skewStats(spark, dir)
+      val fpB = IvfIndex.layoutFingerprint(spark, dir)
+
+      // the swap: drain → stop → crash-atomic rebuild → new model
+      val after = coordinatedRebuild(spark, dir,
+        IvfIndex.scaledNlist(nTotal), Seq(ingest, serve), iters = 2)
+      val fpA = IvfIndex.layoutFingerprint(spark, dir)
+
+      // serving resumes on the new generation with the new model (fresh
+      // checkpoint — a new stream, not a resume of the stopped one)
+      val outAfter = graft.WorkDirs.dir(s"vecsvc_out_after_$tag")
+      val serve2 = StreamAnnServe.start(
+        spark.readStream.schema(emb.schema).parquet(queryDir),
+        after, dir, outAfter, checkpoint = s"$outAfter.ckpt",
+        k = 20, nprobe = IvfIndex.auditNprobe(after.nlist),
+        trigger = Trigger.AvailableNow())
+      try serve2.awaitTermination() finally serve2.stop()
+
+      ServiceAudit(dir, outBefore, outAfter, before, after, nTotal,
+        skew0, skew0 > 2000000L,
+        fpBeforeOk = fpB.contains(before.fingerprint),
+        fpAfterOk = fpA.contains(after.fingerprint),
+        fpChanged = fpB != fpA)
+    })
+
+  /** Query-pack adapter: the one-row service-lifecycle artifact — ingest
+    * totals, both drift verdicts, the three fingerprint verdicts, and
+    * the recall of the SERVED answers (before and after the swap)
+    * against the exact truth over the ingested corpus. The after side
+    * carries the ivf tier's 0.5 floor at the [[IvfIndex.auditNprobe]]
+    * depth (the q_ivf_rebuild convention); the before side is reported
+    * unfloored — it measures a deliberately drifted index. */
+  def serviceAuditQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = serviceAudit(spark, sfDir)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val contents = IvfIndex.readIndex(spark, a.dir)
+      .select("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(contents, queries, k = 20)
+      .select("query_id", "vec_id").localCheckpoint()
+    def servedMatches(out: String, name: String) =
+      StreamAnnServe.results(spark, out)
+        .select("query_id", "vec_id")
+        .join(truth, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as(name))
+    val mb = servedMatches(a.outBefore, "n_matches_before")
+    val ma = servedMatches(a.outAfter, "n_matches_after")
+    // 1-row × 1-row audit assembly (the TableStats convention)
+    mb.crossJoin(ma).select(
+      lit(a.nTotal).as("n_total"),
+      lit(a.beforeSkewMicro).as("before_skew_micro"),
+      lit(a.beforeDrifted).as("before_drifted"),
+      lit(a.fpBeforeOk).as("fp_before_ok"),
+      lit(a.fpAfterOk).as("fp_after_ok"),
+      lit(a.fpChanged).as("fp_changed"),
+      col("n_matches_before"),
+      expr("n_matches_before * 1000000 div 100").as("before_recall_micro"),
+      col("n_matches_after"),
+      expr("n_matches_after * 1000000 div 100").as("after_recall_micro"),
+      (expr("n_matches_after * 1000000 div 100") >= lit(500000L))
+        .as("within_floor"))
   }
 }
