@@ -205,6 +205,10 @@ object EmbeddingPca {
    * are q9-quantized with (score, vec_id) tiebreaks, so the output is
    * oracle-replayable from the emitted model literals.
    */
+  @deprecated("the projection first pass is a FULL-CORPUS scan per query " +
+    "batch — at index scale use pcaBucketedTopK (occupancy-bound " +
+    "candidates, decade-flat per-query cost) or an IvfIndex layout; " +
+    "this form survives as the spec equivalence reference", "round 16")
   def pcaTopK(corpus: DataFrame, queries: DataFrame, model: Model,
       nComp: Int = NComponents, r: Int = 100, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -229,6 +229,10 @@ object Similarity {
    * the (score desc, vec_id asc) tiebreak, so the output is
    * oracle-replayable.
    */
+  @deprecated("the prefix first pass is a FULL-CORPUS scan per query " +
+    "batch — at index scale use mrlBucketedTopK (occupancy-bound " +
+    "candidates, decade-flat per-query cost) or an IvfIndex layout; " +
+    "this form survives as the spec equivalence reference", "round 16")
   def mrlTopK(corpus: DataFrame, queries: DataFrame, dPrefix: Int,
       r: Int, k: Int): DataFrame = {
     val q = queries.select(
