@@ -58,7 +58,8 @@ object VectorService {
   final case class ServiceAudit(dir: String, outBefore: String,
       outAfter: String, before: IvfIndex.Model, after: IvfIndex.Model,
       nTotal: Long, beforeSkewMicro: Long, beforeDrifted: Boolean,
-      fpBeforeOk: Boolean, fpAfterOk: Boolean, fpChanged: Boolean)
+      fpBeforeOk: Boolean, fpAfterOk: Boolean, fpChanged: Boolean,
+      truthPairs: Seq[(Long, Long)])
 
   private val auditCache =
     new java.util.concurrent.ConcurrentHashMap[String, ServiceAudit]()
@@ -163,11 +164,23 @@ object VectorService {
         trigger = Trigger.AvailableNow())
       try serve2.awaitTermination() finally serve2.stop()
 
+      // the audit's exact truth (top-20 over the ingested corpus) is a
+      // deterministic build-once artifact — pay the scan here, not in
+      // every later evaluation of the audit row (the legTruthCache
+      // discipline)
+      val queries = emb.filter(col("vec_id") < 5)
+      val contents = IvfIndex.readIndex(spark, dir)
+        .select("vec_id", "embedding")
+      val truthPairs = Similarity.bruteForceTopK(contents, queries, k = 20)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
       ServiceAudit(dir, outBefore, outAfter, before, after, nTotal,
         skew0, skew0 > 2000000L,
         fpBeforeOk = fpB.contains(before.fingerprint),
         fpAfterOk = fpA.contains(after.fingerprint),
-        fpChanged = fpB != fpA)
+        fpChanged = fpB != fpA,
+        truthPairs = truthPairs)
     })
 
   /** Query-pack adapter: the one-row service-lifecycle artifact — ingest
@@ -179,13 +192,8 @@ object VectorService {
     * unfloored — it measures a deliberately drifted index. */
   def serviceAuditQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val a = serviceAudit(spark, sfDir)
-    val emb = Tables.load(spark, sfDir, "embeddings")
-      .select("vec_id", "embedding")
-    val queries = emb.filter(col("vec_id") < 5)
-    val contents = IvfIndex.readIndex(spark, a.dir)
-      .select("vec_id", "embedding")
-    val truth = Similarity.bruteForceTopK(contents, queries, k = 20)
-      .select("query_id", "vec_id").localCheckpoint()
+    import spark.implicits._
+    val truth = a.truthPairs.toDF("query_id", "vec_id")
     def servedMatches(out: String, name: String) =
       StreamAnnServe.results(spark, out)
         .select("query_id", "vec_id")
