@@ -837,13 +837,45 @@ object SparkEntry {
           .filter(pred))
       .select(col("media_id").as("vec_id"), col("embedding"))
 
+  /** The media index's serving probe, memoized per corpus: the
+    * [[operators.IvfIndex.servingNprobe]] discipline applied to the
+    * media feature space — a probe curve measured ONCE over the media
+    * index (exact baseline paid at build, like the pack curve), the
+    * autotuned decision bounded to the 2×√nlist band. With this, EVERY
+    * serving probe in the engine is justified by a measured curve. */
+  private val mediaServingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def mediaServingNprobe(spark: SparkSession, sfDir: String): Int =
+    mediaServingCache.computeIfAbsent(sfDir, { _ =>
+      val (model, dir) = mediaIndex(spark, sfDir)
+      val feats = mediaFeats(spark, sfDir)
+      val curve = IvfIndex.probeCurve(spark, dir, feats,
+        feats.filter(col("vec_id") < 5), model, k = 20)
+      Integer.valueOf(IvfIndex.servingDecision(curve, model.nlist))
+    }).intValue()
+
+  /** The one media serving decision of this session, if any — feeds the
+    * media oracle replays (the cachedServingNprobe contract). */
+  private def cachedMediaServingNprobe: Option[Int] = {
+    val vs = mediaServingCache.values()
+    if (vs.size() == 1) Some(vs.iterator().next().intValue()) else None
+  }
+
+  /** The probe the media oracle replays at — the cached decision, with
+    * the heuristic fallback for sessions that never served. */
+  private def mediaOracleNprobe(m: operators.IvfIndex.Model): Int =
+    cachedMediaServingNprobe
+      .getOrElse(operators.IvfIndex.scaledNprobe(m.nlist))
+
   /** Index-served media ANN leg: search the media-feature IVF index at
-    * the serving probe; `pred` (over `media_id`) selects the queries. */
+    * the serving probe (autotuned — [[mediaServingNprobe]]); `pred`
+    * (over `media_id`) selects the queries. */
   private def mediaIndexSearch(spark: SparkSession, sfDir: String,
       pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val (model, dir) = mediaIndex(spark, sfDir)
     IvfIndex.searchIndex(spark, dir, mediaQueryFeats(spark, sfDir, pred),
-      model, k, nprobe = IvfIndex.scaledNprobe(model.nlist))
+      model, k, nprobe = mediaServingNprobe(spark, sfDir))
   }
 
   /** Media features piped into ANN search — SERVED FROM THE MEDIA IVF
@@ -2183,7 +2215,7 @@ object SparkEntry {
              SELECT vec_id, ev, cell,
                     row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
              FROM scm WHERE $queryPred) t
-             WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+             WHERE rn <= ${mediaOracleNprobe(m)}),
            scoredm AS (
              SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
              FROM cellsm c JOIN probesm p
@@ -2246,7 +2278,7 @@ object SparkEntry {
                 SELECT vec_id, ev, cell,
                        row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
                 FROM scm WHERE vec_id = 0) t
-                WHERE rn <= ${operators.IvfIndex.scaledNprobe(m.nlist)}),
+                WHERE rn <= ${mediaOracleNprobe(m)}),
               semscored AS (SELECT c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
                             FROM cellsm c JOIN probesm p
                               ON c.cell = p.cell AND c.vec_id != p.query_id),
