@@ -2046,7 +2046,8 @@ object SparkEntry {
                 FROM un c JOIN e q ON q.vec_id < 5 AND c.vec_id != q.vec_id) t
               WHERE rank <= 20),
             nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matches
-                   FROM got JOIN truth USING (query_id, vec_id))
+                   FROM got JOIN truth USING (query_id, vec_id)),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth)
            SELECT ab.s AS n_total,
                   ${skewSql("ab")} AS before_skew_micro,
                   ${skewSql("ab")} > 2000000 AS before_drifted,
@@ -2054,9 +2055,9 @@ object SparkEntry {
                   ${skewSql("aa")} AS after_skew_micro,
                   ${skewSql("aa")} > 2000000 AS after_drifted,
                   nm.n_matches,
-                  nm.n_matches * 1000000 // 100 AS recall_micro,
-                  nm.n_matches * 1000000 // 100 >= 500000 AS within_floor
-           FROM ab CROSS JOIN aa CROSS JOIN nm""")
+                  nm.n_matches * 1000000 // nt.n AS recall_micro,
+                  nm.n_matches * 1000000 // nt.n >= 500000 AS within_floor
+           FROM ab CROSS JOIN aa CROSS JOIN nm CROSS JOIN nt""")
     }).getOrElse(Map.empty)
 
   /** q_vector_service oracle — the SERVICE lifecycle replayed from the
@@ -2138,7 +2139,8 @@ object SparkEntry {
             nmb AS (SELECT CAST(count(*) AS BIGINT) AS n_matches_before
                     FROM got_b JOIN truth USING (query_id, vec_id)),
             nma AS (SELECT CAST(count(*) AS BIGINT) AS n_matches_after
-                    FROM got_a JOIN truth USING (query_id, vec_id))
+                    FROM got_a JOIN truth USING (query_id, vec_id)),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth)
            SELECT ab.s AS n_total,
                   ${skewSql("ab")} AS before_skew_micro,
                   ${skewSql("ab")} > 2000000 AS before_drifted,
@@ -2146,11 +2148,11 @@ object SparkEntry {
                   TRUE AS fp_after_ok,
                   TRUE AS fp_changed,
                   nmb.n_matches_before,
-                  nmb.n_matches_before * 1000000 // 100 AS before_recall_micro,
+                  nmb.n_matches_before * 1000000 // nt.n AS before_recall_micro,
                   nma.n_matches_after,
-                  nma.n_matches_after * 1000000 // 100 AS after_recall_micro,
-                  nma.n_matches_after * 1000000 // 100 >= 500000 AS within_floor
-           FROM ab CROSS JOIN nmb CROSS JOIN nma""")
+                  nma.n_matches_after * 1000000 // nt.n AS after_recall_micro,
+                  nma.n_matches_after * 1000000 // nt.n >= 500000 AS within_floor
+           FROM ab CROSS JOIN nmb CROSS JOIN nma CROSS JOIN nt""")
     }.getOrElse(Map.empty)
 
   /** q_hybrid_search + q_rag_e2e — model-dependent since round 15 (the

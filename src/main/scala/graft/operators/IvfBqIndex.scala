@@ -55,15 +55,36 @@ object IvfBqIndex {
       Some(fingerprintOf(coarse)))
 
   /** Route NEW vectors into the existing code layout — batch-id-addressed
-    * replay-idempotent slices, stamped with the writer's fingerprint
-    * (the [[IvfIndex.appendToIndex]] race-closure discipline). */
+    * replay-idempotent slices, stamped with the writer's fingerprint AND
+    * post-rename-verified (the full [[IvfIndex.appendSliceVerified]]
+    * race-closure discipline: the common append-vs-rebuild interleaving
+    * rolls the slice back and throws instead of leaving an orphan every
+    * later read trips on). */
   def appendToIndex(delta: DataFrame, coarse: IvfIndex.Model, path: String): Unit = {
     val spark = delta.sparkSession
     IvfIndex.requireModelMatches(spark, path, fingerprintOf(coarse))
-    IvfIndex.writeSlice(encoded(delta, coarse), path,
-      s"delta=b${IvfIndex.nextBatchId(spark, path)}",
-      Some(fingerprintOf(coarse)))
+    IvfIndex.appendSliceVerified(encoded(delta, coarse), path,
+      IvfIndex.nextBatchId(spark, path), fingerprintOf(coarse))
     ()
+  }
+
+  /** Retrain the COARSE stage on the current corpus and re-encode —
+    * the repair for a drifted code layout ([[IvfPqIndex.rebuildIndex]]'s
+    * shape, in the cheap case: BQ's sign encode is training-free, so
+    * only the coarse quantizer retrains). The code layout carries no
+    * floats, so the corpus frame is required — at scale it is the table
+    * the index was built from. Crash-atomic and concurrent-writer-
+    * guarded by [[IvfIndex.commitRebuild]]'s staging discipline (live
+    * set snapshotted BEFORE training); returns the new coarse model —
+    * the new generation's stamp rejects stale-model search/append
+    * loudly, same contract as the float rebuild. */
+  def rebuildIndex(spark: SparkSession, path: String, corpus: DataFrame,
+      nlist: Int, iters: Int = 3): IvfIndex.Model = {
+    val snapshot = IvfIndex.liveSliceDirs(spark, path)
+    val coarse = IvfIndex.train(corpus, nlist, iters, stratifiedSeeds = true)
+    IvfIndex.commitRebuild(spark, path, encoded(corpus, coarse),
+      Some(fingerprintOf(coarse)), snapshot)
+    coarse
   }
 
   /**

@@ -349,7 +349,7 @@ object IvfIndex {
     * the WRONG cells of the current layout, so reading it would corrupt
     * recall silently. Fail loudly instead; unstamped slices (legacy, or
     * bases predating the marker) pass. */
-  private[operators] def liveSliceDirs(spark: SparkSession, path: String): Seq[String] = {
+  private[graft] def liveSliceDirs(spark: SparkSession, path: String): Seq[String] = {
     val dirs = DeltaLayout.liveDirs(spark, path)
     require(dirs.nonEmpty, s"no live index slices under $path")
     for {
@@ -375,9 +375,15 @@ object IvfIndex {
     * drops — only the LISTED live slices are read, so staging dirs and
     * folded slices stay invisible regardless). */
   def readIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("basePath", path)
-      .parquet(liveSliceDirs(spark, path): _*)
-      .drop("delta")
+    readSlices(spark, path, liveSliceDirs(spark, path))
+
+  /** [[readIndex]]'s reader body over an EXPLICIT slice snapshot — split
+    * out so [[rebuildIndex]] reads exactly the dirs its commit guards
+    * were snapshotted against (reading a fresh listing while guarding an
+    * older one reopens the silent-loss window the guards close). */
+  private[operators] def readSlices(spark: SparkSession, basePath: String,
+      dirs: Seq[String]): DataFrame =
+    spark.read.option("basePath", basePath).parquet(dirs: _*).drop("delta")
 
   /** The next free append batch id: above every live slice's id AND the
     * newest base's folded-through generation. (A manual-append + one
@@ -395,11 +401,23 @@ object IvfIndex {
     * GC the folded slices. A crash at ANY point leaves a readable index —
     * before the rename the old live set is fully intact; after it the
     * new base wins [[DeltaLayout.liveDirs]] and the stale slices are
-    * garbage the next rebuild (or [[DeltaLayout.gcStale]]) sweeps. */
-  private[operators] def commitRebuild(spark: SparkSession, path: String,
-      assigned: DataFrame, fp: Option[String] = None): Unit = {
+    * garbage the next rebuild (or [[DeltaLayout.gcStale]]) sweeps.
+    *
+    * `snapshot` is the live set the rebuild's INPUT was read from —
+    * taken by the caller BEFORE training, not re-listed here: the guards
+    * ([[DeltaLayout.guardedCommit]] — abort pre-rename, refuse-GC
+    * post-rename) compare against the input baseline, so a slice
+    * appended at any point after the input was fixed — including during
+    * the long training window — ends loud, never counted into the fold
+    * generation while absent from the staged base (the round-16 closure
+    * compared against a post-training listing, which silently folded
+    * exactly that window). VectorService.coordinatedRebuild drains
+    * ingest first, so tripping a guard means an uncoordinated writer;
+    * the append side's own post-rename verify covers the mirror-image
+    * interleaving. */
+  private[graft] def commitRebuild(spark: SparkSession, path: String,
+      assigned: DataFrame, fp: Option[String], snapshot: Seq[String]): Unit = {
     val fs = DeltaLayout.fileSystem(spark, path)
-    val live = liveSliceDirs(spark, path)
     val staging = new Path(s"$path/${DeltaLayout.Staging}")
     if (fs.exists(staging) && !fs.delete(staging, true))
       throw new IllegalStateException(s"cannot clear stale staging $staging")
@@ -411,48 +429,15 @@ object IvfIndex {
     // window where a stale model passes the mismatch guard
     fp.foreach(v =>
       DeltaLayout.writeMarker(spark, s"$staging/$ModelFpFile", v))
-    val liveNames = live.map(d => new Path(d).getName)
+    val liveNames = snapshot.map(d => new Path(d).getName)
     val curGen = liveNames.flatMap(DeltaLayout.baseGen).foldLeft(-1L)(_ max _)
     // base@N folds batch ids ≤ N; a rebuild of a pure base claims the
     // next unseen id so generations strictly increase
     val gen = liveNames.flatMap(DeltaLayout.batchId)
       .foldLeft(curGen + 1)(_ max _)
-    // a slice that appeared since the input snapshot holds vectors this
-    // rebuild did NOT read: committing base@gen would either fold it
-    // (silent LOSS via gcStale, id ≤ gen) or leave a stale-model orphan
-    // (id > gen). Abort cleanly instead — old live set fully intact, the
-    // concurrent slice intact, only the staged generation discarded.
-    // (VectorService.coordinatedRebuild drains ingest first, so hitting
-    // this means an uncoordinated writer; the append side's own
-    // post-rename verify covers the mirror-image interleaving.)
-    val concurrent = DeltaLayout.liveDirs(spark, path).filterNot(live.contains)
-    if (concurrent.nonEmpty) {
-      fs.delete(new Path(s"$path/${DeltaLayout.Staging}"), true)
-      throw new IllegalStateException(
-        s"rebuild raced an append under $path: slices " +
-          s"${concurrent.map(d => new Path(d).getName).mkString(", ")} " +
-          "landed after the rebuild read its input — rebuild aborted " +
-          "(layout unchanged); drain ingest (VectorService." +
-          "coordinatedRebuild) and retry")
-    }
-    DeltaLayout.commitFold(spark, path, gen)
-    // refuse to GC a slice the fold claims but this rebuild never read:
-    // the window between the recheck above and commitFold is the last
-    // interleaving, and deleting such a slice would be silent vector
-    // loss. Leave it on disk and fail loudly; its own fingerprint stamp
-    // also fails every liveSliceDirs read if its id outranks gen.
-    val foldedConcurrent = fs.listStatus(new Path(path))
-      .filter(_.isDirectory).map(_.getPath.toString)
-      .filter(d => DeltaLayout.batchId(new Path(d).getName).exists(_ <= gen))
-      .filterNot(live.contains)
-    if (foldedConcurrent.nonEmpty)
-      throw new IllegalStateException(
-        s"rebuild committed base@$gen under $path but slices " +
-          s"${foldedConcurrent.map(d => new Path(d).getName).mkString(", ")} " +
-          "landed concurrently and are NOT in the new base — left on disk " +
-          "(not GC'd); re-ingest their batches against the rebuilt model, " +
-          "then gcStale")
-    DeltaLayout.gcStale(spark, path)
+    DeltaLayout.guardedCommit(spark, path, snapshot, gen, "rebuild",
+      "drain ingest (VectorService.coordinatedRebuild), re-ingest the " +
+        "raced batches against the rebuilt model, then gcStale")
   }
 
   /**
@@ -497,17 +482,29 @@ object IvfIndex {
     *     fold (the batchId ≤ gen flavor, which would be silent LOSS). */
   def appendToIndex(delta: DataFrame, model: Model, path: String,
       batchId: Long): Boolean = {
-    val spark = delta.sparkSession
-    requireModelMatches(spark, path, model.fingerprint)
-    val wrote = writeSlice(assign(delta, model), path, s"delta=b$batchId",
-      Some(model.fingerprint))
+    requireModelMatches(delta.sparkSession, path, model.fingerprint)
+    appendSliceVerified(assign(delta, model), path, batchId,
+      model.fingerprint)
+  }
+
+  /** Stamped, post-rename-VERIFIED slice append — the write half of the
+    * append/rebuild race closure, shared by the float and composed code
+    * layouts (before round 17 the [[IvfPqIndex]]/[[IvfBqIndex]] appends
+    * carried the stamp but skipped the re-verify, so the common
+    * interleaving left an orphan that failed every LATER read instead
+    * of self-healing here by rollback). Returns false when the slice
+    * already existed (replay skipped). */
+  private[graft] def appendSliceVerified(encoded: DataFrame,
+      path: String, batchId: Long, fp: String): Boolean = {
+    val spark = encoded.sparkSession
+    val wrote = writeSlice(encoded, path, s"delta=b$batchId", Some(fp))
     if (wrote) layoutFingerprint(spark, path).foreach { stamped =>
-      if (stamped != model.fingerprint) {
+      if (stamped != fp) {
         val fs = DeltaLayout.fileSystem(spark, path)
         fs.delete(new Path(s"$path/delta=b$batchId"), true)
         throw new IllegalStateException(
           s"append raced a rebuild under $path: slice b$batchId was assigned " +
-            s"with model ${model.fingerprint.take(12)}… but the layout now " +
+            s"with model ${fp.take(12)}… but the layout now " +
             s"carries ${stamped.take(12)}… — the slice was rolled back; " +
             "re-ingest the batch against the rebuilt model")
       }
@@ -580,9 +577,15 @@ object IvfIndex {
     * search or append instead of silently probing the wrong cells). */
   def rebuildIndex(spark: SparkSession, path: String, nlist: Int,
       iters: Int = 3): Model = {
-    val vectors = readIndex(spark, path).select("vec_id", "embedding")
+    // snapshot the live set ONCE, before training, and read exactly
+    // these dirs — the commit guards compare against this same baseline
+    // (see commitRebuild's contract)
+    val snapshot = liveSliceDirs(spark, path)
+    val vectors = readSlices(spark, path, snapshot)
+      .select("vec_id", "embedding")
     val model = train(vectors, nlist, iters, stratifiedSeeds = true)
-    commitRebuild(spark, path, assign(vectors, model), Some(model.fingerprint))
+    commitRebuild(spark, path, assign(vectors, model),
+      Some(model.fingerprint), snapshot)
     model
   }
 
@@ -982,6 +985,10 @@ object IvfIndex {
       .select("query_id", "vec_id")
     val recall = got.join(truth, Seq("query_id", "vec_id"))
       .agg(count(lit(1)).as("n_matches"))
+    // recall denominator = the truth set's own size, not a queries×k
+    // literal (the serviceAuditQuery discipline — a literal understates
+    // recall silently on a corpus smaller than k+1)
+    val denom = truth.count()
     val after = cellStats(spark, a.dir).agg(
         count(lit(1)).cast("bigint").as("after_n_cells"),
         max(col("n_vectors")).as("_mx"),
@@ -998,8 +1005,9 @@ object IvfIndex {
       lit(a.beforeDrifted).as("before_drifted"),
       col("after_n_cells"), col("after_skew_micro"), col("after_drifted"),
       col("n_matches"),
-      expr("n_matches * 1000000 div 100").as("recall_micro"),
-      (expr("n_matches * 1000000 div 100") >= lit(500000L)).as("within_floor"))
+      expr(s"n_matches * 1000000 div $denom").as("recall_micro"),
+      (expr(s"n_matches * 1000000 div $denom") >= lit(500000L))
+        .as("within_floor"))
   }
 
   /**

@@ -136,12 +136,12 @@ object IvfPqIndex {
     * [[rebuildIndex]] is the repair. Appends are batch-id-addressed
     * slices like the float index's — replay-idempotent. */
   def appendToIndex(delta: DataFrame, model: Model, path: String): Unit = {
-    IvfIndex.requireModelMatches(delta.sparkSession, path, model.fingerprint)
-    // slice stamped with the writer's fingerprint — the durable half of
-    // the append/rebuild race closure (see IvfIndex.appendToIndex)
-    IvfIndex.writeSlice(encoded(delta, model), path,
-      s"delta=b${IvfIndex.nextBatchId(delta.sparkSession, path)}",
-      Some(model.fingerprint))
+    val spark = delta.sparkSession
+    IvfIndex.requireModelMatches(spark, path, model.fingerprint)
+    // stamped AND post-rename-verified — the full race closure, shared
+    // with the float layout (IvfIndex.appendSliceVerified)
+    IvfIndex.appendSliceVerified(encoded(delta, model), path,
+      IvfIndex.nextBatchId(spark, path), model.fingerprint)
     ()
   }
 
@@ -157,10 +157,15 @@ object IvfPqIndex {
       nlist: Int, dim: Int = 64, m: Int = 8, k: Int = 16,
       coarseIters: Int = 3, pqIters: Int = 3,
       residual: Boolean = false): Model = {
+    // live-set snapshot BEFORE training — the commit guards' baseline
+    // (IvfIndex.commitRebuild's contract): a slice appended during the
+    // two-stage training aborts the commit loudly instead of being
+    // folded un-read
+    val snapshot = IvfIndex.liveSliceDirs(spark, path)
     val model = train(corpus, nlist, dim, m, k, coarseIters, pqIters,
       residual, stratifiedSeeds = true)
     IvfIndex.commitRebuild(spark, path, encoded(corpus, model),
-      Some(model.fingerprint))
+      Some(model.fingerprint), snapshot)
     model
   }
 

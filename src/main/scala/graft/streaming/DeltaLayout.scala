@@ -124,6 +124,60 @@ object DeltaLayout {
         s"delta compact: cannot commit $Staging as delta=base@$gen under $root")
   }
 
+  /** Pre-commit half of [[guardedCommit]]: a slice that is live now but
+    * absent from `snapshot` landed AFTER the fold read its input —
+    * committing would either fold it un-read (silent loss once
+    * [[gcStale]] sweeps it) or leave it orphaned behind the new base.
+    * Abort instead: the staged generation is discarded, the live set —
+    * including the concurrent slice — stays fully intact. */
+  private[graft] def abortOnConcurrent(spark: SparkSession, root: String,
+      snapshot: Seq[String], what: String, hint: String): Unit = {
+    val concurrent = liveDirs(spark, root).filterNot(snapshot.contains)
+    if (concurrent.nonEmpty) {
+      fileSystem(spark, root).delete(new Path(s"$root/$Staging"), true)
+      throw new IllegalStateException(
+        s"$what raced a concurrent writer under $root: slices " +
+          s"${concurrent.map(d => new Path(d).getName).mkString(", ")} " +
+          s"landed after the $what read its input — $what aborted (live " +
+          s"set unchanged); $hint")
+    }
+  }
+
+  /** Post-commit half of [[guardedCommit]]: a slice the just-committed
+    * generation CLAIMS (batch id ≤ gen) but the fold never read must not
+    * be swept — deleting it is silent loss. Leave it on disk (readers
+    * already ignore it behind the new base) and fail loudly so the
+    * operator re-ingests its batch. */
+  private[graft] def refuseGcOnConcurrent(spark: SparkSession, root: String,
+      snapshot: Seq[String], gen: Long, what: String, hint: String): Unit = {
+    val folded = fileSystem(spark, root).listStatus(new Path(root))
+      .filter(_.isDirectory).map(_.getPath.toString)
+      .filter(d => batchId(new Path(d).getName).exists(_ <= gen))
+      .filterNot(snapshot.contains)
+    if (folded.nonEmpty)
+      throw new IllegalStateException(
+        s"$what committed delta=base@$gen under $root but slices " +
+          s"${folded.map(d => new Path(d).getName).mkString(", ")} landed " +
+          s"concurrently and are NOT in the new base — left on disk (not " +
+          s"GC'd); $hint")
+  }
+
+  /** [[commitFold]] bracketed by the concurrent-writer guards the IVF
+    * rebuild earned in round 16, shared by EVERY delta root since round
+    * 17 (the index/edge roots relied on a single-writer contract note —
+    * the same silent-loss class, now enforced): `snapshot` is the live
+    * set the fold READ; any slice beyond it aborts the commit pre-rename
+    * ([[abortOnConcurrent]]) or refuses the sweep post-rename
+    * ([[refuseGcOnConcurrent]]) — every interleaving ends loud, none in
+    * silent loss. */
+  def guardedCommit(spark: SparkSession, root: String, snapshot: Seq[String],
+      gen: Long, what: String, hint: String): Unit = {
+    abortOnConcurrent(spark, root, snapshot, what, hint)
+    commitFold(spark, root, gen)
+    refuseGcOnConcurrent(spark, root, snapshot, gen, what, hint)
+    gcStale(spark, root)
+  }
+
   /** Remove every base older than the newest generation and every batch
     * slice it folded — including garbage a crashed pass left. Failed
     * deletes throw rather than leaving state to drift silently. */

@@ -264,17 +264,26 @@ object StreamEdges {
     LinkRank.pageRank(mergedEdges(spark, root), iters)
 
   /** Fold the live slices into the next base generation (sums of sums)
-    * and commit with [[DeltaLayout.commitFold]]'s single atomic rename;
-    * the deletes after it are GC of slices readers already ignore. */
-  def compact(spark: SparkSession, root: String): Unit = {
-    val dirs = DeltaLayout.liveDirs(spark, root)
-    DeltaLayout.foldTarget(dirs).foreach { maxId =>
-      val folded = spark.read.schema(EdgeSchema).parquet(dirs: _*)
-        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-        .localCheckpoint()
-      folded.write.mode("overwrite").parquet(s"$root/${DeltaLayout.Staging}")
-      DeltaLayout.commitFold(spark, root, maxId)
+    * and commit with [[DeltaLayout.commitFold]]'s single atomic rename.
+    * Concurrent-writer-GUARDED since round 17 ([[DeltaLayout
+    * .guardedCommit]]): a slice landing after the fold read its input
+    * aborts the commit loudly pre-rename and is refused GC post-rename —
+    * the single-writer contract is enforced, not documented. */
+  def compact(spark: SparkSession, root: String): Unit =
+    compactFrom(spark, root, DeltaLayout.liveDirs(spark, root))
+
+  /** [[compact]] from an explicit live-set snapshot — the seam the race
+    * specs inject through. */
+  private[graft] def compactFrom(spark: SparkSession, root: String,
+      dirs: Seq[String]): Unit =
+    DeltaLayout.foldTarget(dirs) match {
+      case Some(maxId) =>
+        val folded = spark.read.schema(EdgeSchema).parquet(dirs: _*)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+          .localCheckpoint()
+        folded.write.mode("overwrite").parquet(s"$root/${DeltaLayout.Staging}")
+        DeltaLayout.guardedCommit(spark, root, dirs, maxId, "edge compact",
+          "re-run the raced batches (replay-idempotent), then compact again")
+      case None => DeltaLayout.gcStale(spark, root)
     }
-    DeltaLayout.gcStale(spark, root)
-  }
 }

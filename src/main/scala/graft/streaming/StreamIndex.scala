@@ -95,34 +95,43 @@ object StreamIndex {
     * — every merge input is read from the stores, never from the
     * documents. The fold COMMITS with the single `compact.staging` →
     * `delta=base@<maxId>` rename (see the object doc for why that makes
-    * every crash point safe); the deletes after it are garbage
-    * collection of dirs [[deltaDirs]] already ignores, and a failed
-    * delete/rename throws rather than silently leaving state behind.
-    * Single-writer contract (one streaming query per index root), as
-    * [[StreamRollup.compact]]. */
-  def compact(spark: SparkSession, root: String, buckets: Int = 8): Unit = {
-    val dirs = deltaDirs(spark, root)
-    DeltaLayout.foldTarget(dirs).foreach { maxId =>
-      val cells = dirs.map(d =>
-        spark.read.format("cellstore").load(d)
+    * every crash point safe). Concurrent-writer-GUARDED since round 17
+    * ([[DeltaLayout.guardedCommit]] — the discipline the IVF rebuild
+    * earned in round 16, applied here): a slice that lands after the
+    * fold read its input aborts the commit loudly pre-rename and is
+    * refused GC post-rename — the single-writer contract is enforced,
+    * not documented. */
+  def compact(spark: SparkSession, root: String, buckets: Int = 8): Unit =
+    compactFrom(spark, root, deltaDirs(spark, root), buckets)
+
+  /** [[compact]] from an explicit live-set snapshot — the seam the race
+    * specs inject through (a slice landing after the snapshot must end
+    * loud, never silently folded or swept). */
+  private[graft] def compactFrom(spark: SparkSession, root: String,
+      dirs: Seq[String], buckets: Int = 8): Unit =
+    DeltaLayout.foldTarget(dirs) match {
+      case Some(maxId) =>
+        val cells = dirs.map(d =>
+          spark.read.format("cellstore").load(d)
+            .select(col("rowKey"), col("family"), col("qualifier"),
+              col("ts"), col("cellType"), col("value")))
+          .reduce(_ unionByName _)
+        val plain = cells.filter(col("family") === "post" || col("family") === "pos")
+        val summed = cells
+          .filter(col("family") === "df" || col("family") === "meta")
+          .groupBy(col("rowKey"), col("family"), col("qualifier"),
+            col("ts"), col("cellType"))
+          .agg(graft.model.CellTable.bigEndianKey(
+            sum(graft.model.CellTable.keyToLong(col("value")))).as("value"))
           .select(col("rowKey"), col("family"), col("qualifier"),
-            col("ts"), col("cellType"), col("value")))
-        .reduce(_ unionByName _)
-      val plain = cells.filter(col("family") === "post" || col("family") === "pos")
-      val summed = cells
-        .filter(col("family") === "df" || col("family") === "meta")
-        .groupBy(col("rowKey"), col("family"), col("qualifier"),
-          col("ts"), col("cellType"))
-        .agg(graft.model.CellTable.bigEndianKey(
-          sum(graft.model.CellTable.keyToLong(col("value")))).as("value"))
-        .select(col("rowKey"), col("family"), col("qualifier"),
-          col("ts"), col("cellType"), col("value"))
-      val merged = plain.unionByName(summed).localCheckpoint()
-      // staged under the ignored name; overwrite clears a crashed pass
-      merged.write.format("cellstore").option("buckets", buckets.toString)
-        .mode("overwrite").save(s"$root/${DeltaLayout.Staging}")
-      DeltaLayout.commitFold(spark, root, maxId)
+            col("ts"), col("cellType"), col("value"))
+        val merged = plain.unionByName(summed).localCheckpoint()
+        // staged under the ignored name; overwrite clears a crashed pass
+        merged.write.format("cellstore").option("buckets", buckets.toString)
+          .mode("overwrite").save(s"$root/${DeltaLayout.Staging}")
+        DeltaLayout.guardedCommit(spark, root, dirs, maxId, "index compact",
+          "re-append the raced batches (replay-idempotent), then compact " +
+            "again")
+      case None => DeltaLayout.gcStale(spark, root)
     }
-    DeltaLayout.gcStale(spark, root)
-  }
 }

@@ -109,7 +109,19 @@ object StreamRollup {
     * single-writer contract (one streaming query per rollup) makes the
     * simple order safe. */
   def compact(spark: SparkSession, r: RollupRewrite.Rollup): Unit = {
-    val all = spark.read.parquet(r.rollupPath)
+    // snapshot the slice set FIRST and fold/delete EXACTLY it: the old
+    // re-list-before-delete swept any slice that landed while the
+    // compact ran — un-folded, silently (the gcStale race class,
+    // rollup flavor). With the snapshot, a concurrent slice simply
+    // stays live as a valid partial (merged() re-aggregates partials),
+    // so this root needs no abort path at all.
+    val root = new org.apache.hadoop.fs.Path(r.rollupPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val slices = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta="))
+      .map(_.getPath)
+    val all = spark.read.option("basePath", r.rollupPath)
+      .parquet(slices.map(_.toString): _*)
     val aggs =
       r.sums.values.toSeq.map(p => sum(col(p)).cast(
         all.schema(p).dataType).as(p)) ++
@@ -127,15 +139,13 @@ object StreamRollup {
     // and FAIL on a false delete: FileSystem reports most failures by
     // return value, and an unremoved slice corrupts every merged() /
     // rewrite-rule read from then on.
-    val root = new org.apache.hadoop.fs.Path(r.rollupPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta=b") &&
-        s.getPath.getName != "delta=base") // batch slices only, not the target
-      .foreach { s =>
-        if (!fs.delete(s.getPath, true))
+    slices
+      .filter(p => p.getName.startsWith("delta=b") &&
+        p.getName != "delta=base") // batch slices only, not the target
+      .foreach { p =>
+        if (!fs.delete(p, true))
           throw new IllegalStateException(
-            s"rollup compact: cannot remove folded slice ${s.getPath}")
+            s"rollup compact: cannot remove folded slice $p")
       }
   }
 

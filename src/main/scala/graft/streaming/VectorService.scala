@@ -33,19 +33,30 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object VectorService {
 
-  /** Drain + stop the service's streams, rebuild at `nlist`, return the
-    * new model for the restarted streams. */
+  /** Drain + stop the service's streams, then run `rebuild` and return
+    * its model — the swap PARAMETERIZED over the layout kind (round 17:
+    * it was hard-wired to the float layout; the composed code layouts
+    * rebuild too — pass e.g. `IvfBqIndex.rebuildIndex(...)` or
+    * `IvfPqIndex.rebuildIndex(...)` and the drain/stop/commit
+    * coordination is identical, because all three share
+    * [[IvfIndex.commitRebuild]]'s staging discipline and stamp). */
+  def coordinatedSwap[M](streams: Seq[StreamingQuery])(rebuild: => M): M = {
+    streams.foreach(_.processAllAvailable())
+    streams.foreach(_.stop())
+    streams.foreach(_.awaitTermination())
+    rebuild
+  }
+
+  /** Drain + stop the service's streams, rebuild the FLOAT layout at
+    * `nlist`, return the new model for the restarted streams — the
+    * [[coordinatedSwap]] instantiation the float service uses. */
   def coordinatedRebuild(
       spark: SparkSession,
       path: String,
       nlist: Int,
       streams: Seq[StreamingQuery],
-      iters: Int = 3): IvfIndex.Model = {
-    streams.foreach(_.processAllAvailable())
-    streams.foreach(_.stop())
-    streams.foreach(_.awaitTermination())
-    IvfIndex.rebuildIndex(spark, path, nlist, iters)
-  }
+      iters: Int = 3): IvfIndex.Model =
+    coordinatedSwap(streams)(IvfIndex.rebuildIndex(spark, path, nlist, iters))
 
   // --- service lifecycle audit (q_vector_service) ----------------------
 
@@ -194,6 +205,11 @@ object VectorService {
     val a = serviceAudit(spark, sfDir)
     import spark.implicits._
     val truth = a.truthPairs.toDF("query_id", "vec_id")
+    // recall denominator = the truth set's OWN size (the legRecallQuery
+    // discipline; the oracle derives it as count(*) over its truth CTE)
+    // — a hard-coded queries×k literal understates recall silently on a
+    // corpus smaller than k+1 and can drift from the oracle's literal
+    val denom = a.truthPairs.size
     def servedMatches(out: String, name: String) =
       StreamAnnServe.results(spark, out)
         .select("query_id", "vec_id")
@@ -210,10 +226,10 @@ object VectorService {
       lit(a.fpAfterOk).as("fp_after_ok"),
       lit(a.fpChanged).as("fp_changed"),
       col("n_matches_before"),
-      expr("n_matches_before * 1000000 div 100").as("before_recall_micro"),
+      expr(s"n_matches_before * 1000000 div $denom").as("before_recall_micro"),
       col("n_matches_after"),
-      expr("n_matches_after * 1000000 div 100").as("after_recall_micro"),
-      (expr("n_matches_after * 1000000 div 100") >= lit(500000L))
+      expr(s"n_matches_after * 1000000 div $denom").as("after_recall_micro"),
+      (expr(s"n_matches_after * 1000000 div $denom") >= lit(500000L))
         .as("within_floor"))
   }
 }

@@ -60,6 +60,36 @@ class StreamEdgesSpec extends AnyFunSuite with SparkTestBase {
     assert(dirs.length == 1 && dirs.head.startsWith("delta=base@"))
   }
 
+  test("edge compact aborts loudly on a slice landing after its snapshot; merged edges intact") {
+    import graft.streaming.DeltaLayout
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-edges-race").toString
+    def writeSlice(id: Long, rows: (Long, Long, Long)*): Unit =
+      rows.toSeq.toDF("src", "dst", "w").write.parquet(s"$root/delta=b$id")
+    writeSlice(0L, (1L, 2L, 1L), (2L, 3L, 1L))
+    writeSlice(1L, (1L, 2L, 2L))
+
+    // the fold fixes its input HERE; a slice lands during the merge
+    val snapshot = DeltaLayout.liveDirs(spark, root)
+    writeSlice(2L, (3L, 4L, 5L))
+    val e = intercept[IllegalStateException](
+      StreamEdges.compactFrom(spark, root, snapshot))
+    assert(e.getMessage.contains("edge compact raced a concurrent writer"))
+
+    // nothing folded, nothing swept: the merged view still sums ALL slices
+    def merged() = StreamEdges.mergedEdges(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged() == Set((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 5L)))
+
+    // writer quiesced: the next compact folds everything
+    StreamEdges.compact(spark, root)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+      .map(_.getName).toSeq
+    assert(dirs == Seq("delta=base@2"))
+    assert(merged() == Set((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 5L)))
+  }
+
   test("a null item is a chain breaker (as batch lag), not a crash or an invented edge") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-streamedges-null").toString

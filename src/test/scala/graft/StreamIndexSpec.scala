@@ -69,4 +69,67 @@ class StreamIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(deltaNames() == Seq("delta=base@1"), "GC must sweep stale slices")
     assert(got() == expected)
   }
+
+  test("compact aborts loudly on a slice landing after its snapshot; nothing folded, nothing GC'd") {
+    import graft.streaming.DeltaLayout
+    val base = java.nio.file.Files.createTempDirectory("graft-sidx-race").toString
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def slice(kk: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === kk)
+    val terms = Seq("merge", "sort", "window")
+    val root = s"$base/idx"
+    StreamIndex.initialize(spark, slice(0), root, buckets = 4)
+    StreamIndex.appendBatch(slice(1), batchId = 1L, root, buckets = 4)
+
+    // the fold fixes its input HERE; a slice lands during the merge —
+    // the interleaving that used to be swept silently by gcStale under
+    // the single-writer-by-contract note, now enforced loudly
+    val snapshot = DeltaLayout.liveDirs(spark, root)
+    StreamIndex.appendBatch(slice(2), batchId = 2L, root, buckets = 4)
+    val e = intercept[IllegalStateException](
+      StreamIndex.compactFrom(spark, root, snapshot, buckets = 4))
+    assert(e.getMessage.contains("index compact raced a concurrent writer"))
+
+    // live set untouched: every slice still present, ranking still equals
+    // a from-scratch index of the full corpus
+    def deltaNames() = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+      .map(_.getName).toSeq.sorted
+    assert(deltaNames() == Seq("delta=b1", "delta=b2", "delta=base"))
+    val fullDir = s"$base/full"
+    InvertedIndex.buildIndex(spark, docs, fullDir, buckets = 4)
+    def ranking(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("rank"))).toSeq
+    assert(ranking(StreamIndex.searchAll(spark, root, terms, 20)) ==
+      ranking(InvertedIndex.search(spark, fullDir, terms, 20)))
+
+    // writer quiesced: the next compact folds everything
+    StreamIndex.compact(spark, root, buckets = 4)
+    assert(deltaNames() == Seq("delta=base@2"))
+    assert(ranking(StreamIndex.searchAll(spark, root, terms, 20)) ==
+      ranking(InvertedIndex.search(spark, fullDir, terms, 20)))
+  }
+
+  test("post-commit guard: a slice the fold claims but never read is refused GC, loudly") {
+    import graft.streaming.DeltaLayout
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-refusegc").toString
+    Seq((1L, 1L)).toDF("k", "v").write.parquet(s"$root/delta=b0")
+    Seq((2L, 1L)).toDF("k", "v").write.parquet(s"$root/delta=b1")
+    val snap = DeltaLayout.liveDirs(spark, root)
+    // a fold through gen=1 whose snapshot HAD b1: both slices claimed and
+    // read — no refusal
+    DeltaLayout.refuseGcOnConcurrent(spark, root, snap, 1L, "compact", "h")
+    // gen=0 with b1 outside the claim (id 1 > 0): b1 stays live — no refusal
+    DeltaLayout.refuseGcOnConcurrent(spark, root,
+      snap.filterNot(_.contains("delta=b1")), 0L, "compact", "h")
+    // a fold claiming gen=1 that never READ b1 (landed in the commit
+    // window): loud, and the slice must survive
+    val e = intercept[IllegalStateException](
+      DeltaLayout.refuseGcOnConcurrent(spark, root,
+        snap.filterNot(_.contains("delta=b1")), 1L, "compact", "h"))
+    assert(e.getMessage.contains("NOT in the new base"))
+    assert(new java.io.File(s"$root/delta=b1").exists())
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IvfIndex, IvfPqIndex, PqIndex}
+import graft.operators.{IvfBqIndex, IvfIndex, IvfPqIndex, PqIndex}
 import graft.sources.Tables
 import graft.streaming.{DeltaLayout, StreamAnnServe, VectorIngest, VectorService}
 import org.apache.spark.sql.functions._
@@ -70,6 +70,100 @@ class VectorServiceSpec extends AnyFunSuite with SparkTestBase {
       IvfPqIndex.searchIndex(spark, dir, emb, q, m2, k = 5, nprobe = 8, r = 20)
         .count())
     assert(e.getMessage.contains("fingerprint mismatch"))
+  }
+
+  test("rebuild guards against its TRAINING-time snapshot: a slice landing after it aborts loudly, nothing lost") {
+    val a = IvfIndex.train(emb, nlist = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebuild_race").toString
+    IvfIndex.writeIndex(emb.filter(col("vec_id") % 2 === 0), a, dir)
+    // the rebuild fixes its input HERE (rebuildIndex's pre-training
+    // snapshot); a slice appended at any later point — i.e. during the
+    // long training window — must abort the commit, not be counted into
+    // the fold generation while absent from the staged base (the
+    // round-16 guards compared against a post-training listing, which
+    // silently folded exactly this interleaving)
+    val snapshot = IvfIndex.liveSliceDirs(spark, dir)
+    IvfIndex.appendToIndex(emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding", "label"), a, dir, batchId = 0L)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.commitRebuild(spark, dir,
+        IvfIndex.assign(emb.filter(col("vec_id") % 2 === 0), a),
+        Some(a.fingerprint), snapshot)
+    }
+    assert(e.getMessage.contains("raced a concurrent writer"))
+    // aborted cleanly: old stamp live, staging discarded, EVERY vector
+    // — including the concurrent slice's — still readable
+    assert(IvfIndex.layoutFingerprint(spark, dir).contains(a.fingerprint))
+    assert(!new java.io.File(s"$dir/compact.staging").exists())
+    assert(IvfIndex.readIndex(spark, dir).count() == emb.count())
+    // after the writer quiesces, the rebuild goes through and folds all
+    val b = IvfIndex.rebuildIndex(spark, dir, nlist = 4, iters = 1)
+    assert(IvfIndex.layoutFingerprint(spark, dir).contains(b.fingerprint))
+    assert(IvfIndex.readIndex(spark, dir).count() == emb.count())
+  }
+
+  test("append racing a rebuild self-heals: slice rolled back, loud throw, reads stay clean") {
+    val a = IvfIndex.train(emb, nlist = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_race").toString
+    IvfBqIndex.writeIndex(emb, a, dir)
+    // flip the layout under the appender's feet (the race's timing: its
+    // entry check passed against model a, the rebuild committed before
+    // its slice verified) — then drive the verified append with the OLD
+    // fingerprint, as the shared helper sees it mid-race
+    val b = IvfBqIndex.rebuildIndex(spark, dir, emb, nlist = 4, iters = 1)
+    assert(IvfIndex.layoutFingerprint(spark, dir)
+      .contains(IvfBqIndex.fingerprintOf(b)))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.appendSliceVerified(IvfIndex.assign(emb.limit(2), a),
+        dir, batchId = 99L, IvfBqIndex.fingerprintOf(a))
+    }
+    assert(e.getMessage.contains("append raced a rebuild"))
+    // self-healed: the orphan is GONE (not left for readers to trip on)
+    assert(!new java.io.File(s"$dir/delta=b99").exists())
+    assert(IvfIndex.readIndex(spark, dir).count() == emb.count())
+  }
+
+  test("composed BQ layout: coordinated swap drains ingest, rebuilds the code layout, stale model rejected") {
+    val a = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_bq_svc").toString
+    val dir = s"$base/bq"
+    IvfBqIndex.writeIndex(emb.filter(col("vec_id") % 2 === 0), a, dir)
+
+    // live ingest of the odd half INTO THE CODE LAYOUT (sign codes are
+    // assigned and encoded per batch — the bq flavor of VectorIngest)
+    val staging = s"$base/stage"
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$staging/b1")
+    val ingest = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+      .parquet(staging)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfBqIndex.appendToIndex(b, a, dir))
+      .start()
+    ingest.processAllAvailable()
+    assert(IvfIndex.readIndex(spark, dir).count() == emb.count())
+
+    // the swap, PARAMETERIZED over the layout kind: same drain/stop
+    // coordination, the code layout's own rebuild (coarse retrain only —
+    // the sign encode is training-free)
+    val b = VectorService.coordinatedSwap(Seq(ingest))(
+      IvfBqIndex.rebuildIndex(spark, dir, emb, nlist = 8, iters = 2))
+    assert(IvfIndex.layoutFingerprint(spark, dir)
+      .contains(IvfBqIndex.fingerprintOf(b)))
+    // drained swap loses nothing
+    assert(IvfIndex.readIndex(spark, dir).count() == emb.count())
+
+    // stale coarse model: search AND append rejected loudly post-rebuild
+    val q = emb.filter(col("vec_id") < 2)
+    val eSearch = intercept[IllegalStateException](
+      IvfBqIndex.searchIndex(spark, dir, emb, q, a, k = 5, nprobe = 2, r = 10))
+    assert(eSearch.getMessage.contains("fingerprint mismatch"))
+    val eAppend = intercept[IllegalStateException](
+      IvfBqIndex.appendToIndex(emb.limit(1), a, dir))
+    assert(eAppend.getMessage.contains("fingerprint mismatch"))
+    // the rebuilt model serves the rebuilt layout
+    assert(IvfBqIndex.searchIndex(spark, dir, emb, q, b,
+      k = 5, nprobe = 8, r = 20).count() == 10)
   }
 
   test("coordinated rebuild: drained swap loses nothing; restarted streams carry the new model") {
