@@ -837,36 +837,30 @@ object SparkEntry {
           .filter(pred))
       .select(col("media_id").as("vec_id"), col("embedding"))
 
-  /** The media index's serving probe, memoized per corpus: the
-    * [[operators.IvfIndex.servingNprobe]] discipline applied to the
-    * media feature space — a probe curve measured ONCE over the media
+  /** The media index's serving probe — [[operators.ServingProbe.decide]]
+    * keyed `media:<corpus>`: a probe curve measured ONCE over the media
     * index (exact baseline paid at build, like the pack curve), the
-    * autotuned decision bounded to the 2×√nlist band. With this, EVERY
-    * serving probe in the engine is justified by a measured curve. */
-  private val mediaServingCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
-  private def mediaServingNprobe(spark: SparkSession, sfDir: String): Int =
-    mediaServingCache.computeIfAbsent(sfDir, { _ =>
-      val (model, dir) = mediaIndex(spark, sfDir)
+    * autotuned decision bounded to the 2×√nlist band. Every serving
+    * probe in the engine rides this one module; `targetMicro` is the
+    * per-index recall-target knob (default 0.9 — the capstone floors
+    * are pinned at it). */
+  private def mediaServingNprobe(spark: SparkSession, sfDir: String,
+      targetMicro: Long = operators.ServingProbe.DefaultTargetMicro): Int = {
+    val (model, dir) = mediaIndex(spark, sfDir)
+    operators.ServingProbe.decide(s"media:$sfDir", model.nlist, targetMicro) {
       val feats = mediaFeats(spark, sfDir)
-      val curve = IvfIndex.probeCurve(spark, dir, feats,
+      IvfIndex.probeCurve(spark, dir, feats,
         feats.filter(col("vec_id") < 5), model, k = 20)
-      Integer.valueOf(IvfIndex.servingDecision(curve, model.nlist))
-    }).intValue()
-
-  /** The one media serving decision of this session, if any — feeds the
-    * media oracle replays (the cachedServingNprobe contract). */
-  private def cachedMediaServingNprobe: Option[Int] = {
-    val vs = mediaServingCache.values()
-    if (vs.size() == 1) Some(vs.iterator().next().intValue()) else None
+    }
   }
 
-  /** The probe the media oracle replays at — the cached decision, with
-    * the heuristic fallback for sessions that never served. */
-  private def mediaOracleNprobe(m: operators.IvfIndex.Model): Int =
-    cachedMediaServingNprobe
-      .getOrElse(operators.IvfIndex.scaledNprobe(m.nlist))
+  /** The probe the media oracle replays at — [[operators.ServingProbe
+    * .oracleProbe]]: the served decision when unambiguous, the heuristic
+    * for sessions that never served, None (oracle omitted → rows-only)
+    * when a multi-corpus JVM holds several media serving decisions. */
+  private def mediaOracleNprobe(m: operators.IvfIndex.Model): Option[Int] =
+    operators.ServingProbe.oracleProbe("media:",
+      operators.IvfIndex.scaledNprobe(m.nlist))
 
   /** Index-served media ANN leg: search the media-feature IVF index at
     * the serving probe (autotuned — [[mediaServingNprobe]]); `pred`
@@ -1566,14 +1560,14 @@ object SparkEntry {
     * the RAG capstone can embed the whole fused ranking as a subquery
     * (DuckDB accepts WITH inside a parenthesized subquery — the
     * AnnRecall composition pattern). */
-  private def hybridOracleSql(m: operators.IvfIndex.Model): String =
+  private def hybridOracleSql(m: operators.IvfIndex.Model, np: Int): String =
     s"""${cellsCteOf(m)},
           lex AS ($bm25OracleSql),
           probes0 AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
               SELECT vec_id, ev, cell,
                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
               FROM sc WHERE vec_id = 0) t
-            WHERE rn <= ${packServingNprobe(m)}),
+            WHERE rn <= $np),
           semscored AS (SELECT c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
                         FROM cells c JOIN probes0 p
                           ON c.cell = p.cell AND c.vec_id != p.query_id),
@@ -1828,13 +1822,15 @@ object SparkEntry {
                FROM sc) t WHERE rn = 1)"""
   }
 
-  /** The probe the PACK-SERVED legs replay at: the session's autotuned
-    * serving decision (queries ran before oracle generation populated
-    * it — the cachedModel contract, probe side), falling back to the
-    * heuristic for sessions that never served a pack search. */
-  private def packServingNprobe(m: operators.IvfIndex.Model): Int =
-    operators.IvfIndex.cachedServingNprobe
-      .getOrElse(operators.IvfIndex.scaledNprobe(m.nlist))
+  /** The probe the PACK-SERVED legs replay at — [[operators.ServingProbe
+    * .oracleProbe]]: the session's autotuned decision when unambiguous
+    * (queries ran before oracle generation populated it — the
+    * cachedModel contract, probe side), the heuristic for sessions that
+    * never served a pack search, None (oracle omitted → rows-only) when
+    * a multi-corpus JVM holds several pack serving decisions. */
+  private def packOracleNprobe(m: operators.IvfIndex.Model): Option[Int] =
+    operators.ServingProbe.oracleProbe("pack:",
+      operators.IvfIndex.scaledNprobe(m.nlist))
 
   /** One full IVF search statement over the pack model: probe the
     * `nprobe` nearest cells for the queries `queryPred` selects,
@@ -2157,15 +2153,17 @@ object SparkEntry {
 
   /** q_hybrid_search + q_rag_e2e — model-dependent since round 15 (the
     * semantic leg replays the pack-IVF probe); omitted (rows-only) when
-    * the session never trained the pack model. */
+    * the session never trained the pack model OR holds several pack
+    * serving decisions (the probe's by-omission contract). */
   private def hybridRagOracle: Map[String, String] =
-    operators.IvfIndex.cachedModel.map { m =>
+    (for (m <- operators.IvfIndex.cachedModel;
+          np <- packOracleNprobe(m)) yield {
       Map(
         // Hybrid retrieval: RRF fusion of the replayed BM25 ranking with
         // the replayed INDEX-SERVED cosine top-20 (probe = vec_id 0) on
         // integer RRF points — floor of ONE correctly-rounded division
         // per rank, so the fused order is bit-identical cross-engine
-        "q_hybrid_search" -> hybridOracleSql(m),
+        "q_hybrid_search" -> hybridOracleSql(m, np),
         // RAG capstone: the whole fused hybrid ranking embedded as a
         // subquery, relevance = (21 − rank)·50000 linear rank decay, then
         // the ten unrolled MMR greedy steps (λ = 0.7) over embedding
@@ -2175,7 +2173,7 @@ object SparkEntry {
           s"""WITH cand AS MATERIALIZED (
                 SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS vec_id,
                        CAST((21 - rank) * 50000 AS BIGINT) AS rel
-                FROM ( ${hybridOracleSql(m)} ) h),
+                FROM ( ${hybridOracleSql(m, np)} ) h),
               e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
               ce AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, e.ev
                     FROM cand JOIN e ON e.vec_id = cand.vec_id),
@@ -2187,7 +2185,7 @@ object SparkEntry {
               SELECT vec_id AS doc_id, rel, mmr_rank FROM (
               $unionPicks) z"""
         })
-    }.getOrElse(Map.empty)
+    }).getOrElse(Map.empty)
 
   /** The media-IVF assignment CTE fragment (appended after
     * [[mediaEmbCtesSql]], which supplies `emb`): centroid VALUES of the
@@ -2210,14 +2208,14 @@ object SparkEntry {
   /** One full media-IVF search statement: the [[ivfSearchSql]] twin over
     * the media feature space (stub-encoder replay + probe + rank). */
   private def mediaIvfSearchSql(m: operators.IvfIndex.Model,
-      queryPred: String, k: Int): String =
+      queryPred: String, k: Int, np: Int): String =
     s"""WITH $mediaEmbCtesSql,
            ${mediaCellsFragment(m)},
            probesm AS (SELECT vec_id AS query_id, ev AS qv, cell FROM (
              SELECT vec_id, ev, cell,
                     row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
              FROM scm WHERE $queryPred) t
-             WHERE rn <= ${mediaOracleNprobe(m)}),
+             WHERE rn <= $np),
            scoredm AS (
              SELECT p.query_id, c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
              FROM cellsm c JOIN probesm p
@@ -2261,12 +2259,12 @@ object SparkEntry {
     * splitmix64 stub-encoder replay), so the engine's MOB-resolved path
     * must reproduce it byte for byte. */
   private def mediaIvfOracle: Map[String, String] =
-    cachedMediaModel.map { m =>
+    (for (m <- cachedMediaModel; np <- mediaOracleNprobe(m)) yield {
       Map(
         // Media features → ANN through the media IVF index: stub-encoder
         // replay, probe from the cached centroids, bit-exact cosine
         // top-10 for the first 3 media ids.
-        "q_media_ann" -> mediaIvfSearchSql(m, "vec_id < 3", 10),
+        "q_media_ann" -> mediaIvfSearchSql(m, "vec_id < 3", 10, np),
         // Cross-modal RAG capstone: the BM25 lexical leg fused (RRF, the
         // q_hybrid_search math) with the INDEX-SERVED media-feature leg,
         // then the ten unrolled MMR greedy steps over media-feature
@@ -2280,7 +2278,7 @@ object SparkEntry {
                 SELECT vec_id, ev, cell,
                        row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
                 FROM scm WHERE vec_id = 0) t
-                WHERE rn <= ${mediaOracleNprobe(m)}),
+                WHERE rn <= $np),
               semscored AS (SELECT c.vec_id, ${cosineSql("c.ev", "p.qv")} AS cosine
                             FROM cellsm c JOIN probesm p
                               ON c.cell = p.cell AND c.vec_id != p.query_id),
@@ -2319,14 +2317,17 @@ object SparkEntry {
               SELECT vec_id AS doc_id, rel, mmr_rank FROM (
               $unionPicks) z"""
         })
-    }.getOrElse(Map.empty)
+    }).getOrElse(Map.empty)
 
   /** q_ann_leg_recall — the recall gate for the index-served capstone
     * legs, composed from the SAME generated leg statements the per-query
     * oracles verify, each intersected with its replayed exact truth.
-    * Needs both session models; omitted (rows-only) otherwise. */
+    * Needs both session models and unambiguous serving probes; omitted
+    * (rows-only) otherwise. */
   private def legRecallOracle: Map[String, String] =
-    (for (m1 <- operators.IvfIndex.cachedModel; m2 <- cachedMediaModel) yield {
+    (for (m1 <- operators.IvfIndex.cachedModel; m2 <- cachedMediaModel;
+          npPack <- packOracleNprobe(m1);
+          npMedia <- mediaOracleNprobe(m2)) yield {
       def row(tier: String, gotSql: String, truthSql: String) =
         s"""SELECT '$tier' AS tier,
               CAST((SELECT count(*)
@@ -2335,12 +2336,11 @@ object SparkEntry {
                       USING (query_id, vec_id)) AS BIGINT) AS n_matches,
               CAST((SELECT count(*) FROM ( $truthSql ) t2) AS BIGINT) AS denom"""
       val rows = Seq(
-        row("hybrid_sem", ivfSearchSql(m1, "vec_id = 0", 20,
-          packServingNprobe(m1)),
+        row("hybrid_sem", ivfSearchSql(m1, "vec_id = 0", 20, npPack),
           embBruteSql("vec_id = 0", 20)),
-        row("media_sem", mediaIvfSearchSql(m2, "vec_id = 0", 20),
+        row("media_sem", mediaIvfSearchSql(m2, "vec_id = 0", 20, npMedia),
           mediaBruteSql("vec_id = 0", 20)),
-        row("media_ann", mediaIvfSearchSql(m2, "vec_id < 3", 10),
+        row("media_ann", mediaIvfSearchSql(m2, "vec_id < 3", 10, npMedia),
           mediaBruteSql("vec_id < 3", 10)))
         .mkString("\n          UNION ALL\n          ")
       Map("q_ann_leg_recall" ->

@@ -838,44 +838,34 @@ object IvfIndex {
     autotuneNprobe(probeCurveQuery(spark, sfDir), targetMicro = 900000L)
 
   /** The serving probe a measured curve justifies — [[autotuneNprobe]]'s
-    * choice (cheapest ladder step meeting the 0.9 target) BOUNDED by the
-    * scale contract: when no step qualifies, or the qualifying step
-    * costs more than 2×⌊√nlist⌋, fall back to / cap at the heuristic
-    * band — a curve that needs more than twice the heuristic to hit 0.9
-    * is a rebuild signal, not a serving budget (serving near nlist
-    * would reopen the linear path the index exists to close). Recall
-    * is monotone in nprobe (probed cells are supersets), so every
-    * branch serves at ≥ the probed recall of its own band. */
-  def servingDecision(curve: DataFrame, nlist: Int): Int = {
-    val d = autotuneNprobe(curve, targetMicro = 900000L).head()
+    * choice (cheapest ladder step meeting `targetMicro` — the PER-INDEX
+    * recall target, default 0.9) BOUNDED by the scale contract: when no
+    * step qualifies, or the qualifying step costs more than 2×⌊√nlist⌋,
+    * fall back to / cap at the heuristic band — a curve that needs more
+    * than twice the heuristic to hit its target is a rebuild signal,
+    * not a serving budget (serving near nlist would reopen the linear
+    * path the index exists to close). Recall is monotone in nprobe
+    * (probed cells are supersets), so every branch serves at ≥ the
+    * probed recall of its own band. */
+  def servingDecision(curve: DataFrame, nlist: Int,
+      targetMicro: Long = ServingProbe.DefaultTargetMicro): Int = {
+    val d = autotuneNprobe(curve, targetMicro).head()
     val heuristic = scaledNprobe(nlist)
     if (!d.getAs[Boolean]("meets_target")) heuristic
     else math.min(d.getAs[Long]("nprobe").toInt, 2 * heuristic)
   }
 
-  /** The pack index's serving probe, memoized per corpus: the AUTOTUNED
-    * decision read off the memoized probe curve — closing the loop
-    * q_ivf_autotune opens, so capstone legs serve at the probe budget
-    * the measured curve justifies instead of the √nlist heuristic.
-    * Deterministic (the curve is), and ALWAYS derived through the curve
-    * (built on first use, amortized by [[probeCurveQuery]]'s cache) so
-    * the served probe never depends on which query ran first. */
-  private val servingNprobeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
-  def servingNprobe(spark: SparkSession, sfDir: String): Int =
-    servingNprobeCache.computeIfAbsent(sfDir, { _ =>
-      val (model, _) = packIndex(spark, sfDir)
-      Integer.valueOf(
-        servingDecision(probeCurveQuery(spark, sfDir), model.nlist))
-    }).intValue()
-
-  /** The one serving decision of this session, if any — the
-    * [[cachedModel]] contract for the probe: oracle generators replay
-    * the capstone legs at exactly the probe the engine served. */
-  def cachedServingNprobe: Option[Int] = {
-    val vs = servingNprobeCache.values()
-    if (vs.size() == 1) Some(vs.iterator().next().intValue()) else None
+  /** The pack index's serving probe — [[ServingProbe.decide]] keyed
+    * `pack:<corpus>` over the memoized probe curve, closing the loop
+    * q_ivf_autotune opens: capstone legs serve at the probe budget the
+    * measured curve justifies instead of the √nlist heuristic.
+    * `targetMicro` is the per-index recall-target knob (capstone floors
+    * are pinned at the default). */
+  def servingNprobe(spark: SparkSession, sfDir: String,
+      targetMicro: Long = ServingProbe.DefaultTargetMicro): Int = {
+    val (model, _) = packIndex(spark, sfDir)
+    ServingProbe.decide(s"pack:$sfDir", model.nlist, targetMicro)(
+      probeCurveQuery(spark, sfDir))
   }
 
   // --- rebuild lifecycle audit (q_ivf_rebuild) -------------------------

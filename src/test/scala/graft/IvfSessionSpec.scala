@@ -503,6 +503,32 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
       (2L, 100L, 10L, 100000L), (32L, 3200L, 95L, 950000L)), nlist) == 16)
   }
 
+  test("ServingProbe: per-index target moves the decision; memoized; oracle omits on ambiguity") {
+    import graft.operators.ServingProbe
+    import spark.implicits._
+    def curve(rows: (Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("nprobe", "n_candidates", "n_matches", "recall_micro")
+    val c = curve((2L, 100L, 80L, 800000L), (4L, 200L, 95L, 950000L),
+      (8L, 400L, 100L, 1000000L))
+    val nlist = 64
+    // default target 0.9 → cheapest qualifying step 4; a per-index
+    // target of 0.75 moves the SAME root's decision to step 2 — the
+    // knob deployments trade probe cost against leg recall with
+    assert(ServingProbe.decide("spec:a", nlist)(c) == 4)
+    assert(ServingProbe.decide("spec:a", nlist, targetMicro = 750000L)(c) == 2)
+    // memoized per (root, target): the curve thunk must NOT re-run
+    assert(ServingProbe.decide("spec:a", nlist)(sys.error("re-ran")) == 4)
+    // oracle replay contract: several decisions under a prefix →
+    // ambiguous → None (caller omits the oracle, rows-only) — never a
+    // silent heuristic while the engine served autotuned probes
+    assert(ServingProbe.oracleProbe("spec:a", heuristic = 8).isEmpty)
+    // never-served prefix → the heuristic (engine and oracle agree)
+    assert(ServingProbe.oracleProbe("spec:never", 8).contains(8))
+    // exactly one decision → exactly it
+    assert(ServingProbe.decide("spec:b", nlist)(c) == 4)
+    assert(ServingProbe.oracleProbe("spec:b", 8).contains(4))
+  }
+
   test("IvfPq fingerprint frames codebook shape: same float stream, different (m,k) differ") {
     import graft.operators.{IvfPqIndex, PqIndex}
     val coarse = IvfIndex.Model(Seq(Seq(1f, 0f), Seq(0f, 1f)))
