@@ -1282,6 +1282,7 @@ object SparkEntry {
     "q_ivf_autotune"   -> (IvfIndex.autotuneQuery _),
     "q_ivf_rebuild"    -> (IvfIndex.rebuildAuditQuery _),
     "q_vector_service" -> (graft.streaming.VectorService.serviceAuditQuery _),
+    "q_service_policy" -> (graft.streaming.VectorService.servicePolicyQuery _),
     "q_ivf_drift"      -> (IvfIndex.driftCheckQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
@@ -2149,6 +2150,60 @@ object SparkEntry {
                   nma.n_matches_after * 1000000 // nt.n AS after_recall_micro,
                   nma.n_matches_after * 1000000 // nt.n >= 500000 AS within_floor
            FROM ab CROSS JOIN nmb CROSS JOIN nma CROSS JOIN nt""")
+    }.getOrElse(Map.empty)
+
+  /** q_service_policy oracle — both policy decisions re-derived from the
+    * cached pack centroids: assignments replay relationally (the
+    * q_vector_service delta construction, shared), the health numbers
+    * are integer-exact, and the CHOICE evaluates the SAME comparison /
+    * CASE-ladder text the engine row does
+    * ([[graft.streaming.VectorService.nlistLadderSql]] emitted
+    * verbatim). Omitted (rows-only) when the session never trained the
+    * pack model. */
+  private def servicePolicyOracle: Map[String, String] =
+    operators.IvfIndex.cachedModel.map { m =>
+      def skewSql(t: String) =
+        s"CAST(floor(CAST($t.mx * $t.n_cells AS DOUBLE) / CAST($t.s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+      val deltaSelects = operators.IvfIndex.RebuildDeltaOffsets.map(off =>
+          s"SELECT vec_id + $off AS vec_id, ev FROM donors")
+        .mkString("\n             UNION ALL ")
+      def policySelect(t: String, name: String) = {
+        val mean = s"($t.s * 1000000) // $t.n_cells"
+        val occ = s"$mean > ${256L * 1000000L}"
+        s"""SELECT '$name' AS index_name, $t.n_cells, $t.s AS n_total,
+               $mean AS mean_micro,
+               ${skewSql(t)} AS skew_micro,
+               ${skewSql(t)} > 2000000 AS skew_exceeded,
+               $occ AS occupancy_exceeded,
+               (${skewSql(t)} > 2000000) OR ($occ) AS rebuild,
+               ${graft.streaming.VectorService.nlistLadderSql(s"$t.s")} AS next_nlist
+             FROM $t"""
+      }
+      Map("q_service_policy" ->
+        s"""${cellsCteOf(m)},
+            pop1 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                     FROM cells GROUP BY 1),
+            s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, max(n) AS mx,
+                          CAST(sum(n) AS BIGINT) AS s FROM pop1),
+            donor AS (SELECT cell FROM pop1 ORDER BY n DESC, cell ASC LIMIT 1),
+            donors AS (SELECT vec_id, ev FROM cells
+                       WHERE cell = (SELECT cell FROM donor)),
+            delta AS ($deltaSelects),
+            un AS (SELECT vec_id, ev FROM e
+                   UNION ALL SELECT vec_id, ev FROM delta),
+            scd AS (SELECT u.vec_id, c.cell, list_dot_product(u.ev, c.cv) AS s
+                    FROM un u CROSS JOIN cent c),
+            cellsd AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+              FROM scd) t WHERE rn = 1),
+            pop2 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                     FROM cellsd GROUP BY 1),
+            s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, max(n) AS mx,
+                          CAST(sum(n) AS BIGINT) AS s FROM pop2)
+           ${policySelect("s1", "pack")}
+           UNION ALL
+           ${policySelect("s2", "drifted")}""")
     }.getOrElse(Map.empty)
 
   /** q_hybrid_search + q_rag_e2e — model-dependent since round 15 (the
@@ -3055,6 +3110,7 @@ object SparkEntry {
 
   private def oracleSqlBase: Map[String, String] =
     ivfOracle ++ ivfRebuildOracle ++ vectorServiceOracle ++
+      servicePolicyOracle ++
       hybridRagOracle ++ mediaIvfOracle ++
       legRecallOracle ++ pqOracle ++ opqOracle ++ ivfpqOracle ++
       ivfpqResidualOracle ++

@@ -58,6 +58,95 @@ object VectorService {
       iters: Int = 3): IvfIndex.Model =
     coordinatedSwap(streams)(IvfIndex.rebuildIndex(spark, path, nlist, iters))
 
+  // --- drift-triggered rebuild policy (q_service_policy) ---------------
+
+  /** The nlist a repair should retrain at, as a generated integer CASE
+    * ladder over a total-count column — [[IvfIndex.scaledNlist]]'s exact
+    * doubling walk expressed in SQL text, shared VERBATIM by the engine
+    * row (`expr`) and the DuckDB oracle replay, so both derive the same
+    * literal from the same count. */
+  private[graft] def nlistLadderSql(totalCol: String,
+      targetCell: Long = 256L, minNlist: Int = 8,
+      maxNlist: Int = 4096): String = {
+    val steps = Iterator.iterate(minNlist)(_ * 2).takeWhile(_ < maxNlist)
+      .map(nl => s"WHEN $totalCol <= ${targetCell * nl} THEN $nl")
+      .mkString(" ")
+    s"CAST(CASE $steps ELSE $maxNlist END AS BIGINT)"
+  }
+
+  /** One rebuild-policy row over a LOGICAL cell assignment — the
+    * decision [[coordinatedRebuild]] leaves to the operator, made from
+    * the drift report's integer-exact numbers (the autotuneNprobe
+    * discipline applied to the rebuild trigger): rebuild when max/mean
+    * cell skew exceeds `maxSkew` (probe-cost alarm — a mega-cell makes
+    * every probe that hits it read far more than nprobe/nlist of the
+    * corpus) OR when mean occupancy exceeds `targetCell` (capacity
+    * alarm — cells outgrew the [[IvfIndex.scaledNlist]] ladder step, so
+    * per-probe cost grows with n even at perfect balance). Every number
+    * is derived by integer comparison / the standard scaled-integer
+    * half-up quantization, so an oracle re-derives the same CHOICE;
+    * `next_nlist` is the ladder step the repair should retrain at. */
+  def rebuildPolicy(assigned: DataFrame, name: String,
+      maxSkewMicro: Long = 2000000L, targetCell: Long = 256L): DataFrame =
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("bigint").as("n_cells"),
+        sum(col("n")).cast("bigint").as("_sum"),
+        max(col("n")).as("_mx"))
+      .select(
+        lit(name).as("index_name"),
+        col("n_cells"),
+        col("_sum").as("n_total"),
+        expr("_sum * 1000000 div n_cells").as("mean_micro"),
+        floor(col("_mx").cast("double") * col("n_cells").cast("double") /
+            col("_sum").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("bigint").as("skew_micro"))
+      .withColumn("skew_exceeded", col("skew_micro") > lit(maxSkewMicro))
+      .withColumn("occupancy_exceeded",
+        col("mean_micro") > lit(targetCell * 1000000L))
+      .withColumn("rebuild",
+        col("skew_exceeded") || col("occupancy_exceeded"))
+      .withColumn("next_nlist",
+        expr(nlistLadderSql("n_total", targetCell)))
+
+  /** The computed policy rows memoized per corpus as driver data (two
+    * rows) — the serving-probe decision's build-once discipline: the
+    * policy is consulted per maintenance cycle, not recomputed per
+    * evaluation. Deterministic (assignments under the cached pack model
+    * are). */
+  private val policyCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+             Seq[org.apache.spark.sql.Row])]()
+
+  /** Query-pack adapter: the rebuild-decision artifact over TWO states
+    * of the pack feature space — the live balanced corpus (the policy
+    * must NOT fire) and the q_vector_service drifted construction (the
+    * donor cell cloned at each [[IvfIndex.RebuildDeltaOffsets]] offset —
+    * the policy MUST fire through the skew alarm). The oracle re-derives
+    * assignments, health numbers, and the CHOICE from the cached pack
+    * centroids, so a policy regression flips a driver hash, not a log
+    * line. */
+  def servicePolicyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (schema, rows) = policyCache.computeIfAbsent(sfDir, { _ =>
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      val m = IvfIndex.packModel(spark, sfDir)
+      val assigned = IvfIndex.assign(emb, m)
+      val donorCell = assigned.groupBy("cell").count()
+        .orderBy(col("count").desc, col("cell").asc)
+        .limit(1).head().getAs[Int]("cell")
+      val delta = IvfIndex.RebuildDeltaOffsets.map(off =>
+          assigned.filter(col("cell") === donorCell)
+            .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val drifted = IvfIndex.assign(emb.unionByName(delta), m)
+      val out = rebuildPolicy(assigned, "pack")
+        .unionByName(rebuildPolicy(drifted, "drifted"))
+      (out.schema, out.collect().toSeq)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   // --- service lifecycle audit (q_vector_service) ----------------------
 
   /** Build-time facts of the audit, captured once per (JVM, corpus):

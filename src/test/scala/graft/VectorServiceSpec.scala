@@ -72,6 +72,38 @@ class VectorServiceSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("fingerprint mismatch"))
   }
 
+  test("rebuild policy: skew and occupancy alarms fire independently; ladder matches scaledNlist") {
+    import spark.implicits._
+    def assigned(cells: Int*) = cells.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("vec_id", "cell")
+    // balanced, under-occupied: neither alarm → no rebuild
+    val bal = VectorService.rebuildPolicy(
+      assigned(0, 0, 1, 1, 2, 2, 3, 3), "bal").head()
+    assert(!bal.getAs[Boolean]("skew_exceeded") &&
+      !bal.getAs[Boolean]("occupancy_exceeded") &&
+      !bal.getAs[Boolean]("rebuild"))
+    // a mega-cell: skew 10·3/12 = 2.5 > 2 → rebuild via the skew alarm
+    val sk = VectorService.rebuildPolicy(
+      assigned(Seq.fill(10)(0) ++ Seq(1, 2): _*), "sk").head()
+    assert(sk.getAs[Long]("skew_micro") == 2500000L)
+    assert(sk.getAs[Boolean]("skew_exceeded") &&
+      !sk.getAs[Boolean]("occupancy_exceeded") &&
+      sk.getAs[Boolean]("rebuild"))
+    // perfectly balanced but OVER-OCCUPIED cells (mean 3 > targetCell 2):
+    // rebuild via the capacity alarm alone
+    val oc = VectorService.rebuildPolicy(
+      assigned(0, 0, 0, 1, 1, 1), "oc", targetCell = 2L).head()
+    assert(oc.getAs[Boolean]("occupancy_exceeded") &&
+      !oc.getAs[Boolean]("skew_exceeded") &&
+      oc.getAs[Boolean]("rebuild"))
+    // the next_nlist CASE ladder is EXACTLY scaledNlist's doubling walk
+    for (n <- Seq(1L, 2048L, 2049L, 99999L, 1048576L, 10000000000L))
+      assert(spark.sql(
+        s"SELECT ${VectorService.nlistLadderSql(n.toString)} AS nl")
+        .head().getLong(0) == IvfIndex.scaledNlist(n).toLong,
+        s"ladder diverges from scaledNlist at n=$n")
+  }
+
   test("rebuild guards against its TRAINING-time snapshot: a slice landing after it aborts loudly, nothing lost") {
     val a = IvfIndex.train(emb, nlist = 4, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("graft_rebuild_race").toString
