@@ -46,6 +46,29 @@ object ModelStore {
       .write.mode("overwrite").parquet(s"$path/pca")
   }
 
+  /** IVF coarse-quantizer persistence, (cell, dim, value) float rows —
+    * FLOAT-BIT EXACT through parquet's float32 physical type, so the
+    * loaded model's fingerprint equals the saved one's and the layout
+    * stamp ([[IvfIndex.requireModelMatches]]) survives the round-trip:
+    * this is what lets separate CLI PROCESSES share one index safely —
+    * every invocation re-loads the artifact, and a stale artifact fails
+    * the stamp loudly exactly like a stale in-memory model. */
+  def saveIvfModel(spark: SparkSession, m: IvfIndex.Model, path: String): Unit = {
+    import spark.implicits._
+    val rows = for (c <- m.centroids.indices; d <- m.centroids(c).indices)
+      yield (c, d, m.centroids(c)(d))
+    rows.toDF("cell", "dim", "value")
+      .write.mode("overwrite").parquet(s"$path/ivf")
+  }
+
+  def loadIvfModel(spark: SparkSession, path: String): IvfIndex.Model = {
+    val rows = spark.read.parquet(s"$path/ivf").collect()
+    val byCell = rows.groupBy(_.getAs[Int]("cell")).toSeq.sortBy(_._1)
+    IvfIndex.Model(byCell.map { case (_, rs) =>
+      rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Float]("value")).toSeq
+    })
+  }
+
   def loadPcaModel(spark: SparkSession, path: String): EmbeddingPca.Model = {
     val rows = spark.read.parquet(s"$path/pca").collect()
     def of(kind: String) = rows.filter(_.getAs[String]("kind") == kind)

@@ -88,7 +88,17 @@ object VectorService {
     * `next_nlist` is the ladder step the repair should retrain at. */
   def rebuildPolicy(assigned: DataFrame, name: String,
       maxSkewMicro: Long = 2000000L, targetCell: Long = 256L): DataFrame =
-    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    rebuildPolicyFromCounts(
+      assigned.groupBy(col("cell")).agg(count(lit(1)).as("n")),
+      name, maxSkewMicro, targetCell)
+
+  /** [[rebuildPolicy]] over PRE-AGGREGATED per-cell counts (`cell`, `n`)
+    * — the shape [[IvfIndex.cellStats]] already produces from parquet
+    * footers alone, so a status probe of a persisted index costs no
+    * data pages (the VectorServiceMain `status` path). */
+  def rebuildPolicyFromCounts(counts: DataFrame, name: String,
+      maxSkewMicro: Long = 2000000L, targetCell: Long = 256L): DataFrame =
+    counts
       .agg(count(lit(1)).cast("bigint").as("n_cells"),
         sum(col("n")).cast("bigint").as("_sum"),
         max(col("n")).as("_mx"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.cli.{Args, CopyRowMain, CorpusCleanMain, CorruptRowsMain, ImportTsvMain}
+import graft.cli.{Args, CopyRowMain, CorpusCleanMain, CorruptRowsMain, ImportTsvMain, VectorServiceMain}
 import graft.model.CellTable
 import graft.sources.Catalog
 import org.apache.spark.sql.SaveMode
@@ -16,6 +16,68 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
 
   private def ex(body: => Any): Int =
     try { body; -1 } catch { case e: Args.CliExit => e.code }
+
+  test("VectorService CLI: build → status → ingest → serve → rebuild; stale artifact rejected") {
+    import graft.operators.{IvfIndex, ModelStore}
+    val base = java.nio.file.Files.createTempDirectory("graft_vsvc_cli").toString
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/corpus")
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(s"$base/delta")
+    emb.filter(col("vec_id") < 2).write.parquet(s"$base/queries")
+    val (idx, model) = (s"$base/idx", s"$base/model")
+    def go(args: String*) = VectorServiceMain.run(spark, args.toArray)
+
+    val b = go("--action", "build", "--indexDir", idx, "--modelDir", model,
+      "--input", s"$base/corpus", "--iters", "1")
+    assert(b("N_VECTORS").toLong == emb.filter(col("vec_id") % 2 === 0).count())
+
+    // status is footer-only and internally consistent: the decision IS
+    // the disjunction of its alarms, next_nlist follows the ladder
+    val st = go("--action", "status", "--indexDir", idx, "--modelDir", model)
+    assert(st("REBUILD").toBoolean ==
+      (st("SKEW_EXCEEDED").toBoolean || st("OCCUPANCY_EXCEEDED").toBoolean))
+    assert(st("NEXT_NLIST").toLong ==
+      IvfIndex.scaledNlist(st("N_TOTAL").toLong).toLong)
+
+    // ingest drains the delta exactly-once; a re-invocation on the SAME
+    // checkpoint finds nothing new and appends nothing
+    val ing = go("--action", "ingest", "--indexDir", idx, "--modelDir", model,
+      "--input", s"$base/delta", "--checkpoint", s"$base/ckpt1")
+    assert(ing("N_TOTAL").toLong == emb.count())
+    val ing2 = go("--action", "ingest", "--indexDir", idx, "--modelDir", model,
+      "--input", s"$base/delta", "--checkpoint", s"$base/ckpt1")
+    assert(ing2("N_TOTAL").toLong == emb.count())
+
+    val sv = go("--action", "serve", "--indexDir", idx, "--modelDir", model,
+      "--input", s"$base/queries", "--out", s"$base/out",
+      "--checkpoint", s"$base/ckpt2", "--k", "5", "--nprobe", "2")
+    assert(sv("N_ANSWERS").toLong == 10)
+
+    // rebuild retrains + swaps + saves the new artifact; the OLD artifact
+    // (a stale process's memory) fails the stamp loudly
+    val stale = ModelStore.loadIvfModel(spark, model)
+    assert(stale.fingerprint == b("FINGERPRINT"))
+    val rb = go("--action", "rebuild", "--indexDir", idx, "--modelDir", model,
+      "--iters", "1")
+    assert(rb("REBUILT") == "true" && rb("FINGERPRINT") != b("FINGERPRINT"))
+    val e = intercept[IllegalStateException](IvfIndex.searchIndex(spark, idx,
+      emb.filter(col("vec_id") < 2), stale, k = 5, nprobe = 2))
+    assert(e.getMessage.contains("fingerprint mismatch"))
+    // the re-loaded (rebuilt) artifact serves on the new generation
+    val sv2 = go("--action", "serve", "--indexDir", idx, "--modelDir", model,
+      "--input", s"$base/queries", "--out", s"$base/out2",
+      "--checkpoint", s"$base/ckpt3", "--k", "5")
+    assert(sv2("N_ANSWERS").toLong == 10)
+
+    // flag surface (the D1 parser contract): unknown flag, missing
+    // mandatory, unknown action — all usage + exit 1
+    assert(ex(go("--action", "status", "--indexDir", idx,
+      "--modelDir", model, "--bogus", "1")) == 1)
+    assert(ex(go("--action", "build", "--indexDir", idx)) == 1)
+    assert(ex(go("--action", "nope", "--indexDir", idx,
+      "--modelDir", model)) == 1)
+  }
 
   test("catalog parses ns:table, ns.table, and bare identifiers") {
     assert(Catalog.parse("prod:customers") == Catalog.Ident("prod", "customers"))
