@@ -118,6 +118,29 @@ object VectorService {
       .withColumn("next_nlist",
         expr(nlistLadderSql("n_total", targetCell)))
 
+  /** The policy CONSULTED, then acted on — the service's maintenance
+    * entry point: read the persisted layout's health from parquet
+    * footers alone ([[IvfIndex.cellStats]], no data pages), evaluate
+    * [[rebuildPolicyFromCounts]], and only when the decision fires run
+    * the [[coordinatedSwap]] at the policy's own `next_nlist`. Returns
+    * the new model when a rebuild happened, None when the index is
+    * healthy — in which case the running streams are NEVER touched (a
+    * no-op maintenance cycle must not bounce a live service). */
+  def maintainIfNeeded(
+      spark: SparkSession,
+      path: String,
+      streams: Seq[StreamingQuery],
+      maxSkewMicro: Long = 2000000L,
+      targetCell: Long = 256L,
+      iters: Int = 3): Option[IvfIndex.Model] = {
+    val d = rebuildPolicyFromCounts(
+      IvfIndex.cellStats(spark, path).withColumnRenamed("n_vectors", "n"),
+      path, maxSkewMicro, targetCell).head()
+    if (!d.getAs[Boolean]("rebuild")) None
+    else Some(coordinatedRebuild(spark, path,
+      d.getAs[Long]("next_nlist").toInt, streams, iters))
+  }
+
   /** The computed policy rows memoized per corpus as driver data (two
     * rows) — the serving-probe decision's build-once discipline: the
     * policy is consulted per maintenance cycle, not recomputed per

@@ -104,6 +104,58 @@ class VectorServiceSpec extends AnyFunSuite with SparkTestBase {
         s"ladder diverges from scaledNlist at n=$n")
   }
 
+  test("maintainIfNeeded: healthy index untouched; drifted index swapped at the policy's next_nlist") {
+    val a = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val dir = s"$base/idx"
+    IvfIndex.writeIndex(emb, a, dir)
+    def policy() = VectorService.rebuildPolicyFromCounts(
+      IvfIndex.cellStats(spark, dir).withColumnRenamed("n_vectors", "n"),
+      dir).head()
+
+    // first maintenance cycle: whatever the tiny fixture's health is,
+    // maintainIfNeeded must AGREE with the policy row — swap iff it
+    // fires, leave the stamp byte-identical iff it does not
+    val stamp0 = IvfIndex.layoutFingerprint(spark, dir)
+    val first = VectorService.maintainIfNeeded(spark, dir, Seq.empty)
+    val current = first.getOrElse(a)
+    if (first.isEmpty)
+      assert(IvfIndex.layoutFingerprint(spark, dir) == stamp0,
+        "a no-op maintenance cycle must not touch the layout")
+    else
+      assert(IvfIndex.layoutFingerprint(spark, dir)
+        .contains(current.fingerprint))
+    // steady state: a second cycle right after is ALWAYS a no-op for
+    // the skew alarm (the stratified reseed repairs balance)
+    assert(!policy().getAs[Boolean]("skew_exceeded"))
+
+    // force drift: clone the largest cell 4x (the capstone construction)
+    val assigned = IvfIndex.assign(emb, current)
+    val donorCell = assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell").asc)
+      .limit(1).head().getAs[Int]("cell")
+    IvfIndex.RebuildDeltaOffsets.foreach { off =>
+      IvfIndex.appendToIndex(
+        assigned.filter(col("cell") === donorCell)
+          .select((col("vec_id") + off).as("vec_id"), col("embedding")),
+        current, dir)
+    }
+    val nTotal = IvfIndex.cellStats(spark, dir)
+      .agg(sum(col("n_vectors"))).head().getLong(0)
+    val decision = policy()
+    assert(decision.getAs[Boolean]("rebuild"),
+      "the 4x donor clone must trip the skew alarm")
+    val swapped = VectorService.maintainIfNeeded(spark, dir, Seq.empty)
+    assert(swapped.nonEmpty, "a firing policy must trigger the swap")
+    // swapped at the policy's own next_nlist; nothing lost; stamp flipped
+    assert(swapped.get.nlist == decision.getAs[Long]("next_nlist").toInt)
+    assert(IvfIndex.layoutFingerprint(spark, dir)
+      .contains(swapped.get.fingerprint))
+    assert(IvfIndex.readIndex(spark, dir).count() == nTotal)
+    // post-repair: the skew alarm is cleared (stratified reseed)
+    assert(!policy().getAs[Boolean]("skew_exceeded"))
+  }
+
   test("rebuild guards against its TRAINING-time snapshot: a slice landing after it aborts loudly, nothing lost") {
     val a = IvfIndex.train(emb, nlist = 4, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("graft_rebuild_race").toString
