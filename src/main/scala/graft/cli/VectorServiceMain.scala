@@ -36,12 +36,31 @@ object VectorServiceMain {
       |         [--input <parquet dir>]  vectors (build/ingest) or queries (serve)
       |         [--out <dir>]            served-answer root (serve)
       |         [--checkpoint <dir>]     stream checkpoint (ingest/serve)
-      |         [--nlist <n>] [--iters <n>]          build/rebuild
+      |         [--nlist <n>] [--iters <n>] [--recallTarget <0..1>]  build/rebuild
       |         [--k <n>] [--nprobe <n>]             serve
       |         [--maxSkew <ratio>] [--targetCell <n>]  status""".stripMargin
 
   val Known = Set("action", "indexDir", "modelDir", "input", "out",
-    "checkpoint", "nlist", "iters", "k", "nprobe", "maxSkew", "targetCell")
+    "checkpoint", "nlist", "iters", "k", "nprobe", "maxSkew", "targetCell",
+    "recallTarget")
+
+  /** Measure the probe curve over the just-written layout (first 5
+    * vectors by id as the tuning queries — the pack convention), take
+    * the bounded autotuned decision at the per-index recall target, and
+    * ship it WITH the model artifact: a later `serve` process defaults
+    * to the measured probe instead of the heuristic (the "no unmeasured
+    * serving probe" doctrine, across processes). Paid once at
+    * build/rebuild — the exact baseline is the same one-off cost the
+    * pack curve pays. */
+  private def measureAndSaveServing(spark: SparkSession, indexDir: String,
+      modelDir: String, m: IvfIndex.Model, corpus: org.apache.spark.sql.DataFrame,
+      targetMicro: Long): Int = {
+    val queries = corpus.orderBy("vec_id").limit(5)
+    val curve = IvfIndex.probeCurve(spark, indexDir, corpus, queries, m, k = 20)
+    val np = IvfIndex.servingDecision(curve, m.nlist, targetMicro)
+    ModelStore.saveServingProbe(spark, np, targetMicro, modelDir)
+    np
+  }
 
   def run(spark: SparkSession, args: Array[String]): Map[String, String] = {
     val p = Args.parse(args, Known, Usage)
@@ -59,7 +78,13 @@ object VectorServiceMain {
         val m = IvfIndex.train(corpus, nlist, p.long("iters", 3L).toInt)
         IvfIndex.writeIndex(corpus, m, indexDir)
         ModelStore.saveIvfModel(spark, m, modelDir)
+        val target = math.floor(
+          p.get("recallTarget").map(_.toDouble).getOrElse(0.9) * 1000000.0)
+          .toLong
+        val np = measureAndSaveServing(spark, indexDir, modelDir, m, corpus,
+          target)
         Seq("N_VECTORS" -> n.toString, "NLIST" -> nlist.toString,
+          "SERVING_NPROBE" -> np.toString,
           "FINGERPRINT" -> m.fingerprint)
 
       case "ingest" =>
@@ -78,10 +103,14 @@ object VectorServiceMain {
         val outDir = p.required("out", Usage)
         val queries = spark.readStream
           .schema(spark.read.parquet(input).schema).parquet(input)
+        // probe precedence: explicit flag > the artifact's MEASURED
+        // decision (shipped by build/rebuild) > the √nlist heuristic
+        // (legacy artifacts without a serving row)
+        val nprobe = p.get("nprobe").map(_.toInt)
+          .orElse(ModelStore.loadServingProbe(spark, modelDir))
+          .getOrElse(IvfIndex.scaledNprobe(m.nlist))
         val q = StreamAnnServe.start(queries, m, indexDir, outDir,
-          checkpoint, k = p.long("k", 10L).toInt,
-          nprobe =
-            p.long("nprobe", IvfIndex.scaledNprobe(m.nlist).toLong).toInt,
+          checkpoint, k = p.long("k", 10L).toInt, nprobe = nprobe,
           trigger = Trigger.AvailableNow())
         try q.awaitTermination() finally q.stop()
         Seq("N_ANSWERS" ->
@@ -113,7 +142,17 @@ object VectorServiceMain {
         val m2 = IvfIndex.rebuildIndex(spark, indexDir, nlist,
           p.long("iters", 3L).toInt)
         ModelStore.saveIvfModel(spark, m2, modelDir)
-        Seq("NLIST" -> nlist.toString, "FINGERPRINT" -> m2.fingerprint,
+        // the layout changed → the old measured decision is stale;
+        // re-measure over the rebuilt layout and re-ship it
+        val target = math.floor(
+          p.get("recallTarget").map(_.toDouble).getOrElse(0.9) * 1000000.0)
+          .toLong
+        val np = measureAndSaveServing(spark, indexDir, modelDir, m2,
+          IvfIndex.readIndex(spark, indexDir).select("vec_id", "embedding"),
+          target)
+        Seq("NLIST" -> nlist.toString,
+          "SERVING_NPROBE" -> np.toString,
+          "FINGERPRINT" -> m2.fingerprint,
           "REBUILT" -> "true")
 
       case other => Args.die(s"unknown action: $other", Usage)

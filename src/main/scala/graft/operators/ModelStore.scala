@@ -69,6 +69,26 @@ object ModelStore {
     })
   }
 
+  /** The index's MEASURED serving decision persisted next to its model
+    * — (nprobe, target) one-row parquet: a fresh CLI process cannot
+    * re-derive the curve it never measured, so the build/rebuild that
+    * DID measure it ships the decision with the artifact and `serve`
+    * defaults to it (the engine-wide "no unmeasured serving probe"
+    * doctrine, across processes). */
+  def saveServingProbe(spark: SparkSession, nprobe: Int, targetMicro: Long,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq((nprobe, targetMicro)).toDF("nprobe", "target_micro")
+      .write.mode("overwrite").parquet(s"$path/serving")
+  }
+
+  def loadServingProbe(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/serving")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).head().getAs[Int]("nprobe"))
+  }
+
   def loadPcaModel(spark: SparkSession, path: String): EmbeddingPca.Model = {
     val rows = spark.read.parquet(s"$path/pca").collect()
     def of(kind: String) = rows.filter(_.getAs[String]("kind") == kind)

@@ -31,6 +31,14 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     val b = go("--action", "build", "--indexDir", idx, "--modelDir", model,
       "--input", s"$base/corpus", "--iters", "1")
     assert(b("N_VECTORS").toLong == emb.filter(col("vec_id") % 2 === 0).count())
+    // the build MEASURES its serving decision and ships it with the
+    // artifact — bounded to the 2x-heuristic band like every serving
+    // probe in the engine — and a later serve PROCESS defaults to it
+    val nlistBuilt = b("NLIST").toInt
+    assert(b("SERVING_NPROBE").toInt >= 1 &&
+      b("SERVING_NPROBE").toInt <= 2 * IvfIndex.scaledNprobe(nlistBuilt))
+    assert(ModelStore.loadServingProbe(spark, model)
+      .contains(b("SERVING_NPROBE").toInt))
 
     // status is footer-only and internally consistent: the decision IS
     // the disjunction of its alarms, next_nlist follows the ladder
@@ -61,6 +69,9 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     val rb = go("--action", "rebuild", "--indexDir", idx, "--modelDir", model,
       "--iters", "1")
     assert(rb("REBUILT") == "true" && rb("FINGERPRINT") != b("FINGERPRINT"))
+    // the rebuilt layout re-measures and re-ships its serving decision
+    assert(ModelStore.loadServingProbe(spark, model)
+      .contains(rb("SERVING_NPROBE").toInt))
     val e = intercept[IllegalStateException](IvfIndex.searchIndex(spark, idx,
       emb.filter(col("vec_id") < 2), stale, k = 5, nprobe = 2))
     assert(e.getMessage.contains("fingerprint mismatch"))
