@@ -178,6 +178,30 @@ object DeltaLayout {
     gcStale(spark, root)
   }
 
+  /** Fold an APPEND-ONLY output root (per-batch FACT slices — served
+    * answers, diagnostic outputs) into the next base generation by
+    * plain CONCATENATION, committed under the concurrent-writer guards:
+    * rows are disjoint per batch, so the fold is a union with no
+    * re-aggregation. At scale a long-running output stream otherwise
+    * accumulates one directory per micro-batch forever — the data stays
+    * correct, but every reader's slice listing grows without bound. */
+  def compactConcat(spark: SparkSession, root: String): Unit =
+    compactConcatFrom(spark, root, liveDirs(spark, root))
+
+  /** [[compactConcat]] from an explicit snapshot — the race-spec seam. */
+  private[graft] def compactConcatFrom(spark: SparkSession, root: String,
+      dirs: Seq[String]): Unit =
+    foldTarget(dirs) match {
+      case Some(maxId) =>
+        // checkpoint pins the union BEFORE the commit GCs its source
+        // slices (the StreamEdges.compact convention)
+        val all = spark.read.parquet(dirs: _*).localCheckpoint()
+        all.write.mode("overwrite").parquet(s"$root/$Staging")
+        guardedCommit(spark, root, dirs, maxId, "output compact",
+          "re-run the raced batches (replay-idempotent), then compact again")
+      case None => gcStale(spark, root)
+    }
+
   /** Remove every base older than the newest generation and every batch
     * slice it folded — including garbage a crashed pass left. Failed
     * deletes throw rather than leaving state to drift silently. */

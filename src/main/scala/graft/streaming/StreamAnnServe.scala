@@ -72,4 +72,14 @@ object StreamAnnServe {
     require(dirs.nonEmpty, s"no served results under $out")
     spark.read.parquet(dirs: _*)
   }
+
+  /** Fold the answer slices into one base generation
+    * ([[DeltaLayout.compactConcat]] — answers are per-batch facts, the
+    * fold is a union): run occasionally so the output root's slice
+    * count — and with it every [[results]] listing — stays bounded no
+    * matter how many batches were served. Guarded like every fold in
+    * the engine: an answer slice committed by a concurrent serve batch
+    * aborts the fold loudly instead of being swept un-read. */
+  def compact(spark: SparkSession, out: String): Unit =
+    DeltaLayout.compactConcat(spark, out)
 }

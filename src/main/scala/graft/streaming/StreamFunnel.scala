@@ -246,6 +246,31 @@ object StreamFunnel {
     org.apache.spark.sql.types.StructField("depth",
       org.apache.spark.sql.types.IntegerType)))
 
+  /** Fold the per-batch depth slices into one base generation holding
+    * each user's MAX depth — exactly the merge [[counts]] applies on
+    * read (max is idempotent and commutative, so fold∘merge ≡ merge),
+    * committed under the [[DeltaLayout.guardedCommit]] concurrent-
+    * writer guards. Bounds the slice count — and every [[counts]]
+    * listing — under a long-running funnel stream. */
+  def compact(spark: SparkSession, root: String): Unit =
+    compactFrom(spark, root, DeltaLayout.liveDirs(spark, root))
+
+  /** [[compact]] from an explicit snapshot — the race-spec seam. */
+  private[graft] def compactFrom(spark: SparkSession, root: String,
+      dirs: Seq[String]): Unit =
+    DeltaLayout.foldTarget(dirs) match {
+      case Some(maxId) =>
+        val folded = spark.read.schema(DepthSchema).parquet(dirs: _*)
+          .groupBy(col("userId")).agg(max(col("depth")).as("depth"))
+          .localCheckpoint()
+        folded.write.mode("overwrite")
+          .parquet(s"$root/${DeltaLayout.Staging}")
+        DeltaLayout.guardedCommit(spark, root, dirs, maxId,
+          "funnel compact",
+          "re-run the raced batches (replay-idempotent), then compact again")
+      case None => DeltaLayout.gcStale(spark, root)
+    }
+
   /** The live step table: per-user max depth across slices → counts.
     * Slices list via [[DeltaLayout.liveDirs]] and read with an explicit
     * schema (the [[StreamEdges.mergedEdges]] hardening): a run whose

@@ -64,5 +64,35 @@ class StreamAnnServeSpec extends AnyFunSuite with SparkTestBase {
     assert(late.getAs[Long]("vec_id") == 1000000L,
       s"appended duplicate must top the later batch: $late")
     assert(math.abs(late.getAs[Double]("cosine") - 1.0) < 1e-9)
+
+    // output compaction: the answer slices fold into ONE base generation
+    // with results() content identical — the slice count (and every
+    // later listing) is bounded no matter how many batches were served
+    val before = keyed(StreamAnnServe.results(spark, out).drop("batch_id"))
+    StreamAnnServe.compact(spark, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+      .map(_.getName).toSeq
+    assert(dirs.length == 1 && dirs.head.startsWith("delta=base@"),
+      s"compaction must leave one base generation, got $dirs")
+    assert(keyed(StreamAnnServe.results(spark, out).drop("batch_id")) == before)
+
+    // guarded: an answer slice landing after the fold's snapshot aborts
+    // loudly — nothing folded, nothing swept (the engine-wide rule)
+    import graft.streaming.DeltaLayout
+    StreamAnnServe.serveBatch(spark, model, idx, out, k = 10, nprobe = 3)(
+      queries.filter(col("vec_id") === 1L), 100L)
+    val snap = DeltaLayout.liveDirs(spark, out) // base + b100
+    StreamAnnServe.serveBatch(spark, model, idx, out, k = 10, nprobe = 3)(
+      queries.filter(col("vec_id") === 2L), 101L)
+    val e = intercept[IllegalStateException](
+      DeltaLayout.compactConcatFrom(spark, out, snap))
+    assert(e.getMessage.contains("output compact raced a concurrent writer"))
+    assert(new java.io.File(s"$out/delta=b100").exists() &&
+      new java.io.File(s"$out/delta=b101").exists())
+    // quiesced: the next compact folds both late slices
+    StreamAnnServe.compact(spark, out)
+    assert(StreamAnnServe.results(spark, out)
+      .filter(col("batch_id").isin(100L, 101L)).count() == 20)
   }
 }

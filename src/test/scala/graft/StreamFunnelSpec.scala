@@ -105,6 +105,43 @@ class StreamFunnelSpec extends AnyFunSuite with SparkTestBase {
       s"a replayed event must not advance the funnel, got $counts")
   }
 
+  test("funnel compaction folds per-user max depth; counts unchanged; guarded") {
+    import graft.streaming.{DeltaLayout, StreamFunnel}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-funnel-compact").toString
+    Seq((1L, 1), (2L, 2)).toDF("userId", "depth")
+      .write.parquet(s"$root/delta=b0")
+    Seq((1L, 3), (3L, 1)).toDF("userId", "depth")
+      .write.parquet(s"$root/delta=b1")
+    val steps = Seq("a", "b", "c")
+    def cnt() = StreamFunnel.counts(spark, root, steps).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val before = cnt()
+    assert(before == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+
+    // fold = the same per-user MAX the read-merge applies; counts and
+    // slice layout both collapse to one base generation
+    StreamFunnel.compact(spark, root)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("delta="))
+      .map(_.getName).toSeq
+    assert(dirs == Seq("delta=base@1"))
+    assert(cnt() == before, "compaction must not change the step counts")
+
+    // guarded: a depth slice landing after the fold's snapshot aborts
+    // loudly, nothing swept; the post-quiesce compact folds all
+    Seq((4L, 1)).toDF("userId", "depth").write.parquet(s"$root/delta=b2")
+    val snap = DeltaLayout.liveDirs(spark, root) // base@1 + b2
+    Seq((5L, 2)).toDF("userId", "depth").write.parquet(s"$root/delta=b3")
+    val e = intercept[IllegalStateException](
+      StreamFunnel.compactFrom(spark, root, snap))
+    assert(e.getMessage.contains("funnel compact raced a concurrent writer"))
+    assert(new java.io.File(s"$root/delta=b2").exists() &&
+      new java.io.File(s"$root/delta=b3").exists())
+    StreamFunnel.compact(spark, root)
+    assert(cnt() == Map(1L -> 5L, 2L -> 3L, 3L -> 1L))
+  }
+
   test("buffered: a cross-batch REGRESSED event still converts (watermark ordering)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-streamfunnel5").toString
