@@ -1283,6 +1283,7 @@ object SparkEntry {
     "q_ivf_rebuild"    -> (IvfIndex.rebuildAuditQuery _),
     "q_vector_service" -> (graft.streaming.VectorService.serviceAuditQuery _),
     "q_service_policy" -> (graft.streaming.VectorService.servicePolicyQuery _),
+    "q_compact_policy" -> (graft.streaming.VectorService.compactPolicyQuery _),
     "q_ivf_drift"      -> (IvfIndex.driftCheckQuery _),
     "q_doc_clusters"   -> (IvfIndex.clustersQuery _),
     "q_embed_outliers" -> (IvfIndex.outliersQuery _),
@@ -2167,16 +2168,16 @@ object SparkEntry {
       val deltaSelects = operators.IvfIndex.RebuildDeltaOffsets.map(off =>
           s"SELECT vec_id + $off AS vec_id, ev FROM donors")
         .mkString("\n             UNION ALL ")
-      def policySelect(t: String, name: String) = {
+      def policySelect(t: String, name: String, targetCell: Long = 256L) = {
         val mean = s"($t.s * 1000000) // $t.n_cells"
-        val occ = s"$mean > ${256L * 1000000L}"
+        val occ = s"$mean > ${targetCell * 1000000L}"
         s"""SELECT '$name' AS index_name, $t.n_cells, $t.s AS n_total,
                $mean AS mean_micro,
                ${skewSql(t)} AS skew_micro,
                ${skewSql(t)} > 2000000 AS skew_exceeded,
                $occ AS occupancy_exceeded,
                (${skewSql(t)} > 2000000) OR ($occ) AS rebuild,
-               ${graft.streaming.VectorService.nlistLadderSql(s"$t.s")} AS next_nlist
+               ${graft.streaming.VectorService.nlistLadderSql(s"$t.s", targetCell)} AS next_nlist
              FROM $t"""
       }
       Map("q_service_policy" ->
@@ -2203,7 +2204,10 @@ object SparkEntry {
                           CAST(sum(n) AS BIGINT) AS s FROM pop2)
            ${policySelect("s1", "pack")}
            UNION ALL
-           ${policySelect("s2", "drifted")}""")
+           ${policySelect("s2", "drifted")}
+           UNION ALL
+           ${policySelect("s1", "underladdered",
+             graft.streaming.VectorService.UnderladderedTargetCell)}""")
     }.getOrElse(Map.empty)
 
   /** q_hybrid_search + q_rag_e2e — model-dependent since round 15 (the
@@ -2416,7 +2420,11 @@ object SparkEntry {
     * count and recall@20 vs the exact baseline. */
   private def probeCurveOracleSql(m: operators.IvfIndex.Model,
       cellsCte: String): String = {
-    val denom = 5 * 20
+    // denominator = the truth set's own size (engine: truth.count() —
+    // ADVICE r17: the queries×k literal understates recall on a corpus
+    // smaller than k+1; on every fixture the two agree, and deriving it
+    // keeps the FORMULAS in lockstep, not just the fixture values)
+    val denom = "(SELECT count(*) FROM truth)"
     val rows = operators.IvfIndex.probeLadder(m.nlist).map { np =>
       s"""SELECT CAST($np AS BIGINT) AS nprobe,
             (SELECT count(*) FROM cells c
@@ -3116,6 +3124,24 @@ object SparkEntry {
       ivfpqResidualOracle ++
       sqOracle ++ embedOracle ++ pcaAnnOracle ++ bucketAnnOracle ++
       mrlAnnOracle ++ dsirOracle ++ ridgeOracle ++ Map(
+    // q_compact_policy: the fold-decision lifecycle. The construction
+    // puts each vec_id%4 group of the embeddings ids in its own batch
+    // slice, so the BEFORE slice count derives from the data
+    // (count(distinct vec_id % 4)); the AFTER state is compactConcat's
+    // postcondition (zero live batch slices). n_rows both sides is the
+    // real check: a fold that loses or doubles rows flips the hash.
+    "q_compact_policy" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c,
+                    CAST(count(DISTINCT vec_id % 4) AS BIGINT) AS g
+             FROM embeddings)
+         SELECT 'before' AS state, g AS n_batch_slices,
+                CAST(3 AS BIGINT) AS max_slices, g > 3 AS compact,
+                c AS n_rows
+         FROM n
+         UNION ALL
+         SELECT 'after', CAST(0 AS BIGINT), CAST(3 AS BIGINT),
+                CAST(0 AS BIGINT) > 3, c
+         FROM n""",
     "zz_probe_duckdb_version" ->
       """SELECT version() AS duckdb_version,
                 CAST(round(CAST(0.1234565 AS DOUBLE), 6) AS DECIMAL(18,6)) AS canary_r6_cast,

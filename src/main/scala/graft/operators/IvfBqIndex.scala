@@ -61,12 +61,33 @@ object IvfBqIndex {
     * rolls the slice back and throws instead of leaving an orphan every
     * later read trips on). */
   def appendToIndex(delta: DataFrame, coarse: IvfIndex.Model, path: String): Unit = {
-    val spark = delta.sparkSession
-    IvfIndex.requireModelMatches(spark, path, fingerprintOf(coarse))
-    IvfIndex.appendSliceVerified(encoded(delta, coarse), path,
-      IvfIndex.nextBatchId(spark, path), fingerprintOf(coarse))
+    appendToIndex(delta, coarse, path,
+      IvfIndex.nextBatchId(delta.sparkSession, path))
     ()
   }
+
+  /** Batch-id-addressed append (the [[IvfIndex.appendToIndex]] streaming
+    * overload, code-layout flavor): false = slice existed, replay
+    * skipped — what lets [[graft.streaming.VectorIngest.startWith]] run
+    * an exactly-once ingest stream against the BQ layout. */
+  def appendToIndex(delta: DataFrame, coarse: IvfIndex.Model, path: String,
+      batchId: Long): Boolean = {
+    val spark = delta.sparkSession
+    IvfIndex.requireModelMatches(spark, path, fingerprintOf(coarse))
+    IvfIndex.appendSliceVerified(encoded(delta, coarse), path, batchId,
+      fingerprintOf(coarse))
+  }
+
+  /** The BQ layout's measured recall/cost curve —
+    * [[IvfIndex.probeCurveWith]] over the cell-pruned Hamming search at
+    * the probed-mass rerank pool, so the service CLI's build/rebuild can
+    * ship a MEASURED serving decision with the composed artifact exactly
+    * as the float path does (`n` = corpus size, for the pool scaling). */
+  def probeCurve(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, coarse: IvfIndex.Model, k: Int, n: Long): DataFrame =
+    IvfIndex.probeCurveWith(spark, path, corpus, queries, coarse, k)(
+      (q, np) => searchIndex(spark, path, corpus, q, coarse, k, np,
+        r = math.max(k, scaledProbedPool(n, coarse.nlist, np))))
 
   /** Retrain the COARSE stage on the current corpus and re-encode —
     * the repair for a drifted code layout ([[IvfPqIndex.rebuildIndex]]'s

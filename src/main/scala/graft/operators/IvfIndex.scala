@@ -389,12 +389,8 @@ object IvfIndex {
     * newest base's folded-through generation. (A manual-append + one
     * streaming-ingest mix on one index must share this id space — see
     * [[graft.streaming.VectorIngest]].) */
-  private[operators] def nextBatchId(spark: SparkSession, path: String): Long = {
-    val ids = DeltaLayout.liveDirs(spark, path)
-      .map(d => new Path(d).getName)
-      .flatMap(n => DeltaLayout.baseGen(n).orElse(DeltaLayout.batchId(n)))
-    (ids :+ -1L).max + 1
-  }
+  private[graft] def nextBatchId(spark: SparkSession, path: String): Long =
+    DeltaLayout.nextBatchId(spark, path)
 
   /** Commit a retrained, re-assigned layout as the next base GENERATION:
     * stage under [[DeltaLayout.Staging]], fold-commit with ONE rename,
@@ -752,7 +748,21 @@ object IvfIndex {
    * AnnRecall-gate price, paid once.
    */
   def probeCurve(spark: SparkSession, path: String, corpus: DataFrame,
-      queries: DataFrame, model: Model, k: Int): DataFrame = {
+      queries: DataFrame, model: Model, k: Int): DataFrame =
+    probeCurveWith(spark, path, corpus, queries, model, k)(
+      (q, np) => searchIndex(spark, path, q, model, k, np))
+
+  /** The curve machinery with the per-step SEARCH pluggable — the
+    * composed code layouts ([[IvfBqIndex.probeCurve]],
+    * [[IvfPqIndex.probeCurve]]) measure their serving decisions off the
+    * same artifact shape (nprobe, n_candidates, n_matches, recall_micro),
+    * so [[servingDecision]]/[[ServingProbe]] read every layout kind's
+    * curve identically. The candidate COUNT is the cell-pruned join over
+    * whatever rows the layout stores (floats or codes — same count by
+    * construction: the coarse stage decides what is read). */
+  private[graft] def probeCurveWith(spark: SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, coarse: Model, k: Int)(
+      search: (DataFrame, Int) => DataFrame): DataFrame = {
     // the exact scan-bound baseline is the curve's most expensive leg:
     // checkpoint it once (the mmrSelect convention) instead of
     // re-executing it inside every ladder step's join
@@ -760,17 +770,21 @@ object IvfIndex {
       .select("query_id", "vec_id")
       .localCheckpoint()
     val assigned = readIndex(spark, path)
-    val nQueries = queries.count()
-    val denom = nQueries * k
-    probeLadder(model.nlist).map { np =>
+    // recall denominator = the truth set's OWN size, not a queries×k
+    // literal (the serviceAuditQuery discipline): on a corpus smaller
+    // than k+1 the literal understates recall silently, so a measured
+    // curve could never meet its target and servingDecision would ship
+    // the heuristic unflagged
+    val denom = truth.count()
+    probeLadder(coarse.nlist).map { np =>
       val probed = queries.select(
         col("vec_id").as("query_id"),
-        explode(probeCellsColumn(model, col("embedding"), np)).as("probe"))
+        explode(probeCellsColumn(coarse, col("embedding"), np)).as("probe"))
         .select(col("query_id"), col("probe.cell").as("cell"))
       val cands = assigned.join(broadcast(probed), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .agg(count(lit(1)).as("n_candidates"))
-      val matches = searchIndex(spark, path, queries, model, k, np)
+      val matches = search(queries, np)
         .select("query_id", "vec_id")
         .join(truth, Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("n_matches"))

@@ -136,14 +136,34 @@ object IvfPqIndex {
     * [[rebuildIndex]] is the repair. Appends are batch-id-addressed
     * slices like the float index's — replay-idempotent. */
   def appendToIndex(delta: DataFrame, model: Model, path: String): Unit = {
-    val spark = delta.sparkSession
-    IvfIndex.requireModelMatches(spark, path, model.fingerprint)
-    // stamped AND post-rename-verified — the full race closure, shared
-    // with the float layout (IvfIndex.appendSliceVerified)
-    IvfIndex.appendSliceVerified(encoded(delta, model), path,
-      IvfIndex.nextBatchId(spark, path), model.fingerprint)
+    appendToIndex(delta, model, path,
+      IvfIndex.nextBatchId(delta.sparkSession, path))
     ()
   }
+
+  /** Batch-id-addressed append (the streaming overload, PQ-code flavor):
+    * false = slice existed, replay skipped. Stamped AND
+    * post-rename-verified — the full race closure, shared with the float
+    * layout ([[IvfIndex.appendSliceVerified]]). */
+  def appendToIndex(delta: DataFrame, model: Model, path: String,
+      batchId: Long): Boolean = {
+    val spark = delta.sparkSession
+    IvfIndex.requireModelMatches(spark, path, model.fingerprint)
+    IvfIndex.appendSliceVerified(encoded(delta, model), path, batchId,
+      model.fingerprint)
+  }
+
+  /** The composed layout's measured recall/cost curve —
+    * [[IvfIndex.probeCurveWith]] over the cell-pruned ADC search at the
+    * probed-mass rerank pool ([[IvfBqIndex.scaledProbedPool]] — the same
+    * probed-fraction discipline; the pack query's fixed r=50 stays
+    * pinned to its established oracle). */
+  def probeCurve(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, model: Model, k: Int, n: Long): DataFrame =
+    IvfIndex.probeCurveWith(spark, path, corpus, queries, model.coarse, k)(
+      (q, np) => searchIndex(spark, path, corpus, q, model, k, np,
+        r = math.max(k,
+          IvfBqIndex.scaledProbedPool(n, model.coarse.nlist, np))))
 
   /** Retrain BOTH stages on the current corpus (the code layout carries
     * no floats, so the corpus frame is required — at scale it is the

@@ -46,6 +46,24 @@ object ModelStore {
       .write.mode("overwrite").parquet(s"$path/pca")
   }
 
+  /** Centroid-matrix rows (cell, dim, value) — FLOAT-BIT EXACT through
+    * parquet's float32 physical type (the device every composed-model
+    * save below shares). */
+  private def saveCentroids(spark: SparkSession,
+      centroids: Seq[Seq[Float]], dir: String): Unit = {
+    import spark.implicits._
+    val rows = for (c <- centroids.indices; d <- centroids(c).indices)
+      yield (c, d, centroids(c)(d))
+    rows.toDF("cell", "dim", "value").write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Float]] =
+    spark.read.parquet(dir).collect()
+      .groupBy(_.getAs[Int]("cell")).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Float]("value")).toSeq
+      }
+
   /** IVF coarse-quantizer persistence, (cell, dim, value) float rows —
     * FLOAT-BIT EXACT through parquet's float32 physical type, so the
     * loaded model's fingerprint equals the saved one's and the layout
@@ -53,21 +71,92 @@ object ModelStore {
     * this is what lets separate CLI PROCESSES share one index safely —
     * every invocation re-loads the artifact, and a stale artifact fails
     * the stamp loudly exactly like a stale in-memory model. */
-  def saveIvfModel(spark: SparkSession, m: IvfIndex.Model, path: String): Unit = {
+  def saveIvfModel(spark: SparkSession, m: IvfIndex.Model, path: String): Unit =
+    saveCentroids(spark, m.centroids, s"$path/ivf")
+
+  def loadIvfModel(spark: SparkSession, path: String): IvfIndex.Model =
+    IvfIndex.Model(loadCentroids(spark, s"$path/ivf"))
+
+  // --- composed-layout models (round 18: before this, only the float
+  // --- IVF model crossed a process boundary, so the composed tiers that
+  // --- gained rebuild + coordinatedSwap could not be operated from the
+  // --- service CLI at all) -------------------------------------------
+
+  /** Product codebooks as (sub, code, dim, value) float rows plus a
+    * one-row (dim, m) meta — every shape parameter of
+    * [[PqIndex.Codebooks]] is explicit, so the loaded books frame the
+    * same fingerprint ([[IvfPqIndex.Model.fingerprint]] hashes the shape
+    * before the float stream). */
+  def savePqCodebooks(spark: SparkSession, cb: PqIndex.Codebooks,
+      dir: String): Unit = {
     import spark.implicits._
-    val rows = for (c <- m.centroids.indices; d <- m.centroids(c).indices)
-      yield (c, d, m.centroids(c)(d))
-    rows.toDF("cell", "dim", "value")
-      .write.mode("overwrite").parquet(s"$path/ivf")
+    val rows = for {
+      s <- cb.books.indices; j <- cb.books(s).indices
+      d <- cb.books(s)(j).indices
+    } yield (s, j, d, cb.books(s)(j)(d))
+    rows.toDF("sub", "code", "dim", "value")
+      .write.mode("overwrite").parquet(s"$dir/books")
+    Seq((cb.dim, cb.m)).toDF("dim", "m")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  def loadIvfModel(spark: SparkSession, path: String): IvfIndex.Model = {
-    val rows = spark.read.parquet(s"$path/ivf").collect()
-    val byCell = rows.groupBy(_.getAs[Int]("cell")).toSeq.sortBy(_._1)
-    IvfIndex.Model(byCell.map { case (_, rs) =>
-      rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Float]("value")).toSeq
-    })
+  def loadPqCodebooks(spark: SparkSession, dir: String): PqIndex.Codebooks = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val rows = spark.read.parquet(s"$dir/books").collect()
+    val books = rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
+      .map { case (_, subRows) =>
+        subRows.groupBy(_.getAs[Int]("code")).toSeq.sortBy(_._1)
+          .map { case (_, cw) =>
+            cw.sortBy(_.getAs[Int]("dim")).map(_.getAs[Float]("value")).toSeq
+          }
+      }
+    PqIndex.Codebooks(meta.getAs[Int]("dim"), meta.getAs[Int]("m"), books)
   }
+
+  /** IVF×PQ composed model: coarse centroids + codebooks + the residual
+    * flag (it changes what a stored code MEANS, so it is part of the
+    * artifact, not a caller convention). Fingerprint-exact round-trip —
+    * the cross-process staleness contract of the float artifact,
+    * extended to the composed layout. */
+  def saveIvfPqModel(spark: SparkSession, m: IvfPqIndex.Model,
+      path: String): Unit = {
+    import spark.implicits._
+    saveCentroids(spark, m.coarse.centroids, s"$path/ivfpq/coarse")
+    savePqCodebooks(spark, m.pq, s"$path/ivfpq")
+    Seq(Tuple1(m.residual)).toDF("residual")
+      .write.mode("overwrite").parquet(s"$path/ivfpq/residual")
+  }
+
+  def loadIvfPqModel(spark: SparkSession, path: String): IvfPqIndex.Model =
+    IvfPqIndex.Model(
+      IvfIndex.Model(loadCentroids(spark, s"$path/ivfpq/coarse")),
+      loadPqCodebooks(spark, s"$path/ivfpq"),
+      residual = spark.read.parquet(s"$path/ivfpq/residual")
+        .head().getAs[Boolean]("residual"))
+
+  /** IVF×BQ composed model — the coarse quantizer alone (BQ's sign
+    * encode is training-free), saved under its OWN subdir so a float
+    * artifact and a code artifact can never be confused: the layout
+    * stamp derives via [[IvfBqIndex.fingerprintOf]]. */
+  def saveIvfBqModel(spark: SparkSession, coarse: IvfIndex.Model,
+      path: String): Unit =
+    saveCentroids(spark, coarse.centroids, s"$path/ivfbq")
+
+  def loadIvfBqModel(spark: SparkSession, path: String): IvfIndex.Model =
+    IvfIndex.Model(loadCentroids(spark, s"$path/ivfbq"))
+
+  /** OPQ model: the orthonormal rotation rows plus the codebooks trained
+    * in the rotated space — float-bit exact like every save here. */
+  def saveOpqModel(spark: SparkSession, m: OpqIndex.Model,
+      path: String): Unit = {
+    saveCentroids(spark, m.rotation.map(_.toSeq).toSeq, s"$path/opq/rotation")
+    savePqCodebooks(spark, m.pq, s"$path/opq")
+  }
+
+  def loadOpqModel(spark: SparkSession, path: String): OpqIndex.Model =
+    OpqIndex.Model(
+      loadCentroids(spark, s"$path/opq/rotation").map(_.toArray).toArray,
+      loadPqCodebooks(spark, s"$path/opq"))
 
   /** The index's MEASURED serving decision persisted next to its model
     * — (nprobe, target) one-row parquet: a fresh CLI process cannot

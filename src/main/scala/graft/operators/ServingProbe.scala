@@ -54,9 +54,23 @@ object ServingProbe {
     * oracle entry (rows-only check) instead. */
   def oracleProbe(prefix: String, heuristic: Int): Option[Int] = {
     import scala.jdk.CollectionConverters._
+    // DISTINCT decisions, matched at the key boundary: cache keys are
+    // `<name>@t<target>`, and a raw startsWith let (a) a root that is a
+    // proper prefix of another ("/idx" vs "/idx2") count both roots'
+    // decisions, and (b) one root decided at two targets that landed on
+    // the SAME nprobe read as ambiguous — both degraded the oracle to
+    // rows-only for no reason. A name matches `prefix` only exactly, or
+    // past a ':' namespace boundary ("pack:" matches every corpus under
+    // the kind — the category callers' contract).
     val hits = cache.asScala.toSeq.collect {
-      case (k, v) if k.startsWith(prefix) => v.intValue()
-    }
+      case (k, v) if {
+        val name = k.lastIndexOf("@t") match {
+          case -1 => k
+          case i  => k.substring(0, i)
+        }
+        name == prefix || (prefix.endsWith(":") && name.startsWith(prefix))
+      } => v.intValue()
+    }.distinct
     hits.size match {
       case 0 => Some(heuristic)
       case 1 => Some(hits.head)

@@ -116,6 +116,50 @@ object DeltaLayout {
   def foldTarget(dirs: Seq[String]): Option[Long] =
     dirs.flatMap(d => batchId(new Path(d).getName)).reduceOption(_ max _)
 
+  /** The next free batch id under `root`: above every live slice's id
+    * AND the newest base's folded-through generation. */
+  def nextBatchId(spark: SparkSession, root: String): Long = {
+    val ids = liveDirs(spark, root)
+      .map(d => new Path(d).getName)
+      .flatMap(n => baseGen(n).orElse(batchId(n)))
+    (ids :+ -1L).max + 1
+  }
+
+  /** Marker inside a stream CHECKPOINT dir binding that stream's
+    * slice-id base offset — written once when the checkpoint is created
+    * (see [[sliceOffset]]). */
+  val OffsetFile = "_graft.sliceOffset"
+
+  /** The slice-id offset bound to `checkpoint` for slices under `root`:
+    * structured streaming numbers every checkpoint's batches from 0, so
+    * a FRESH checkpoint writing into a root that already has slices
+    * would re-address slice `delta=b0` — [[writeSlice]] finds it present
+    * and treats the genuinely NEW batch as a replay no-op (silent drop),
+    * and after a fold the id can land ≤ the committed generation
+    * (invisible to [[liveDirs]], swept by the next GC — silent loss; the
+    * round-17 advisory, ingest flavor — the serve stream's output slices
+    * have the identical failure). The offset claims [[nextBatchId]] —
+    * above every live id AND the folded generation — when the checkpoint
+    * is first created, and PERSISTS it inside the checkpoint so replays
+    * of the same checkpoint keep the same slice addressing
+    * (exactly-once needs the replayed batch to find its own slice). A
+    * checkpoint that predates the marker (has Spark offsets but no
+    * marker) resumes at offset 0 — its batches already committed
+    * un-offset slices. */
+  def sliceOffset(spark: SparkSession, checkpoint: String,
+      root: String): Long = {
+    val marker = s"$checkpoint/$OffsetFile"
+    readMarker(spark, marker) match {
+      case Some(s) => s.trim.toLong
+      case None =>
+        val fs = fileSystem(spark, checkpoint)
+        val legacyResume = fs.exists(new Path(s"$checkpoint/offsets"))
+        val off = if (legacyResume) 0L else nextBatchId(spark, root)
+        writeMarker(spark, marker, off.toString)
+        off
+    }
+  }
+
   /** Atomically commit `root/compact.staging` as `delta=base@<gen>`. */
   def commitFold(spark: SparkSession, root: String, gen: Long): Unit = {
     val fs = fileSystem(spark, root)
@@ -134,32 +178,72 @@ object DeltaLayout {
       snapshot: Seq[String], what: String, hint: String): Unit = {
     val concurrent = liveDirs(spark, root).filterNot(snapshot.contains)
     if (concurrent.nonEmpty) {
-      fileSystem(spark, root).delete(new Path(s"$root/$Staging"), true)
+      // checked like every other FileSystem mutation here: a failed
+      // delete leaves a stale compact.staging the next fold must clear,
+      // and the abort message must not claim it was discarded
+      val staging = new Path(s"$root/$Staging")
+      val discarded = fileSystem(spark, root).delete(staging, true)
       throw new IllegalStateException(
         s"$what raced a concurrent writer under $root: slices " +
           s"${concurrent.map(d => new Path(d).getName).mkString(", ")} " +
           s"landed after the $what read its input — $what aborted (live " +
-          s"set unchanged); $hint")
+          s"set unchanged" +
+          (if (discarded) "" else s"; WARNING: staged dir $staging could " +
+            "not be removed and must be cleared before the next fold") +
+          s"); $hint")
     }
+  }
+
+  /** Suffix QUARANTINE renames append to a raced slice — a name neither
+    * [[baseGen]] nor [[batchId]] parses, so [[liveDirs]] never reads it
+    * and [[gcStale]] never sweeps it. */
+  val QuarantineSuffix = ".quarantined"
+
+  /** The quarantined slice dirs under `root` (paths as strings, sorted)
+    * — evidence [[refuseGcOnConcurrent]] preserved; surfaced by
+    * StoreDoctor / the service CLI's status so an operator re-ingests
+    * the raced batches and deletes the quarantine dirs. */
+  def quarantined(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = fileSystem(spark, root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(QuarantineSuffix))
+      .map(_.getPath.toString).toSeq.sorted
   }
 
   /** Post-commit half of [[guardedCommit]]: a slice the just-committed
     * generation CLAIMS (batch id ≤ gen) but the fold never read must not
-    * be swept — deleting it is silent loss. Leave it on disk (readers
-    * already ignore it behind the new base) and fail loudly so the
-    * operator re-ingests its batch. */
+    * be swept — deleting it is silent loss. QUARANTINE it (rename to a
+    * name no liveness or GC rule parses — before round 18 the slice was
+    * merely left in place, and the NEXT routine compact's [[gcStale]]
+    * deleted it silently because its id was ≤ the committed generation:
+    * the only copy of the un-folded rows survived exactly one cycle) and
+    * fail loudly so the operator re-ingests its batch from the
+    * quarantined evidence. */
   private[graft] def refuseGcOnConcurrent(spark: SparkSession, root: String,
       snapshot: Seq[String], gen: Long, what: String, hint: String): Unit = {
-    val folded = fileSystem(spark, root).listStatus(new Path(root))
+    val fs = fileSystem(spark, root)
+    val folded = fs.listStatus(new Path(root))
       .filter(_.isDirectory).map(_.getPath.toString)
       .filter(d => batchId(new Path(d).getName).exists(_ <= gen))
       .filterNot(snapshot.contains)
-    if (folded.nonEmpty)
+    if (folded.nonEmpty) {
+      val kept = folded.map { d =>
+        val p = new Path(d)
+        val q = new Path(p.getParent, p.getName + QuarantineSuffix)
+        // best effort per slice, but NEVER silent: an unrenamable slice
+        // is still reported in the thrown message (un-quarantined — the
+        // next gcStale would sweep it, so the operator must act now)
+        if (fs.exists(q) || fs.rename(p, q)) q.getName else p.getName + " (NOT renamed — will be GC'd by the next compact)"
+      }
       throw new IllegalStateException(
         s"$what committed delta=base@$gen under $root but slices " +
           s"${folded.map(d => new Path(d).getName).mkString(", ")} landed " +
-          s"concurrently and are NOT in the new base — left on disk (not " +
-          s"GC'd); $hint")
+          s"concurrently and are NOT in the new base — quarantined as " +
+          s"${kept.mkString(", ")} (never GC'd; re-ingest their rows, then " +
+          s"delete the quarantine dirs); $hint")
+    }
   }
 
   /** [[commitFold]] bracketed by the concurrent-writer guards the IVF
@@ -201,6 +285,51 @@ object DeltaLayout {
           "re-run the raced batches (replay-idempotent), then compact again")
       case None => gcStale(spark, root)
     }
+
+  /** Default live-batch-slice budget before [[compactPolicy]] calls for
+    * a fold: at one slice per micro-batch a long-running stream grows
+    * its root's listing without bound; 8 keeps every reader's slice
+    * listing O(1) while folding rarely enough that the fold cost
+    * amortizes over many batches. */
+  val DefaultMaxSlices = 8L
+
+  /** WHEN to fold — the [[graft.streaming.VectorService.rebuildPolicy]]
+    * discipline applied to delta/output roots (rebuilds had a policy;
+    * folds relied on a deployment remembering to call them): one
+    * integer-exact decision from the root's OWN listing. `compact` fires
+    * when the live batch-slice count exceeds `maxSlices`; `nQuarantined`
+    * rides along so every status surface that consults the policy also
+    * surfaces preserved race evidence ([[quarantined]]). Driver-side
+    * cost: one directory listing — the same order as planning any read
+    * of the root. */
+  final case class CompactDecision(nBatchSlices: Long, maxSlices: Long,
+      compact: Boolean, nQuarantined: Long)
+
+  def compactPolicy(spark: SparkSession, root: String,
+      maxSlices: Long = DefaultMaxSlices): CompactDecision = {
+    val nBatch = liveDirs(spark, root)
+      .count(d => batchId(new Path(d).getName).isDefined).toLong
+    CompactDecision(nBatch, maxSlices, nBatch > maxSlices,
+      quarantined(spark, root).size.toLong)
+  }
+
+  /** The policy CONSULTED, then acted on — [[compactPolicy]] decides,
+    * `fold` runs only when it fires (a healthy root is never touched —
+    * the maintainIfNeeded contract, fold flavor). Returns true when a
+    * fold ran. `fold` is a parameter because roots fold differently:
+    * output roots concatenate ([[compactConcat]]), index/edge roots
+    * re-aggregate from their own artifacts. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+      maxSlices: Long = DefaultMaxSlices)(fold: => Unit): Boolean = {
+    val d = compactPolicy(spark, root, maxSlices)
+    if (d.compact) { fold; true } else false
+  }
+
+  /** [[compactIfNeeded]] instantiated with the append-only concat fold —
+    * the output-root maintenance entry point. */
+  def compactConcatIfNeeded(spark: SparkSession, root: String,
+      maxSlices: Long = DefaultMaxSlices): Boolean =
+    compactIfNeeded(spark, root, maxSlices)(compactConcat(spark, root))
 
   /** Remove every base older than the newest generation and every batch
     * slice it folded — including garbage a crashed pass left. Failed

@@ -37,7 +37,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamAnnServe {
 
   /** Start answering the query-vector stream (`vec_id`, `embedding`)
-    * from the index at `indexPath`; top-`k` per query at `nprobe`. */
+    * from the index at `indexPath`; top-`k` per query at `nprobe`.
+    * Output slice ids (and the `batch_id` column) are offset by
+    * [[DeltaLayout.sliceOffset]] — a fresh checkpoint serving into a
+    * populated output root must not drop its first answer batches as
+    * replays of already-present slice names (the ingest advisory,
+    * output flavor). */
   def start(
       queries: DataFrame,
       model: IvfIndex.Model,
@@ -46,10 +51,27 @@ object StreamAnnServe {
       checkpoint: String,
       k: Int,
       nprobe: Int,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    startWith(queries, out, checkpoint, trigger)(
+      batch => IvfIndex.searchIndex(queries.sparkSession, indexPath, batch,
+        model, k, nprobe))
+
+  /** The serve stream with the per-batch SEARCH pluggable — the composed
+    * code layouts serve through the same offset/checkpoint/output-slice
+    * discipline with their own cell-pruned first pass
+    * ([[graft.operators.IvfBqIndex.searchIndex]] /
+    * [[graft.operators.IvfPqIndex.searchIndex]]). */
+  def startWith(
+      queries: DataFrame,
+      out: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      search: DataFrame => DataFrame): StreamingQuery = {
     val spark = queries.sparkSession
+    val offset = DeltaLayout.sliceOffset(spark, checkpoint, out)
     queries.writeStream
-      .foreachBatch(serveBatch(spark, model, indexPath, out, k, nprobe))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        serveBatchWith(spark, out, search)(batch, offset + batchId))
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
@@ -59,12 +81,18 @@ object StreamAnnServe {
     * Exposed so a replay (same batchId) is directly testable. */
   private[graft] def serveBatch(spark: SparkSession, model: IvfIndex.Model,
       indexPath: String, out: String, k: Int,
-      nprobe: Int): (DataFrame, Long) => Unit = (batch, batchId) => {
-    val res = IvfIndex.searchIndex(spark, indexPath, batch, model, k, nprobe)
-      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-    DeltaLayout.writeSlice(res, out, s"delta=b$batchId")
-    ()
-  }
+      nprobe: Int): (DataFrame, Long) => Unit =
+    serveBatchWith(spark, out,
+      batch => IvfIndex.searchIndex(spark, indexPath, batch, model, k, nprobe))
+
+  private def serveBatchWith(spark: SparkSession, out: String,
+      search: DataFrame => DataFrame): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val res = search(batch)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      DeltaLayout.writeSlice(res, out, s"delta=b$batchId")
+      ()
+    }
 
   /** Every answer served so far (live output slices, unioned). */
   def results(spark: SparkSession, out: String): DataFrame = {
@@ -82,4 +110,12 @@ object StreamAnnServe {
     * aborts the fold loudly instead of being swept un-read. */
   def compact(spark: SparkSession, out: String): Unit =
     DeltaLayout.compactConcat(spark, out)
+
+  /** [[compact]] behind the slice-count policy
+    * ([[DeltaLayout.compactConcatIfNeeded]]): the maintenance entry a
+    * long-running service calls on a cadence — a healthy output root is
+    * never touched, a sprawling one folds. Returns true when it folded. */
+  def compactIfNeeded(spark: SparkSession, out: String,
+      maxSlices: Long = DeltaLayout.DefaultMaxSlices): Boolean =
+    DeltaLayout.compactConcatIfNeeded(spark, out, maxSlices)
 }

@@ -34,20 +34,41 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object VectorIngest {
 
-  /** Start appending the embedding stream into the index at `path`. */
+  /** Start appending the embedding stream into the index at `path`.
+    * Slice ids are offset by [[DeltaLayout.sliceOffset]] so a fresh
+    * checkpoint on a populated index can never silently drop its first
+    * batches as replays of already-present slice names (the round-17
+    * advisory — see the offset's scaladoc). */
   def start(
       embeddings: DataFrame,
       model: IvfIndex.Model,
       path: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
-    val appendBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-      // the micro-batch id IS the slice address — replays are no-ops
-      IvfIndex.appendToIndex(batch, model, path, batchId)
-      ()
-    }
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    startWith(embeddings, path, checkpoint, trigger)(
+      (batch, sliceId) => { IvfIndex.appendToIndex(batch, model, path, sliceId); () })
+
+  /** The ingest stream with the per-batch APPEND pluggable — the
+    * composed code layouts ingest through the same offset/checkpoint
+    * discipline with their own encode+append
+    * ([[graft.operators.IvfBqIndex.appendToIndex]] /
+    * [[graft.operators.IvfPqIndex.appendToIndex]], batch-id overloads).
+    * `append` receives the OFFSET slice id — it must address the slice
+    * by it verbatim (offset + micro-batch id IS the slice address:
+    * same-checkpoint replays are no-ops, fresh checkpoints can never
+    * collide with or land beneath slices an earlier stream or fold
+    * already committed). */
+  def startWith(
+      embeddings: DataFrame,
+      path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      append: (DataFrame, Long) => Unit): StreamingQuery = {
+    val offset =
+      DeltaLayout.sliceOffset(embeddings.sparkSession, checkpoint, path)
     embeddings.writeStream
-      .foreachBatch(appendBatch)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        append(batch, offset + batchId))
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -80,6 +80,31 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       "--input", s"$base/queries", "--out", s"$base/out2",
       "--checkpoint", s"$base/ckpt3", "--k", "5")
     assert(sv2("N_ANSWERS").toLong == 10)
+    // a SECOND serve process into the SAME output root with a fresh
+    // checkpoint: its answers must land (fresh slice id), not be dropped
+    // as a replay of the first process's delta=b0 (the ingest advisory,
+    // output flavor)
+    val sv3 = go("--action", "serve", "--indexDir", idx, "--modelDir", model,
+      "--input", s"$base/queries", "--out", s"$base/out2",
+      "--checkpoint", s"$base/ckpt4", "--k", "5")
+    assert(sv3("N_ANSWERS").toLong == 20,
+      "a fresh-checkpoint serve into a populated root dropped its answers")
+
+    // status surfaces the output root's fold policy + quarantine count;
+    // the compact action folds only when the policy fires
+    val st2 = go("--action", "status", "--indexDir", idx, "--modelDir", model,
+      "--out", s"$base/out2", "--maxSlices", "8")
+    assert(st2("QUARANTINED") == "0")
+    assert(st2("OUT_SLICES").toLong == 2 && st2("OUT_COMPACT") == "false")
+    val cNo = go("--action", "compact", "--indexDir", idx, "--modelDir", model,
+      "--out", s"$base/out2", "--maxSlices", "8")
+    assert(cNo("COMPACTED") == "false" && cNo("N_SLICES_AFTER").toLong == 2)
+    val cYes = go("--action", "compact", "--indexDir", idx, "--modelDir", model,
+      "--out", s"$base/out2", "--maxSlices", "1")
+    assert(cYes("COMPACTED") == "true" && cYes("N_SLICES_BEFORE").toLong == 2 &&
+      cYes("N_SLICES_AFTER").toLong == 0)
+    assert(graft.streaming.StreamAnnServe.results(spark, s"$base/out2")
+      .count() == 20, "the fold must preserve every served answer")
 
     // flag surface (the D1 parser contract): unknown flag, missing
     // mandatory, unknown action — all usage + exit 1
@@ -88,6 +113,73 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     assert(ex(go("--action", "build", "--indexDir", idx)) == 1)
     assert(ex(go("--action", "nope", "--indexDir", idx,
       "--modelDir", model)) == 1)
+  }
+
+  test("VectorService CLI: composed bq layout loop; wrong --layout and stale artifact rejected") {
+    import graft.operators.{IvfBqIndex, ModelStore}
+    val base = java.nio.file.Files.createTempDirectory("graft_vsvc_bq").toString
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding")
+    emb.write.parquet(s"$base/corpus") // the floats serve/rebuild rerank from
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/init")
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(s"$base/delta")
+    emb.filter(col("vec_id") < 2).write.parquet(s"$base/queries")
+    val (idx, model) = (s"$base/idx", s"$base/model")
+    def go(args: String*) = VectorServiceMain.run(spark, args.toArray)
+
+    // build persists the COMPOSED artifact + a measured serving decision
+    val b = go("--action", "build", "--layout", "bq", "--indexDir", idx,
+      "--modelDir", model, "--input", s"$base/init", "--iters", "1")
+    assert(b("LAYOUT") == "bq")
+    assert(ModelStore.loadServingProbe(spark, model)
+      .contains(b("SERVING_NPROBE").toInt))
+    assert(IvfBqIndex.fingerprintOf(ModelStore.loadIvfBqModel(spark, model))
+      == b("FINGERPRINT"))
+
+    // the artifact knows its kind: driving it as float (or pq) dies at
+    // the flag tier, before any index data is touched
+    assert(ex(go("--action", "ingest", "--indexDir", idx, "--modelDir", model,
+      "--input", s"$base/delta", "--checkpoint", s"$base/ckptX")) == 1)
+    assert(ex(go("--action", "rebuild", "--layout", "pq", "--indexDir", idx,
+      "--modelDir", model, "--corpus", s"$base/corpus")) == 1)
+
+    // exactly-once composed ingest, re-invocation appends nothing
+    val ing = go("--action", "ingest", "--layout", "bq", "--indexDir", idx,
+      "--modelDir", model, "--input", s"$base/delta",
+      "--checkpoint", s"$base/ckpt1")
+    assert(ing("N_TOTAL").toLong == emb.count())
+    val ing2 = go("--action", "ingest", "--layout", "bq", "--indexDir", idx,
+      "--modelDir", model, "--input", s"$base/delta",
+      "--checkpoint", s"$base/ckpt1")
+    assert(ing2("N_TOTAL").toLong == emb.count())
+
+    // status is layout-agnostic (code slices share the cell rules)
+    val st = go("--action", "status", "--indexDir", idx, "--modelDir", model)
+    assert(st("N_TOTAL").toLong == emb.count() && st("QUARANTINED") == "0")
+
+    // serve reranks from --corpus; answers land as output slices
+    val sv = go("--action", "serve", "--layout", "bq", "--indexDir", idx,
+      "--modelDir", model, "--input", s"$base/queries",
+      "--corpus", s"$base/corpus", "--out", s"$base/out",
+      "--checkpoint", s"$base/ckpt2", "--k", "5")
+    assert(sv("N_ANSWERS").toLong == 10)
+
+    // rebuild retrains the coarse stage from --corpus and swaps; the old
+    // composed artifact fails the stamp loudly
+    val stale = ModelStore.loadIvfBqModel(spark, model)
+    val rb = go("--action", "rebuild", "--layout", "bq", "--indexDir", idx,
+      "--modelDir", model, "--corpus", s"$base/corpus", "--iters", "1")
+    assert(rb("REBUILT") == "true" && rb("FINGERPRINT") != b("FINGERPRINT"))
+    val e = intercept[IllegalStateException](
+      IvfBqIndex.searchIndex(spark, idx, emb, emb.filter(col("vec_id") < 2),
+        stale, k = 5, nprobe = 2, r = 20).count())
+    assert(e.getMessage.contains("fingerprint mismatch"))
+    // the re-loaded (rebuilt) artifact serves on the new generation
+    val sv2 = go("--action", "serve", "--layout", "bq", "--indexDir", idx,
+      "--modelDir", model, "--input", s"$base/queries",
+      "--corpus", s"$base/corpus", "--out", s"$base/out2",
+      "--checkpoint", s"$base/ckpt3", "--k", "5")
+    assert(sv2("N_ANSWERS").toLong == 10)
   }
 
   test("catalog parses ns:table, ns.table, and bare identifiers") {

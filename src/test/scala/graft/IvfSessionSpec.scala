@@ -529,6 +529,31 @@ class IvfSessionSpec extends AnyFunSuite with SparkTestBase {
     assert(ServingProbe.oracleProbe("spec:b", 8).contains(4))
   }
 
+  test("ServingProbe.oracleProbe: key-boundary matching and distinct-decision dedupe") {
+    import graft.operators.ServingProbe
+    import spark.implicits._
+    def curve(rows: (Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("nprobe", "n_candidates", "n_matches", "recall_micro")
+    val nlist = 64
+    val c4 = curve((4L, 200L, 95L, 950000L))
+    val c8 = curve((8L, 400L, 95L, 950000L))
+    // prefix-colliding ROOTS: "/idx" is a proper prefix of "/idx2" — the
+    // r17 startsWith matching counted both decisions and degraded the
+    // "/idx" oracle to rows-only; boundary matching keeps them independent
+    assert(ServingProbe.decide("pfx:/idx", nlist)(c4) == 4)
+    assert(ServingProbe.decide("pfx:/idx2", nlist)(c8) == 8)
+    assert(ServingProbe.oracleProbe("pfx:/idx", heuristic = 2).contains(4))
+    assert(ServingProbe.oracleProbe("pfx:/idx2", heuristic = 2).contains(8))
+    // one root, two targets landing on the SAME nprobe: distinct
+    // decisions collapse to one — the replay is unambiguous, not None
+    assert(ServingProbe.decide("pfx:same", nlist)(c4) == 4)
+    assert(ServingProbe.decide("pfx:same", nlist, targetMicro = 750000L)(c4) == 4)
+    assert(ServingProbe.oracleProbe("pfx:same", heuristic = 2).contains(4))
+    // the category prefix ("pfx:") still matches every root under the
+    // kind — here two distinct values → ambiguous → None
+    assert(ServingProbe.oracleProbe("pfx:", heuristic = 2).isEmpty)
+  }
+
   test("IvfPq fingerprint frames codebook shape: same float stream, different (m,k) differ") {
     import graft.operators.{IvfPqIndex, PqIndex}
     val coarse = IvfIndex.Model(Seq(Seq(1f, 0f), Seq(0f, 1f)))

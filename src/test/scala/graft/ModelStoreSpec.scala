@@ -32,4 +32,48 @@ class ModelStoreSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(a == b)
   }
+
+  test("composed ANN models round-trip fingerprint-exactly (IVF-PQ, IVF-BQ, OPQ)") {
+    import graft.operators.{IvfBqIndex, IvfIndex, IvfPqIndex, OpqIndex, PqIndex}
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding")
+
+    // IVF-PQ, residual flavor too: the flag changes what a code MEANS,
+    // so it must survive the artifact (it feeds the fingerprint)
+    val mPq = IvfPqIndex.train(emb, nlist = 8, coarseIters = 1, pqIters = 1)
+    ModelStore.saveIvfPqModel(spark, mPq, dir)
+    val loadedPq = ModelStore.loadIvfPqModel(spark, dir)
+    assert(loadedPq.fingerprint == mPq.fingerprint,
+      "IVF-PQ fingerprint must survive the round-trip float-bit-exactly")
+    assert(!loadedPq.residual)
+    val mRes = IvfPqIndex.train(emb, nlist = 8, coarseIters = 1, pqIters = 1,
+      residual = true)
+    val dirRes = java.nio.file.Files.createTempDirectory("graft-mres").toString
+    ModelStore.saveIvfPqModel(spark, mRes, dirRes)
+    val loadedRes = ModelStore.loadIvfPqModel(spark, dirRes)
+    assert(loadedRes.residual &&
+      loadedRes.fingerprint == mRes.fingerprint)
+
+    // IVF-BQ: the model is the coarse quantizer; the composed layout
+    // stamp derives from it — both must survive
+    val coarse = IvfIndex.train(emb, nlist = 8, iters = 1)
+    ModelStore.saveIvfBqModel(spark, coarse, dir)
+    val loadedBq = ModelStore.loadIvfBqModel(spark, dir)
+    assert(loadedBq.fingerprint == coarse.fingerprint)
+    assert(IvfBqIndex.fingerprintOf(loadedBq) == IvfBqIndex.fingerprintOf(coarse))
+
+    // OPQ: rotation + books, float-bit equality (no fingerprint field)
+    val mOpq = OpqIndex.train(spark, sf001, emb, iters = 1)
+    ModelStore.saveOpqModel(spark, mOpq, dir)
+    val loadedOpq = ModelStore.loadOpqModel(spark, dir)
+    assert(loadedOpq.rotation.map(_.toSeq).toSeq ==
+      mOpq.rotation.map(_.toSeq).toSeq)
+    assert(loadedOpq.pq == mOpq.pq)
+
+    // plain PQ codebooks round-trip through the shared rows
+    val cb = PqIndex.train(emb, dim = 64, m = 8, k = 16, iters = 1)
+    val dirCb = java.nio.file.Files.createTempDirectory("graft-mcb").toString
+    ModelStore.savePqCodebooks(spark, cb, dirCb)
+    assert(ModelStore.loadPqCodebooks(spark, dirCb) == cb)
+  }
 }

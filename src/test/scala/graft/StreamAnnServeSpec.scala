@@ -95,4 +95,41 @@ class StreamAnnServeSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamAnnServe.results(spark, out)
       .filter(col("batch_id").isin(100L, 101L)).count() == 20)
   }
+
+  test("compact policy: healthy root untouched, sprawling root folds, evidence rides along") {
+    import graft.streaming.DeltaLayout
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cpol").toString
+    (0 until 3).foreach { i =>
+      DeltaLayout.writeSlice(Seq((i.toLong, i.toLong)).toDF("k", "v"),
+        root, s"delta=b$i")
+    }
+    def names() = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+
+    // 3 slices at budget 3: healthy — the policy does not fire and the
+    // maintenance entry must NOT touch the root (no fold, no GC pass)
+    val healthy = DeltaLayout.compactPolicy(spark, root, maxSlices = 3)
+    assert(healthy.nBatchSlices == 3 && !healthy.compact &&
+      healthy.nQuarantined == 0)
+    val before = names()
+    assert(!DeltaLayout.compactConcatIfNeeded(spark, root, maxSlices = 3))
+    assert(names() == before, "a healthy root must be left untouched")
+
+    // a 4th slice crosses the budget: fires, folds to one base, and the
+    // rows survive the fold intact
+    DeltaLayout.writeSlice(Seq((3L, 3L)).toDF("k", "v"), root, "delta=b3")
+    assert(DeltaLayout.compactPolicy(spark, root, maxSlices = 3).compact)
+    assert(DeltaLayout.compactConcatIfNeeded(spark, root, maxSlices = 3))
+    assert(names() == Seq("delta=base@3"))
+    assert(spark.read.parquet(s"$root/delta=base@3").count() == 4)
+    val after = DeltaLayout.compactPolicy(spark, root, maxSlices = 3)
+    assert(after.nBatchSlices == 0 && !after.compact)
+
+    // quarantined evidence is surfaced by the same policy read
+    DeltaLayout.writeMarker(spark,
+      s"$root/delta=b9${DeltaLayout.QuarantineSuffix}/_stub", "x")
+    assert(DeltaLayout.compactPolicy(spark, root, maxSlices = 3)
+      .nQuarantined == 1)
+  }
 }

@@ -111,7 +111,7 @@ class StreamIndexSpec extends AnyFunSuite with SparkTestBase {
       ranking(InvertedIndex.search(spark, fullDir, terms, 20)))
   }
 
-  test("post-commit guard: a slice the fold claims but never read is refused GC, loudly") {
+  test("post-commit guard: a slice the fold claims but never read is quarantined, loudly, and survives later compacts") {
     import graft.streaming.DeltaLayout
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-refusegc").toString
@@ -124,12 +124,38 @@ class StreamIndexSpec extends AnyFunSuite with SparkTestBase {
     // gen=0 with b1 outside the claim (id 1 > 0): b1 stays live — no refusal
     DeltaLayout.refuseGcOnConcurrent(spark, root,
       snap.filterNot(_.contains("delta=b1")), 0L, "compact", "h")
+    assert(DeltaLayout.quarantined(spark, root).isEmpty)
     // a fold claiming gen=1 that never READ b1 (landed in the commit
-    // window): loud, and the slice must survive
+    // window): loud, and the slice is QUARANTINED — renamed to a name no
+    // liveness or GC rule parses, so the evidence outlives later cycles
     val e = intercept[IllegalStateException](
       DeltaLayout.refuseGcOnConcurrent(spark, root,
         snap.filterNot(_.contains("delta=b1")), 1L, "compact", "h"))
     assert(e.getMessage.contains("NOT in the new base"))
-    assert(new java.io.File(s"$root/delta=b1").exists())
+    assert(e.getMessage.contains("quarantined as delta=b1.quarantined"))
+    assert(!new java.io.File(s"$root/delta=b1").exists())
+    assert(new java.io.File(s"$root/delta=b1.quarantined").exists())
+    assert(DeltaLayout.quarantined(spark, root)
+      .map(d => new java.io.File(d).getName) == Seq("delta=b1.quarantined"))
+
+    // THE round-18 pin: before the quarantine, the refused slice's id was
+    // ≤ the committed generation, so the NEXT routine compact's gcStale
+    // swept it silently — the only copy of the un-folded rows survived
+    // exactly one cycle. Simulate that next cycle (commit base@1, then a
+    // routine fold pass with nothing to fold → gcStale-only): the
+    // quarantined slice must STILL be on disk and still reported.
+    Seq((9L, 9L)).toDF("k", "v").write.parquet(s"$root/${DeltaLayout.Staging}")
+    DeltaLayout.commitFold(spark, root, 1L)
+    DeltaLayout.compactConcat(spark, root) // no live batches: GC-only pass
+    assert(new java.io.File(s"$root/delta=b1.quarantined").exists(),
+      "a routine compact after the refusal must not sweep the quarantine")
+    assert(DeltaLayout.quarantined(spark, root)
+      .map(d => new java.io.File(d).getName) == Seq("delta=b1.quarantined"))
+    // the quarantined rows are intact and readable for re-ingest
+    assert(spark.read.parquet(s"$root/delta=b1.quarantined")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    // and the live read path never sees the quarantine
+    assert(DeltaLayout.liveDirs(spark, root)
+      .map(d => new java.io.File(d).getName) == Seq("delta=base@1"))
   }
 }

@@ -102,6 +102,28 @@ class VectorServiceSpec extends AnyFunSuite with SparkTestBase {
         s"SELECT ${VectorService.nlistLadderSql(n.toString)} AS nl")
         .head().getLong(0) == IvfIndex.scaledNlist(n).toLong,
         s"ladder diverges from scaledNlist at n=$n")
+    // …and at a non-default targetCell (the under-laddered row's)
+    for (n <- Seq(256L, 257L, 500L, 99999L))
+      assert(spark.sql(
+        s"SELECT ${VectorService.nlistLadderSql(n.toString,
+          VectorService.UnderladderedTargetCell)} AS nl")
+        .head().getLong(0) ==
+        IvfIndex.scaledNlist(n, VectorService.UnderladderedTargetCell).toLong)
+
+    // the q_service_policy artifact: pack must not fire, drifted fires
+    // through SKEW, and the under-laddered row fires through CAPACITY
+    // alone with next_nlist stepping ABOVE the layout's cell count
+    val rows = VectorService.servicePolicyQuery(spark, sf001).collect()
+      .map(r => r.getAs[String]("index_name") -> r).toMap
+    assert(!rows("pack").getAs[Boolean]("rebuild"))
+    assert(rows("drifted").getAs[Boolean]("skew_exceeded") &&
+      rows("drifted").getAs[Boolean]("rebuild"))
+    val ul = rows("underladdered")
+    assert(ul.getAs[Boolean]("occupancy_exceeded") &&
+      !ul.getAs[Boolean]("skew_exceeded") && ul.getAs[Boolean]("rebuild"),
+      s"capacity alarm must fire alone on the under-laddered row: $ul")
+    assert(ul.getAs[Long]("next_nlist") > ul.getAs[Long]("n_cells"),
+      s"the ladder must step UP past the under-laddered layout: $ul")
   }
 
   test("maintainIfNeeded: healthy index untouched; drifted index swapped at the policy's next_nlist") {
@@ -295,5 +317,60 @@ class VectorServiceSpec extends AnyFunSuite with SparkTestBase {
     assert(IvfIndex.cellStats(spark, idx)
       .agg(sum(col("n_vectors"))).head().getLong(0)
       == emb.count() + emb.filter(col("vec_id") % 2 === 1).count())
+  }
+
+  test("fresh-checkpoint ingest claims fresh slice ids: new batches are never dropped as replays") {
+    // the r17 advisory: structured streaming numbers every checkpoint's
+    // batches from 0, so a FRESH checkpoint on an index that already has
+    // slices re-addressed delta=b0 — writeSlice treated the genuinely new
+    // batch as a replay no-op (silent drop), and post-rebuild the id
+    // could land ≤ the folded generation (invisible, then GC'd). The
+    // persisted slice-id offset closes both.
+    val a = IvfIndex.train(emb, nlist = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_ingoff").toString
+    val idx = s"$base/idx"
+    IvfIndex.writeIndex(emb.filter(col("vec_id") < 300), a, idx)
+    def total() = IvfIndex.cellStats(spark, idx)
+      .agg(sum(col("n_vectors"))).head().getLong(0)
+    val n0 = total()
+
+    def ingest(srcDir: String, ckpt: String): Unit = {
+      val q = VectorIngest.start(
+        spark.readStream.schema(emb.schema).parquet(srcDir), a, idx, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      try q.awaitTermination() finally q.stop()
+    }
+    // first stream, fresh checkpoint on a base-only index → offset 0 → b0
+    val d1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    d1.write.parquet(s"$base/d1"); ingest(s"$base/d1", s"$base/ckpt1")
+    assert(total() == n0 + d1.count())
+    assert(new java.io.File(s"$idx/delta=b0").exists())
+
+    // SECOND stream with a brand-new checkpoint: its batch 0 must not
+    // alias the live delta=b0 — offset claims the next free id
+    val d2 = emb.filter(col("vec_id") >= 400)
+    d2.write.parquet(s"$base/d2"); ingest(s"$base/d2", s"$base/ckpt2")
+    assert(total() == n0 + d1.count() + d2.count(),
+      "a fresh checkpoint's first batch was dropped as a replay")
+    assert(new java.io.File(s"$idx/delta=b1").exists())
+    // the offset is PERSISTED in the checkpoint: re-running the same
+    // checkpoint replays nothing (exactly-once addressing survives)
+    ingest(s"$base/d2", s"$base/ckpt2")
+    assert(total() == n0 + d1.count() + d2.count())
+
+    // post-rebuild: the fold commits base@1; a fresh checkpoint must land
+    // ABOVE the folded generation (b0 would be invisible + GC-bait)
+    val b = IvfIndex.rebuildIndex(spark, idx, nlist = 8, iters = 2)
+    val nAll = total()
+    val d3 = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 7000L).as("vec_id"), col("embedding"), col("label"))
+    d3.write.parquet(s"$base/d3")
+    val q3 = VectorIngest.start(
+      spark.readStream.schema(emb.schema).parquet(s"$base/d3"), b, idx,
+      s"$base/ckpt3", trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q3.awaitTermination() finally q3.stop()
+    assert(total() == nAll + d3.count(),
+      "a post-rebuild fresh checkpoint landed beneath the folded generation")
+    assert(new java.io.File(s"$idx/delta=b2").exists())
   }
 }
