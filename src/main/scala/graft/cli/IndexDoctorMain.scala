@@ -29,7 +29,8 @@ object IndexDoctorMain {
 
   final case class Report(
       nCells: Long, minVectors: Long, maxVectors: Long,
-      skew: Double, drifted: Boolean, rebuilt: Boolean)
+      skew: Double, drifted: Boolean, rebuilt: Boolean,
+      quarantined: Seq[String] = Nil)
 
   def run(spark: SparkSession, args: Array[String]): Report = {
     val p = Args.parse(args, Known, Usage)
@@ -45,15 +46,22 @@ object IndexDoctorMain {
       IvfIndex.rebuildIndex(spark, indexDir, nlist,
         iters = p.long("iters", default = 3L).toInt)
     }
+    // quarantined slices are preserved race evidence (refuse-GC renamed
+    // them out of the liveness/GC rules) — the doctor is where an
+    // operator looks first, so it reports them for re-ingest
+    val quarantined = graft.streaming.DeltaLayout.quarantined(spark, indexDir)
     val out = Report(
       nCells, r.getAs[Long]("min_vectors"), r.getAs[Long]("max_vectors"),
-      r.getAs[Double]("skew"), drifted, rebuilt = rebuild)
+      r.getAs[Double]("skew"), drifted, rebuilt = rebuild,
+      quarantined = quarantined)
     println(s"N_CELLS=${out.nCells}")
     println(s"MIN_VECTORS=${out.minVectors}")
     println(s"MAX_VECTORS=${out.maxVectors}")
     println(s"SKEW=${out.skew}")
     println(s"DRIFTED=${out.drifted}")
     println(s"REBUILT=${out.rebuilt}")
+    println(s"QUARANTINED=${out.quarantined.size}")
+    out.quarantined.foreach(d => println(s"QUARANTINED_DIR=$d"))
     out
   }
 

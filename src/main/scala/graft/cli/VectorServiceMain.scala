@@ -40,21 +40,23 @@ import org.apache.spark.sql.streaming.Trigger
 object VectorServiceMain {
 
   val Usage: String =
-    """usage: graft.cli.VectorServiceMain --action build|ingest|serve|status|rebuild|compact
+    """usage: graft.cli.VectorServiceMain --action build|ingest|serve|status|rebuild|compact|snapshot|restore
       |         --indexDir <dir> --modelDir <dir>
       |         [--layout float|pq|bq]   index kind (default float)
       |         [--input <parquet dir>]  vectors (build/ingest) or queries (serve)
       |         [--corpus <parquet dir>] float vectors for rerank/retrain (pq/bq serve+rebuild)
-      |         [--out <dir>]            served-answer root (serve/status/compact)
+      |         [--out <dir>]            served-answer root (serve/status/compact/snapshot/restore)
       |         [--checkpoint <dir>]     stream checkpoint (ingest/serve)
       |         [--nlist <n>] [--iters <n>] [--recallTarget <0..1>]  build/rebuild
       |         [--k <n>] [--nprobe <n>]             serve
       |         [--maxSkew <ratio>] [--targetCell <n>]  status
-      |         [--maxSlices <n>]        status/compact (output-root fold policy)""".stripMargin
+      |         [--maxSlices <n>]        status/compact (output-root fold policy)
+      |         [--snapshotDir <dir>] [--prior <dir,dir,...>]  snapshot/restore""".stripMargin
 
   val Known = Set("action", "indexDir", "modelDir", "layout", "input",
     "corpus", "out", "checkpoint", "nlist", "iters", "k", "nprobe",
-    "maxSkew", "targetCell", "recallTarget", "maxSlices")
+    "maxSkew", "targetCell", "recallTarget", "maxSlices", "snapshotDir",
+    "prior")
 
   /** Marker in the model dir naming the artifact's layout kind — a
     * `--layout pq` run against a float artifact dies at the flag parse
@@ -297,6 +299,29 @@ object VectorServiceMain {
           "MAX_SLICES" -> maxSlices.toString,
           "COMPACTED" -> folded.toString,
           "N_SLICES_AFTER" -> after.nBatchSlices.toString)
+
+      case "snapshot" =>
+        // DR export of the index root (or, with --out, a served-answer
+        // root): incremental against --prior snapshot chains
+        val dest = p.required("snapshotDir", Usage)
+        val root = p.get("out").getOrElse(indexDir)
+        val prior = p.get("prior").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty)
+        val copied = graft.streaming.DeltaSnapshot
+          .exportIncremental(spark, root, dest, prior)
+        Seq("SNAPSHOT_ROOT" -> root,
+          "N_FILES_COPIED" -> copied.size.toString,
+          "N_FILES_TOTAL" ->
+            graft.streaming.DeltaSnapshot.manifest(spark, dest).size.toString)
+
+      case "restore" =>
+        // materialize a working root from one snapshot's manifest; the
+        // restored index serves immediately (the _model.fp stamp travels)
+        val snap = p.required("snapshotDir", Usage)
+        val dest = p.get("out").getOrElse(indexDir)
+        val files = graft.streaming.DeltaSnapshot.restore(spark, snap, dest)
+        Seq("RESTORED_ROOT" -> dest,
+          "N_FILES" -> files.size.toString)
 
       case other => Args.die(s"unknown action: $other", Usage)
     }

@@ -106,6 +106,19 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.streaming.StreamAnnServe.results(spark, s"$base/out2")
       .count() == 20, "the fold must preserve every served answer")
 
+    // DR loop: snapshot the index, restore to a new root, and the
+    // restored index serves with the SAME persisted artifact (the
+    // _model.fp stamp travels, so requireModelMatches stays green)
+    val sn = go("--action", "snapshot", "--indexDir", idx, "--modelDir", model,
+      "--snapshotDir", s"$base/snap")
+    assert(sn("N_FILES_COPIED").toLong == sn("N_FILES_TOTAL").toLong)
+    go("--action", "restore", "--indexDir", s"$base/idxRestored",
+      "--modelDir", model, "--snapshotDir", s"$base/snap")
+    val sv4 = go("--action", "serve", "--indexDir", s"$base/idxRestored",
+      "--modelDir", model, "--input", s"$base/queries",
+      "--out", s"$base/out3", "--checkpoint", s"$base/ckpt5", "--k", "5")
+    assert(sv4("N_ANSWERS").toLong == 10)
+
     // flag surface (the D1 parser contract): unknown flag, missing
     // mandatory, unknown action — all usage + exit 1
     assert(ex(go("--action", "status", "--indexDir", idx,
