@@ -86,8 +86,14 @@ object VectorServiceMain {
       Args.die(s"unknown layout: $layout", Usage)
     def input = p.required("input", Usage)
     def checkpoint = p.required("checkpoint", Usage)
-    def corpusDf = spark.read.parquet(p.required("corpus", Usage))
-      .select("vec_id", "embedding")
+    // --corpus is WITNESS-BOUND to the artifact (ModelStore): a wrong
+    // float table dies here, before any rerank/retrain reads it
+    def corpusDf = {
+      val df = spark.read.parquet(p.required("corpus", Usage))
+        .select("vec_id", "embedding")
+      ModelStore.requireCorpusWitness(spark, df, modelDir)
+      df
+    }
     def targetMicro = math.floor(
       p.get("recallTarget").map(_.toDouble).getOrElse(0.9) * 1000000.0).toLong
     def itersArg = p.long("iters", 3L).toInt
@@ -134,6 +140,8 @@ object VectorServiceMain {
                   m, 20, n)))
         }
         DeltaLayout.writeMarker(spark, s"$modelDir/$KindFile", layout)
+        // bind future --corpus flags to THIS build's float rows
+        ModelStore.saveCorpusWitness(spark, corpus, modelDir)
         Seq("N_VECTORS" -> n.toString, "NLIST" -> nlist.toString,
           "LAYOUT" -> layout,
           "SERVING_NPROBE" -> np.toString,
@@ -264,6 +272,7 @@ object VectorServiceMain {
             val coarse2 = IvfBqIndex.rebuildIndex(spark, indexDir, corpus,
               nlist, itersArg)
             ModelStore.saveIvfBqModel(spark, coarse2, modelDir)
+            ModelStore.saveCorpusWitness(spark, corpus, modelDir)
             (IvfBqIndex.fingerprintOf(coarse2),
               measureAndSaveServing(spark, modelDir, nlist, targetMicro)(
                 IvfBqIndex.probeCurve(spark, indexDir, corpus,
@@ -274,6 +283,7 @@ object VectorServiceMain {
             val m2 = IvfPqIndex.rebuildIndex(spark, indexDir, corpus, nlist,
               coarseIters = itersArg, pqIters = itersArg)
             ModelStore.saveIvfPqModel(spark, m2, modelDir)
+            ModelStore.saveCorpusWitness(spark, corpus, modelDir)
             (m2.fingerprint,
               measureAndSaveServing(spark, modelDir, nlist, targetMicro)(
                 IvfPqIndex.probeCurve(spark, indexDir, corpus,

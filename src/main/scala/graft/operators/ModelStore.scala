@@ -158,6 +158,52 @@ object ModelStore {
       loadCentroids(spark, s"$path/opq/rotation").map(_.toArray).toArray,
       loadPqCodebooks(spark, s"$path/opq"))
 
+  /** Corpus-identity WITNESS: the five lowest-`vec_id` (id, embedding)
+    * rows of the build/retrain corpus, persisted beside the model. The
+    * layout stamp binds index ↔ model, but nothing bound index ↔
+    * `--corpus`: the code layouts store CODES only, so serve/rebuild
+    * rerank and retrain against whatever float table the flag names,
+    * and a WRONG table with the same schema produced silently wrong
+    * answers — the one unguarded silent-wrongness path left in the
+    * service CLI after round 18's stamps. The witness is the binding:
+    * KB-sized, written once per build/retrain, shipped with the
+    * artifact like the serving decision. */
+  def saveCorpusWitness(spark: SparkSession, corpus: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    corpus.select("vec_id", "embedding").orderBy("vec_id").limit(5)
+      .write.mode("overwrite").parquet(s"$path/witness")
+
+  /** Require that `corpus` reproduces the witness rows saved by
+    * [[saveCorpusWitness]] FLOAT-BIT exactly — a ≤5-id pushed-down point
+    * lookup (row-group pruned; O(1) at any corpus size), paid once per
+    * CLI invocation before any index data is touched. A different
+    * table, a perturbed rewrite, or a corpus missing the witness ids
+    * dies loudly; an ingest-GROWN superset — the intended workflow —
+    * passes, because the build-time rows ride along unchanged. An
+    * artifact without a witness (pre-round-18) is tolerated, like the
+    * absent `layout.kind` marker. */
+  def requireCorpusWitness(spark: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/witness")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    val expect = rows(spark.read.parquet(dir.toString))
+    val got = rows(corpus.filter(
+      col("vec_id").isin(expect.keySet.toSeq: _*)))
+    val bad = expect.keySet.toSeq.sorted
+      .filter(id => !got.get(id).contains(expect(id)))
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"corpus witness mismatch under $path: --corpus does not reproduce " +
+        s"the model's witness rows (vec_id ${bad.mkString(", ")} missing " +
+        "or not float-bit equal) — the index was built/retrained from a " +
+        "different table; pass that corpus (a superset grown by ingest " +
+        "passes)")
+  }
+
   /** The index's MEASURED serving decision persisted next to its model
     * — (nprobe, target) one-row parquet: a fresh CLI process cannot
     * re-derive the curve it never measured, so the build/rebuild that

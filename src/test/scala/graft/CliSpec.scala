@@ -195,6 +195,49 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     assert(sv2("N_ANSWERS").toLong == 10)
   }
 
+  test("VectorService CLI: --corpus is witness-bound — a wrong table dies before touching the index") {
+    import graft.operators.ModelStore
+    val base = java.nio.file.Files.createTempDirectory("graft_vsvc_wit").toString
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/init")
+    emb.filter(col("vec_id") < 2).write.parquet(s"$base/queries")
+    // same ids, same schema, perturbed float values — the sharpest wrong
+    // corpus: before the witness, this served silently wrong reranks
+    emb.withColumn("embedding",
+        expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))"))
+      .write.parquet(s"$base/wrong")
+    emb.write.parquet(s"$base/corpus") // the TRUE table (superset of init)
+    val (idx, model) = (s"$base/idx", s"$base/model")
+    def go(args: String*) = VectorServiceMain.run(spark, args.toArray)
+
+    go("--action", "build", "--layout", "bq", "--indexDir", idx,
+      "--modelDir", model, "--input", s"$base/init", "--iters", "1")
+    val e = intercept[IllegalStateException](
+      go("--action", "serve", "--layout", "bq", "--indexDir", idx,
+        "--modelDir", model, "--input", s"$base/queries",
+        "--corpus", s"$base/wrong", "--out", s"$base/out",
+        "--checkpoint", s"$base/ckpt1", "--k", "5"))
+    assert(e.getMessage.contains("corpus witness mismatch"))
+    // ...and a rebuild against the wrong table dies BEFORE retraining:
+    // the artifact's fingerprint is unchanged afterwards
+    val fpBefore = graft.operators.IvfBqIndex.fingerprintOf(
+      ModelStore.loadIvfBqModel(spark, model))
+    val e2 = intercept[IllegalStateException](
+      go("--action", "rebuild", "--layout", "bq", "--indexDir", idx,
+        "--modelDir", model, "--corpus", s"$base/wrong", "--iters", "1"))
+    assert(e2.getMessage.contains("corpus witness mismatch"))
+    assert(graft.operators.IvfBqIndex.fingerprintOf(
+      ModelStore.loadIvfBqModel(spark, model)) == fpBefore)
+    // the true corpus — an ingest-grown SUPERSET of the build input —
+    // passes the witness and serves
+    val sv = go("--action", "serve", "--layout", "bq", "--indexDir", idx,
+      "--modelDir", model, "--input", s"$base/queries",
+      "--corpus", s"$base/corpus", "--out", s"$base/out2",
+      "--checkpoint", s"$base/ckpt2", "--k", "5")
+    assert(sv("N_ANSWERS").toLong == 10)
+  }
+
   test("catalog parses ns:table, ns.table, and bare identifiers") {
     assert(Catalog.parse("prod:customers") == Catalog.Ident("prod", "customers"))
     assert(Catalog.parse("prod.customers") == Catalog.Ident("prod", "customers"))

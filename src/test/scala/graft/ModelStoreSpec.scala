@@ -76,4 +76,29 @@ class ModelStoreSpec extends AnyFunSuite with SparkTestBase {
     ModelStore.savePqCodebooks(spark, cb, dirCb)
     assert(ModelStore.loadPqCodebooks(spark, dirCb) == cb)
   }
+
+  test("corpus witness: superset passes, perturbed/missing rows die, absent witness tolerated") {
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val wdir = java.nio.file.Files.createTempDirectory("graft-wit").toString
+    // no witness saved yet → legacy artifact, check is a no-op
+    ModelStore.requireCorpusWitness(spark, emb, wdir)
+    ModelStore.saveCorpusWitness(spark, half, wdir)
+    // the build corpus itself and any SUPERSET (ingest-grown) pass
+    ModelStore.requireCorpusWitness(spark, half, wdir)
+    ModelStore.requireCorpusWitness(spark, emb, wdir)
+    // float-bit perturbation of one witness row dies loudly
+    val perturbed = emb.withColumn("embedding", expr(
+      "CASE WHEN vec_id = 0 THEN transform(embedding, x -> x + CAST(1.0 AS FLOAT)) ELSE embedding END"))
+    val e = intercept[IllegalStateException](
+      ModelStore.requireCorpusWitness(spark, perturbed, wdir))
+    assert(e.getMessage.contains("corpus witness mismatch") &&
+      e.getMessage.contains("0"))
+    // a corpus missing a witness id dies too
+    val e2 = intercept[IllegalStateException](
+      ModelStore.requireCorpusWitness(spark,
+        emb.filter(col("vec_id") > 0), wdir))
+    assert(e2.getMessage.contains("corpus witness mismatch"))
+  }
 }
