@@ -117,9 +117,15 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
 
-  /** Query-pack adapter: cleaned corpus doc ids + audit columns. */
+  /** Query-pack adapter: cleaned corpus doc ids + audit columns.
+    * `materialize = true` (round 18): the declarative form recomputed the
+    * gate+exact-dedup window subtree once per nearDedup consumer — FOUR
+    * sibling copies in the physical plan (band self-join ×2, star branch,
+    * anti-join back). The stage boundary computes it once; output is
+    * identical by the existing spec assertion, and the boundary is the
+    * documented 100 TB operational shape anyway. */
   def cleanQuery(spark: SparkSession, sfDir: String): DataFrame =
-    clean(Tables.load(spark, sfDir, "documents"))
+    clean(Tables.load(spark, sfDir, "documents"), materialize = true)
       .select("doc_id", "lang", "source", "quality")
 
   /**
@@ -825,7 +831,10 @@ object CorpusPipeline {
     val docs = Tables.load(spark, sfDir, "documents")
     val evalSet = docs.filter(pmod(col("doc_id"), lit(5L)) === 3)
     val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 3)
-    cleanWithEval(train, evalSet, Config(decontamN = 4))
+    // materialize = true (round 18): same rationale as cleanQuery — the
+    // gated window subtree otherwise replays per consumer (bands, star,
+    // anti-join, decontam probe); identical output, spec-asserted
+    cleanWithEval(train, evalSet, Config(decontamN = 4), materialize = true)
       .select(col("doc_id"), col("source"), col("quality"),
         splitColumn().as("split"))
   }

@@ -187,7 +187,12 @@ object DatasetExport {
    */
   def corpusExportE2eQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val cleaned = CorpusPipeline.clean(docs)
+    // materialize = true (round 18): clean()'s gated window subtree
+    // otherwise replays once per downstream consumer (band self-join ×2,
+    // star branch, anti-join, pack, export). Identical output
+    // (spec-asserted); the plan-shape spec's exchange bound still holds —
+    // the boundary only REMOVES exchanges from the capstone plan.
+    val cleaned = CorpusPipeline.clean(docs, materialize = true)
     val (a, b) = EpochShuffle.epochParams(20260815L, 0)
     val keyed = cleaned
       .withColumn("_skey", EpochShuffle.shuffleKey(col("doc_id"), a, b))

@@ -248,10 +248,25 @@ object Dedup {
       .select(col("source"),
         conv(substring(md5(col("_g")), 1, 12), 16, 10).cast("long").as("_h"))
     val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val uniq = grams.groupBy("_h")
-      .agg(count(lit(1)).as("_c"), min(col("source")).as("source"))
+    // the per-gram aggregate carries the owning source as a FIXED-WIDTH
+    // sid (round 18): `min(source)` over a StringType buffer is not
+    // HashAggregate-eligible, so the former form sorted the ENTIRE gram
+    // stream into a SortAggregate cascade (plan-verified: Sort + Exchange
+    // + Sort + SortAggregate). min(xxhash64(source)) keeps the whole pass
+    // in hash aggregation; for the `_c = 1` groups this query keeps, the
+    // group holds exactly one row, so ANY aggregate of sid is the owner's.
+    // The tiny distinct (source, sid) dimension maps back — broadcast,
+    // |sources| rows; a 64-bit sid collision between two sources is the
+    // same 2⁻⁶⁴-class event the gram hash already accepts.
+    val dim = docs.select(col("source")).distinct()
+      .select(col("source"), xxhash64(col("source")).as("_sid"))
+    val uniq = grams.select(xxhash64(col("source")).as("_sid"), col("_h"))
+      .groupBy("_h")
+      .agg(count(lit(1)).as("_c"), min(col("_sid")).as("_sid"))
       .filter(col("_c") === 1)
-      .groupBy("source").agg(count(lit(1)).as("n_unique"))
+      .groupBy("_sid").agg(count(lit(1)).as("n_unique"))
+      .join(broadcast(dim), Seq("_sid"))
+      .select(col("source"), col("n_unique"))
     totals.join(uniq, Seq("source"), "left")
       .na.fill(0L, Seq("n_unique"))
       .select(col("source"), col("n_grams"), col("n_unique"),
@@ -311,14 +326,28 @@ object Dedup {
 
   /** Every n-token window OCCURRENCE with its 0-based start position
     * (unlike shingleHashes, occurrences are not per-doc deduplicated — a
-    * window repeated inside one doc covers both sites once it's flagged). */
+    * window repeated inside one doc covers both sites once it's flagged).
+    *
+    * Window identity is a TWO-LEVEL hash (round 18): each token is
+    * xxhash64'd once, each window hashes its n token hashes — replacing
+    * the former per-window `concat_ws + xxhash64(string)`, which built
+    * and hashed a fresh ~n·tokenlen string PER POSITION (the dominant
+    * compute of the span/suffix queries; guide §1.2 "per-task work").
+    * Grouping semantics are unchanged: tokens contain no whitespace, so
+    * the space-joined string was injective on token tuples — both forms
+    * equate exactly the equal n-token windows, modulo the same 64-bit
+    * collision odds. The hash never leaves the plan (the oracle replays
+    * STRING grams), so the value change is invisible to every consumer. */
   private def windowOccurrences(base: DataFrame, n: Int): DataFrame =
     base.select(col("doc_id"),
-      posexplode(
-        when(size(col("lt")) >= n,
-          transform(sequence(lit(0), size(col("lt")) - n),
-            i => xxhash64(concat_ws(" ", slice(col("lt"), i + 1, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "w")))
+        transform(col("lt"), t => xxhash64(t)).as("_th"))
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("_th")) >= n,
+            transform(sequence(lit(0), size(col("_th")) - n),
+              i => xxhash64((0 until n).map(j =>
+                element_at(col("_th"), i + j + 1)): _*)))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "w")))
 
   /** Excision + reconstruction tail shared by the span/substring removers:
     * collapse flagged window starts to one sorted per-doc array, excise

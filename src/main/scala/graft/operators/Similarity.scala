@@ -397,8 +397,82 @@ object Similarity {
     * units (any bounded retrieval leg: cosine, BM25 points, fused RRF
     * rank decay), `emb` supplies the diversity geometry. This is what a
     * hybrid/RAG pipeline calls after fusion; [[mmrRerank]] is the
-    * cosine-relevance instantiation. */
+    * cosine-relevance instantiation.
+    *
+    * The greedy loop runs as ONE array fold per query row (the candidate
+    * list and its pairwise-sim map are bounded by r and r² — executor-side
+    * arrays, never driver state), replacing the former k-round driver loop
+    * of window + join + `localCheckpoint` per step: 2 + 2(k−1) serialized
+    * eager jobs collapsed to one projection, which at bench scale was the
+    * entire cost of q_mmr_rerank / q_rag_e2e / q_rag_media (guide §1.2:
+    * fix the distributed algorithm — here, stop paying per-step job
+    * latency for an iteration whose state is row-local). Semantics are
+    * bit-identical to [[mmrSelectIterative]] (spec-pinned): argmax of
+    * `λ·rel − (1−λ)·pen` with vec_id tiebreak, penalty folded as
+    * `greatest(pen, sim(c, pick))`, and a candidate with no sim entry for
+    * the pick dropped exactly as the iterative inner join dropped it. */
   def mmrSelect(cand0: DataFrame, emb: DataFrame, k: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, "lambdaTenths in [0,10]")
+    def micro(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    // one eager cut: cand0 is typically a whole retrieval pipeline and is
+    // consumed twice below (candidate list + sims geometry) — checkpoint
+    // the bounded (queries × r) list once instead of re-running it
+    val cand = cand0.select(col("query_id"), col("vec_id"), col("rel"))
+      .localCheckpoint()
+    val ce = cand.join(emb, "vec_id")
+    val sims = ce.select(col("query_id"), col("vec_id").as("c"), col("embedding").as("e_c"))
+      .join(ce.select(col("query_id"), col("vec_id").as("o"), col("embedding").as("e_o")),
+        Seq("query_id"))
+      .filter(col("c") =!= col("o"))
+      .select(col("query_id"), col("c"), col("o"),
+        micro(q9(VectorFunctions.cosine_sim(col("e_c"), col("e_o")))).as("sim"))
+    // per-query pairwise-sim lookup: c -> (o -> sim), bounded by r² entries
+    val simMaps = sims.groupBy(col("query_id"), col("c"))
+      .agg(map_from_entries(collect_list(struct(col("o"), col("sim")))).as("m"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("c"), col("m")))).as("simmap"))
+    val cands = cand.groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id"), col("rel"))).as("cands"))
+    val (lam, lamC) = (lambdaTenths.toLong, 10L - lambdaTenths)
+    // the k greedy steps as a single fold; `best` is recomputed per use
+    // (SQL lambdas have no let-binding) — an ascending struct sort on
+    // (−score, vec_id), so element 1 IS the (score desc, vec_id asc)
+    // argmax the iterative row_number picked
+    val best = "element_at(array_sort(transform(st.rem, x -> " +
+      s"named_struct('ns', -($lam * x.rel - $lamC * x.pen), 'v', x.v, 'rel', x.rel))), 1)"
+    val fold =
+      s"""aggregate(
+            sequence(1, $k),
+            named_struct(
+              'rem', transform(cands, x ->
+                named_struct('v', x.vec_id, 'rel', x.rel, 'pen', CAST(0 AS BIGINT))),
+              'picks', CAST(array() AS ARRAY<STRUCT<v: BIGINT, rel: BIGINT, r: BIGINT>>)),
+            (st, t) -> IF(size(st.rem) = 0, st,
+              named_struct(
+                'rem', transform(
+                  filter(st.rem, x -> x.v != $best.v AND
+                    try_element_at(try_element_at(_simmap, x.v), $best.v) IS NOT NULL),
+                  x -> named_struct('v', x.v, 'rel', x.rel,
+                    'pen', greatest(x.pen, try_element_at(try_element_at(_simmap, x.v), $best.v)))),
+                'picks', concat(st.picks,
+                  array(named_struct('v', $best.v, 'rel', $best.rel, 'r', CAST(t AS BIGINT)))))))
+          """
+    cands.join(simMaps, Seq("query_id"), "left")
+      .withColumn("_simmap", coalesce(col("simmap"),
+        expr("CAST(map() AS MAP<BIGINT, MAP<BIGINT, BIGINT>>)")))
+      .select(col("query_id"), explode(expr(fold).getField("picks")).as("p"))
+      .select(col("query_id"), col("p.v").as("vec_id"), col("p.rel").as("rel"),
+        col("p.r").as("mmr_rank"))
+  }
+
+  /** The pre-round-18 step-wise implementation — k rounds of window-argmax
+    * + penalty join, each eagerly checkpointed. Kept as the equivalence
+    * REFERENCE for [[mmrSelect]]'s fold form (SimilaritySpec pins
+    * identical output on fixtures); not called by any query path. */
+  private[graft] def mmrSelectIterative(cand0: DataFrame, emb: DataFrame, k: Int,
       lambdaTenths: Int = 7): DataFrame = {
     require(k >= 1, "need k >= 1")
     require(lambdaTenths >= 0 && lambdaTenths <= 10, "lambdaTenths in [0,10]")

@@ -64,14 +64,23 @@ object Sketches {
     * bound. (The exact twin is verification scaffolding; at 100 TB only
     * the sketch side runs — that's [[vocabApproxQuery]].) */
   def vocabApproxCheckQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // dedup-first: aggregate the token stream to (lang, tok, count) once
+    // (map-side combined), then sketch + count over the DISTINCT tokens.
+    // HLL registers are max-folded, so the sketch over the distinct set is
+    // bit-identical to the sketch over the multiset — while mixing
+    // approx_count_distinct with countDistinct in ONE agg puts the ~16 KB
+    // HLL buffer through the distinct rewrite's first aggregate, allocated
+    // once per DISTINCT TOKEN (the TableStats.analyze trap; measured here:
+    // 2.04 s → 0.99 s at sf0.1). n_tokens folds back as Σ count.
     Tables.load(spark, sfDir, "documents")
       .select(col("lang"),
         explode(TextAnalysis.whitespaceTokens(lower(col("text")))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("_c"))
       .groupBy("lang")
       .agg(
         approx_count_distinct(col("tok"), 0.01).as("_approx"),
-        countDistinct(col("tok")).as("n_distinct_tokens"),
-        count(lit(1)).as("n_tokens"))
+        count(col("tok")).as("n_distinct_tokens"),
+        sum(col("_c")).as("n_tokens"))
       .select(col("lang"), col("n_distinct_tokens"), col("n_tokens"),
         (abs(col("_approx") - col("n_distinct_tokens")).cast("double") <=
           lit(0.05) * col("n_distinct_tokens").cast("double"))

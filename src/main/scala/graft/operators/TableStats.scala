@@ -23,22 +23,28 @@ object TableStats {
     require(columns.nonEmpty)
     // One PRUNED pass per column, unioned — a multi-column agg mixing
     // several countDistincts forces an Expand + SortAggregate cascade
-    // (measured 60x slower at sf0.1). Within a column, the HLL sketch
-    // aggregates SEPARATELY from the exact stats: Spark's distinct
-    // rewrite re-keys the first aggregate by the column's VALUES, and
-    // any imperative buffer sharing that aggregate (the rsd=0.01 HLL is
-    // ~16 KB) is then allocated once PER DISTINCT VALUE — measured 6 s
-    // on a 150k-distinct key vs ~0.3 s split. Cross-joining the two
-    // 1-row results costs nothing.
+    // (measured 60x slower at sf0.1). Within a column, the pass is
+    // DEDUP-FIRST (round 18): aggregate to (value, count) once — map-side
+    // combined, the same first level Spark's distinct rewrite would build
+    // anyway — then take EVERY statistic from the distinct table: n_rows
+    // = Σ count, nulls from the null group's count, ndv/min/max over the
+    // keys, and the HLL sketch over the keys (registers are max-folded,
+    // so the sketch of the distinct set is bit-identical to the sketch of
+    // the multiset). That retires both former hazards at once: no second
+    // full-table pass for the sketch, and no ~16 KB HLL buffer per
+    // DISTINCT VALUE (the rsd=0.01 buffer rides the ONE global group) —
+    // the trap that cost 6 s on a 150k-distinct key when the sketch
+    // shared an agg with countDistinct. No crossJoin assembly either:
+    // 2 scans + 4 exchanges per column before, 1 scan + 2 exchanges now.
     columns.map { c =>
-      val exact = df.agg(
-        count(lit(1)).as("n_rows"),
-        count(col(c)).as("_cnt"),
-        countDistinct(col(c)).as("ndv"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-      val approx = df.agg(approx_count_distinct(col(c), 0.01).as("_andv"))
-      exact.crossJoin(approx)
+      df.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
+        .agg(
+          sum(col("_c")).as("n_rows"),
+          sum(when(col("_v").isNotNull, col("_c")).otherwise(0L)).as("_cnt"),
+          count(col("_v")).as("ndv"),
+          min(col("_v")).cast("string").as("min_value"),
+          max(col("_v")).cast("string").as("max_value"),
+          approx_count_distinct(col("_v"), 0.01).as("_andv"))
         .select(
           lit(c).as("col_name"),
           col("n_rows"),

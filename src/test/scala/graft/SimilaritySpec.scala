@@ -200,6 +200,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"diverse candidate must outrank the duplicate at λ=0.3, got $order")
   }
 
+  test("MMR fold form ≡ iterative reference (bit-identical picks, ranks, rel)") {
+    // the round-18 single-fold mmrSelect must reproduce the step-wise
+    // window/join/checkpoint loop exactly — same picks, same ranks, same
+    // rel — across λ regimes, on real fixture geometry and on a degenerate
+    // hand case (duplicate vectors force the penalty path and the tiebreak)
+    val emb = graft.sources.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rel"), r.getAs[Long]("mmr_rank"))).toSet
+    for (lt <- Seq(0, 3, 7, 10)) {
+      val cand = Similarity.bruteForceTopK(emb, queries, 15)
+        .select(col("query_id"), col("vec_id"),
+          floor(col("cosine") * lit(1000000.0) + lit(0.5)).cast("long").as("rel"))
+      val fold = rows(Similarity.mmrSelect(cand, emb, k = 6, lambdaTenths = lt))
+      val iter = rows(Similarity.mmrSelectIterative(cand, emb, k = 6, lambdaTenths = lt))
+      assert(fold == iter, s"fold/iterative divergence at lambdaTenths=$lt")
+    }
+    // candidate WITHOUT an embedding row: pickable at step 1 only, then
+    // dropped by the sims inner join — the fold must replicate that drop
+    import spark.implicits._
+    def vec(a: Double, b: Double): Seq[Float] =
+      Seq(a.toFloat, b.toFloat) ++ Seq.fill(62)(0.0f)
+    val corpus = Seq((1L, vec(1.0, 0.0)), (2L, vec(1.0, 0.0)),
+      (3L, vec(0.6, 0.8))).toDF("vec_id", "embedding")
+    val cand = Seq((0L, 9L, 2000000L), (0L, 1L, 1000000L), (0L, 2L, 999999L),
+      (0L, 3L, 600000L)).toDF("query_id", "vec_id", "rel")
+    val fold = rows(Similarity.mmrSelect(cand, corpus, k = 4, lambdaTenths = 3))
+    val iter = rows(Similarity.mmrSelectIterative(cand, corpus, k = 4, lambdaTenths = 3))
+    assert(fold == iter, "fold/iterative divergence on the no-embedding candidate case")
+    // the no-embedding pick empties the pool (no sims entries name it as
+    // `o`), so exactly one pick survives — in both implementations
+    assert(fold.map(_._2) == Set(9L) && fold.size == 1)
+  }
+
   test("scaledPlanes: occupancy-targeted, clamped, monotone in corpus size") {
     assert(Similarity.scaledPlanes(500L) == 2)       // floor
     assert(Similarity.scaledPlanes(5000L) == 3)      // sf0.01 shape
