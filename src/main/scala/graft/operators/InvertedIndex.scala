@@ -191,10 +191,12 @@ object InvertedIndex {
   /** Build (overwrite) the index store at `dir` as a salted cell store. */
   def buildIndex(spark: SparkSession, docs: DataFrame, dir: String,
       buckets: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): Unit =
+      textCol: String = "text"): Unit = {
     indexCells(docs, idCol, textCol)
       .write.format("cellstore").option("buckets", buckets.toString)
       .mode("overwrite").save(dir)
+    invalidateMeta(dir)
+  }
 
   /**
    * Subject purge PROPAGATED to the derived search artifact: masks the
@@ -281,6 +283,7 @@ object InvertedIndex {
       .unionByName(dfCorrections).unionByName(metaCorrections)
       .write.format("cellstore").option("buckets", buckets.toString)
       .mode("append").save(dir)
+    invalidateMeta(dir)
   }
 
   /**
@@ -306,6 +309,7 @@ object InvertedIndex {
         col("qualifier").cast("string") === TombstonedMeta))
       .write.format("cellstore").mode("overwrite")
       .option("buckets", buckets.toString).save(dir)
+    invalidateMeta(dir)
   }
 
   /**
@@ -316,11 +320,29 @@ object InvertedIndex {
    * (TakeOrderedAndProject — no global single-partition window).
    */
   /** The probe keys for a term list, hashed exactly as the index writer
-    * hashed them. */
+    * hashed them — ON THE DRIVER (round 18): the same catalyst hash
+    * kernel the [[termKey]] expression runs (`XxHash64Function`, seed 42,
+    * the `xxhash64` default) followed by the big-endian layout
+    * [[CellTable.bigEndianKey]] encodes, so the bytes are identical to
+    * the writer's. The former `spark.range(1).head()` spent a whole
+    * Spark job per search invocation just to hash a handful of terms;
+    * IndexStoreSpec pins driver-key == expression-key equivalence. */
   private def probeKeys(spark: SparkSession, uniq: Seq[String]): Seq[Array[Byte]] =
-    spark.range(1).select(
-      array(uniq.map(t => termKey(lit(t))): _*).as("ks"))
-      .head().getSeq[Array[Byte]](0)
+    uniq.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      java.nio.ByteBuffer.allocate(8).putLong(h).array()
+    }
+
+  /** Spec hook: the driver-side key bytes next to the expression-side
+    * key for the same term — IndexStoreSpec asserts they agree. */
+  private[graft] def probeKeyPair(spark: SparkSession, term: String)
+      : (Array[Byte], Array[Byte]) = {
+    val exprKey = spark.range(1).select(termKey(lit(term)).as("k"))
+      .head().getAs[Array[Byte]]("k")
+    (probeKeys(spark, Seq(term)).head, exprKey)
+  }
 
   /** Delete-visible read of a probed slice. The index store is a mutable
     * cell-model citizen — [[purgeIndex]] writes tombstones and corrected
@@ -332,13 +354,27 @@ object InvertedIndex {
   private def visibleSlice(slice: DataFrame): DataFrame =
     CellTable.visibleLatest(slice)
 
+  /** Meta scalars (n_docs, sum_dl, tombstoned flag) memoized per store
+    * DIRECTORY (round 18): the collect is a pushed-GET job the former
+    * probe paid on EVERY search invocation, for cells that only change
+    * when the store itself is mutated — and every in-JVM mutation entry
+    * point ([[buildIndex]], [[purgeIndex]], [[compactIndex]]) invalidates
+    * the entry after its write. Same per-JVM staleness contract as the
+    * registry's buildOnce discipline; delta slices are write-once dirs,
+    * so streamed probes never see a stale entry. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
+  private[operators] def invalidateMeta(dir: String): Unit =
+    metaCache.remove(dir)
+
   /** The probed postings/df frames + meta scalars shared by both ranking
     * functions: (postings with tf and dl, dfs, n_docs, sum_dl). */
   private def probe(spark: SparkSession, dir: String, uniq: Seq[String])
       : (DataFrame, DataFrame, Long, Long) = {
     val keys = probeKeys(spark, uniq)
     val store = spark.read.format("cellstore").load(dir)
-    val metas = readMeta(store)
+    val metas = metaCache.computeIfAbsent(dir, _ => readMeta(store))
     val raw = store.filter(
       col("rowKey").isInCollection(keys) &&
         (col("family") === "post" || col("family") === "df"))

@@ -245,4 +245,17 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(sn == Map(1L -> "a b c", 2L -> "b a b", 4L -> "a a b c"))
   }
+
+  test("driver-side probe key bytes equal the termKey expression's bytes") {
+    // the round-18 probe hashes terms on the driver (no per-search Spark
+    // job); the bytes must be EXACTLY what the index writer's expression
+    // produced or every probe silently misses its postings
+    for (t <- Seq("merge", "sort", "window", "apple", "", " odd",
+        "ünïcode-tërm", "a" * 300)) {
+      val (driverKey, exprKey) =
+        graft.operators.InvertedIndex.probeKeyPair(spark, t)
+      assert(java.util.Arrays.equals(driverKey, exprKey),
+        s"probe-key divergence for term '$t'")
+    }
+  }
 }
