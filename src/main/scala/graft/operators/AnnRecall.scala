@@ -112,13 +112,10 @@ object AnnRecall {
     String, Seq[(Long, Long)]]()
 
   private def cachedTruth(spark: SparkSession, key: String,
-      build: => DataFrame): DataFrame = {
-    val rows = truthCache.computeIfAbsent(key, _ =>
+      build: => DataFrame): Seq[(Long, Long)] =
+    truthCache.computeIfAbsent(key, _ =>
       build.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    import spark.implicits._
-    rows.toDF("query_id", "vec_id")
-  }
 
   /** One (tier, k, n_matches, recall_micro, within_floor) row per tier.
     *
@@ -135,11 +132,12 @@ object AnnRecall {
     * this is a no-op there. The oracle derives the identical denominator
     * from the identical truth subquery. */
   def recallQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < NQueries)
-    def truthAt(k: Int): DataFrame = cachedTruth(spark, s"$sfDir#k=$k",
+    def truthAt(k: Int): Seq[(Long, Long)] = cachedTruth(spark, s"$sfDir#k=$k",
       Similarity.bruteForceTopK(emb, queries, k))
-    val truth: Map[Int, DataFrame] =
+    val truth: Map[Int, Seq[(Long, Long)]] =
       Tiers.map(_._2).distinct.map(k => k -> truthAt(k)).toMap
     // the filtered tier's own truth: the exact same-label top-10 — the
     // already-verified q_ann_filtered result
@@ -160,19 +158,22 @@ object AnnRecall {
       "ivfpq_res"  -> IvfPqIndex.ivfpqResidualQuery(spark, sfDir),
       "sq8"        -> SqIndex.sqQuery(spark, sfDir))
     Tiers.map { case (tier, k, floorMicro) =>
-      val truthDf = if (tier == "ivf_filtered") filteredTruth else truth(k)
+      val rows = if (tier == "ivf_filtered") filteredTruth else truth(k)
+      // the denominator is the truth set's OWN size — and the truth set
+      // is ALREADY driver rows (cachedTruth), so it rides as a literal
+      // (round 18): the former per-tier `crossJoin(truth.agg(count))`
+      // spent 13 extra aggregate+join subtrees re-counting driver-local
+      // sequences inside the plan
+      val denom = rows.size.toLong
       tierDf(tier).select("query_id", "vec_id")
-        .join(truthDf, Seq("query_id", "vec_id"))
+        .join(rows.toDF("query_id", "vec_id"), Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("n_matches"))
-        // 1-row × 1-row audit assembly (the TableStats convention): the
-        // checkpointed truth makes the count a local re-read, not a rescan
-        .crossJoin(truthDf.agg(count(lit(1)).as("_denom")))
         .select(
           lit(tier).as("tier"),
           lit(k).as("k"),
           col("n_matches"),
-          expr("n_matches * 1000000 div _denom").as("recall_micro"),
-          (expr("n_matches * 1000000 div _denom") >= lit(floorMicro))
+          expr(s"n_matches * 1000000 div ${denom}L").as("recall_micro"),
+          (expr(s"n_matches * 1000000 div ${denom}L") >= lit(floorMicro))
             .as("within_floor"))
     }.reduce(_.unionAll(_))
   }

@@ -94,7 +94,8 @@ object BqIndex {
     * fully literal SQL, no cached model. */
   def bqQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val r = Similarity.scaledCandidates(emb.count())
+    val r = Similarity.scaledCandidates(
+      graft.sources.Tables.rowCount(spark, sfDir, "embeddings"))
     searchWithRerank(emb, emb.filter(col("vec_id") < 5), k = 10, r = r)
   }
 }

@@ -294,7 +294,7 @@ object EmbeddingPca {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // via annPlanes (not scaledPlanes directly) so the plane count lands
     // in the cachedAnnPlanes oracle cache no matter which tier runs first
-    val p = Similarity.annPlanes(emb)
+    val p = Similarity.annPlanes(spark, sfDir)
     val probes = Similarity.scaledProbes(p)
     pcaBucketedTopK(emb, emb.filter(col("vec_id") < 5),
       fitCached(spark, sfDir), planes = p, probes = probes,

@@ -170,7 +170,9 @@ object IvfBqIndex {
       d
     })
     val nprobe = IvfIndex.scaledNprobe(coarse.nlist)
-    val r = scaledProbedPool(emb.count(), coarse.nlist, nprobe)
+    val r = scaledProbedPool(
+      graft.sources.Tables.rowCount(spark, sfDir, "embeddings"),
+      coarse.nlist, nprobe)
     searchIndex(spark, dir, emb, emb.filter(col("vec_id") < 5), coarse,
       k = 10, nprobe = nprobe, r = r)
   }

@@ -660,9 +660,9 @@ object IvfIndex {
   private[graft] def packModel(spark: SparkSession, sfDir: String): Model = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // corpus-sized nlist (decade-stable occupancy — [[scaledNlist]]); the
-    // count() is parquet footer metadata, and the model is memoized so the
-    // fit + count amortize across the whole ANN query pack
-    val nl = scaledNlist(emb.count())
+    // size is the memoized catalog count (Tables.rowCount), and the model
+    // is memoized so the fit amortizes across the whole ANN query pack
+    val nl = scaledNlist(Tables.rowCount(spark, sfDir, "embeddings"))
     modelCache.computeIfAbsent(s"$sfDir#nlist=$nl#iters=2",
       _ => train(emb, nlist = nl, iters = 2))
   }

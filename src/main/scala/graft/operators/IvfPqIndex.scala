@@ -271,7 +271,8 @@ object IvfPqIndex {
     * pool r=50, exact top-10. */
   def ivfpqQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val nl = IvfIndex.scaledNlist(emb.count())
+    val nl = IvfIndex.scaledNlist(
+      graft.sources.Tables.rowCount(spark, sfDir, "embeddings"))
     val model = modelCache.computeIfAbsent(s"$sfDir#nlist=$nl#m=8#k=16",
       _ => train(emb, nlist = nl, dim = 64, m = 8, k = 16,
         coarseIters = 2, pqIters = 2))
@@ -305,7 +306,8 @@ object IvfPqIndex {
     * against a generated SQL replay like its global twin. */
   def ivfpqResidualQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val nl = IvfIndex.scaledNlist(emb.count())
+    val nl = IvfIndex.scaledNlist(
+      graft.sources.Tables.rowCount(spark, sfDir, "embeddings"))
     val model = residualModelCache.computeIfAbsent(s"$sfDir#res#nlist=$nl#m=8#k=16",
       _ => train(emb, nlist = nl, dim = 64, m = 8, k = 16,
         coarseIters = 2, pqIters = 2, residual = true))

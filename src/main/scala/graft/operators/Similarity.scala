@@ -516,10 +516,12 @@ object Similarity {
   // Query-pack adapters --------------------------------------------------
 
   /** Corpus-sized plane count for the embeddings fixture, cached for the
-    * oracle. One count() job (parquet footer metadata — no data scan); a
-    * 100 TB deployment passes its catalog-known corpus size instead. */
-  private[operators] def annPlanes(emb: DataFrame): Int = {
-    val p = scaledPlanes(emb.count())
+    * oracle. The corpus size comes from the memoized catalog count
+    * ([[Tables.rowCount]] — round 18: the per-invocation count() job was
+    * paid once per bucketed tier, 4+ jobs inside one q_ann_recall pass);
+    * a 100 TB deployment passes its catalog-known corpus size instead. */
+  private[operators] def annPlanes(spark: SparkSession, sfDir: String): Int = {
+    val p = scaledPlanes(Tables.rowCount(spark, sfDir, "embeddings"))
     lastAnnPlanes.set(p)
     p
   }
@@ -560,14 +562,15 @@ object Similarity {
   /** Same queries through the LSH path, planes sized to the corpus. */
   def lshQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    lshTopK(emb, emb.filter(col("vec_id") < 5), k = 20, planes = annPlanes(emb))
+    lshTopK(emb, emb.filter(col("vec_id") < 5), k = 20,
+      planes = annPlanes(spark, sfDir))
   }
 
   /** Same queries through the multi-probe path (4 probes over the
     * corpus-sized plane count). */
   def multiProbeQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val p = annPlanes(emb)
+    val p = annPlanes(spark, sfDir)
     multiProbeTopK(emb, emb.filter(col("vec_id") < 5), k = 20,
       planes = p, probes = scaledProbes(p))
   }
@@ -581,7 +584,7 @@ object Similarity {
     * via [[scaledCandidates]]) remains the no-index path. */
   def mrlQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val p = annPlanes(emb)
+    val p = annPlanes(spark, sfDir)
     val probes = scaledProbes(p)
     mrlBucketedTopK(emb, emb.filter(col("vec_id") < 5), dPrefix = 16,
       planes = p, probes = probes, rPrefix = bucketedRerank(probes), k = 20)

@@ -25,6 +25,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized table row count — parquet footer metadata over an
+    * immutable fixture path, the number a 100 TB deployment reads from
+    * its CATALOG (the scaledPlanes/scaledNlist scaladocs' own framing).
+    * The scale-adaptive parameter ladders consult it on every query
+    * construction; without the memo each ANN tier paid a count job per
+    * invocation (13 of them inside one q_ann_recall pass). */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.computeIfAbsent(s"$sfDir/$name",
+      _ => load(spark, sfDir, name).count())
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // harmless for µs fixtures; required so a ns fixture reads (as longs)
