@@ -144,6 +144,13 @@ object Dedup {
       .withColumn("bmin", min(col("doc_id")).over(w))
       .observe(s"lsh_skew_${skewMetricSeq.incrementAndGet()}",
         count(when(col("bsz") > maxBucket, 1)).as("star_routed_rows"))
+      // checkpointed (round 18): three consumers below (both all-pairs
+      // self-join sides + the star branch) each replayed the whole
+      // minhash + bucket-shuffle + window subtree — plan-verified as
+      // three sibling Generate+Exchange+Window copies; the banded table
+      // is (doc, band)-sized, narrow, and the one artifact every
+      // candidate path shares
+      .localCheckpoint()
 
     val small = sized.filter(col("bsz") <= maxBucket)
     val smallPairs = small.alias("a")
@@ -878,9 +885,15 @@ object Dedup {
    */
   def sourceOverlap(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 128,
       bound: Double = 0.25): DataFrame = {
+    // the distinct (source, gram) table is consumed THREE times (sizes +
+    // both self-join sides) — checkpoint it once (round 18) so the
+    // corpus explode+distinct runs once, not three times; this is the
+    // verification-scaffolding side, so the materialization is bounded
+    // by the distinct-gram count the exact report needs anyway
     val grams = docs.select(col("source"),
         explode(shingleHashes(col("text"), shingleN)).as("g"))
       .distinct()
+      .localCheckpoint()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = grams.toDF("source_a", "g")
       .join(grams.toDF("source_b", "g"), Seq("g"))
