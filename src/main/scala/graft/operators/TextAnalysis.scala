@@ -198,17 +198,11 @@ object TextAnalysis {
     val prefixCounts = bigramCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(tk).as("t")).agg(
       countDistinct(col("t")).as("v"))
-    // per-bigram probability assembled MODEL-SIDE (round 18): c1 and V
-    // attach to the |distinct bigrams| table, so the corpus bigram stream
-    // rides ONE shuffle join instead of two — (c12+1)/(c1+v) is computed
-    // from identical inputs either way, so every occurrence's p is the
-    // same IEEE double the occurrence-side division produced
-    val model = bigramCounts
+    bi.join(bigramCounts, Seq("w1", "w2"))
       .join(prefixCounts, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
+      .select(col("doc_id"),
         ((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("p"))
-    bi.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
         round(avg(col("p")), 6).as("avg_prob"))
