@@ -948,15 +948,6 @@ object SparkEntry {
   private val legTruthCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, Long)]]()
 
-  private def cachedTruthPairs(key: String, build: => DataFrame)(
-      implicit spark: SparkSession): DataFrame = {
-    val rows = legTruthCache.computeIfAbsent(key, _ =>
-      build.select("query_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    import spark.implicits._
-    rows.toDF("query_id", "vec_id")
-  }
-
   /** Driver-verified recall gate for the index-served capstone legs (the
     * AnnRecall pattern applied to the legs that replaced bruteForceTopK
     * in round 15): each leg joins the exact scan-bound truth it
@@ -970,22 +961,27 @@ object SparkEntry {
     * so the gate's steady-state cost is decade-flat. */
   private def legRecallQuery(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    import spark.implicits._
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
-    def leg(tier: String, got: DataFrame, truth: DataFrame): DataFrame = {
+    def leg(tier: String, got: DataFrame, truthRows: Seq[(Long, Long)]): DataFrame = {
       val floor = LegFloors.toMap.apply(tier)
+      // denominator = the truth set's OWN size, inlined as a literal —
+      // the truths are cached driver rows, so the former
+      // crossJoin(truth.agg(count)) re-counted a driver-local sequence
+      // inside the plan (the AnnRecall round-18 cut)
+      val denom = truthRows.size.toLong
       got.select("query_id", "vec_id")
-        .join(truth, Seq("query_id", "vec_id"))
+        .join(truthRows.toDF("query_id", "vec_id"), Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("n_matches"))
-        // 1-row × 1-row audit assembly; truths are cached driver rows
-        .crossJoin(truth.agg(count(lit(1)).as("_denom")))
         .select(lit(tier).as("tier"), col("n_matches"),
-          expr("n_matches * 1000000 div _denom").as("recall_micro"),
-          (expr("n_matches * 1000000 div _denom") >= lit(floor))
+          expr(s"n_matches * 1000000 div ${denom}L").as("recall_micro"),
+          (expr(s"n_matches * 1000000 div ${denom}L") >= lit(floor))
             .as("within_floor"))
     }
-    val truthE = cachedTruthPairs(s"$sfDir#emb0", {
+    val truthE = legTruthCache.computeIfAbsent(s"$sfDir#emb0", _ =>
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 20)
-    })
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
     // ONE media exact pass serves both media legs: top-20 for the three
     // query ids, rank-cut to each leg's (queries, k)
     val mediaTruth20 = legTruthCache.computeIfAbsent(s"$sfDir#media3", { _ =>
@@ -994,12 +990,10 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank")).collect()
         .map(r => (r.getLong(0), r.getLong(1) * 1000L + r.getLong(2))).toSeq
     })
-    def mediaTruth(pred: (Long, Long) => Boolean): DataFrame = {
-      import spark.implicits._
+    def mediaTruth(pred: (Long, Long) => Boolean): Seq[(Long, Long)] =
       mediaTruth20.map { case (q, vr) => (q, vr / 1000L, vr % 1000L) }
         .filter { case (q, _, r) => pred(q, r) }
-        .map { case (q, v, _) => (q, v) }.toDF("query_id", "vec_id")
-    }
+        .map { case (q, v, _) => (q, v) }
     leg("hybrid_sem",
         IvfIndex.packSearch(spark, sfDir, col("vec_id") === 0L, k = 20),
         truthE)
