@@ -139,18 +139,21 @@ object Dedup {
     // (doc, bucket) rows took the star path — the "dropped candidates" audit.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("bucket")
+    // checkpointed (round 18): three consumers below (both all-pairs
+    // self-join sides + the star branch) each replayed the whole
+    // minhash + bucket-shuffle + window subtree — plan-verified as
+    // three sibling Generate+Exchange+Window copies; the banded table
+    // is (doc, band)-sized, narrow, and the one artifact every
+    // candidate path shares. The observe is applied AFTER the checkpoint
+    // (round 19): placed before it, the checkpoint's own eager execution
+    // consumed the metric and handed consumers a bare LogicalRDD, leaving
+    // queryExecution.observedMetrics empty on the returned frame.
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("bmin", min(col("doc_id")).over(w))
+      .localCheckpoint()
       .observe(s"lsh_skew_${skewMetricSeq.incrementAndGet()}",
         count(when(col("bsz") > maxBucket, 1)).as("star_routed_rows"))
-      // checkpointed (round 18): three consumers below (both all-pairs
-      // self-join sides + the star branch) each replayed the whole
-      // minhash + bucket-shuffle + window subtree — plan-verified as
-      // three sibling Generate+Exchange+Window copies; the banded table
-      // is (doc, band)-sized, narrow, and the one artifact every
-      // candidate path shares
-      .localCheckpoint()
 
     val small = sized.filter(col("bsz") <= maxBucket)
     val smallPairs = small.alias("a")
