@@ -56,7 +56,16 @@ object IvfIndex {
     * the corpus-scaled nlist=256 fit at sf3). Strictly-greater keeps the
     * FIRST (lowest-index) cell on score ties — the same total order as
     * the probe sort and the oracle's `ORDER BY s DESC, cell ASC`. */
-  private[operators] def nearestCell(model: Model, vec: org.apache.spark.sql.Column) = {
+  private[graft] def nearestCell(model: Model, vec: org.apache.spark.sql.Column) =
+    // codegen'd kernel since round 19 (graft.functions.NearestCentroid):
+    // the former aggregate fold carried nlist typedlit centroid arrays and
+    // evaluated interpreted per corpus row; same strictly-greater /
+    // first-wins tie order, AnnKernelsSpec pins bit-equality against
+    // nearestCellReference
+    graft.functions.AnnKernelFunctions.nearest_centroid(vec, model.centroids)
+
+  /** Pre-round-19 fold form — the kernel's equivalence REFERENCE only. */
+  private[graft] def nearestCellReference(model: Model, vec: org.apache.spark.sql.Column) = {
     val scored = model.centroids.zipWithIndex.map { case (c, i) =>
       struct(VectorFunctions.dot_product(vec, typedlit(c)).as("score"),
         lit(i).as("cell"))
@@ -183,7 +192,16 @@ object IvfIndex {
 
   /** The `nprobe` closest cell ids for a query vector column (shared with
     * [[IvfPqIndex]] so both probe identically). */
-  private[operators] def probeCellsColumn(
+  private[graft] def probeCellsColumn(
+      model: Model, vec: org.apache.spark.sql.Column, nprobe: Int) =
+    // codegen'd kernel since round 19 (graft.functions.ProbeCells): the
+    // former array_sort carried nlist typedlit centroid arrays and an
+    // interpreted comparator; same stable (score desc, cell asc) order,
+    // AnnKernelsSpec pins bit-equality against probeCellsColumnReference
+    graft.functions.AnnKernelFunctions.probe_cells(vec, model.centroids, nprobe)
+
+  /** Pre-round-19 sort form — the kernel's equivalence REFERENCE only. */
+  private[graft] def probeCellsColumnReference(
       model: Model, vec: org.apache.spark.sql.Column, nprobe: Int) = {
     val scoredCells = model.centroids.zipWithIndex.map { case (c, i) =>
       struct(VectorFunctions.dot_product(vec, typedlit(c)).as("score"),

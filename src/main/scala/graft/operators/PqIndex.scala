@@ -37,8 +37,17 @@ object PqIndex {
     def subDim: Int = dim / m
   }
 
-  /** L2-normalize so dot ≡ cosine ranking (zero vectors stay zero). */
-  private[graft] def normed(vec: Column): Column = {
+  /** L2-normalize so dot ≡ cosine ranking (zero vectors stay zero).
+    * Codegen'd kernel since round 19 ([[graft.functions.L2Normalize]]) —
+    * the interpreted `transform` form re-evaluated the inlined Σx² dot
+    * per element reference; AnnKernelsSpec pins bit-equality against
+    * [[normedReference]]. */
+  private[graft] def normed(vec: Column): Column =
+    graft.functions.AnnKernelFunctions.l2_normalize(vec)
+
+  /** The pre-round-19 HOF form — the kernel's equivalence REFERENCE
+    * (AnnKernelsSpec); not on any query path. */
+  private[graft] def normedReference(vec: Column): Column = {
     val n2 = VectorFunctions.dot_product(vec, vec)
     transform(vec, x =>
       when(n2 === 0d, x).otherwise((x / sqrt(n2)).cast("float")))
@@ -139,22 +148,45 @@ object PqIndex {
     vecs.select(col("vec_id"), codesColumn(model, col("embedding")).as("codes"))
 
   /** `array<int>` of per-subspace nearest-codeword ids for a NORMALIZED
-    * vector column (shared with [[IvfPqIndex]]'s cell-partitioned encode). */
-  private[operators] def codesColumn(model: Codebooks, e: Column): Column =
+    * vector column (shared with [[IvfPqIndex]]'s cell-partitioned encode).
+    * Codegen'd kernel since round 19 ([[graft.functions.PqEncode]]): the
+    * former form carried m×k `typedlit` codeword arrays plus an
+    * interpreted `array_sort` comparator per subspace — both the per-row
+    * exec cost AND the per-invocation analysis cost of the literal tree.
+    * AnnKernelsSpec pins bit-equality against [[codesColumnReference]]. */
+  private[graft] def codesColumn(model: Codebooks, e: Column): Column =
+    graft.functions.AnnKernelFunctions.pq_encode(e, model.books)
+
+  /** Pre-round-19 expression form — equivalence REFERENCE only. */
+  private[graft] def codesColumnReference(model: Codebooks, e: Column): Column =
     array((0 until model.m).map(s =>
       nearestCode(model.books(s), subCol(e, s, model.subDim))): _*)
 
   /** (m × k) ADC lookup table for a NORMALIZED query column: entry (s, j)
-    * is the query's subvector-s dot codeword j. */
-  private[operators] def adcTablesColumn(model: Codebooks, e: Column): Column =
+    * is the query's subvector-s dot codeword j. Codegen'd kernel since
+    * round 19 ([[graft.functions.AdcTables]]) — same literal-tree and
+    * equivalence story as [[codesColumn]]. */
+  private[graft] def adcTablesColumn(model: Codebooks, e: Column): Column =
+    graft.functions.AnnKernelFunctions.adc_tables(e, model.books)
+
+  /** Pre-round-19 expression form — equivalence REFERENCE only. */
+  private[graft] def adcTablesColumnReference(model: Codebooks, e: Column): Column =
     array((0 until model.m).map(s =>
       array(model.books(s).map(c =>
         VectorFunctions.dot_product(subCol(e, s, model.subDim), typedlit(c))): _*)): _*)
 
   /** ADC score of a codes array against a query's lookup tables — a left
     * fold so the add order is pinned (the SQL oracle replays it with
-    * `list_reduce`). */
-  private[operators] def adcScore(codes: Column, tables: Column): Column =
+    * `list_reduce`). Codegen'd kernel since round 19
+    * ([[graft.functions.AdcScore]] — the former `aggregate(zip_with(…))`
+    * evaluated interpreted per (candidate × query) pair, the hottest
+    * expression of the PQ/OPQ tiers); AnnKernelsSpec pins bit-equality
+    * against [[adcScoreReference]]. */
+  private[graft] def adcScore(codes: Column, tables: Column): Column =
+    graft.functions.AnnKernelFunctions.adc_score(codes, tables)
+
+  /** Pre-round-19 HOF form — equivalence REFERENCE only. */
+  private[graft] def adcScoreReference(codes: Column, tables: Column): Column =
     aggregate(zip_with(codes, tables,
         (cd, tb) => element_at(tb, cd + lit(1))),
       lit(0d), (a, x) => a + x)
