@@ -143,20 +143,39 @@ object AnnRecall {
     // already-verified q_ann_filtered result
     val filteredTruth = cachedTruth(spark, s"$sfDir#filtered",
       Similarity.filteredQuery(spark, sfDir))
-    val tierDf: Map[String, DataFrame] = Map(
-      "lsh"        -> Similarity.lshQuery(spark, sfDir),
-      "multiprobe" -> Similarity.multiProbeQuery(spark, sfDir),
-      "mrl"        -> Similarity.mrlQuery(spark, sfDir),
-      "pca"        -> EmbeddingPca.annPcaQuery(spark, sfDir),
-      "ivf"        -> IvfIndex.ivfQuery(spark, sfDir),
-      "ivf_filtered" -> IvfIndex.ivfFilteredQuery(spark, sfDir),
-      "pq"         -> PqIndex.pqQuery(spark, sfDir),
-      "opq"        -> OpqIndex.opqQuery(spark, sfDir),
-      "bq"         -> BqIndex.bqQuery(spark, sfDir),
-      "ivf_bq"     -> IvfBqIndex.ivfbqQuery(spark, sfDir),
-      "ivfpq"      -> IvfPqIndex.ivfpqQuery(spark, sfDir),
-      "ivfpq_res"  -> IvfPqIndex.ivfpqResidualQuery(spark, sfDir),
-      "sq8"        -> SqIndex.sqQuery(spark, sfDir))
+    // The 13 tier plans are built CONCURRENTLY (round 19, guide §2.6 —
+    // overlap independent driver work): each tier's Dataset construction
+    // is independent driver-side analysis (plus, on the cold first
+    // invocation, its independent eager index/model build jobs, which
+    // Spark happily runs in parallel), and building them sequentially was
+    // the gate's dominant residual fn-construction cost (~1.9 s of ~2.0 s
+    // at sf0.1). Model/index caches are ConcurrentHashMaps keyed per
+    // corpus, so concurrent construction is the buildOnce discipline
+    // unchanged; the assembled plan (and therefore the result) is
+    // identical to the sequential build's.
+    val tierBuilders: Seq[(String, () => DataFrame)] = Seq(
+      "lsh"        -> (() => Similarity.lshQuery(spark, sfDir)),
+      "multiprobe" -> (() => Similarity.multiProbeQuery(spark, sfDir)),
+      "mrl"        -> (() => Similarity.mrlQuery(spark, sfDir)),
+      "pca"        -> (() => EmbeddingPca.annPcaQuery(spark, sfDir)),
+      "ivf"        -> (() => IvfIndex.ivfQuery(spark, sfDir)),
+      "ivf_filtered" -> (() => IvfIndex.ivfFilteredQuery(spark, sfDir)),
+      "pq"         -> (() => PqIndex.pqQuery(spark, sfDir)),
+      "opq"        -> (() => OpqIndex.opqQuery(spark, sfDir)),
+      "bq"         -> (() => BqIndex.bqQuery(spark, sfDir)),
+      "ivf_bq"     -> (() => IvfBqIndex.ivfbqQuery(spark, sfDir)),
+      "ivfpq"      -> (() => IvfPqIndex.ivfpqQuery(spark, sfDir)),
+      "ivfpq_res"  -> (() => IvfPqIndex.ivfpqResidualQuery(spark, sfDir)),
+      "sq8"        -> (() => SqIndex.sqQuery(spark, sfDir)))
+    val tierDf: Map[String, DataFrame] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(tierBuilders) { case (name, build) =>
+          Future((name, build()))
+        }, Duration.Inf).toMap
+    }
     Tiers.map { case (tier, k, floorMicro) =>
       val rows = if (tier == "ivf_filtered") filteredTruth else truth(k)
       // the denominator is the truth set's OWN size — and the truth set
