@@ -78,7 +78,13 @@ object Sketches {
       .groupBy("lang", "tok").agg(count(lit(1)).as("_c"))
       .groupBy("lang")
       .agg(
-        approx_count_distinct(col("tok"), 0.01).as("_approx"),
+        // DataSketches HLL at lgK=14 (~0.8% RSE, >6 sigma inside the 5%
+        // gate) instead of approx_count_distinct(0.01), whose 2^14 HLL++
+        // registers ride as ~2,731 agg buffer attributes and cost ~0.9 s
+        // of planning/codegen per execution at ANY row count (round 19 —
+        // the TableStats.analyze measurement; the boolean contract below
+        // is unchanged)
+        hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(14))).as("_approx"),
         count(col("tok")).as("n_distinct_tokens"),
         sum(col("_c")).as("n_tokens"))
       .select(col("lang"), col("n_distinct_tokens"), col("n_tokens"),

@@ -39,12 +39,29 @@ object TableStats {
     columns.map { c =>
       df.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
         .agg(
-          sum(col("_c")).as("n_rows"),
-          sum(when(col("_v").isNotNull, col("_c")).otherwise(0L)).as("_cnt"),
+          // coalesce: sum over ZERO groups is NULL, and an empty table
+          // must report n_rows = 0 / n_nulls = 0 like the pre-dedup-first
+          // count(...) form did (round-18 advice)
+          coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("_v").isNotNull, col("_c")).otherwise(0L)),
+            lit(0L)).as("_cnt"),
           count(col("_v")).as("ndv"),
           min(col("_v")).cast("string").as("min_value"),
           max(col("_v")).cast("string").as("max_value"),
-          approx_count_distinct(col("_v"), 0.01).as("_andv"))
+          // DataSketches HLL (round 19) instead of approx_count_distinct:
+          // HLL++ at rsd=0.01 carries its 2^14 registers as ~2,731 agg
+          // BUFFER ATTRIBUTES, which costs ~0.9 s of planning/codegen per
+          // execution REGARDLESS of row count (measured: 1 000-row input,
+          // same cost); the DataSketches sketch is ONE binary buffer.
+          // lgK=14 has ~0.8% relative standard error, so the 5% bound
+          // below keeps >6 sigma of headroom — the emitted boolean cannot
+          // flip. xxhash64 canonicalizes any column type to a long
+          // (sketch input only; a 64-bit collision can only nudge the
+          // estimate by ~1), and the when() keeps nulls out of the
+          // sketch exactly like approx_count_distinct ignored them.
+          hll_sketch_estimate(hll_sketch_agg(
+            when(col("_v").isNotNull, xxhash64(col("_v"))), lit(14)))
+            .as("_andv"))
         .select(
           lit(c).as("col_name"),
           col("n_rows"),
