@@ -994,15 +994,26 @@ object SparkEntry {
       mediaTruth20.map { case (q, vr) => (q, vr / 1000L, vr % 1000L) }
         .filter { case (q, _, r) => pred(q, r) }
         .map { case (q, v, _) => (q, v) }
-    leg("hybrid_sem",
+    // the three probe legs are independent Dataset constructions — built
+    // concurrently like AnnRecall's 13 tiers (round 19, guide §2.6); the
+    // assembled union (and result) is identical to the sequential build's
+    val legBuilders: Seq[() => DataFrame] = Seq(
+      () => leg("hybrid_sem",
         IvfIndex.packSearch(spark, sfDir, col("vec_id") === 0L, k = 20),
-        truthE)
-      .unionAll(leg("media_sem",
+        truthE),
+      () => leg("media_sem",
         mediaIndexSearch(spark, sfDir, col("media_id") === 0L, k = 20),
-        mediaTruth((q, _) => q == 0L)))
-      .unionAll(leg("media_ann",
+        mediaTruth((q, _) => q == 0L)),
+      () => leg("media_ann",
         mediaAnnQuery(spark, sfDir),
         mediaTruth((_, r) => r <= 10L)))
+    val legs = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.traverse(legBuilders)(b => Future(b())), Duration.Inf)
+    }
+    legs.reduce(_ unionAll _)
   }
 
   /** Composite-rowkey cell table (HBase multi-component keys): lineitem's
