@@ -79,6 +79,79 @@ object MinHashImpl {
     n
   }
 
+  /**
+   * Per-POSITION two-level xxhash64 window hashes (round 19) — the native
+   * form of Dedup.windowOccurrences' interpreted HOF tree: each token is
+   * xxhash64'd once (seed 42, the `xxhash64` default), each window folds
+   * its n token hashes through xxhash64's multi-argument chaining
+   * (`hash = XxHash64(value, prevHash)`), so the produced longs are
+   * BIT-IDENTICAL to `xxhash64(element_at(th, i+1), …, element_at(th,
+   * i+n))` over `th = transform(lt, t -> xxhash64(t))` (DedupSpec pins
+   * this). Unlike [[shingleHashes]], occurrences are NOT deduplicated
+   * and positions are preserved — index w is the 0-based window start.
+   * Docs shorter than n tokens yield an EMPTY array (the span/substring
+   * removers' fallback).
+   */
+  def windowHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val nTok = tokens.numElements()
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      // a null token leaves the seed untouched, exactly like xxhash64(t)
+      th(i) =
+        if (tokens.isNullAt(i)) 42L
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          tokens.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w < out.length) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          th(w + j), LongType, h)
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * Space-joined n-token gram strings per position, with the whole-doc
+   * fallback for docs shorter than n tokens (round 19) — the native form
+   * of `transform(sequence(0, size-n), i -> concat_ws(' ', slice(tk,
+   * i+1, n)))` (null tokens skipped like concat_ws). Same strings, so a
+   * downstream md5 hashes identical bytes.
+   */
+  def tokenNgrams(tokens: ArrayData, n: Int): ArrayData = {
+    val nTok = tokens.numElements()
+    val windows = if (nTok >= n) nTok - n + 1 else 1
+    val width = math.min(n, nTok)
+    val out = new Array[Any](windows)
+    var w = 0
+    while (w < windows) {
+      val sb = new java.lang.StringBuilder
+      var first = true
+      var j = 0
+      while (j < width) {
+        if (!tokens.isNullAt(w + j)) {
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(w + j).toString)
+          first = false
+        }
+        j += 1
+      }
+      out(w) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k MinHash lanes over a shingle-hash set via double hashing. */
   def minhash(hashes: ArrayData, k: Int): ArrayData = {
     val mins = new Array[Long](k)
@@ -119,6 +192,46 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+case class WindowHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "window width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"window_hashes requires ARRAY<STRING> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.windowHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.windowHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_ngrams requires ARRAY<STRING> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.tokenNgrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.tokenNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
     copy(child = newChild)
 }
 
@@ -183,4 +296,13 @@ object MinHashFunctions {
   /** k-lane MinHash signature from a shingle-hash array. */
   def minhash(hashes: Column, k: Int): Column =
     Shims.column(MinHashFromHashes(Shims.expression(hashes), k))
+
+  /** Per-position two-level xxhash64 window hashes (bit-identical to the
+    * xxhash64-over-token-hashes expression form; empty for short docs). */
+  def window_hashes(tokens: Column, n: Int): Column =
+    Shims.column(WindowHashes(Shims.expression(tokens), n))
+
+  /** Per-position space-joined n-gram strings, whole-doc fallback. */
+  def token_ngrams(tokens: Column, n: Int): Column =
+    Shims.column(TokenNgrams(Shims.expression(tokens), n))
 }

@@ -248,13 +248,16 @@ object Dedup {
    * shingle convention).
    */
   def rareGramStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    // gram strings from the codegen'd kernel (round 19,
+    // graft.functions.TokenNgrams) — same space-joined strings as the
+    // interpreted transform+slice+concat_ws form (DedupSpec pins it), so
+    // the md5 hashes identical bytes and the oracle's digit-by-digit
+    // replay (and its collision behavior) is untouched
     val grams = docs
       .select(col("source"), tokens(col("text")).as("_tk"))
       .select(col("source"),
-        explode(when(size(col("_tk")) >= n,
-          transform(sequence(lit(0), size(col("_tk")) - n),
-            i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n)))))
-          .otherwise(array(concat_ws(" ", col("_tk"))))).as("_g"))
+        explode(graft.functions.MinHashFunctions.token_ngrams(col("_tk"), n))
+          .as("_g"))
       .select(col("source"),
         conv(substring(md5(col("_g")), 1, 12), 16, 10).cast("long").as("_h"))
     val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
@@ -349,6 +352,16 @@ object Dedup {
     * collision odds. The hash never leaves the plan (the oracle replays
     * STRING grams), so the value change is invisible to every consumer. */
   private def windowOccurrences(base: DataFrame, n: Int): DataFrame =
+    // codegen'd kernel since round 19 (graft.functions.WindowHashes): the
+    // per-token transform + per-window n-way xxhash64 fold ran as
+    // interpreted HOF lambdas; the kernel emits BIT-IDENTICAL hashes
+    // (DedupSpec pins equality against windowOccurrencesReference)
+    base.select(col("doc_id"),
+      posexplode(graft.functions.MinHashFunctions.window_hashes(col("lt"), n))
+        .as(Seq("pos", "w")))
+
+  /** Pre-round-19 HOF form — the kernel's equivalence REFERENCE only. */
+  private[graft] def windowOccurrencesReference(base: DataFrame, n: Int): DataFrame =
     base.select(col("doc_id"),
         transform(col("lt"), t => xxhash64(t)).as("_th"))
       .select(col("doc_id"),
@@ -358,6 +371,14 @@ object Dedup {
               i => xxhash64((0 until n).map(j =>
                 element_at(col("_th"), i + j + 1)): _*)))
           .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "w")))
+
+  /** Spec seam: the tokenized view the window forms share. */
+  private[graft] def tokenizedDocsForTest(docs: DataFrame): DataFrame =
+    tokenizedDocs(docs)
+
+  /** Spec seam: kernel-backed window occurrences. */
+  private[graft] def windowOccurrencesForTest(base: DataFrame, n: Int): DataFrame =
+    windowOccurrences(base, n)
 
   /** Excision + reconstruction tail shared by the span/substring removers:
     * collapse flagged window starts to one sorted per-doc array, excise

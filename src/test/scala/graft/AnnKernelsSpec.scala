@@ -69,6 +69,37 @@ class AnnKernelsSpec extends AnyFunSuite with SparkTestBase {
         IvfIndex.nearestCellReference(tied, col("embedding"))).as("diff")))
   }
 
+  test("window_hashes == xxhash64-HOF reference, bit-exact (incl. short docs)") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+      .unionByName(Seq((99990001L, "one two three")).toDF("doc_id", "text"))
+    val base = graft.operators.Dedup.tokenizedDocsForTest(docs)
+    for (n <- Seq(1, 4, 8)) {
+      val kern = graft.operators.Dedup.windowOccurrencesForTest(base, n)
+      val ref = graft.operators.Dedup.windowOccurrencesReference(base, n)
+      val k = kern.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      val f = ref.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      assert(k.length == f.length && k.sameElements(f), s"n=$n mismatch")
+    }
+  }
+
+  test("token_ngrams == transform/slice/concat_ws reference, same strings") {
+    val tk = graft.sources.Tables.load(spark, sf001, "documents")
+      .select(split(lower(col("text")), "\\s+").as("_tk"))
+    for (n <- Seq(2, 8)) {
+      val kern = tk.select(explode(
+        graft.functions.MinHashFunctions.token_ngrams(col("_tk"), n)).as("g"))
+      val ref = tk.select(explode(
+        when(size(col("_tk")) >= n,
+          transform(sequence(lit(0), size(col("_tk")) - n),
+            i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", col("_tk"))))).as("g"))
+      val k = kern.collect().map(_.getString(0)).sorted
+      val f = ref.collect().map(_.getString(0)).sorted
+      assert(k.length == f.length && k.sameElements(f), s"n=$n mismatch")
+    }
+  }
+
   test("probe_cells == array_sort reference, bit-exact (incl. ties)") {
     for (np <- Seq(1, 3, 8)) {
       assertSame(emb.select(
