@@ -43,10 +43,57 @@ object Tables {
       // harmless for µs fixtures; required so a ns fixture reads (as longs)
       // instead of failing with PARQUET_TYPE_ILLEGAL
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+      parallelized(spark, s"$sfDir/$name.parquet", name,
+        normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet")))
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      parallelized(spark, s"$sfDir/$name.parquet", name,
+        spark.read.parquet(s"$sfDir/$name.parquet"))
     }
+
+  /** Natural scan split count per (path, session parallelism), memoized —
+    * a driver-side plan inspection, no job. */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /**
+   * Scale-adaptive scan parallelization (round 19; the guide's "one huge
+   * unsplittable file → repartition immediately after the read", applied
+   * adaptively). The bench fixtures are SINGLE parquet files with one row
+   * group each — unsplittable below file granularity — so every scan
+   * stage, and with it ALL narrow per-row work (tokenize/regex/hash
+   * projections) and every map-side partial aggregation, ran on one or
+   * two tasks at ANY core count (measured at the synthesized sf1:
+   * redactPii 3.9 s on the 2-split scan vs 0.64 s redistributed across
+   * 32). When the scan's natural split count is below half the session's
+   * default parallelism, redistribute once right after the read; any
+   * production layout (many files / many row groups) fails the condition
+   * and this is a no-op — the knob derives from input layout and session
+   * cores, never a constant tuned to either scale.
+   *
+   * Output-identical: round-robin repartition is retry-deterministic
+   * (sortBeforeRepartition) and every declared query is partition-order
+   * independent (the repo's oracle-determinism discipline — the driver
+   * already benches the same queries at 8 and 32 cores).
+   */
+  /** Tables whose consumers do heavy PER-ROW compute (tokenize / regex /
+    * hash / vector kernels) before their first exchange — the cases where
+    * an under-split scan serializes real work. The relational tables'
+    * consumers are join/aggregation-shaped: their map work is light, and
+    * the added exchange is one more sequential AQE stage per consumer —
+    * measured a NET LOSS on the short join queries (full-sweep A/B:
+    * q_semi_join 0.5x, q_set_ops 0.6x, q_pivot 0.5x) against wins that
+    * only the text/vector families actually realize (q_winnow 4.7x,
+    * q_redact 3.1x, q_rare_ngrams 2.5x, q_ann_bq 1.9x). */
+  private val HeavyRowTables = Set("documents", "embeddings")
+
+  private def parallelized(spark: SparkSession, path: String, name: String,
+      df: DataFrame): DataFrame = {
+    if (!HeavyRowTables.contains(name)) return df
+    val target = spark.sparkContext.defaultParallelism
+    val parts = scanParts.computeIfAbsent(s"$path#$target",
+      _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
+    if (parts * 2 <= target) df.repartition(target) else df
+  }
 
   /** Raw events schema (pre-normalization) for streaming readers. */
   def eventsRawSchema(spark: SparkSession, sfDir: String) = {

@@ -14,6 +14,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Plan AFTER an execution: AQE-wrapped plans (anything with an
+    * exchange — including Tables.load's adaptive scan redistribution)
+    * print no WholeStageCodegen `*(n)` markers until they have run. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // a write clones the QueryExecution; collect runs THIS one
+    df.queryExecution.executedPlan.toString
+  }
+
   test("point lookup pushes the key predicate into the parquet scan") {
     val plan = Relational.pointLookup(spark, sf001).queryExecution
       .executedPlan.toString
@@ -34,14 +42,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   test("rep_stats evaluates inside whole-stage codegen with no shuffle") {
     val df = graft.operators.TextAnalysis.repStatsQuery(spark, sf001)
-    val plan = executedPlan(df)
+    val plan = finalPlan(df)
     // `*(n)` prefixes mark whole-stage-codegen stages; the rep_stats
     // projection must carry one (an interpreted fallback would print a
-    // bare Project)
-    assert(plan.contains("*(1) Project") && plan.contains("rep_stats"),
+    // bare Project). Any stage id is fine — the adaptive scan
+    // redistribution (Tables.load, round 19) may insert a round-robin
+    // exchange below it on single-file fixtures.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("*(") && l.contains("rep_stats")),
       s"rep_stats projection not inside a codegen stage:\n$plan")
-    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
-      s"per-row fold must not shuffle:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"per-row fold must not key-shuffle:\n$plan")
   }
 
   test("CopyRow plan is narrow: no shuffle exchange anywhere") {
@@ -115,7 +127,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.redactQuery(spark, sf001)
     ).foreach { df =>
       val plan = executedPlan(df)
-      assert(!plan.contains("Exchange"), s"expected a shuffle-free narrow map:\n$plan")
+      // "narrow" = the OPERATOR adds no keyed shuffle; the only exchange
+      // permitted is Tables.load's adaptive round-robin scan
+      // redistribution (round 19 — absent on any multi-split input)
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning"),
+        s"expected a narrow map with no keyed shuffle:\n$plan")
     }
   }
 
@@ -212,11 +229,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   test("normalize_text evaluates inside whole-stage codegen, narrow") {
     val df = graft.operators.TextAnalysis.normalizeQuery(spark, sf001)
-    val plan = executedPlan(df)
+    val plan = finalPlan(df)
     assert(plan.linesIterator.exists(l =>
-      l.contains("Project") && l.trim.startsWith("*(") && l.contains("normalize_text")),
+      l.contains("Project") && l.contains("*(") && l.contains("normalize_text")),
       s"normalize_text not inside a codegen stage:\n$plan")
-    assert(!plan.contains("Exchange"), s"normalization must not shuffle:\n$plan")
+    // load's adaptive round-robin redistribution allowed; no keyed shuffle
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"normalization must not key-shuffle:\n$plan")
   }
 
   test("theta overlap (production form): serving plan reads only the sketch artifact") {
