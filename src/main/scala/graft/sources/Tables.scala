@@ -86,13 +86,33 @@ object Tables {
     * q_redact 3.1x, q_rare_ngrams 2.5x, q_ann_bq 1.9x). */
   private val HeavyRowTables = Set("documents", "embeddings")
 
+  private val byteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** On-disk bytes of a fixture table (file or directory of files). */
+  private def tableBytes(path: String): Long =
+    byteCache.computeIfAbsent(path, { _ =>
+      val f = new java.io.File(path.stripPrefix("file:"))
+      if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length).sum
+      else f.length()
+    })
+
   private def parallelized(spark: SparkSession, path: String, name: String,
       df: DataFrame): DataFrame = {
-    if (!HeavyRowTables.contains(name)) return df
     val target = spark.sparkContext.defaultParallelism
     val parts = scanParts.computeIfAbsent(s"$path#$target",
       _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
-    if (parts * 2 <= target) df.repartition(target) else df
+    if (parts * 2 > target) return df // properly split input: no-op
+    // heavy-per-row tables redistribute whenever under-split; the
+    // relational tables additionally need ≥ ~1 MB of input per core —
+    // below that the added exchange is one more sequential AQE stage that
+    // buys no real map work (measured: sf0.1 lineitem/orders consumers
+    // net-lost with unconditional redistribution, while the sf1 twin's
+    // 78 MB single-file lineitem gains multi-x on its aggregations)
+    if (HeavyRowTables.contains(name) ||
+        tableBytes(path) >= target.toLong * (1L << 20))
+      df.repartition(target)
+    else df
   }
 
   /** Raw events schema (pre-normalization) for streaming readers. */
